@@ -1,0 +1,131 @@
+"""High-level engine API — the Spark-native equivalent of the
+reference's two analytical entry points (``do_polytrend`` /
+``do_dbest``, ``TrendEngine/calculations/polytrend.py:402``,
+``dbest.py:443``), minus the HTTP/plot layers (out of engine scope,
+SURVEY.md §3.5).
+
+AOI semantics follow the reference UI (marker or rectangle only,
+``TrendEngine/static/utils.js:104-110``): a point selects the nearest
+series; a bbox is a conjunctive range predicate that Catalyst pushes
+to the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trendengine_spark.functions.dbest import dbest_changes, dbest_decomposition
+from trendengine_spark.functions.polytrend import polytrend_groups
+from trendengine_spark.operators.composite import annual_composite, monthly_composite
+from trendengine_spark.operators.stats import polytrend_summary
+
+PIXEL = ["longitude", "latitude"]
+
+
+def filter_years(obs: DataFrame, year_from: int, year_to: int, time_col: str = "time") -> DataFrame:
+    """Temporal range filter (reference F1: ``filterDate(f'{y}-01-01',
+    f'{y}-12-31')``, ``polytrend.py:452-458``)."""
+    return obs.filter(
+        F.col(time_col).between(f"{year_from}-01-01", f"{year_to}-12-31 23:59:59")
+    )
+
+
+def filter_bbox(
+    obs: DataFrame, lon1: float, lat1: float, lon2: float, lat2: float
+) -> DataFrame:
+    """Spatial rectangle filter (reference F2: ``filterBounds``,
+    ``polytrend.py:458``) — pure range predicates, parquet-prunable."""
+    return obs.filter(
+        F.col("longitude").between(min(lon1, lon2), max(lon1, lon2))
+        & F.col("latitude").between(min(lat1, lat2), max(lat1, lat2))
+    )
+
+
+def filter_point(obs: DataFrame, lon: float, lat: float) -> DataFrame:
+    """Point AOI → nearest pixel (reference point flow,
+    ``polytrend.py:316-372``). Distance ranking over the distinct
+    pixel grid (tiny), then a semi-join back — the grid frame
+    broadcasts."""
+    pixels = obs.select(*PIXEL).distinct()
+    nearest = (
+        pixels.withColumn(
+            "_d2",
+            (F.col("longitude") - lon) ** 2 + (F.col("latitude") - lat) ** 2,
+        )
+        .orderBy("_d2")
+        .limit(1)
+        .drop("_d2")
+    )
+    return obs.join(F.broadcast(nearest), PIXEL, "left_semi")
+
+
+def polytrend(
+    obs: DataFrame,
+    year_from: int,
+    year_to: int,
+    alpha: float = 0.05,
+    threshold: float = 0.1,
+    bbox: tuple[float, float, float, float] | None = None,
+    point: tuple[float, float] | None = None,
+    composite: str = "mean",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """PolyTrend flow (reference §3.2): filter → annual composite →
+    quality gate + per-series classification."""
+    series_cols = series_cols or PIXEL
+    df = filter_years(obs, year_from, year_to)
+    if bbox is not None:
+        df = filter_bbox(df, *bbox)
+    if point is not None:
+        df = filter_point(df, *point)
+    annual = annual_composite(df, series_cols, how=composite)
+    return polytrend_groups(
+        annual,
+        series_cols,
+        time_col="yr",
+        value_col="value",
+        alpha=alpha,
+        threshold=threshold,
+    )
+
+
+def polytrend_stats(result: DataFrame) -> DataFrame:
+    """Roll-up statistics over a PolyTrend result (reference
+    ``utils.py:37-64``)."""
+    return polytrend_summary(result)
+
+
+def dbest(
+    obs: DataFrame,
+    year_from: int,
+    year_to: int,
+    algorithm: str = "change_detection",
+    threshold: float | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    point: tuple[float, float] | None = None,
+    series_cols: list[str] | None = None,
+    largest_only: bool = False,
+    **knobs,
+) -> DataFrame:
+    """DBEST flow (reference §3.3): filter → monthly composite →
+    per-series change detection / decomposition.
+
+    ``algorithm`` is canonicalized to ``change_detection`` /
+    ``generalization`` (the reference's form and code disagree on the
+    string — SURVEY.md §4.4.7)."""
+    series_cols = series_cols or PIXEL
+    algorithm = algorithm.replace(" ", "_").replace("changedetection", "change_detection")
+    df = filter_years(obs, year_from, year_to)
+    if bbox is not None:
+        df = filter_bbox(df, *bbox)
+    if point is not None:
+        df = filter_point(df, *point)
+    monthly = monthly_composite(df, series_cols)
+    if algorithm == "change_detection":
+        return dbest_changes(
+            monthly, series_cols, threshold=threshold, largest_only=largest_only, **knobs
+        )
+    if algorithm == "generalization":
+        return dbest_decomposition(monthly, series_cols, **knobs)
+    raise ValueError(f"unknown algorithm {algorithm!r}")

@@ -1,0 +1,131 @@
+"""Temporal composites — the reference's acquire-stage aggregations.
+
+Reference behavior (cited into /root/reference):
+- Annual mean composite: per year, mean over all images in the year
+  (``TrendEngine/calculations/polytrend.py:375-399``; mean at :387 —
+  note README.md:22 says "maximum", code computes mean; we default to
+  mean and expose ``how`` to match either).
+- Monthly mean composite: nested year×month loop, per-month mean
+  (``TrendEngine/calculations/dbest.py:34-62``; mean at :53).
+- The reference drives these with a zip-repeat-map over a generated
+  year list (``polytrend.py:391-398``) — in Spark the same result is
+  a single ``groupBy(series, year(time))`` aggregation: one shuffle,
+  map-side partial aggregation, whole-stage codegen, no driver loop.
+
+Scale notes: the composite is a hash aggregate keyed on
+(series, period). Cardinality = #series × #periods, which shards
+uniformly — no skew risk even at 100 TB because every series
+contributes the same number of periods. Input-side filters (date
+range, AOI) are applied by the caller *before* this operator so they
+push down to the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "mean": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "sum": F.sum,
+    "median": lambda c: F.median(c),
+}
+
+
+def _agg(how: str, col: str) -> Column:
+    if how not in _AGGS:
+        raise ValueError(f"unknown composite agg {how!r}; one of {sorted(_AGGS)}")
+    return _AGGS[how](col)
+
+
+def annual_composite(
+    obs: DataFrame,
+    series_cols: list[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    how: str = "mean",
+) -> DataFrame:
+    """Per-series annual composite (reference A1).
+
+    Returns one row per (series, year) with the aggregated value and
+    a canonical period timestamp (Jan 1 of the year, mirroring the
+    reference stamping ``system:time_start`` to the year,
+    ``polytrend.py:388``).
+    """
+    yr = F.year(F.col(time_col)).alias("yr")
+    return (
+        obs.groupBy(*series_cols, yr)
+        .agg(_agg(how, value_col).alias(value_col))
+        .withColumn("period_start", F.make_date(F.col("yr"), F.lit(1), F.lit(1)))
+    )
+
+
+def monthly_composite(
+    obs: DataFrame,
+    series_cols: list[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    how: str = "mean",
+) -> DataFrame:
+    """Per-series monthly composite (reference A2).
+
+    Months with no observations are simply absent (the reference
+    produces masked images there, ``dbest.py:34-62``); use
+    :func:`fill_missing_months` to densify + interpolate when an
+    algorithm needs a regular grid.
+    """
+    period = F.date_trunc("month", F.col(time_col)).alias("period_start")
+    return obs.groupBy(*series_cols, period).agg(_agg(how, value_col).alias(value_col))
+
+
+def grid_composite(
+    obs: DataFrame,
+    cell_size: float,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    value_col: str = "value",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Spatial resolution reduction (reference ``scale=`` resampling,
+    ``utils.py:9``): snap pixels to a grid of ``cell_size`` degrees and
+    average. Explicit operator — no Catalyst analog (SURVEY.md §4.1).
+    """
+    cell_x = F.floor(F.col(lon_col) / cell_size).alias("cell_x")
+    cell_y = F.floor(F.col(lat_col) / cell_size).alias("cell_y")
+    keys = list(extra_keys or [])
+    return (
+        obs.groupBy(cell_x, cell_y, *keys)
+        .agg(
+            F.avg(lon_col).alias(lon_col),
+            F.avg(lat_col).alias(lat_col),
+            F.avg(value_col).alias(value_col),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def fill_missing_months(
+    monthly: DataFrame,
+    series_cols: list[str],
+    period_col: str = "period_start",
+    value_col: str = "value",
+) -> DataFrame:
+    """Densify a monthly composite to a regular grid.
+
+    Missing months get a null value (caller may interpolate inside
+    the fitting UDF). Implemented as per-series min/max span →
+    ``sequence`` + ``explode`` → left join back; the join is on the
+    series key so it co-partitions with the original aggregation.
+    """
+    spans = monthly.groupBy(*series_cols).agg(
+        F.min(period_col).alias("_mn"), F.max(period_col).alias("_mx")
+    )
+    grid = spans.select(
+        *series_cols,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 month"))
+        ).alias(period_col),
+    )
+    return grid.join(monthly, [*series_cols, period_col], "left")
