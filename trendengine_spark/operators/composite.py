@@ -25,8 +25,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _exact_mean(c: str) -> Column:
+    """Deterministic mean: exact decimal sum (order-independent, so
+    results don't vary with partial-aggregation merge order across
+    runs/partitionings — a reproducibility requirement for an engine
+    whose results are hash-compared) divided in double. DECIMAL(28,10)
+    holds ~1e17 absolute sum at 10-decimal precision — ample headroom
+    for 1e12-row groups of 1e5-magnitude values."""
+    return F.sum(F.col(c).cast("decimal(28,10)")).cast("double") / F.count(F.col(c))
+
+
 _AGGS = {
-    "mean": F.avg,
+    "mean": _exact_mean,
     "max": F.max,
     "min": F.min,
     "sum": F.sum,

@@ -1,0 +1,272 @@
+"""Deduplication operators (LLM-data-pipeline surface).
+
+Four tiers, cheapest-first, all designed around the 100 TB rule
+"never materialize the all-pairs matrix":
+
+1. :func:`exact_dedup` — hash group on the normalized text: one
+   shuffle keyed by the text hash, representative = min id.
+2. :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard via an
+   inverted shingle index: explode distinct shingles, self-join on
+   the shingle, count common shingles per pair. Candidate work is
+   Σ df(shingle)² over shingles, not N²; a ``max_df`` cut drops
+   stop-shingles (standard trick) to bound hot keys.
+3. :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — the
+   scale path: fixed-size signatures (xxhash64 with per-permutation
+   salts — deterministic, no fitted model), banded LSH bucketing,
+   candidate pairs only within buckets, then exact verification.
+4. :func:`simhash_fingerprints` — 64-bit SimHash per document via
+   one conditional-aggregation pass (64 JVM-side bit sums, no UDF);
+   near-dup = small Hamming distance, bucketed by 16-bit blocks
+   (pigeonhole: ≤3 differing bits ⇒ one of 4 blocks identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trendengine_spark.operators.text import normalize_text, tokens_col
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct text with
+    the representative (minimum) id and the duplicate count."""
+    key = normalize_text(F.col(text_col)).alias("norm_text")
+    return (
+        df.select(F.col(id_col), key)
+        .groupBy("norm_text")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built-ins only: tokenize → transform over an index sequence →
+    concat_ws → explode → distinct. The distinct is per-document
+    (id, shingle) — a map-side-combinable aggregation.
+    """
+    toks = tokens_col(F.col(text_col))
+    # guard: sequence(0, k) with k < 0 would generate a DESCENDING range
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for all pairs ≥ ``threshold``,
+    via the inverted index (join on shingle) — no all-pairs join.
+
+    ``max_df`` (optional) drops shingles occurring in more than that
+    many documents before pairing; at web scale this bounds the
+    per-shingle join fan-out (a shingle in k docs contributes k²
+    candidate pairs).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fixed-size MinHash signature per document.
+
+    Permutation i = xxhash64(shingle, salt=i); the signature element
+    is the min hash per permutation. One explode + one groupBy(id)
+    aggregation — no UDF, fully deterministic (no fitted model, unlike
+    ``pyspark.ml.feature.MinHashLSH``, so results are reproducible
+    across runs and clusters).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, with the
+    signature-estimated Jaccard attached and thresholded.
+
+    num_perm/bands = rows-per-band r; a pair with true Jaccard s is
+    caught by a band with prob 1-(1-s^r)^bands. Candidates are joined
+    only within (band, band-hash) buckets — the only shuffle wider
+    than the data is keyed by bucket, never all-pairs.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into bands")
+    r = num_perm // bands
+    sig = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(float(num_perm)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document in one conditional-agg pass.
+
+    Token hash = xxhash64(token); bit j of the fingerprint is set when
+    Σ_tokens (±1 by bit j of the token hash) > 0. The 64 bit-sums are
+    plain JVM aggregates (shiftright + bitwise AND), map-side combined.
+    Also emits the four 16-bit blocks used for pigeonhole bucketing of
+    Hamming-≤3 near-dup search.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        fp = fp.bitwiseOR(F.shiftleft(bit, j))
+    out = agg.select("id", fp.alias("simhash"))
+    blocks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias(f"block{k}")
+        for k in range(4)
+    ]
+    return out.select("id", "simhash", *blocks)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    bucketed by 16-bit blocks (pigeonhole ⇒ recall 1.0 for ≤3 bits):
+    join only within equal blocks, then verify with bit_count."""
+    fp = simhash_fingerprints(df, **kw).cache()
+    pairs = None
+    for k in range(4):
+        a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"block{k}").alias("blk"))
+        b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"block{k}").alias("blk"))
+        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,84 @@
+"""Relational helper operators the built-in API lacks as one-liners.
+
+SURVEY.md §2.6 declares the standard closure (joins, windows, top-k,
+…) as engine surface; most of it is a direct pass-through to
+``pyspark.sql``. The two compositions below are the ones that need a
+deliberate plan choice, written for 100 TB:
+
+- :func:`asof_join` — the union + last(ignorenulls) window plan: ONE
+  shuffle on the join key and a per-key sort, instead of a skew-prone
+  range join or a per-row subquery. This is the standard scalable
+  as-of strategy (same shape Flink/kdb temporal joins lower to).
+- :func:`topk_per_group` — ``row_number`` over a partitioned window +
+  filter: one shuffle on the group key, no global sort; AQE handles
+  group-count skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` within the same key.
+
+    Implementation: tag both sides, union by name, sort each key
+    partition by (ts, side) with right rows first on ties, and carry
+    the latest non-null right payload forward with
+    ``last(ignorenulls=True)`` over a running frame. Left rows are
+    then filtered back out. Cost: one hash exchange on ``on`` plus an
+    in-partition sort — no range join, no per-key broadcast, and the
+    plan co-partitions with any downstream groupBy on the same key.
+
+    ``how='left'`` keeps unmatched left rows (right payload null);
+    ``how='inner'`` drops them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys]
+    if right_ts not in payload:
+        raise ValueError(f"right_ts {right_ts!r} must be a non-key right column")
+
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_ts))
+    for c in payload:
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rhs = right.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_ts))
+
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).drop("_side", "_t")
+    if how == "inner":
+        out = out.filter(F.col(right_ts).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return out.select(*left.columns, *payload)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` (SURVEY §2.6 sort/top-k).
+
+    Pass a deterministic ``order_by`` (include a unique tiebreak
+    column) so results are stable under re-partitioning.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rn_col, F.row_number().over(w)).filter(F.col(rn_col) <= k)

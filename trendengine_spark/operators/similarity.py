@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (LLM-data-pipeline
+surface; ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``).
+
+Two paths, per the scale playbook:
+
+- :func:`cosine_topk` — brute-force baseline: the (small) query set
+  broadcasts, cosine is a JVM-side ``zip_with``/``aggregate`` fold
+  over the array (double math, no UDF, no Arrow hop), and top-k is a
+  per-query ``row_number`` window. Cost is O(|queries| × N) scans —
+  linear in N, embarrassingly parallel, the right baseline at any
+  scale where |queries| is modest.
+- :func:`random_hyperplane_ann` — LSH scale path: sign-bit bucket
+  signatures from deterministic pseudo-random hyperplanes (hash-seeded,
+  no fitted model), candidates only within matching buckets (multi-probe
+  over bands), exact cosine re-rank inside buckets. Sub-linear
+  candidate volume; recall tunable by planes/bands.
+
+(``pyspark.ml.feature.BucketedRandomProjectionLSH`` offers similar
+machinery for L2; the hand-rolled version keeps determinism and stays
+on plain DataFrames — no ML pipeline fit step.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must have (query_id_col, vec_col); it is broadcast, so
+    the plan is a single pass over the corpus with a per-query window
+    top-k — no corpus self-join.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col(id_col) != F.col("_qid"))
+        .withColumn("cos_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (unit-normalized rows)."""
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n_planes, dim))
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def plane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature of ``vec`` against each hyperplane, packed
+    into a long per ≤63 planes (here planes ≤ 16 → one long)."""
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in row])
+        bit = F.when(_dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))
+    return sig
+
+
+def random_hyperplane_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    planes_per_band: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Each band contributes one bucket join (corpus signature =
+    query signature on that band's planes); union of candidates,
+    distinct, exact cosine re-rank, per-query top-k. Recall grows
+    with ``bands``; candidate volume shrinks with ``planes_per_band``.
+    """
+    all_planes = _planes(planes_per_band * bands, dim, seed)
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    for b in range(bands):
+        pl = all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+        c = c.withColumn(f"sig{b}", plane_signature(F.col(vec_col), pl))
+        q = q.withColumn(f"sig{b}", plane_signature(F.col("_qvec"), pl))
+    q = F.broadcast(q)
+
+    cands = None
+    for b in range(bands):
+        p = c.join(
+            q.select("_qid", "_qvec", F.col(f"sig{b}").alias("_qs")),
+            c[f"sig{b}"] == F.col("_qs"),
+        ).select(id_col, vec_col, "_qid", "_qvec")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates([id_col, "_qid"]).filter(
+        F.col(id_col) != F.col("_qid")
+    )
+    scored = cands.withColumn("cos_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes_per_band: int = 10,
+    bands: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
+    banded hyperplane LSH self-bucketing — candidates only share a
+    band signature, then exact cosine verify. No all-pairs join."""
+    all_planes = _planes(planes_per_band * bands, dim, seed)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sigs = c
+    for b in range(bands):
+        pl = all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+        sigs = sigs.withColumn(f"sig{b}", plane_signature(F.col("vec"), pl))
+    sigs = sigs.cache()
+    pairs = None
+    for b in range(bands):
+        a = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col(f"sig{b}").alias("s"))
+        d = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col(f"sig{b}").alias("s"))
+        p = a.join(d, "s").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "vec_a", "vec_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over a document table (LLM-data-pipeline
+surface; no reference analog — SURVEY §2.6 north-star row).
+
+Everything here is built-in-expression Spark (codegen-friendly, no
+Python in the hot path): tokenization is ``split`` on a whitespace
+regex, ratios are ``regexp_count``-style length arithmetic, language
+ID is a stopword-score argmax over lambda expressions, and the
+document fingerprint is ``md5`` of a canonical normalization. At
+100 TB these are embarrassingly parallel single-pass scans — no
+shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the heuristic language ID.
+#: Deliberately small + deterministic so the score is SQL-expressible
+#: and oracle-checkable; swap in real profiles for production use.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "que"],
+    "de": ["der", "die", "das", "und", "von", "ein", "ist", "nicht"],
+}
+
+_WS = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(text), _WS), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalization
+    (portable across engines — DuckDB md5 produces the identical hex)."""
+    return F.md5(normalize_text(text))
+
+
+def char_class_ratio(text: Column, pattern: str) -> Column:
+    """len(matches of char class) / len(text), 0-safe."""
+    n = F.length(text)
+    kept = F.length(F.regexp_replace(text, pattern, ""))
+    return F.when(n > 0, (n - kept) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_score(text: Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (the language-ID scoring
+    primitive; a lambda filter over the token array — JVM-side)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col(text), lambda x: F.array_contains(arr, F.lower(x))))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", decimals: int = 6
+) -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation
+    / digit / uppercase ratios, English-stopword ratio. One projection
+    pass over the scan (no shuffle)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    avg_tok = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    sw = stopword_score(text, LANG_STOPWORDS["en"])
+    return df.withColumns(
+        {
+            "n_chars_c": F.length(text),
+            "n_tokens": n_tok,
+            "avg_token_len": F.round(avg_tok, decimals),
+            "punct_ratio": F.round(char_class_ratio(text, r"[.,;:!?'\"()\[\]{}-]"), decimals),
+            "digit_ratio": F.round(char_class_ratio(text, r"[0-9]"), decimals),
+            "upper_ratio": F.round(char_class_ratio(text, r"[A-Z]"), decimals),
+            "stopword_ratio": F.round(
+                F.when(n_tok > 0, sw / n_tok.cast("double")).otherwise(F.lit(0.0)),
+                decimals,
+            ),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword scores,
+    'und' (undetermined) when every score is 0. Deterministic
+    tie-break by language code order."""
+    text = F.col(text_col)
+    scores = {lang: stopword_score(text, words) for lang, words in LANG_STOPWORDS.items()}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in sorted order; strict > keeps the earliest max (deterministic)
+    for lang in sorted(scores):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    out = df
+    for lang in sorted(scores):
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("lang_pred", best_lang)

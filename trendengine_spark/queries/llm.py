@@ -1,0 +1,358 @@
+"""LLM-training-data-pipeline queries over ``documents`` /
+``embeddings`` (north-star extensions, SURVEY §2.6 bottom row).
+
+Oracle policy: exact dedup, fingerprinting, token/quality/language
+profiling, exact n-gram Jaccard, brute-force cosine top-k, and the
+multimodal metadata path are all SQL-expressible → full DuckDB
+oracle. The LSH variants (MinHash bands, SimHash blocks, hyperplane
+ANN) are the 100 TB scale paths of the same semantics — their
+candidate generation is probabilistic-by-construction, so they are
+declared rows-only and their recall/consistency is asserted in
+``tests/test_llm_ops.py`` against the exact twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trendengine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from trendengine_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+    media_content_stats,
+)
+from trendengine_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    random_hyperplane_ann,
+)
+from trendengine_spark.operators.text import (
+    fingerprint_md5,
+    language_id,
+    quality_features,
+)
+from trendengine_spark.queries.base import query, t
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+# ------------------------------------------------------------------ dedup
+@query(
+    "dedup_exact",
+    sql=f"""
+    SELECT {_NORM_SQL} AS norm_text, min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-group on normalized text, min-id representative."""
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_fingerprint_md5",
+    sql=f"""
+    SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS rep_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint_md5(spark, sf_dir):
+    """Content-hash fingerprint dedup (md5 of normalized text) — the
+    fixed-width variant of dedup_exact for wide-row shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT 3-gram Jaccard near-dup pairs (≥ 0.5) via the inverted
+    shingle index — no all-pairs join; this is the oracle-checked
+    exact twin of the MinHash-LSH scale path."""
+    out = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    sql=None,
+    doc="MinHash-LSH near-dup candidates (64 perms, 16 bands) with "
+    "signature-estimated Jaccard ≥ 0.35 — the bucketed scale path; "
+    "recall vs the exact twin asserted in tests.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.35, num_perm=64, bands=16
+    )
+
+
+@query(
+    "dedup_simhash",
+    sql=None,
+    doc="SimHash-64 near-dup pairs at Hamming ≤ 3, pigeonhole-bucketed "
+    "by 16-bit blocks (recall 1.0 for ≤3 differing bits, no all-pairs).",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ------------------------------------------------------------- text analysis
+@query(
+    "text_quality_profile",
+    sql=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS ts FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(length(text) AS INT) AS n_chars_c,
+           CAST(len(ts) AS INT) AS n_tokens,
+           round(CASE WHEN len(ts) > 0
+                 THEN list_sum(list_transform(ts, x -> length(x))) / CAST(len(ts) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS digit_ratio,
+           round(CASE WHEN len(ts) > 0
+                 THEN len(list_filter(ts, x -> list_contains(
+                        ['the','a','and','of','to','in','is','that'], lower(x))))
+                      / CAST(len(ts) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio
+    FROM q
+    """,
+)
+def text_quality_profile(spark, sf_dir):
+    """Per-document quality features (length/token/punct/digit/stopword)
+    — single projection pass, no shuffle."""
+    out = quality_features(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang", "n_chars_c", "n_tokens", "avg_token_len",
+        "punct_ratio", "digit_ratio", "stopword_ratio",
+    )
+
+
+@query(
+    "text_language_id",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS ts FROM documents
+    ), sc AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(ts, x -> list_contains(['der','die','das','und','von','ein','ist','nicht'], lower(x)))) AS INT) AS score_de,
+        CAST(len(list_filter(ts, x -> list_contains(['the','a','and','of','to','in','is','that'], lower(x)))) AS INT) AS score_en,
+        CAST(len(list_filter(ts, x -> list_contains(['el','la','y','de','un','una','es','que'], lower(x)))) AS INT) AS score_es,
+        CAST(len(list_filter(ts, x -> list_contains(['le','la','et','de','un','une','est','que'], lower(x)))) AS INT) AS score_fr
+      FROM s
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM sc
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Heuristic stopword-score language ID (argmax, deterministic
+    tie-break by language code)."""
+    out = language_id(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "lang_pred"
+    )
+
+
+@query(
+    "text_token_explode_tf",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+    """,
+)
+def text_token_explode_tf(spark, sf_dir):
+    """Corpus term/document frequency (the TF-IDF building block)."""
+    docs = t(spark, sf_dir, "documents")
+    from trendengine_spark.operators.text import tokens_col
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+# --------------------------------------------------------------- similarity
+@query(
+    "sim_cosine_topk",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(qe, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qe, qe)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cos_sim, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors: broadcast
+    queries × one corpus pass (JVM fold, no UDF) + per-query window."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "sim_ann_hyperplane",
+    sql=None,
+    doc="Random-hyperplane LSH ANN top-5 (8 planes × 4 bands) — the "
+    "sub-linear scale path; recall vs sim_cosine_topk asserted in tests.",
+)
+def sim_ann_hyperplane(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return random_hyperplane_ann(emb, queries, k=5, dim=64)
+
+
+@query(
+    "sim_embedding_near_dup",
+    sql=None,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.9) via banded "
+    "hyperplane self-bucketing — no all-pairs join.",
+)
+def sim_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.9, dim=64
+    )
+
+
+@query(
+    "sim_label_centroid_dist",
+    sql="""
+    WITH pos AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT label, i, avg(v) AS mv FROM pos GROUP BY label, i
+    ), c AS (
+      SELECT label, list(mv ORDER BY i) AS centroid FROM m GROUP BY label
+    )
+    SELECT e.label, e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.centroid, c.centroid))), 4) AS cos_to_centroid
+    FROM embeddings e JOIN c USING (label)
+    """,
+)
+def sim_label_centroid_dist(spark, sf_dir):
+    """Per-label centroid + per-vector cosine to its centroid (the
+    outlier-scoring primitive): centroid via posexplode + group-avg,
+    re-join broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
+        .select("label", F.expr("transform(_sm, s -> s.m)").alias("centroid"))
+    )
+    from trendengine_spark.operators.similarity import cosine
+
+    j = emb.join(F.broadcast(cent), "label")
+    return j.select(
+        "label", "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 4).alias("cos_to_centroid"),
+    )
+
+
+# --------------------------------------------------------------- multimodal
+@query(
+    "multimodal_content_stats",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256_hex,
+           CAST((doc_id % 64) * 16 + 64 AS INT) AS width,
+           CAST((doc_id % 48) * 16 + 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_content_stats(spark, sf_dir):
+    """Binary-column metadata path: byte length + sha256 content hash
+    (the media dedup key) + typed metadata projection."""
+    media = attach_fake_media(t(spark, sf_dir, "documents"))
+    return media_content_stats(media)
+
+
+@query(
+    "multimodal_feature_extract",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
+           CAST(64 + ((octet_length(encode(text)) * 7 + ascii(substr(text, 1, 1))) % 512) AS INT) AS height,
+           ((ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))) % 256) / 255.0 AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """mapInPandas feature extraction over the media column (decode
+    stubbed with the deterministic fake — real plumbing, Arrow batch
+    round trip, no shuffle)."""
+    media = attach_fake_media(t(spark, sf_dir, "documents"))
+    return extract_media_features(media, fake=True)

@@ -1,0 +1,172 @@
+"""Batch-equivalent window queries over ``events`` (SURVEY §2.6
+streaming row).
+
+Structured Streaming twins live in :mod:`trendengine_spark.streaming`
+— same window operators (``F.window`` / ``F.session_window``) over a
+``readStream`` source with a watermark. The batch forms here are the
+oracle-checkable versions: the window math is identical, so a green
+CORRECTNESS row on these validates the streaming aggregation logic
+(the only streaming-specific extras — watermark eviction, trigger
+semantics — are exercised in ``tests/test_streaming.py``).
+
+Alignment notes for the DuckDB oracle:
+
+- Spark ``F.window`` aligns tumbling/sliding windows to the Unix
+  epoch; the SQL side reproduces that with integer arithmetic on
+  ``epoch_us`` rather than ``time_bucket`` (whose default origin is
+  not the epoch).
+- Spark ``F.session_window`` starts a new session when the gap is
+  ≥ the gap duration (window is half-open ``[start, last+gap)``);
+  the SQL gaps-and-islands form uses the same ``>=`` rule on
+  microsecond diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from trendengine_spark.queries.base import query, t
+
+_US = 1_000_000
+HOUR_US = 3600 * _US  # folded: 3600 * 1e6 overflows INT32 inline in DuckDB
+HALF_US = 1800 * _US
+
+
+@query(
+    "stream_tumbling_window",
+    sql=f"""
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS ws,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type (epoch-aligned, exactly
+    what the streaming twin computes per trigger)."""
+    ev = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy("event_type", w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .select("event_type", F.col("window.start").alias("ws"), "n_events", "total")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    sql=f"""
+    WITH buckets AS (
+      SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // {HALF_US}) * {HALF_US}) AS b,
+             ts
+      FROM events
+    ), assigned AS (
+      SELECT event_type, value, unnest([b, b - INTERVAL 30 MINUTE]) AS ws, ts
+      FROM buckets
+    )
+    SELECT event_type, ws, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6)
+             AS avg_value
+    FROM assigned
+    WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding windows: 1-hour length, 30-minute slide (each event in
+    two windows)."""
+    ev = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy("event_type", w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
+        )
+        .select("event_type", F.col("window.start").alias("ws"), "n_events", "avg_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    sql=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * {_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows with a 30-minute inactivity gap per user —
+    the real ``F.session_window`` operator (streaming twin uses the
+    identical expression after ``withWatermark``)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "total",
+        )
+    )
+
+
+@query(
+    "stream_late_data_policy",
+    sql=f"""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS ws,
+           count(*) AS n_events
+    FROM events, m
+    WHERE ts >= mx - INTERVAL 6 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_policy(spark, sf_dir):
+    """Watermark semantics in batch form: only events within the
+    watermark horizon (max ts − 6h) are aggregated — the batch
+    rendering of ``withWatermark('ts', '6 hours')`` state eviction."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    kept = ev.join(F.broadcast(mx)).filter(
+        F.col("ts") >= F.col("mx") - F.expr("interval 6 hours")
+    )
+    return (
+        kept.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("window.start").alias("ws"), "n_events")
+    )

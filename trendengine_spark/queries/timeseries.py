@@ -1,0 +1,465 @@
+"""Reference operator spine declared over the driver's test tables.
+
+Each query exercises one operator row of SURVEY.md §2 (the
+citations name the reference behavior being reproduced), expressed
+over ``events``/``lineitem``/``orders`` since those are the tables
+the DuckDB oracle can check. The analytical core (U1/U2/U3) is also
+declared here; those are ``applyInPandas`` fits and therefore
+rows-only (no ``oracle_sql`` entry — the driver records the weaker
+check, FIXTURES.md golden tests cover the math).
+
+Scale notes: every SQL-expressible query below is a single scan →
+(filter) → hash-aggregate plan: filters and column pruning push to
+the parquet scan, aggregates get map-side partials, and nothing
+collects to the driver. The U* queries add one co-partitioned
+``groupBy(key).applyInPandas`` stage on top of an already-aggregated
+(small) frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trendengine_spark.engine import filter_years
+from trendengine_spark.functions.dbest import dbest_changes
+from trendengine_spark.functions.polytrend import polytrend_groups
+from trendengine_spark.operators.composite import annual_composite, monthly_composite
+from trendengine_spark.operators.quality import qualified_series
+from trendengine_spark.operators.stats import category_counts, decode_trend_type
+from trendengine_spark.queries.base import query, t
+
+
+# --- F1: temporal range filter (reference filterDate, polytrend.py:452-458)
+@query(
+    "f1_temporal_filter",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, round(value, 3) AS value_r
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def f1_temporal_filter(spark, sf_dir):
+    """F1: half-open temporal range pushed to the parquet scan."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round("value", 3).alias("value_r"),
+        )
+    )
+
+
+# --- F2: rectangle (bbox) filter → conjunctive range predicates
+@query(
+    "f2_bbox_filter",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def f2_bbox_filter(spark, sf_dir):
+    """F2: bbox semantics = two BETWEEN predicates, parquet-prunable
+    (reference filterBounds, polytrend.py:458)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & F.col("l_discount").between(0.02, 0.06)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# --- F3: column pruning / band projection (reference dbest.py:576-580)
+@query(
+    "f3_projection",
+    sql="SELECT event_id, round(value, 3) AS value_r FROM events",
+)
+def f3_projection(spark, sf_dir):
+    """F3: projection — ReadSchema must shrink to two columns."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 3).alias("value_r")
+    )
+
+
+# --- F4: per-series quality gate (all values > threshold ⇔ min > threshold)
+@query(
+    "f4_quality_gate",
+    sql="""
+    SELECT user_id, round(min(value), 6) AS min_value
+    FROM events
+    GROUP BY user_id
+    HAVING min(value) > 5.0
+    """,
+)
+def f4_quality_gate(spark, sf_dir):
+    """F4: qualifying series keys (reference all(val>t), polytrend.py:284)."""
+    ev = t(spark, sf_dir, "events")
+    out = qualified_series(ev, ["user_id"], threshold=5.0, value_col="value")
+    return out.select("user_id", F.round("min_value", 6).alias("min_value"))
+
+
+# --- F5: value/coordinate rounding (reference dbest.py:108-109,127-129)
+@query(
+    "f5_rounding",
+    sql="""
+    SELECT event_id, round(value, 3) AS value_3, round(value, 1) AS value_1,
+           round(value / 7.0, 4) AS ratio_4
+    FROM events WHERE event_id < 1000
+    """,
+)
+def f5_rounding(spark, sf_dir):
+    """F5: F.round at several scales."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.round("value", 3).alias("value_3"),
+        F.round("value", 1).alias("value_1"),
+        F.round(F.col("value") / 7.0, 4).alias("ratio_4"),
+    )
+
+
+# --- F6: coordinate parse (regex strip + split + cast, polytrend.py:435-448)
+@query(
+    "f6_coordinate_parse",
+    sql="""
+    SELECT doc_id,
+           CAST(string_split(regexp_replace(coord, '[\\[\\]]', '', 'g'), ',')[1] AS DOUBLE) AS lon,
+           CAST(string_split(regexp_replace(coord, '[\\[\\]]', '', 'g'), ',')[2] AS DOUBLE) AS lat
+    FROM (
+      SELECT doc_id,
+             concat('[', CAST(doc_id % 360 - 180 AS VARCHAR), '.25,',
+                    CAST(doc_id % 180 - 90 AS VARCHAR), '.5]') AS coord
+      FROM documents
+    )
+    """,
+)
+def f6_coordinate_parse(spark, sf_dir):
+    """F6: '[lon,lat]' string → doubles, as column ops (regexp_replace
+    + split + cast — reference polytrend.py:435-448)."""
+    docs = t(spark, sf_dir, "documents")
+    coord = F.concat(
+        F.lit("["),
+        ((F.col("doc_id") % 360) - 180).cast("string"), F.lit(".25,"),
+        ((F.col("doc_id") % 180) - 90).cast("string"), F.lit(".5]"),
+    )
+    stripped = F.regexp_replace(coord, r"[\[\]]", "")
+    parts = F.split(stripped, ",")
+    return docs.select(
+        "doc_id",
+        parts.getItem(0).cast("double").alias("lon"),
+        parts.getItem(1).cast("double").alias("lat"),
+    )
+
+
+# --- F7: epoch-ms timestamp decode (reference utils.py:16,19)
+@query(
+    "f7_timestamp_decode",
+    sql="""
+    SELECT event_id,
+           epoch_ms(CAST(floor(epoch_ms(ts) / 1000) * 1000 AS BIGINT)) AS ts_decoded
+    FROM events WHERE event_id < 2000
+    """,
+)
+def f7_timestamp_decode(spark, sf_dir):
+    """F7: round-trip ts → epoch ms (second-floored) → timestamp via
+    timestamp_millis (reference pd.to_datetime(unit='ms'))."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ms = (F.floor(F.unix_timestamp("ts")) * 1000).cast("long")
+    return ev.select("event_id", F.timestamp_millis(ms).alias("ts_decoded"))
+
+
+# --- F8: code→label decode (reference polytrend.py:204-211)
+@query(
+    "f8_decode_labels",
+    sql="""
+    SELECT l_returnflag,
+           CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted'
+                             WHEN 'N' THEN 'none' ELSE 'unknown' END AS flag_label,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f8_decode_labels(spark, sf_dir):
+    """F8: when/otherwise decode chain — stays in whole-stage codegen."""
+    li = t(spark, sf_dir, "lineitem")
+    label = (
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .when(F.col("l_returnflag") == "N", "none")
+        .otherwise("unknown")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("flag_label", label)
+        .select("l_returnflag", "flag_label", "cnt")
+    )
+
+
+# --- A1: annual composite (reference polytrend.py:375-399, mean at :387)
+@query(
+    "a1_annual_composite",
+    sql="""
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(l_extendedprice), 2) AS value
+    FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
+    """,
+)
+def a1_annual_composite(spark, sf_dir):
+    """A1: per-series annual mean composite — one hash aggregate."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("time"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    out = annual_composite(li, ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "yr", F.round("value", 2).alias("value")
+    )
+
+
+# --- A1b: max-composite variant (doc/code conflict, SURVEY §4.4.1)
+@query(
+    "a1_annual_composite_max",
+    sql="""
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
+           round(max(l_extendedprice), 2) AS value
+    FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
+    """,
+)
+def a1_annual_composite_max(spark, sf_dir):
+    """A1 (how='max'): the README-documented maximum-value composite."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("time"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    out = annual_composite(li, ["l_returnflag"], how="max")
+    return out.select("l_returnflag", "yr", F.round("value", 2).alias("value"))
+
+
+# --- A2: monthly composite (reference dbest.py:34-62)
+@query(
+    "a2_monthly_composite",
+    sql="""
+    SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS period_start,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(value), 6) AS value
+    FROM events GROUP BY event_type, date_trunc('month', ts)
+    """,
+)
+def a2_monthly_composite(spark, sf_dir):
+    """A2: per-series monthly mean composite."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), "value"
+    )
+    out = monthly_composite(ev, ["event_type"])
+    return out.select(
+        "event_type", "period_start", F.round("value", 6).alias("value")
+    )
+
+
+# --- A3: count-distinct series length (reference O(N²) loop, polytrend.py:271-277)
+@query(
+    "a3_count_distinct",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_count_distinct(spark, sf_dir):
+    """A3: countDistinct replaces the reference's O(N²) membership loop."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+
+
+# --- A4+A5: categorical counts + percentage-of-total (reference utils.py:37-64)
+@query(
+    "a4_a5_category_counts",
+    sql="""
+    SELECT event_type, count(*) AS cnt,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_a5_category_counts(spark, sf_dir):
+    """A4/A5: single-pass category roll-up with share-of-total."""
+    return category_counts(t(spark, sf_dir, "events"), "event_type")
+
+
+# --- A6: sum (pie normalization, reference polytrend.py:64,100)
+@query(
+    "a6_sum",
+    sql="""
+    SELECT l_returnflag, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty,
+           round(sum(l_quantity) / (SELECT sum(l_quantity) FROM lineitem), 6) AS frac
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_sum(spark, sf_dir):
+    """A6: per-category sum + fraction-of-grand-total."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("_s"))
+    total = Window.partitionBy()
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("_s").cast("double"), 2).alias("total_qty"),
+        F.round(F.col("_s") / F.sum("_s").over(total), 6).alias("frac"),
+    )
+
+
+# --- A7: count rows (reference polytrend.py:279)
+@query("a7_count_rows", sql="SELECT count(*) AS n_rows FROM lineitem")
+def a7_count_rows(spark, sf_dir):
+    """A7: total row count."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- D2: explode / flatten (reference dbest.py:525,587)
+@query(
+    "d2_explode_tokens",
+    sql="""
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def d2_explode_tokens(spark, sf_dir):
+    """D2: split + explode → word frequency (flatten analog)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+# --- D1: period pairing via generated sequence + range join (polytrend.py:391-398)
+@query(
+    "d1_period_pairing",
+    sql="""
+    WITH months AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                                    INTERVAL 1 MONTH)) AS m
+    )
+    SELECT m AS period_start, count(o_orderkey) AS n_orders,
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0)
+             AS revenue
+    FROM months LEFT JOIN orders
+      ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+    GROUP BY m
+    """,
+)
+def d1_period_pairing(spark, sf_dir):
+    """D1: the reference's zip-repeat-map pairing = generate a month
+    sequence, range-join the fact table, aggregate per period. The
+    generated side is tiny → broadcast; the range predicate rewrites
+    to an equi-join on date_trunc in the common case, but we keep the
+    general range form to cover D1's semantics."""
+    o = t(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m")
+    )
+    joined = F.broadcast(months).join(
+        o,
+        (F.col("o_orderdate") >= F.col("m"))
+        & (F.col("o_orderdate") < F.col("m") + F.expr("interval 1 month")),
+        "left",
+    )
+    return joined.groupBy(F.col("m").alias("period_start")).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2).cast(
+                "double"
+            ),
+            F.lit(0.0),
+        ).alias("revenue"),
+    )
+
+
+# --- F8 applied to engine output + U1: PolyTrend over event series (rows-only)
+@query(
+    "u1_polytrend_events",
+    sql=None,
+    doc="U1: PolyTrend classification per event_type over daily-mean "
+    "series (applyInPandas; golden-tested in tests/, not SQL-expressible).",
+)
+def u1_polytrend_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), "value"
+    )
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "time").alias("day"))
+        .agg(F.avg("value").alias("value"))
+    )
+    res = polytrend_groups(daily, ["event_type"], time_col="day", value_col="value")
+    return decode_trend_type(res).select(
+        "event_type", "trend_type", "trend_type_label", "direction",
+        "significance", "degree", "n_points",
+        F.round("slope", 6).alias("slope_r"),
+    )
+
+
+# --- U2: DBEST change detection over event series (rows-only)
+@query(
+    "u2_dbest_events",
+    sql=None,
+    doc="U2: DBEST change detection per event_type over daily series "
+    "(applyInPandas; golden-tested in tests/).",
+)
+def u2_dbest_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), "value"
+    )
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "time").alias("period_start"))
+        .agg(F.avg("value").alias("value"))
+    )
+    res = dbest_changes(daily, ["event_type"], seasonality=7)
+    return res.select(
+        "event_type", "breakpoint_no", "segment_no", "start", "duration", "end",
+        "change_type", F.round("change", 6).alias("change_r"),
+    )
+
+
+# --- A1→U1 flagship composition: filter → composite → classify (rows-only)
+@query(
+    "flagship_trend_pipeline",
+    sql=None,
+    doc="End-to-end flow (§3.2): temporal filter → monthly composite → "
+    "quality gate → PolyTrend per series key.",
+)
+def flagship_trend_pipeline(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("time"),
+        (F.col("l_extendedprice") / 1000.0).alias("value"),
+    )
+    df = filter_years(li, 1995, 2001)
+    monthly = monthly_composite(df, ["l_returnflag"])
+    res = polytrend_groups(
+        monthly, ["l_returnflag"], time_col="period_start", value_col="value"
+    )
+    return res.select(
+        "l_returnflag", "trend_type", "direction", "significance", "degree",
+        "n_points", F.round("slope", 6).alias("slope_r"),
+    )

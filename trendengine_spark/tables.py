@@ -10,8 +10,10 @@ filter/column pushdown reach the scan via Catalyst.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -33,9 +35,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — a footer-only
+    probe (driver-side, once per path). Spark has no nanosecond
+    timestamp type, so these read as LONG under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted back to
+    microsecond timestamps after the scan."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    target = path
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not parts:
+            return ()
+        target = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return ()
+    return tuple(
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table (reference S1: collection scan)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Scan one table (reference S1: collection scan).
+
+    Handles parquet TIMESTAMP(NANOS) columns (which Spark cannot read
+    natively): they are scanned as raw nanosecond longs and floored to
+    microsecond timestamps — an integer ``div``, pushdown-friendly and
+    exact (int64 arithmetic; a double division would lose precision
+    above 2^53)."""
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
