@@ -1,0 +1,110 @@
+"""FIXTURES.md §2 golden tests for DBEST (U2/U3): injected break
+recovery, the sustained-step abrupt rule, generalization contract,
+and gap interpolation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trendengine_spark.functions.dbest import (
+    _has_sustained_step,
+    dbest_change_detection,
+    dbest_generalization,
+    interpolate_gaps,
+)
+
+
+def monthly_series(n=240, break_index=120, step=0.15, amp=0.05, noise=0.01, seed=7):
+    """FIXTURES `abrupt_break`: flat 0.45 + seasonal + step at
+    break_index, persisting to the end."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    y = 0.45 + amp * np.sin(2 * np.pi * t / 12.0) + rng.normal(0, noise, n)
+    if break_index is not None:
+        y[break_index:] += step
+    return y
+
+
+def test_abrupt_break_detected_near_truth():
+    y = monthly_series()
+    res = dbest_change_detection(y, seasonality=12, breakpoints_no=3)
+    # largest |change| segment boundary should bracket the true break
+    start, end = res["start"][0], res["end"][0]
+    assert res["segment_no"] >= 2
+    assert any(
+        abs(b - 120) <= 12 for b in (start - 1, end - 1)
+    ), f"no boundary near 120: start={start}, end={end}"
+
+
+def test_abrupt_classified_type1_gradual_type0():
+    y_ab = monthly_series(step=0.3, noise=0.005)
+    res_ab = dbest_change_detection(
+        y_ab, seasonality=12, first_level_shift=0.1, second_level_shift=0.2, duration=24
+    )
+    assert 1 in res_ab["change_type"]
+
+    # gradual: slope change, no step — FIXTURES `gradual_break`
+    t = np.arange(240)
+    y_gr = 0.45 + np.where(t > 120, (t - 120) * 0.01 / 12.0, 0.0) + 0.05 * np.sin(
+        2 * np.pi * t / 12.0
+    )
+    res_gr = dbest_change_detection(
+        y_gr, seasonality=12, first_level_shift=0.1, second_level_shift=0.2, duration=24
+    )
+    assert all(ct == 0 for ct in res_gr["change_type"])
+
+
+def test_single_spike_is_not_abrupt():
+    """ADVICE r1: one noisy month must not mark a segment abrupt —
+    the step has to be *sustained* over `duration`."""
+    y = np.full(100, 0.5)
+    y[50] = 1.0  # isolated spike: big up-step then big down-step
+    assert not _has_sustained_step(
+        y, 0, 99, first_level_shift=0.1, second_level_shift=0.2, duration=24
+    )
+    # a genuine sustained step IS abrupt
+    y2 = np.concatenate([np.full(50, 0.5), np.full(50, 1.0)])
+    assert _has_sustained_step(
+        y2, 0, 99, first_level_shift=0.1, second_level_shift=0.2, duration=24
+    )
+
+
+def test_breakpoint_no_capped_and_significance_coded():
+    y = monthly_series()
+    res = dbest_change_detection(y, seasonality=12, breakpoints_no=2, alpha=0.05)
+    assert res["breakpoint_no"] <= 2
+    assert set(res["significance"]) <= {0, 1}
+    assert all(0.0 <= p <= 1.0 for p in res["p_value"])
+
+
+def test_generalization_contract():
+    """U3 consumed contract per reference dbest.py:385-395."""
+    y = monthly_series(step=0.2)
+    res = dbest_generalization(y, seasonality=12)
+    assert set(res) == {"segment_no", "rmse", "mad", "fit", "data", "f_local"}
+    assert res["segment_no"] >= 1
+    assert res["rmse"] >= 0 and res["mad"] >= res["rmse"] * 0  # both finite
+    assert len(res["fit"]) == y.size == len(res["f_local"])
+
+
+def test_interpolate_gaps_recovers_break_with_missing_month():
+    """VERDICT r1 'done' criterion: a fixture with a deleted month
+    still recovers the injected break (densify + interpolate keeps
+    the seasonal phase aligned)."""
+    y = monthly_series(step=0.25, noise=0.005)
+    y_gap = y.copy()
+    y_gap[60] = np.nan  # a missing month before the break
+    y_filled = interpolate_gaps(y_gap)
+    assert not np.isnan(y_filled).any()
+    res = dbest_change_detection(y_filled, seasonality=12)
+    start, end = res["start"][0], res["end"][0]
+    assert any(abs(b - 120) <= 12 for b in (start - 1, end - 1))
+
+
+def test_decomposition_components_reconstruct():
+    y = monthly_series()
+    res = dbest_change_detection(y, seasonality=12)
+    recon = (
+        np.asarray(res["trend"]) + np.asarray(res["seasonal"]) + np.asarray(res["remainder"])
+    )
+    assert np.allclose(recon, np.asarray(res["data"]), atol=1e-9)

@@ -1,0 +1,141 @@
+"""End-to-end engine flow tests (SURVEY §3.2/§3.3 replayed on the
+synthetic observation table) + composite/quality-gate properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import obs_frame
+from trendengine_spark import engine
+from trendengine_spark.operators.composite import (
+    annual_composite,
+    fill_missing_months,
+    monthly_composite,
+)
+from trendengine_spark.operators.quality import quality_gate
+from trendengine_spark.operators.stats import decode_trend_type, polytrend_summary
+
+
+def test_polytrend_flow_bbox(spark):
+    obs = obs_frame(spark)
+    res = engine.polytrend(
+        obs, 1990, 2009, bbox=(12.9, 51.9, 13.9, 52.1)
+    ).toPandas().set_index("longitude")
+    truth = (
+        obs.select("longitude", "recipe").distinct().toPandas().set_index("longitude")
+    )
+    # every pixel classified, majority match their recipes
+    assert len(res) == len(truth)
+    expected = {
+        "no_trend": 0, "linear_up": 1, "linear_down": 1,
+        "quadratic": 2, "cubic": 3, "concealed": -1,
+    }
+    hits = sum(
+        int(res.loc[lon, "trend_type"] == expected[truth.loc[lon, "recipe"]])
+        for lon in truth.index
+    )
+    assert hits >= len(truth) - 1  # one noise-driven miss tolerated
+
+
+def test_polytrend_flow_point_selects_nearest(spark):
+    obs = obs_frame(spark)
+    res = engine.polytrend(obs, 1990, 2009, point=(13.001, 52.0)).toPandas()
+    assert len(res) == 1
+    assert abs(res["longitude"].iloc[0] - 13.0) < 1e-9
+
+
+def test_polytrend_summary_counts_sum(spark):
+    obs = obs_frame(spark)
+    res = engine.polytrend(obs, 1990, 2009)
+    s = polytrend_summary(res).toPandas().iloc[0]
+    parts = (
+        s["count_linear"] + s["count_no_trend"] + s["count_concealed"]
+        + s["count_quadratic"] + s["count_cubic"]
+    )
+    assert parts == s["count_total"]
+    assert s["count_negative"] + s["count_positive"] == s["count_total"]
+
+
+def test_quality_gate_drops_whole_series(spark):
+    obs = obs_frame(spark)
+    # push one pixel's minimum below the threshold
+    low = obs.withColumn(
+        "value",
+        F.when(
+            (F.col("recipe") == "no_trend") & (F.year("time") == 1995), F.lit(0.05)
+        ).otherwise(F.col("value")),
+    )
+    gated = quality_gate(low, ["longitude", "latitude"], threshold=0.1)
+    kept = gated.select("recipe").distinct().toPandas()["recipe"].tolist()
+    assert "no_trend" not in kept and len(kept) == 5
+
+
+def test_polytrend_unqualified_rows_are_typed(spark):
+    obs = obs_frame(spark)
+    low = obs.withColumn(
+        "value",
+        F.when(F.col("recipe") == "cubic", F.lit(0.01)).otherwise(F.col("value")),
+    )
+    res = engine.polytrend(low, 1990, 2009, threshold=0.1).toPandas()
+    bad = res[res["status"] != "ok"]
+    assert len(bad) == 1 and bad["trend_type"].isna().all()
+
+
+def test_filter_years_keeps_subsecond_tail(spark):
+    pdf = pd.DataFrame(
+        {
+            "time": [pd.Timestamp("2009-12-31 23:59:59.500"), pd.Timestamp("2010-01-01")],
+            "value": [1.0, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = engine.filter_years(df, 1990, 2009).toPandas()
+    assert len(out) == 1 and out["value"].iloc[0] == 1.0
+
+
+def test_constant_series_composite_is_constant(spark):
+    obs = obs_frame(spark, noise=0.0)
+    const = obs.filter(F.col("recipe") == "no_trend")
+    ann = annual_composite(const, ["longitude", "latitude"]).toPandas()
+    assert np.allclose(ann["value"], 0.45)
+
+
+def test_fill_missing_months_densifies(spark):
+    obs = obs_frame(spark)
+    monthly = monthly_composite(obs, ["longitude", "latitude"])
+    # annual data at monthly grain: 1 real month per year → gaps
+    dense = fill_missing_months(monthly, ["longitude", "latitude"])
+    per_series = (
+        dense.groupBy("longitude", "latitude").count().toPandas()["count"].unique()
+    )
+    # Jul 1990 .. Jul 2009 inclusive = 229 months
+    assert list(per_series) == [229]
+
+
+def test_dbest_generalization_routing(spark):
+    obs = obs_frame(spark)
+    res = engine.dbest(obs, 1990, 2009, algorithm="generalization")
+    cols = set(res.columns)
+    assert {"segment_no", "rmse", "mad", "fit", "f_local", "status"} <= cols
+    pdf = res.toPandas()
+    ok = pdf[pdf["status"] == "ok"]
+    # annual series densified to 229 monthly points → qualifies
+    assert len(ok) > 0 and (ok["rmse"] >= 0).all()
+
+
+def test_dbest_changes_events_shape(spark):
+    obs = obs_frame(spark)
+    res = engine.dbest(obs, 1990, 2009, algorithm="changedetection").toPandas()
+    assert {"change", "change_type", "significance", "p_value", "status"} <= set(
+        res.columns
+    )
+
+
+def test_decode_trend_type_labels(spark):
+    pdf = pd.DataFrame({"trend_type": [-1, 0, 1, 2, 3]})
+    out = decode_trend_type(spark.createDataFrame(pdf)).toPandas()
+    assert out["trend_type_label"].tolist() == [
+        "concealed", "no trend", "linear", "cuadratic", "cubic",
+    ]

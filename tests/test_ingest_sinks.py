@@ -1,0 +1,81 @@
+"""Ingest normalization (F6/F7) and CSV sinks (S4/S5)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trendengine_spark.ingest import (
+    decode_epoch_ms,
+    decode_epoch_ms_json,
+    normalize_observations,
+    parse_coordinates,
+)
+from trendengine_spark.sinks import write_csv
+
+
+def test_decode_epoch_ms_both_wire_shapes(spark):
+    pdf = pd.DataFrame(
+        {
+            "ms": [0, 1_600_000_000_000],
+            "wrapped": ['{"value": 0}', '{"value": 1600000000000}'],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        decode_epoch_ms(F.col("ms")).alias("a"),
+        decode_epoch_ms_json(F.col("wrapped")).alias("b"),
+    ).toPandas()
+    assert (out["a"] == out["b"]).all()
+    assert str(out["a"].iloc[0]) == "1970-01-01 00:00:00"
+
+
+def test_parse_coordinates(spark):
+    df = spark.createDataFrame(pd.DataFrame({"c": ["[13.5, 52.25]", "[-1,2]"]}))
+    out = df.select(parse_coordinates(F.col("c")).alias("p")).toPandas()
+    assert out["p"].iloc[0]["lon"] == 13.5 and out["p"].iloc[0]["lat"] == 52.25
+    assert out["p"].iloc[1]["lon"] == -1.0
+
+
+def test_normalize_observations_canonical_schema(spark):
+    pdf = pd.DataFrame(
+        {
+            "img": ["i1", "i2"],
+            "lon": [13.00005, 14.0],
+            "lat": [52.0, 53.0],
+            "t_ms": [1_600_000_000_000, 1_600_000_060_000],
+            "ndvi": [0.5, 0.6],
+        }
+    )
+    out = normalize_observations(
+        spark.createDataFrame(pdf),
+        series_id="gimms",
+        image_id="img",
+        longitude="lon",
+        latitude="lat",
+        time_col="t_ms",
+        value_col="ndvi",
+        time_unit="epoch_ms",
+        round_coords=4,
+    )
+    assert out.columns == [
+        "series_id", "image_id", "longitude", "latitude", "time", "value",
+    ]
+    p = out.toPandas()
+    assert p["series_id"].unique().tolist() == ["gimms"]
+    assert p["longitude"].iloc[0] == 13.0001  # rounded to 4 (reference F5)
+
+
+def test_csv_sink_boolean_gate(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "x")
+    skipped = os.path.join(str(tmp_path), "skipped")
+    written = os.path.join(str(tmp_path), "written")
+    write_csv(df, skipped, save=False)
+    assert not os.path.exists(skipped)  # reference truthiness bug fixed
+    write_csv(df, written, save=True, single_file=True)
+    files = [f for f in os.listdir(written) if f.endswith(".csv")]
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(written).count()
+    assert back == 5

@@ -1,0 +1,136 @@
+"""LLM-pipeline operator tests: LSH recall vs exact twins, dedup on
+constructed duplicates, similarity ranking, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from trendengine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from trendengine_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image_batch,
+    extract_media_features,
+)
+from trendengine_spark.operators.similarity import (
+    cosine_topk,
+    random_hyperplane_ann,
+)
+from trendengine_spark.operators.text import language_id, quality_features
+from trendengine_spark.tables import load_table
+
+
+def docs_with_dups(spark):
+    base = load_table(spark, SF_SMOKE, "documents").limit(100)
+    dup = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return base.unionByName(dup)
+
+
+def test_exact_dedup_finds_constructed_dups(spark):
+    d = exact_dedup(docs_with_dups(spark)).toPandas()
+    assert int((d["n_dups"] == 2).sum()) == 5
+    # representative is the minimum id (the original, not the copy)
+    assert (d.loc[d["n_dups"] == 2, "rep_id"] < 100000).all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, n=3).toPandas()
+    lsh = minhash_lsh_pairs(docs, threshold=0.35, num_perm=64, bands=16).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert exact_pairs, "fixture should contain near-dup pairs"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact_pairs)} pairs"
+
+
+def test_simhash_hamming_on_identical_docs(spark):
+    pairs = simhash_near_pairs(docs_with_dups(spark), max_hamming=3).toPandas()
+    # the 5 constructed exact dups must appear at hamming 0
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, i + 100000) in found
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).toPandas()
+
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray, na_action=None).to_numpy()).astype(
+        np.float64
+    )
+    ids = pdf["vec_id"].to_numpy()
+    M_n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = M_n @ M_n[qi]
+        order = [
+            int(ids[j])
+            for j in np.lexsort((ids, -sims))
+            if ids[j] != qid
+        ][:5]
+        mine = got[got["query_id"] == qid].sort_values("rn")["vec_id"].tolist()
+        assert mine == order, f"query {qid}: {mine} vs {order}"
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    ann = random_hyperplane_ann(emb, queries, k=5, dim=64).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["vec_id"]))
+    ann_set = set(zip(ann["query_id"], ann["vec_id"]))
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+
+
+def test_quality_features_ranges(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = quality_features(docs).toPandas()
+    for col in ("punct_ratio", "digit_ratio", "stopword_ratio", "upper_ratio"):
+        assert ((q[col] >= 0) & (q[col] <= 1)).all()
+    assert (q["n_tokens"] > 0).all()
+    assert (q["n_chars_c"] == q["n_chars"]).all()  # matches the stored column
+
+
+def test_language_id_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = language_id(docs).toPandas().sort_values("doc_id")["lang_pred"].tolist()
+    b = language_id(docs).toPandas().sort_values("doc_id")["lang_pred"].tolist()
+    assert a == b
+    assert set(a) <= {"de", "en", "es", "fr", "und"}
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"abc"]), fake=False)
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = attach_fake_media(docs)
+    feats = extract_media_features(media, fake=True).toPandas()
+    assert len(feats) == 50
+    assert (feats["n_bytes"] > 0).all()
+    assert ((feats["mean_luma"] >= 0) & (feats["mean_luma"] <= 1)).all()
+    # deterministic: re-run produces identical features
+    again = extract_media_features(media, fake=True).toPandas()
+    merged = feats.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["width_a"] == merged["width_b"]).all()

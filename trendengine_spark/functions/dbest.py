@@ -29,12 +29,19 @@ Re-derived pipeline (documented deviations noted):
    level-shift scale).
 3. **Change detection** — each segment's change = fitted end − start;
    segments ranked by |change|; top ``breakpoints_no`` reported.
-   ``change_type`` = 1 (abrupt) when a level shift of magnitude ≥
-   ``first_level_shift`` occurs within a window shorter than
-   ``duration`` and is sustained (mean shift ≥ ``second_level_shift``
-   over the following ``duration`` steps is tested first, falling
-   back to the first threshold alone), else 0 (non-abrupt).
-   ``significance`` = two-sided p-value of the segment slope.
+   ``change_type`` = 1 (abrupt) when the segment contains a
+   single-step jump of magnitude ≥ ``first_level_shift`` that is
+   SUSTAINED: the mean of the ``duration`` steps after the jump
+   differs from the mean of the ``duration`` steps before it by ≥
+   ``second_level_shift``; else 0 (non-abrupt). ``significance`` is
+   the reference-style code (1 = segment slope significant at
+   ``alpha``, 0 = not); the raw two-sided slope p-value is emitted
+   separately as ``p_value``.
+
+``distance_threshold='default'`` maps to
+:func:`default_distance_threshold` (3× robust sigma of the
+decomposition remainder, floored at 1% of the trend range) — a
+data-adaptive noise floor, not the level-shift constant.
 
 Spark execution: one ``groupBy(series).applyInPandas`` stage per
 call; a monthly series is ≤ ~500 points so groups are uniform and
@@ -109,6 +116,47 @@ def segment_breakpoints(
     return keep
 
 
+def _has_sustained_step(
+    deseason: np.ndarray,
+    a: int,
+    b: int,
+    first_level_shift: float,
+    second_level_shift: float,
+    duration: int,
+) -> bool:
+    """Documented abrupt-change rule: a single-step jump ≥
+    ``first_level_shift`` inside segment [a, b] whose surrounding
+    means differ by ≥ ``second_level_shift`` over ``duration`` steps
+    on each side (clamped at the series ends). One noisy month cannot
+    mark a segment abrupt — the shift must be sustained."""
+    if b <= a:
+        return False
+    jumps = np.diff(deseason[a : b + 1])
+    hits = np.nonzero(np.abs(jumps) >= first_level_shift)[0]
+    n = deseason.size
+    for j in hits:
+        k = a + int(j)  # step is between k and k+1 (global indices)
+        pre = deseason[max(0, k - duration + 1) : k + 1]
+        post = deseason[k + 1 : min(n, k + 1 + duration)]
+        if pre.size and post.size and abs(post.mean() - pre.mean()) >= second_level_shift:
+            return True
+    return False
+
+
+def interpolate_gaps(y: np.ndarray) -> np.ndarray:
+    """Linearly interpolate interior NaNs (regular-grid densification
+    support: a monthly composite densified by ``fill_missing_months``
+    carries nulls for empty months; dropping them would shift the
+    seasonal phase index — SURVEY §4.4, ADVICE r1). Leading/trailing
+    NaNs are trimmed by the caller."""
+    y = y.astype(np.float64, copy=True)
+    bad = np.isnan(y)
+    if bad.any() and (~bad).sum() >= 2:
+        idx = np.arange(y.size, dtype=np.float64)
+        y[bad] = np.interp(idx[bad], idx[~bad], y[~bad])
+    return y
+
+
 def dbest_change_detection(
     y: np.ndarray,
     seasonality: int = 12,
@@ -140,7 +188,7 @@ def dbest_change_detection(
     bps = segment_breakpoints(trend_c, thr, 2 * max(breakpoints_no, 1))
     bounds = [0, *bps, n - 1]
 
-    starts, durations, ends, changes, ctypes, sigs, slopes = [], [], [], [], [], [], []
+    starts, durations, ends, changes, ctypes, sigs, pvals = [], [], [], [], [], [], []
     fit = np.empty(n)
     xs = np.arange(n, dtype=np.float64)
     for a, b in zip(bounds[:-1], bounds[1:]):
@@ -149,23 +197,22 @@ def dbest_change_detection(
         fit[seg] = intercept + slope * xs[seg]
         change = float(fit[b] - fit[a])
         seg_len = b - a + 1
-        # abrupt: large sustained jump over a short window
-        jump = np.abs(np.diff(deseason[seg])) if seg_len > 1 else np.array([0.0])
-        abrupt = bool(
-            seg_len <= duration and abs(change) >= first_level_shift
-        ) or bool(jump.size and jump.max() >= second_level_shift)
         starts.append(int(a + 1))  # 1-based, R convention
         durations.append(int(seg_len))
         ends.append(int(b + 1))
         changes.append(change)
-        ctypes.append(1 if abrupt else 0)
-        sigs.append(float(pval))
-        slopes.append(float(slope))
+        ctypes.append(
+            1 if _has_sustained_step(
+                deseason, a, b, first_level_shift, second_level_shift, duration
+            ) else 0
+        )
+        sigs.append(1 if pval < alpha else 0)
+        pvals.append(float(pval))
 
     order = np.argsort(-np.abs(np.asarray(changes)))[: max(breakpoints_no, 1)]
     order = [int(i) for i in order]
     return {
-        "breakpoint_no": int(len(bps)),
+        "breakpoint_no": int(min(len(bps), max(breakpoints_no, 0))),
         "segment_no": int(len(bounds) - 1),
         "start": [starts[i] for i in order],
         "duration": [durations[i] for i in order],
@@ -173,6 +220,7 @@ def dbest_change_detection(
         "change": [changes[i] for i in order],
         "change_type": [ctypes[i] for i in order],
         "significance": [sigs[i] for i in order],
+        "p_value": [pvals[i] for i in order],
         "fit": fit.tolist(),
         "data": y.tolist(),
         "trend": trend_c.tolist(),
@@ -229,8 +277,33 @@ _CHANGE_FIELDS = [
     T.StructField("end", T.IntegerType(), True),
     T.StructField("change", T.DoubleType(), True),
     T.StructField("change_type", T.IntegerType(), True),
-    T.StructField("significance", T.DoubleType(), True),
+    T.StructField("significance", T.IntegerType(), True),
+    T.StructField("p_value", T.DoubleType(), True),
 ]
+
+#: status codes for per-series qualification (typed results instead of
+#: silently dropped series — SURVEY §4.4.6/8, VERDICT r1 item 9)
+STATUS_OK = "ok"
+STATUS_TOO_SHORT = "too_short"
+STATUS_BELOW_THRESHOLD = "below_threshold"
+
+
+def _prepare_series(
+    pdf: pd.DataFrame, time_col: str, value_col: str, threshold: float | None
+) -> tuple[np.ndarray, str]:
+    """Sort by time, trim edge-NaNs, interpolate interior gaps, apply
+    the quality gate. Returns (series, status)."""
+    pdf = pdf.sort_values(time_col)
+    y = pdf[value_col].to_numpy(dtype=np.float64)
+    good = ~np.isnan(y)
+    if good.any():
+        y = y[np.argmax(good) : y.size - np.argmax(good[::-1])]
+    y = interpolate_gaps(y)
+    if y.size < 6 or np.isnan(y).any():
+        return y, STATUS_TOO_SHORT
+    if threshold is not None and not np.all(y > threshold):
+        return y, STATUS_BELOW_THRESHOLD
+    return y, STATUS_OK
 
 
 def dbest_changes(
@@ -246,10 +319,14 @@ def dbest_changes(
     ``applyInPandas`` stage; one output row per reported change
     (UDTF-shaped), or only the largest change per series when
     ``largest_only`` (the reference's polygon path takes element
-    ``[k][0]``, ``dbest.py:133-143``)."""
+    ``[k][0]``, ``dbest.py:133-143``). Unqualified series yield one
+    typed row (``status != 'ok'``, analytics null) instead of
+    disappearing. Interior null months (densified grids) are linearly
+    interpolated so the seasonal phase index stays aligned."""
     key_types = {f.name: f.dataType for f in obs.schema.fields}
     fields = [T.StructField(c, key_types[c], True) for c in series_cols]
     fields += [
+        T.StructField("status", T.StringType(), True),
         T.StructField("breakpoint_no", T.IntegerType(), True),
         T.StructField("segment_no", T.IntegerType(), True),
         *_CHANGE_FIELDS,
@@ -258,17 +335,16 @@ def dbest_changes(
     out_cols = [f.name for f in schema.fields]
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_col)
-        y = pdf[value_col].to_numpy(dtype=np.float64)
-        y = y[~np.isnan(y)]
-        if y.size < 6 or (threshold is not None and not np.all(y > threshold)):
-            return pd.DataFrame(columns=out_cols)
-        res = dbest_change_detection(y, **knobs)
+        y, status = _prepare_series(pdf, time_col, value_col, threshold)
         keys = {c: pdf[c].iloc[0] for c in series_cols}
+        if status != STATUS_OK:
+            return pd.DataFrame([{**keys, "status": status}], columns=out_cols)
+        res = dbest_change_detection(y, **knobs)
         k = 1 if largest_only else len(res["start"])
         rows = [
             {
                 **keys,
+                "status": STATUS_OK,
                 "breakpoint_no": res["breakpoint_no"],
                 "segment_no": res["segment_no"],
                 "start": res["start"][i],
@@ -277,6 +353,7 @@ def dbest_changes(
                 "change": res["change"][i],
                 "change_type": res["change_type"][i],
                 "significance": res["significance"][i],
+                "p_value": res["p_value"][i],
             }
             for i in range(k)
         ]
@@ -298,6 +375,7 @@ def dbest_decomposition(
     arr = T.ArrayType(T.DoubleType())
     fields = [T.StructField(c, key_types[c], True) for c in series_cols]
     fields += [
+        T.StructField("status", T.StringType(), True),
         T.StructField("breakpoint_no", T.IntegerType(), True),
         T.StructField("segment_no", T.IntegerType(), True),
         T.StructField("fit", arr, True),
@@ -310,15 +388,57 @@ def dbest_decomposition(
     out_cols = [f.name for f in schema.fields]
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_col)
-        y = pdf[value_col].to_numpy(dtype=np.float64)
-        y = y[~np.isnan(y)]
-        if y.size < 6:
-            return pd.DataFrame(columns=out_cols)
-        res = dbest_change_detection(y, **knobs)
+        y, status = _prepare_series(pdf, time_col, value_col, None)
         row = {c: pdf[c].iloc[0] for c in series_cols}
-        for k in ("breakpoint_no", "segment_no", "fit", "data", "trend", "seasonal", "remainder"):
-            row[k] = res[k]
+        row["status"] = status
+        if status == STATUS_OK:
+            res = dbest_change_detection(y, **knobs)
+            for k in (
+                "breakpoint_no", "segment_no", "fit", "data", "trend",
+                "seasonal", "remainder",
+            ):
+                row[k] = res[k]
+        return pd.DataFrame([row], columns=out_cols)
+
+    return obs.groupBy(*series_cols).applyInPandas(fit, schema)
+
+
+def dbest_generalize(
+    obs: DataFrame,
+    series_cols: list[str],
+    time_col: str = "period_start",
+    value_col: str = "value",
+    **knobs,
+) -> DataFrame:
+    """Per-series DBEST trend generalization (reference U3): the
+    consumed contract is (segment_no, rmse, mad, fit, f_local) per
+    ``/root/reference/TrendEngine/calculations/dbest.py:385-395`` —
+    this is the Spark wrapper for :func:`dbest_generalization`
+    (mis-wired to decomposition in round 1, VERDICT item 'What's
+    wrong' #1)."""
+    key_types = {f.name: f.dataType for f in obs.schema.fields}
+    arr = T.ArrayType(T.DoubleType())
+    fields = [T.StructField(c, key_types[c], True) for c in series_cols]
+    fields += [
+        T.StructField("status", T.StringType(), True),
+        T.StructField("segment_no", T.IntegerType(), True),
+        T.StructField("rmse", T.DoubleType(), True),
+        T.StructField("mad", T.DoubleType(), True),
+        T.StructField("fit", arr, True),
+        T.StructField("data", arr, True),
+        T.StructField("f_local", arr, True),
+    ]
+    schema = T.StructType(fields)
+    out_cols = [f.name for f in schema.fields]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        y, status = _prepare_series(pdf, time_col, value_col, None)
+        row = {c: pdf[c].iloc[0] for c in series_cols}
+        row["status"] = status
+        if status == STATUS_OK:
+            res = dbest_generalization(y, **knobs)
+            for k in ("segment_no", "rmse", "mad", "fit", "data", "f_local"):
+                row[k] = res[k]
         return pd.DataFrame([row], columns=out_cols)
 
     return obs.groupBy(*series_cols).applyInPandas(fit, schema)

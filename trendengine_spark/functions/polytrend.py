@@ -64,6 +64,10 @@ def polytrend_classify(y: np.ndarray, alpha: float = 0.05) -> dict:
     }
     if n < 4:
         return out
+    # degenerate zero-variance series: OLS residuals are ~0, so the
+    # coefficient t-statistics are 0/0 noise — by definition no trend
+    if np.ptp(y) <= 1e-12 * max(1.0, abs(float(y[0]))):
+        return out
 
     # net-change line (always computed; slope/direction contract)
     lin_coef, _, _, lin_p, _ = ols_poly(y, 1, x)
@@ -113,6 +117,7 @@ def polytrend_classify(y: np.ndarray, alpha: float = 0.05) -> dict:
 def _result_schema(series_cols: list[str], key_types: dict[str, T.DataType]) -> T.StructType:
     fields = [T.StructField(c, key_types[c], True) for c in series_cols]
     fields += [
+        T.StructField("status", T.StringType(), True),
         T.StructField("trend_type", T.IntegerType(), True),
         T.StructField("slope", T.DoubleType(), True),
         T.StructField("direction", T.IntegerType(), True),
@@ -137,8 +142,12 @@ def polytrend_groups(
     Ordering is made explicit by sorting on ``time_col`` inside each
     group (the reference relies on implicit row order,
     ``polytrend.py:282`` — SURVEY.md §4.4.2). ``threshold`` applies
-    the reference's quality gate in-UDF (series with any value ≤
-    threshold yield no row, ``polytrend.py:284``).
+    the reference's quality gate in-UDF; unqualified series yield one
+    typed row (``status='below_threshold'``, analytics null) instead
+    of silently vanishing — the reference's polygon path skips them
+    (``polytrend.py:284``) and its point path kills the process
+    (``exit()``, ``polytrend.py:339-341``, SURVEY §4.4.8); callers
+    wanting reference polygon semantics filter ``status == 'ok'``.
     """
     key_types = {f.name: f.dataType for f in obs.schema.fields}
     schema = _result_schema(series_cols, key_types)
@@ -148,10 +157,12 @@ def polytrend_groups(
         pdf = pdf.sort_values(time_col)
         y = pdf[value_col].to_numpy(dtype=np.float64)
         y = y[~np.isnan(y)]
-        if y.size == 0 or (threshold is not None and not np.all(y > threshold)):
-            return pd.DataFrame(columns=out_cols)
-        res = polytrend_classify(y, alpha)
         row = {c: pdf[c].iloc[0] for c in series_cols}
+        if y.size == 0 or (threshold is not None and not np.all(y > threshold)):
+            row["status"] = "below_threshold" if y.size else "too_short"
+            return pd.DataFrame([row], columns=out_cols)
+        res = polytrend_classify(y, alpha)
+        row["status"] = "ok"
         row.update(res)
         row["n_points"] = int(y.size)
         return pd.DataFrame([row], columns=out_cols)

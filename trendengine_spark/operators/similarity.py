@@ -104,8 +104,8 @@ def random_hyperplane_ann(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    planes_per_band: int = 8,
-    bands: int = 4,
+    planes_per_band: int = 4,
+    bands: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -117,6 +117,14 @@ def random_hyperplane_ann(
     query signature on that band's planes); union of candidates,
     distinct, exact cosine re-rank, per-query top-k. Recall grows
     with ``bands``; candidate volume shrinks with ``planes_per_band``.
+
+    Defaults (4×12) are tuned for the low-similarity regime of the
+    synthetic corpus (top-5 neighbors at cos ≈ 0.3 → per-bit match
+    prob ≈ 0.6 → band hit p ≈ 0.6⁴; 12 bands → ~0.8 recall). With
+    real embedding corpora whose neighbors sit at cos ≥ 0.7, raise
+    ``planes_per_band`` (8-16) to shrink buckets — candidate volume
+    per band is N/2^planes, so selectivity improves exponentially
+    while recall stays high.
     """
     all_planes = _planes(planes_per_band * bands, dim, seed)
     c = corpus.select(F.col(id_col), F.col(vec_col))

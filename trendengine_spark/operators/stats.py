@@ -51,7 +51,11 @@ def category_counts(
 def polytrend_summary(result: DataFrame) -> DataFrame:
     """Wide-form one-row summary matching the reference's statistics
     dict (``utils.py:37-64``): per-class and per-direction counts and
-    percentages in one conditional-aggregation pass."""
+    percentages in one conditional-aggregation pass. Rows with a
+    non-'ok' status are excluded first — the reference's stats only
+    see qualified pixels (its polygon loop skips the rest)."""
+    if "status" in result.columns:
+        result = result.filter(F.col("status") == "ok")
 
     def cnt(cond) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0))

@@ -1,0 +1,50 @@
+"""Result sinks (reference S4/S5).
+
+The reference writes two CSV side-outputs per run —
+``time_series.csv`` (``TrendEngine/calculations/polytrend.py:483,503``,
+``dbest.py:544-545``) and ``PolyTrend_result.csv`` /
+``DBEST_result.csv`` (``polytrend.py:490-491``,
+``dbest.py:568-569,620-621``). The engine writes them distributed
+(``df.write.csv``), plus parquet for the canonical result store.
+
+The reference's ``save_ts_to_csv`` truthiness bug (string "no" is
+truthy, so the polygon path always wrote the file —
+``polytrend.py:482`` vs the correct ``== "yes"`` at ``:502``,
+SURVEY §4.4.4) is fixed by taking a real boolean.
+
+Scale note: a CSV sink at 100 TB is a partitioned directory write —
+no single-file coalesce by default (``single_file=True`` exists for
+small result tables only; it routes through one task)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    save: bool = True,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink with header (reference ``to_csv``). ``save=False`` is
+    a no-op (boolean, not the reference's truthy-string check)."""
+    if not save:
+        return
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet result sink; ``partition_by`` for the canonical
+    (series, year) layout of SURVEY §1.4."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
