@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.text import normalize_text, tokens_col
+from trendengine_spark.operators.util import fan_out
 
 
 def exact_dedup(
@@ -53,6 +54,7 @@ def shingles(
     concat_ws → explode → distinct. The distinct is per-document
     (id, shingle) — a map-side-combinable aggregation.
     """
+    df = fan_out(df)
     toks = tokens_col(F.col(text_col))
     # guard: sequence(0, k) with k < 0 would generate a DESCENDING range
     grams = F.when(
@@ -128,15 +130,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Fixed-size MinHash signature per document.
 
-    Permutation i = xxhash64(shingle, salt=i); the signature element
-    is the min hash per permutation. One explode + one groupBy(id)
-    aggregation — no UDF, fully deterministic (no fitted model, unlike
+    One base ``xxhash64`` over the shingle STRING, then permutation i
+    re-hashes the resulting 8-byte long with seed i — re-hashing a
+    fixed-width long is far cheaper than hashing a variable-length
+    string per permutation, and (unlike a multiply-add universal
+    family) stays inside ANSI-mode arithmetic (Spark 4 throws on long
+    overflow). One explode + one groupBy(id) aggregation — no UDF,
+    fully deterministic (no fitted model, unlike
     ``pyspark.ml.feature.MinHashLSH``, so results are reproducible
     across runs and clusters).
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "_h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = sh.groupBy("id").agg(*mins)
@@ -228,7 +236,7 @@ def simhash_fingerprints(
     Also emits the four 16-bit blocks used for pigeonhole bucketing of
     Hamming-≤3 near-dup search.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )

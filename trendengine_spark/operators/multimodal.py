@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from trendengine_spark.operators.util import fan_out
+
 #: Canonical media metadata struct.
 MEDIA_META = T.StructType(
     [
@@ -110,7 +112,7 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
             yield out
 
-    return df.select("doc_id", "media").mapInPandas(gen, FEATURE_SCHEMA)
+    return fan_out(df.select("doc_id", "media")).mapInPandas(gen, FEATURE_SCHEMA)
 
 
 def media_content_stats(df: DataFrame) -> DataFrame:

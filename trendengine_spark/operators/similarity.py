@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trendengine_spark.operators.util import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right (JVM fold)."""
@@ -64,7 +66,7 @@ def cosine_topk(
         )
     )
     scored = (
-        corpus.crossJoin(q)
+        fan_out(corpus).crossJoin(q)
         .filter(F.col(id_col) != F.col("_qid"))
         .withColumn("cos_sim", cosine(F.col("_qvec"), F.col(vec_col)))
     )
@@ -127,7 +129,7 @@ def random_hyperplane_ann(
     while recall stays high.
     """
     all_planes = _planes(planes_per_band * bands, dim, seed)
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col))
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
@@ -175,7 +177,7 @@ def embedding_near_dup_pairs(
     banded hyperplane LSH self-bucketing — candidates only share a
     band signature, then exact cosine verify. No all-pairs join."""
     all_planes = _planes(planes_per_band * bands, dim, seed)
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    c = fan_out(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     sigs = c
     for b in range(bands):
         pl = all_planes[b * planes_per_band : (b + 1) * planes_per_band]

@@ -365,11 +365,16 @@ def d2_explode_tokens(spark, sf_dir):
 )
 def d1_period_pairing(spark, sf_dir):
     """D1: the reference's zip-repeat-map pairing = generate a month
-    sequence, range-join the fact table, aggregate per period. The
-    generated side is tiny → broadcast; the range predicate rewrites
-    to an equi-join on date_trunc in the common case, but we keep the
-    general range form to cover D1's semantics."""
-    o = t(spark, sf_dir, "orders")
+    sequence, pair the fact table per period, aggregate. Because
+    calendar periods tile the time axis, the range predicate
+    ``o_orderdate ∈ [m, m+1mo)`` is equivalent to the equi-join
+    ``date_trunc('month', o_orderdate) = m`` — so the plan is a hash
+    join on the month key (O(n)), not a broadcast nested loop
+    (O(n × periods), which is what the naive range form costs and
+    what a 100 TB fact table cannot afford)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "m", F.date_trunc("month", "o_orderdate")
+    )
     months = spark.range(1).select(
         F.explode(
             F.sequence(
@@ -379,12 +384,7 @@ def d1_period_pairing(spark, sf_dir):
             )
         ).alias("m")
     )
-    joined = F.broadcast(months).join(
-        o,
-        (F.col("o_orderdate") >= F.col("m"))
-        & (F.col("o_orderdate") < F.col("m") + F.expr("interval 1 month")),
-        "left",
-    )
+    joined = F.broadcast(months).join(o, "m", "left")
     return joined.groupBy(F.col("m").alias("period_start")).agg(
         F.count("o_orderkey").alias("n_orders"),
         F.coalesce(
