@@ -31,6 +31,24 @@ from trendengine_spark.operators.stats import polytrend_summary
 PIXEL = ["longitude", "latitude"]
 
 
+class EmptySelectionError(ValueError):
+    """Raised when a filtered selection contains no observations —
+    the engine analog of the reference's first-image emptiness probe
+    → error page (D4: ``polytrend.py:463-467``, ``utils.py:7``)."""
+
+
+def require_nonempty(df: DataFrame, context: str = "selection") -> DataFrame:
+    """D4 guard: fail fast (with a typed error) when the AOI/date
+    selection matches nothing, instead of propagating empty frames
+    into the fitting stage. Uses ``isEmpty`` — a limit-1 probe job,
+    not a full count."""
+    if df.isEmpty():
+        raise EmptySelectionError(
+            f"{context} matched no observations (empty AOI/date selection)"
+        )
+    return df
+
+
 def filter_years(obs: DataFrame, year_from: int, year_to: int, time_col: str = "time") -> DataFrame:
     """Temporal range filter (reference F1: ``filterDate(f'{y}-01-01',
     f'{y}-12-31')``, ``polytrend.py:452-458``). Half-open end bound so

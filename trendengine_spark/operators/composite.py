@@ -109,9 +109,9 @@ def grid_composite(
     return (
         obs.groupBy(cell_x, cell_y, *keys)
         .agg(
-            F.avg(lon_col).alias(lon_col),
-            F.avg(lat_col).alias(lat_col),
-            F.avg(value_col).alias(value_col),
+            _exact_mean(lon_col).alias(lon_col),
+            _exact_mean(lat_col).alias(lat_col),
+            _exact_mean(value_col).alias(value_col),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from trendengine_spark.queries import (  # noqa: F401
     llm,
     relational,
+    relational2,
     streaming_batch,
     timeseries,
 )

@@ -1,0 +1,367 @@
+"""Second coverage batch: the SURVEY §2 rows not exercised by the
+first registry pass — S2 (grid/scale coarsening), S3 (explicit
+schema-on-read), U3/U5 (generalization / decomposition, rows-only),
+plus deeper §2.6 closure (subqueries, HAVING, UNION ALL,
+INTERSECT ALL, regexp_extract, string_agg, median, min_by/max_by,
+range window frames, percent_rank/cume_dist)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trendengine_spark.operators.composite import grid_composite
+from trendengine_spark.queries.base import query, t
+from trendengine_spark.tables import table_path
+
+
+# --- S2: region scan → grid coarsening (reference scale= resampling)
+@query(
+    "s2_grid_composite",
+    sql="""
+    WITH obs AS (
+      SELECT (user_id % 20) / 4.0 + 10.0 AS lon,
+             (user_id // 20) / 4.0 + 50.0 AS lat, value
+      FROM events
+    )
+    SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
+           CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,
+           round(CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) / count(lon), 6) AS lon_c,
+           round(CAST(sum(CAST(lat AS DECIMAL(28,10))) AS DOUBLE) / count(lat), 6) AS lat_c,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6)
+             AS value_c,
+           count(*) AS n_obs
+    FROM obs GROUP BY 1, 2
+    """,
+)
+def s2_grid_composite(spark, sf_dir):
+    """S2: spatial resolution reduction — snap to 0.5° cells and
+    average (engine ``grid_composite``; pseudo-coordinates derived
+    from the event key since driver tables carry no geometry)."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.select(
+        ((F.col("user_id") % 20) / 4.0 + 10.0).alias("lon"),
+        ((F.col("user_id") / 20).cast("long") / 4.0 + 50.0).alias("lat"),
+        "value",
+    )
+    g = grid_composite(obs, 0.5, lon_col="lon", lat_col="lat", value_col="value")
+    return g.select(
+        "cell_x", "cell_y",
+        F.round("lon", 6).alias("lon_c"),
+        F.round("lat", 6).alias("lat_c"),
+        F.round("value", 6).alias("value_c"),
+        "n_obs",
+    )
+
+
+# --- S3: explicit schema-on-read (reference header-driven schema)
+@query(
+    "s3_schema_on_read",
+    sql="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s3_schema_on_read(spark, sf_dir):
+    """S3: scan with an explicit StructType instead of footer
+    inference (the engine's answer to the reference's header-row
+    schema, SURVEY §1.3)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    docs = spark.read.schema(schema).parquet(table_path(sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------- subqueries
+@query(
+    "subquery_scalar_avg",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      FROM orders
+    )
+    """,
+)
+def subquery_scalar_avg(spark, sf_dir):
+    """Scalar subquery: orders above the global average price (the
+    aggregate broadcasts — one extra tiny stage, no recompute per row)."""
+    o = t(spark, sf_dir, "orders")
+    avg = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def subquery_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS — decorrelates to a left-semi join on the
+    correlation key with the predicate pushed below the join."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------------------------------------------ set ops / HAVING
+@query(
+    "union_all_counts",
+    sql="""
+    SELECT k, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    ) GROUP BY k
+    """,
+)
+def union_all_counts(spark, sf_dir):
+    """UNION ALL (bag semantics) + group count."""
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "intersect_all_keys",
+    sql="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_all_keys(spark, sf_dir):
+    """INTERSECT ALL (multiplicity-preserving)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@query(
+    "having_groups",
+    sql="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part GROUP BY p_brand HAVING count(*) > 50
+    """,
+)
+def having_groups(spark, sf_dir):
+    """HAVING: post-aggregation predicate."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .filter(F.col("n_parts") > 50)
+    )
+
+
+# ---------------------------------------------------- scalar / aggregates
+@query(
+    "regexp_extract_keys",
+    sql="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_matches(c_name, '^Customer#') AS is_canonical
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def regexp_extract_keys(spark, sf_dir):
+    """regexp_extract + boolean regexp match."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("name_num"),
+        F.col("c_name").rlike("^Customer#").alias("is_canonical"),
+    )
+
+
+@query(
+    "string_agg_sorted",
+    sql="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_sorted(spark, sf_dir):
+    """Ordered string aggregation (deterministic via sort_array)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "median_exact",
+    sql="""
+    SELECT l_returnflag, round(median(l_quantity), 2) AS med_qty,
+           round(median(l_extendedprice), 2) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_exact(spark, sf_dir):
+    """Exact interpolated median (both engines interpolate even-count
+    groups identically)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+    )
+
+
+@query(
+    "min_by_max_by",
+    sql="""
+    SELECT o_orderpriority,
+           round(max_by(o_totalprice, o_orderkey), 2) AS last_price,
+           round(min_by(o_totalprice, o_orderkey), 2) AS first_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def min_by_max_by(spark, sf_dir):
+    """min_by/max_by with a UNIQUE ordering key (orderkey) — the
+    ordering column must be tie-free for the pick to be deterministic
+    across engines (DuckDB 1.0 has no struct ordering for arg_max)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_price"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("first_price"),
+    )
+
+
+# ----------------------------------------------------------- windows II
+@query(
+    "window_range_frame",
+    sql="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS day_no,
+             o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT o_orderkey, day_no,
+           count(*) OVER (ORDER BY day_no RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+             AS n_week,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+                 (ORDER BY day_no RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS week_rev
+    FROM d
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based window): trailing-7-day order count
+    and revenue."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("day_no"),
+        "o_totalprice",
+    )
+    w = Window.orderBy("day_no").rangeBetween(-7, 0)
+    return d.select(
+        "o_orderkey", "day_no",
+        F.count(F.lit(1)).over(w).alias("n_week"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+        .cast("double")
+        .alias("week_rev"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    sql="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pr,
+           round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cd
+    FROM supplier
+    """,
+)
+def window_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist over a deterministic total order."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ------------------------------------------------- U3/U5 (rows-only)
+@query(
+    "u3_generalize_events",
+    sql=None,
+    doc="U3: DBEST trend generalization per event_type (rmse/mad/"
+    "f_local contract; applyInPandas, golden-tested).",
+)
+def u3_generalize_events(spark, sf_dir):
+    from trendengine_spark.functions.dbest import dbest_generalize
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), "value"
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "time").alias("period_start")
+    ).agg(F.avg("value").alias("value"))
+    res = dbest_generalize(daily, ["event_type"], seasonality=7)
+    return res.select(
+        "event_type", "status", "segment_no",
+        F.round("rmse", 6).alias("rmse_r"),
+        F.round("mad", 6).alias("mad_r"),
+    )
+
+
+@query(
+    "u5_decomposition_events",
+    sql=None,
+    doc="U5: seasonal decomposition vectors per event_type "
+    "(trend/seasonal/remainder; applyInPandas, reconstruction "
+    "identity golden-tested).",
+)
+def u5_decomposition_events(spark, sf_dir):
+    from trendengine_spark.functions.dbest import dbest_decomposition
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("time"), "value"
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "time").alias("period_start")
+    ).agg(F.avg("value").alias("value"))
+    res = dbest_decomposition(daily, ["event_type"], seasonality=7)
+    return res.select(
+        "event_type", "status", "breakpoint_no", "segment_no",
+        F.size("trend").alias("n_points"),
+    )
