@@ -139,3 +139,15 @@ def test_decode_trend_type_labels(spark):
     assert out["trend_type_label"].tolist() == [
         "concealed", "no trend", "linear", "cuadratic", "cubic",
     ]
+
+
+def test_require_nonempty_guard(spark):
+    import pytest as _pytest
+
+    from trendengine_spark.engine import EmptySelectionError, require_nonempty
+
+    obs = obs_frame(spark)
+    assert require_nonempty(obs) is obs
+    empty = obs.filter(F.col("longitude") > 999)
+    with _pytest.raises(EmptySelectionError):
+        require_nonempty(empty, context="bbox selection")
