@@ -1,0 +1,67 @@
+"""Scale-story operators: salted join equivalence, dedup cluster
+connected components, bucketed-write exchange elision."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trendengine_spark.operators.dedup import dedup_clusters
+from trendengine_spark.operators.relational import salted_join
+from trendengine_spark.sinks import write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 50 + [2] * 3 + [3] * 2, "v": range(55)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 4], "name": ["a", "b", "d"]})
+    )
+    plain = (
+        left.join(right, "k").groupBy("k", "name").agg(F.sum("v").alias("s")).toPandas()
+    )
+    salted = (
+        salted_join(left, right, "k", salt_buckets=8)
+        .groupBy("k", "name")
+        .agg(F.sum("v").alias("s"))
+        .toPandas()
+    )
+    assert plain.sort_values("k").reset_index(drop=True).equals(
+        salted.sort_values("k").reset_index(drop=True)
+    )
+
+
+def test_dedup_clusters_components(spark):
+    # components: {1,2,3} via chained pairs, {10,11}, singletons absent
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    out = dedup_clusters(pairs).toPandas().set_index("id")["cluster_id"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(11)), "id_b": list(range(1, 12))})
+    )
+    out = dedup_clusters(pairs).toPandas()
+    assert set(out["cluster_id"]) == {0}
+    assert len(out) == 12
+
+
+def test_bucketed_write_elides_exchange(spark):
+    # warehouse dir is a static conf — the default ./spark-warehouse is
+    # used and the table dropped afterwards (dir is gitignored)
+    df = spark.range(10000).withColumn("k", (F.col("id") % 100).cast("long"))
+    write_bucketed(df, "bucketed_t", ["k"], num_buckets=8)
+    try:
+        t1 = spark.table("bucketed_t")
+        agg_plan = (
+            t1.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+        )
+        # aggregation on the bucket key must not shuffle
+        assert "Exchange" not in agg_plan, agg_plan[:500]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_t")

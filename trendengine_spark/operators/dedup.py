@@ -225,6 +225,78 @@ def minhash_lsh_pairs(
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    (id, cluster_id) with cluster_id = min id in the component; the
+    canonical-document assignment step of a dedup pipeline.
+
+    Iterative min-label propagation with pointer jumping: each round
+    (a) every node adopts the min label among itself and its
+    neighbors, then (b) re-points to its label's label (path halving)
+    — so rounds needed is O(log diameter), not O(diameter). Each
+    round's result is ``localCheckpoint``-ed: iterative DataFrame
+    loops otherwise grow the logical plan linearly and re-analysis
+    cost explodes (the classic Spark iterative-algorithm trap).
+    ``max_iterations`` bounds runaway graphs; convergence is detected
+    with a limit-1 changed-row probe.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: label := label(label)
+        ptr = stepped.select(
+            F.col("id").alias("_pid"), F.col("cluster_id").alias("_plabel")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.cluster_id == ptr._pid, "left")
+            .select(
+                "id",
+                F.coalesce("_plabel", "cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -68,6 +68,35 @@ def asof_join(
     return out.select(*left.columns, *payload)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the small/right side into
+    ``salt_buckets`` replicas keyed (key, salt) and salt the left side
+    randomly-but-deterministically (hash of the full row modulo
+    buckets), so one hot key's rows spread across ``salt_buckets``
+    tasks instead of one straggler.
+
+    Use when a key's frequency is pathological (power-law fact keys)
+    and AQE's skew-join splitting isn't available/enough; cost is a
+    ``salt_buckets``× replication of the right side, so keep that side
+    small(ish). Deterministic: the salt is a hash, not a random draw.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias(
+        "_salt"
+    )
+    lhs = left.withColumn("_salt", salt)
+    rhs = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = lhs.join(rhs, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -121,6 +121,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_assignment",
+    sql=None,
+    doc="End-to-end near-dup clustering: exact n-gram Jaccard pairs → "
+    "connected components (pointer-jumping label propagation) → "
+    "(doc_id, cluster_id) canonical assignment; components verified "
+    "in tests.",
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    from trendengine_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return dedup_clusters(pairs)
+
+
+@query(
     "dedup_simhash",
     sql=None,
     doc="SimHash-64 near-dup pairs at Hamming ≤ 3, pigeonhole-bucketed "
