@@ -236,6 +236,58 @@ def text_token_explode_tf(spark, sf_dir):
     )
 
 
+@query(
+    "text_tfidf_top_terms",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS INT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: tf and df are two hash
+    aggregates over the exploded token stream, idf joins back on the
+    term (the df side is vocabulary-sized → broadcasts), top-k is a
+    per-doc window. The full TF-IDF vectorization primitive without
+    pyspark.ml's fitted pipeline — deterministic and oracle-checked."""
+    from pyspark.sql import Window
+
+    from trendengine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
 # --------------------------------------------------------------- similarity
 @query(
     "sim_cosine_topk",

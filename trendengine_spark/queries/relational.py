@@ -717,8 +717,8 @@ def approx_percentiles(spark, sf_dir):
     "stats_aggregates",
     sql="""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(l_extendedprice), 2) AS avg_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_extendedprice) AS avg_price,
            round(stddev_samp(l_extendedprice), 2) AS sd_price,
            round(var_samp(l_discount), 8) AS var_disc,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -730,10 +730,9 @@ def stats_aggregates(spark, sf_dir):
     """Statistical aggregates: stddev/variance/corr/covar."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
+        (
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
-            / F.count("l_extendedprice"),
-            2,
+            / F.count("l_extendedprice")
         ).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
@@ -756,11 +755,11 @@ def stats_aggregates(spark, sf_dir):
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                  * (1 - CAST(l_discount AS DECIMAL(12,2)))
                  * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(l_extendedprice), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(l_discount), 6) AS avg_disc,
+           CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -785,15 +784,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         F.round(
             F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d)), 2
         ).cast("double").alias("sum_charge"),
-        F.round(F.sum("l_quantity").cast("double") / F.count("l_quantity"), 4).alias(
-            "avg_qty"
-        ),
-        F.round(
-            F.sum(price_d).cast("double") / F.count("l_extendedprice"), 4
-        ).alias("avg_price"),
-        F.round(F.sum(disc_d).cast("double") / F.count("l_discount"), 6).alias(
-            "avg_disc"
-        ),
+        (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(price_d).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        (F.sum(disc_d).cast("double") / F.count("l_discount")).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 

@@ -27,10 +27,9 @@ from trendengine_spark.tables import table_path
     )
     SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
            CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,
-           round(CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) / count(lon), 6) AS lon_c,
-           round(CAST(sum(CAST(lat AS DECIMAL(28,10))) AS DOUBLE) / count(lat), 6) AS lat_c,
-           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6)
-             AS value_c,
+           CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) / count(lon) AS lon_c,
+           CAST(sum(CAST(lat AS DECIMAL(28,10))) AS DOUBLE) / count(lat) AS lat_c,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value) AS value_c,
            count(*) AS n_obs
     FROM obs GROUP BY 1, 2
     """,
@@ -48,9 +47,9 @@ def s2_grid_composite(spark, sf_dir):
     g = grid_composite(obs, 0.5, lon_col="lon", lat_col="lat", value_col="value")
     return g.select(
         "cell_x", "cell_y",
-        F.round("lon", 6).alias("lon_c"),
-        F.round("lat", 6).alias("lat_c"),
-        F.round("value", 6).alias("value_c"),
+        F.col("lon").alias("lon_c"),
+        F.col("lat").alias("lat_c"),
+        F.col("value").alias("value_c"),
         "n_obs",
     )
 
@@ -224,8 +223,8 @@ def string_agg_sorted(spark, sf_dir):
 @query(
     "median_exact",
     sql="""
-    SELECT l_returnflag, round(median(l_quantity), 2) AS med_qty,
-           round(median(l_extendedprice), 2) AS med_price
+    SELECT l_returnflag, median(l_quantity) AS med_qty,
+           median(l_extendedprice) AS med_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -234,8 +233,8 @@ def median_exact(spark, sf_dir):
     groups identically)."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 2).alias("med_qty"),
-        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
     )
 
 

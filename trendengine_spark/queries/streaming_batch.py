@@ -73,7 +73,7 @@ def stream_tumbling_window(spark, sf_dir):
       FROM buckets
     )
     SELECT event_type, ws, count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6)
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value)
              AS avg_value
     FROM assigned
     WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
@@ -89,10 +89,9 @@ def stream_sliding_window(spark, sf_dir):
         ev.groupBy("event_type", w)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
+            (
                 F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
-                / F.count("value"),
-                6,
+                / F.count("value")
             ).alias("avg_value"),
         )
         .select("event_type", F.col("window.start").alias("ws"), "n_events", "avg_value")

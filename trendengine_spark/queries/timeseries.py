@@ -205,8 +205,8 @@ def f8_decode_labels(spark, sf_dir):
     "a1_annual_composite",
     sql="""
     SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
-                 / count(l_extendedprice), 2) AS value
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(l_extendedprice) AS value
     FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
     """,
 )
@@ -218,9 +218,7 @@ def a1_annual_composite(spark, sf_dir):
         F.col("l_extendedprice").alias("value"),
     )
     out = annual_composite(li, ["l_returnflag"])
-    return out.select(
-        "l_returnflag", "yr", F.round("value", 2).alias("value")
-    )
+    return out.select("l_returnflag", "yr", "value")
 
 
 # --- A1b: max-composite variant (doc/code conflict, SURVEY §4.4.1)
@@ -248,8 +246,8 @@ def a1_annual_composite_max(spark, sf_dir):
     "a2_monthly_composite",
     sql="""
     SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS period_start,
-           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-                 / count(value), 6) AS value
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(value) AS value
     FROM events GROUP BY event_type, date_trunc('month', ts)
     """,
 )
@@ -259,9 +257,7 @@ def a2_monthly_composite(spark, sf_dir):
         "event_type", F.col("ts").alias("time"), "value"
     )
     out = monthly_composite(ev, ["event_type"])
-    return out.select(
-        "event_type", "period_start", F.round("value", 6).alias("value")
-    )
+    return out.select("event_type", "period_start", "value")
 
 
 # --- A3: count-distinct series length (reference O(N²) loop, polytrend.py:271-277)
@@ -393,6 +389,48 @@ def d1_period_pairing(spark, sf_dir):
             ),
             F.lit(0.0),
         ).alias("revenue"),
+    )
+
+
+# --- A2 + densify: fill_missing_months declared against the oracle
+@query(
+    "a2b_fill_missing_months",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_start,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(l_extendedprice) AS value
+      FROM lineitem WHERE month(l_shipdate) <> 6
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT l_returnflag, min(period_start) AS mn, max(period_start) AS mx FROM m GROUP BY 1
+    ), grid AS (
+      SELECT l_returnflag, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS period_start
+      FROM spans
+    )
+    SELECT g.l_returnflag, g.period_start, m.value,
+           CAST(m.value IS NULL AS BOOLEAN) AS is_gap
+    FROM grid g LEFT JOIN m USING (l_returnflag, period_start)
+    """,
+)
+def a2b_fill_missing_months(spark, sf_dir):
+    """A2 + densification: June excluded from the composite, then
+    ``fill_missing_months`` restores the regular grid with null rows
+    (the DBEST pre-processing step, declared against the oracle)."""
+    from trendengine_spark.operators.composite import fill_missing_months
+
+    li = t(spark, sf_dir, "lineitem").filter(F.month("l_shipdate") != 6).select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("time"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    monthly = monthly_composite(li, ["l_returnflag"]).select(
+        "l_returnflag", "period_start", "value"
+    )
+    dense = fill_missing_months(monthly, ["l_returnflag"])
+    return dense.select(
+        "l_returnflag", "period_start", "value",
+        F.col("value").isNull().alias("is_gap"),
     )
 
 
