@@ -151,3 +151,13 @@ def test_require_nonempty_guard(spark):
     empty = obs.filter(F.col("longitude") > 999)
     with _pytest.raises(EmptySelectionError):
         require_nonempty(empty, context="bbox selection")
+
+
+def test_point_flow_includes_series_array(spark):
+    obs = obs_frame(spark)
+    res = engine.polytrend(obs, 1990, 2009, point=(13.0, 52.0)).toPandas()
+    assert "ts" in res.columns
+    assert len(res["ts"].iloc[0]) == res["n_points"].iloc[0] == 20
+    # polygon flow omits the array (reference polygon result shape)
+    poly = engine.polytrend(obs, 1990, 2009)
+    assert "ts" not in poly.columns

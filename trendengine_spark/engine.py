@@ -99,10 +99,17 @@ def polytrend(
     point: tuple[float, float] | None = None,
     composite: str = "mean",
     series_cols: list[str] | None = None,
+    include_series: bool | None = None,
 ) -> DataFrame:
     """PolyTrend flow (reference §3.2): filter → annual composite →
-    quality gate + per-series classification."""
+    quality gate + per-series classification. ``include_series``
+    defaults to True for point AOIs (the reference's point result
+    carries the analyzed series + degree, ``polytrend.py:346-366``)
+    and False for polygon runs (the polygon table has no ts column,
+    ``polytrend.py:291-297``)."""
     series_cols = series_cols or PIXEL
+    if include_series is None:
+        include_series = point is not None
     df = filter_years(obs, year_from, year_to)
     if bbox is not None:
         df = filter_bbox(df, *bbox)
@@ -116,6 +123,7 @@ def polytrend(
         value_col="value",
         alpha=alpha,
         threshold=threshold,
+        include_series=include_series,
     )
 
 

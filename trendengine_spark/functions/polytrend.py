@@ -114,7 +114,11 @@ def polytrend_classify(y: np.ndarray, alpha: float = 0.05) -> dict:
     return out
 
 
-def _result_schema(series_cols: list[str], key_types: dict[str, T.DataType]) -> T.StructType:
+def _result_schema(
+    series_cols: list[str],
+    key_types: dict[str, T.DataType],
+    include_series: bool = False,
+) -> T.StructType:
     fields = [T.StructField(c, key_types[c], True) for c in series_cols]
     fields += [
         T.StructField("status", T.StringType(), True),
@@ -126,6 +130,10 @@ def _result_schema(series_cols: list[str], key_types: dict[str, T.DataType]) -> 
         T.StructField("p_value", T.DoubleType(), True),
         T.StructField("n_points", T.IntegerType(), True),
     ]
+    if include_series:
+        # the reference's point path carries the analyzed series as a
+        # cell value ("ts" header field, polytrend.py:333,346-366)
+        fields.append(T.StructField("ts", T.ArrayType(T.DoubleType()), True))
     return T.StructType(fields)
 
 
@@ -136,6 +144,7 @@ def polytrend_groups(
     value_col: str = "value",
     alpha: float = 0.05,
     threshold: float | None = None,
+    include_series: bool = False,
 ) -> DataFrame:
     """Per-series PolyTrend over a (composited) observation frame.
 
@@ -150,7 +159,7 @@ def polytrend_groups(
     wanting reference polygon semantics filter ``status == 'ok'``.
     """
     key_types = {f.name: f.dataType for f in obs.schema.fields}
-    schema = _result_schema(series_cols, key_types)
+    schema = _result_schema(series_cols, key_types, include_series)
     out_cols = [f.name for f in schema.fields]
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -165,6 +174,8 @@ def polytrend_groups(
         row["status"] = "ok"
         row.update(res)
         row["n_points"] = int(y.size)
+        if include_series:
+            row["ts"] = y.tolist()
         return pd.DataFrame([row], columns=out_cols)
 
     return obs.groupBy(*series_cols).applyInPandas(fit, schema)
