@@ -79,3 +79,19 @@ def test_csv_sink_boolean_gate(spark, tmp_path):
     assert len(files) == 1
     back = spark.read.option("header", "true").csv(written).count()
     assert back == 5
+
+
+def test_reference_named_outputs(spark, tmp_path):
+    from trendengine_spark.sinks import save_polytrend_outputs
+
+    res = spark.range(3).withColumnRenamed("id", "trend_type")
+    ts = spark.range(5).withColumnRenamed("id", "value")
+    save_polytrend_outputs(res, ts, str(tmp_path), save_result=True, save_ts=True)
+    assert os.path.isdir(os.path.join(str(tmp_path), "PolyTrend_result.csv"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "time_series.csv"))
+    # save_ts=False suppresses the side output (the reference's polygon
+    # path wrote it unconditionally - truthiness bug, SURVEY 4.4.4)
+    d2 = str(tmp_path) + "_2"
+    save_polytrend_outputs(res, ts, d2, save_result=True, save_ts=False)
+    assert os.path.isdir(os.path.join(d2, "PolyTrend_result.csv"))
+    assert not os.path.exists(os.path.join(d2, "time_series.csv"))

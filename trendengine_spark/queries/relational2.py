@@ -319,6 +319,46 @@ def window_percent_rank(spark, sf_dir):
     )
 
 
+@query(
+    "scalar_lambda_fns",
+    sql="""
+    WITH t AS (
+      SELECT o_custkey, list(o_totalprice ORDER BY o_orderkey) AS prices
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(list_filter(prices, x -> x > 100000)) AS INT) AS n_big,
+           round(list_sum(list_transform(prices, x -> round(x / 1000, 0))), 1)
+             AS k_total,
+           round(list_max(prices), 2) AS mx
+    FROM t
+    """,
+)
+def scalar_lambda_fns(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate
+    lambdas — JVM-side, codegen): per-customer price-list analytics."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(o_orderkey, o_totalprice))),"
+            " s -> s.o_totalprice)"
+        ).alias("prices")
+    )
+    return g.select(
+        "o_custkey",
+        F.size(F.filter("prices", lambda x: x > 100000)).alias("n_big"),
+        F.round(
+            F.aggregate(
+                F.transform("prices", lambda x: F.round(x / 1000, 0)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            1,
+        ).alias("k_total"),
+        F.round(F.array_max("prices"), 2).alias("mx"),
+    )
+
+
 # ------------------------------------------------- U3/U5 (rows-only)
 @query(
     "u3_generalize_events",

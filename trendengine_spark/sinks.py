@@ -57,6 +57,53 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def save_polytrend_outputs(
+    result: DataFrame,
+    time_series: DataFrame | None,
+    out_dir: str,
+    save_result: bool = True,
+    save_ts: bool = False,
+) -> None:
+    """Reference-compatible side outputs: ``PolyTrend_result.csv``
+    (``polytrend.py:490-491``) and ``time_series.csv``
+    (``polytrend.py:483,503``) under ``out_dir``. Booleans, not the
+    reference's truthy-string check (its polygon path wrote the
+    time-series CSV even when the form said "no" — SURVEY §4.4.4)."""
+    import os
+
+    write_csv(
+        result, os.path.join(out_dir, "PolyTrend_result.csv"),
+        save=save_result, single_file=True,
+    )
+    if time_series is not None:
+        write_csv(
+            time_series, os.path.join(out_dir, "time_series.csv"),
+            save=save_ts, single_file=True,
+        )
+
+
+def save_dbest_outputs(
+    result: DataFrame,
+    time_series: DataFrame | None,
+    out_dir: str,
+    save_result: bool = True,
+    save_ts: bool = False,
+) -> None:
+    """Reference-compatible ``DBEST_result.csv`` / ``time_series.csv``
+    (``dbest.py:544-545,568-569,620-621``)."""
+    import os
+
+    write_csv(
+        result, os.path.join(out_dir, "DBEST_result.csv"),
+        save=save_result, single_file=True,
+    )
+    if time_series is not None:
+        write_csv(
+            time_series, os.path.join(out_dir, "time_series.csv"),
+            save=save_ts, single_file=True,
+        )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
