@@ -30,10 +30,12 @@ def _exact_mean(c: str) -> Column:
     """Deterministic mean: exact decimal sum (order-independent, so
     results don't vary with partial-aggregation merge order across
     runs/partitionings — a reproducibility requirement for an engine
-    whose results are hash-compared) divided in double. DECIMAL(28,10)
-    holds ~1e17 absolute sum at 10-decimal precision — ample headroom
-    for 1e12-row groups of 1e5-magnitude values."""
-    return F.sum(F.col(c).cast("decimal(28,10)")).cast("double") / F.count(F.col(c))
+    whose results are hash-compared) divided in double. Inputs cast to
+    DECIMAL(18,10) (long-backed → codegen-fast per-row path; holds
+    values < 1e8); Spark widens the SUM buffer to (28,10), so group
+    totals up to ~1e18 are exact — headroom for 1e12-row groups of
+    1e5-magnitude values."""
+    return F.sum(F.col(c).cast("decimal(18,10)")).cast("double") / F.count(F.col(c))
 
 
 _AGGS = {

@@ -29,7 +29,7 @@ from trendengine_spark.queries.base import query, t
     "join_inner_3way",
     sql="""
     SELECT n_name, count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -46,7 +46,7 @@ def join_inner_3way(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+                F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2
             ).cast("double").alias("revenue"),
         )
     )
@@ -256,7 +256,7 @@ def window_topk_per_group(spark, sf_dir):
     sql="""
     WITH m AS (
       SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon,
-             CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue
+             CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE) AS revenue
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, mon, revenue,
@@ -273,7 +273,7 @@ def window_lag_monthly(spark, sf_dir):
     m = ev.groupBy(
         "event_type", F.date_trunc("month", "ts").alias("mon")
     ).agg(
-        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+        F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
         .cast("double")
         .alias("revenue")
     )
@@ -292,7 +292,7 @@ def window_lag_monthly(spark, sf_dir):
     sql="""
     WITH d AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS v
+             CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE) AS v
       FROM events WHERE user_id < 30 GROUP BY 1, 2
     )
     SELECT user_id, day, v,
@@ -307,7 +307,7 @@ def window_running_sum(spark, sf_dir):
     """Running cumulative sum + 3-row moving average (frame specs)."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     d = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("v")
+        F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4).cast("double").alias("v")
     )
     w_run = (
         Window.partitionBy("user_id").orderBy("day")
@@ -477,11 +477,11 @@ def cube_flag_status(spark, sf_dir):
     sql="""
     SELECT user_id,
            coalesce(CAST(round(sum(CASE WHEN event_type = 'click'
-                 THEN CAST(value AS DECIMAL(28,10)) END), 4) AS DOUBLE), -1) AS click,
+                 THEN CAST(value AS DECIMAL(18,10)) END), 4) AS DOUBLE), -1) AS click,
            coalesce(CAST(round(sum(CASE WHEN event_type = 'view'
-                 THEN CAST(value AS DECIMAL(28,10)) END), 4) AS DOUBLE), -1) AS view,
+                 THEN CAST(value AS DECIMAL(18,10)) END), 4) AS DOUBLE), -1) AS view,
            coalesce(CAST(round(sum(CASE WHEN event_type = 'purchase'
-                 THEN CAST(value AS DECIMAL(28,10)) END), 4) AS DOUBLE), -1) AS purchase
+                 THEN CAST(value AS DECIMAL(18,10)) END), 4) AS DOUBLE), -1) AS purchase
     FROM events WHERE user_id < 50 GROUP BY user_id
     """,
 )
@@ -493,7 +493,7 @@ def pivot_event_types(spark, sf_dir):
     p = (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4).cast("double"))
     )
     return p.select(
         "user_id",
@@ -717,7 +717,7 @@ def approx_percentiles(spark, sf_dir):
     "stats_aggregates",
     sql="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE)
                  / count(l_extendedprice) AS avg_price,
            round(stddev_samp(l_extendedprice), 2) AS sd_price,
            round(var_samp(l_discount), 8) AS var_disc,
@@ -731,7 +731,7 @@ def stats_aggregates(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double")
             / F.count("l_extendedprice")
         ).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
@@ -747,18 +747,18 @@ def stats_aggregates(spark, sf_dir):
     sql="""
     SELECT l_returnflag, l_linestatus,
            round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE)
              AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
              AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                 * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE)
                  / count(l_extendedprice) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
                  / count(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -772,9 +772,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_d = F.col("l_discount").cast("decimal(12,2)")
-    tax_d = F.col("l_tax").cast("decimal(12,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(10,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
         F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
@@ -795,8 +795,8 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "tpch_q3_shipping_priority",
     sql="""
     SELECT l_orderkey,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -822,8 +822,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                    F.col("l_extendedprice").cast("decimal(10,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
                 ),
                 2,
             ).cast("double").alias("revenue")

@@ -27,9 +27,9 @@ from trendengine_spark.tables import table_path
     )
     SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_x,
            CAST(floor(lat / 0.5) AS BIGINT) AS cell_y,
-           CAST(sum(CAST(lon AS DECIMAL(28,10))) AS DOUBLE) / count(lon) AS lon_c,
-           CAST(sum(CAST(lat AS DECIMAL(28,10))) AS DOUBLE) / count(lat) AS lat_c,
-           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value) AS value_c,
+           CAST(sum(CAST(lon AS DECIMAL(18,10))) AS DOUBLE) / count(lon) AS lon_c,
+           CAST(sum(CAST(lat AS DECIMAL(18,10))) AS DOUBLE) / count(lat) AS lat_c,
+           CAST(sum(CAST(value AS DECIMAL(18,10))) AS DOUBLE) / count(value) AS value_c,
            count(*) AS n_obs
     FROM obs GROUP BY 1, 2
     """,
@@ -89,7 +89,7 @@ def s3_schema_on_read(spark, sf_dir):
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) / count(*)
       FROM orders
     )
     """,
@@ -100,7 +100,7 @@ def subquery_scalar_avg(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     avg = o.agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("_avg")
     )
@@ -272,7 +272,7 @@ def min_by_max_by(spark, sf_dir):
     SELECT o_orderkey, day_no,
            count(*) OVER (ORDER BY day_no RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
              AS n_week,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER
                  (ORDER BY day_no RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2)
                 AS DOUBLE) AS week_rev
     FROM d
@@ -293,7 +293,7 @@ def window_range_frame(spark, sf_dir):
     return d.select(
         "o_orderkey", "day_no",
         F.count(F.lit(1)).over(w).alias("n_week"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).over(w), 2)
         .cast("double")
         .alias("week_rev"),
     )

@@ -39,7 +39,7 @@ HALF_US = 1800 * _US
     SELECT event_type,
            make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS ws,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
     """,
 )
@@ -52,7 +52,7 @@ def stream_tumbling_window(spark, sf_dir):
         ev.groupBy("event_type", w)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
             .cast("double")
             .alias("total"),
         )
@@ -73,7 +73,7 @@ def stream_tumbling_window(spark, sf_dir):
       FROM buckets
     )
     SELECT event_type, ws, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value)
+           CAST(sum(CAST(value AS DECIMAL(18,10))) AS DOUBLE) / count(value)
              AS avg_value
     FROM assigned
     WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
@@ -90,7 +90,7 @@ def stream_sliding_window(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (
-                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                F.sum(F.col("value").cast("decimal(18,10)")).cast("double")
                 / F.count("value")
             ).alias("avg_value"),
         )
@@ -117,7 +117,7 @@ def stream_sliding_window(spark, sf_dir):
     SELECT user_id, min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE) AS total
     FROM s GROUP BY user_id, sess
     """,
 )
@@ -130,7 +130,7 @@ def stream_session_window(spark, sf_dir):
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
             .cast("double")
             .alias("total"),
         )

@@ -205,7 +205,7 @@ def f8_decode_labels(spark, sf_dir):
     "a1_annual_composite",
     sql="""
     SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
                  / count(l_extendedprice) AS value
     FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
     """,
@@ -246,7 +246,7 @@ def a1_annual_composite_max(spark, sf_dir):
     "a2_monthly_composite",
     sql="""
     SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS period_start,
-           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           CAST(sum(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
                  / count(value) AS value
     FROM events GROUP BY event_type, date_trunc('month', ts)
     """,
@@ -352,7 +352,7 @@ def d2_explode_tokens(spark, sf_dir):
                                     INTERVAL 1 MONTH)) AS m
     )
     SELECT m AS period_start, count(o_orderkey) AS n_orders,
-           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0)
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS DOUBLE), 0)
              AS revenue
     FROM months LEFT JOIN orders
       ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
@@ -384,7 +384,7 @@ def d1_period_pairing(spark, sf_dir):
     return joined.groupBy(F.col("m").alias("period_start")).agg(
         F.count("o_orderkey").alias("n_orders"),
         F.coalesce(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2).cast(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2).cast(
                 "double"
             ),
             F.lit(0.0),
@@ -398,7 +398,7 @@ def d1_period_pairing(spark, sf_dir):
     sql="""
     WITH m AS (
       SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_start,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
                    / count(l_extendedprice) AS value
       FROM lineitem WHERE month(l_shipdate) <> 6
       GROUP BY 1, 2

@@ -49,7 +49,7 @@ def tumbling_agg(
         events.groupBy(key_col, F.window(ts_col, window))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col(value_col).cast("decimal(28,10)")), 4)
+            F.round(F.sum(F.col(value_col).cast("decimal(18,10)")), 4)
             .cast("double")
             .alias("total"),
         )
@@ -72,7 +72,7 @@ def sliding_agg(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double")
+                F.sum(F.col(value_col).cast("decimal(18,10)")).cast("double")
                 / F.count(value_col),
                 6,
             ).alias("avg_value"),
@@ -94,7 +94,7 @@ def session_agg(
         events.groupBy(key_col, F.session_window(ts_col, gap))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col(value_col).cast("decimal(28,10)")), 4)
+            F.round(F.sum(F.col(value_col).cast("decimal(18,10)")), 4)
             .cast("double")
             .alias("total"),
         )
