@@ -63,10 +63,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the suite
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(v for v in times.values() if v >= 0), 3)
     print(
         json.dumps(
             {

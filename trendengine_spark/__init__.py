@@ -1,26 +1,30 @@
-"""trendengine_spark — a PySpark-native analytics engine.
+"""trendengine_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of OlaMag/TrendEngine, rebuilt
+Spark-first (see README.md and SURVEY.md).
 
-A from-scratch, Spark-first re-expression of the query and
-data-processing capabilities of the reference engine
-(OlaMag/TrendEngine, surveyed in SURVEY.md): long-format time-series
-scans, temporal/spatial predicate filters, annual/monthly mean
-composites, per-series quality gates, per-series model fitting
-(PolyTrend trend classification, DBEST change detection), categorical
-roll-up statistics — plus the standard relational closure (joins,
-windows, set ops, grouped analytics) and large-scale training-data
-pipeline operators (dedup, similarity search, text analysis,
-multimodal column plumbing).
+Public surface:
 
-Architecture: everything is declared through the DataFrame / Spark SQL
-API so Catalyst handles predicate pushdown, column pruning, partial
-aggregation and join planning; the only Python-side execution is
-Arrow-batched ``applyInPandas`` for the per-series numerical fits
-(PolyTrend / DBEST / STL), which are numpy-bound by nature.
+- :mod:`trendengine_spark.engine` — the two analytical flows
+  (``polytrend``, ``dbest``), AOI filters, the D4 emptiness guard.
+- :mod:`trendengine_spark.operators` — reusable Spark-first operators
+  (composites, quality gate, roll-up stats, relational helpers,
+  dedup, similarity, text, multimodal).
+- :mod:`trendengine_spark.functions` — the numpy analytical core
+  (PolyTrend, DBEST, stattools) behind ``applyInPandas``.
+- :mod:`trendengine_spark.streaming` — Structured Streaming twins.
+- :mod:`trendengine_spark.queries` — the declared query registry
+  (driver contract).
 """
 
-from trendengine_spark.session import get_spark
-from trendengine_spark.tables import load_tables, table_path
-
-__all__ = ["get_spark", "load_tables", "table_path"]
-
-__version__ = "0.1.0"
+from trendengine_spark.engine import (  # noqa: F401
+    EmptySelectionError,
+    dbest,
+    filter_bbox,
+    filter_point,
+    filter_years,
+    polytrend,
+    polytrend_stats,
+    require_nonempty,
+)
+from trendengine_spark.session import get_spark  # noqa: F401
+from trendengine_spark.tables import load_table, load_tables, register_views  # noqa: F401

@@ -71,6 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exact (int64 arithmetic; a double division would lose precision
     above 2^53)."""
     path = table_path(sf_dir, name)
+    # pin UTC on whatever session the caller provides: the DuckDB
+    # oracle is timezone-naive, so timestamp comparisons are only
+    # stable with a UTC session (defensive — the driver's own session
+    # config is not ours to assume)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
