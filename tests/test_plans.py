@@ -69,3 +69,28 @@ def test_no_cartesian_products_anywhere(spark):
 def test_d1_is_hash_join_not_nested_loop(spark):
     p = plan_of(spark, "d1_period_pairing")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_canonical_layout_partition_pruning(spark, tmp_path):
+    """SURVEY §1.4: observations partitioned by (series_id, year) —
+    a year filter must prune partitions at plan time."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["gimms"] * 40,
+            "yr": [1990 + i % 4 for i in range(40)],
+            "value": [float(i) for i in range(40)],
+        }
+    )
+    path = str(tmp_path / "obs")
+    spark.createDataFrame(pdf).write.partitionBy("series_id", "yr").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("yr") == 1991)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the year predicate must appear as a partition filter (plan-time
+    # pruning), not a data filter; note inputFiles() reflects the
+    # pre-pruning relation listing so it can't be used here
+    pf = plan[plan.index("PartitionFilters") :][:120]
+    assert "yr" in pf and "1991" in pf, pf
+    assert df.count() == 10

@@ -359,6 +359,31 @@ def scalar_lambda_fns(spark, sf_dir):
     )
 
 
+_SHARED_DIALECT_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           min(o_orderkey) AS first_key
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+"""
+
+
+@query(
+    "sql_api_shared_dialect",
+    sql=_SHARED_DIALECT_SQL,
+)
+def sql_api_shared_dialect(spark, sf_dir):
+    """The SQL entry point: the IDENTICAL ANSI SQL text runs on the
+    engine (``spark.sql`` over registered views) and on the DuckDB
+    oracle — demonstrating the engine's SQL surface and dialect
+    compatibility in one query."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_DIALECT_SQL)
+
+
 # ------------------------------------------------- U3/U5 (rows-only)
 @query(
     "u3_generalize_events",
