@@ -161,3 +161,27 @@ def test_point_flow_includes_series_array(spark):
     # polygon flow omits the array (reference polygon result shape)
     poly = engine.polytrend(obs, 1990, 2009)
     assert "ts" not in poly.columns
+
+
+def test_interpolate_months_linear_fill(spark):
+    import pandas as pd_
+
+    from trendengine_spark.operators.composite import interpolate_months
+
+    pdf = pd_.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "period_start": pd_.to_datetime(
+                ["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01", "2020-05-01"]
+            ),
+            "value": [1.0, None, None, 4.0, None],
+        }
+    )
+    out = (
+        interpolate_months(spark.createDataFrame(pdf), ["k"])
+        .toPandas()
+        .sort_values("period_start")["value_filled"]
+        .tolist()
+    )
+    # interior gaps: linear between 1.0@jan and 4.0@apr; trailing gap carries 4.0
+    assert out == [1.0, 2.0, 3.0, 4.0, 4.0]

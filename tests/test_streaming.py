@@ -103,3 +103,64 @@ def test_online_detector_finds_injected_shift(spark):
     out = spark.sql("SELECT * FROM detector_test").toPandas()
     assert len(out) == 1
     assert abs(out["shift"].iloc[0] - 9.0) < 0.5
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Purchases joined to same-user views within 1 hour, streaming
+    both sides; result equals the batch plan."""
+    from trendengine_spark.streaming.joins import interval_join_views_purchases
+
+    batch_ev = spark.read.parquet(events_dir)
+    schema = batch_ev.schema
+    b_p = batch_ev.filter("event_type = 'purchase'")
+    b_v = batch_ev.filter("event_type = 'view'")
+    expected = interval_join_views_purchases(b_p, b_v).count()
+    assert expected > 0
+
+    s_ev = spark.readStream.schema(schema).parquet(events_dir)
+    s_p = s_ev.filter("event_type = 'purchase'").withWatermark("ts", "2 hours")
+    s_v = s_ev.filter("event_type = 'view'").withWatermark("ts", "2 hours")
+    joined = interval_join_views_purchases(s_p, s_v)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ssjoin_test").collect()[0]["n"]
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from trendengine_spark.streaming.joins import dedup_within_watermark
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 01:00",
+                 "2024-01-01 01:01", "2024-01-01 02:00"]
+            ),
+            "value": [1.0, 1.0, 2.0, 2.0, 3.0],
+        }
+    )
+    d = str(tmp_path / "dupev")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = dedup_within_watermark(src, ["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_wm_test").toPandas()
+    assert sorted(got["event_id"].tolist()) == [1, 2, 3]

@@ -119,6 +119,55 @@ def grid_composite(
     )
 
 
+def interpolate_months(
+    dense: DataFrame,
+    series_cols: list[str],
+    period_col: str = "period_start",
+    value_col: str = "value",
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Linear interpolation of null gaps on a regular monthly grid —
+    entirely JVM-side (window functions, no UDF), the set-based twin
+    of the in-UDF :func:`~trendengine_spark.functions.dbest.interpolate_gaps`.
+
+    For each null row, take the last non-null (index, value) before
+    and the first after (``last/first ... ignorenulls`` over
+    running/future frames) and interpolate on the month index; edge
+    gaps carry the nearest value. One shuffle on the series key, two
+    in-partition window passes.
+    """
+    from pyspark.sql import Window
+
+    idx = (F.year(period_col) * 12 + F.month(period_col)).alias("_i")
+    d = dense.withColumn("_i", idx)
+    known = F.when(
+        F.col(value_col).isNotNull(), F.struct(F.col("_i").alias("i"), F.col(value_col).alias("v"))
+    )
+    w_back = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d = d.withColumn("_prev", F.last(known, ignorenulls=True).over(w_back)).withColumn(
+        "_next", F.first(known, ignorenulls=True).over(w_fwd)
+    )
+    pv, pi = F.col("_prev.v"), F.col("_prev.i")
+    nv, ni = F.col("_next.v"), F.col("_next.i")
+    interp = pv + (nv - pv) * (F.col("_i") - pi) / (ni - pi)
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(pv.isNull(), nv)           # leading gap → first known
+        .when(nv.isNull(), pv)           # trailing gap → last known
+        .otherwise(interp)
+    )
+    return d.withColumn(out_col, filled).drop("_i", "_prev", "_next")
+
+
 def fill_missing_months(
     monthly: DataFrame,
     series_cols: list[str],

@@ -169,3 +169,35 @@ def stream_late_data_policy(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("event_type", F.col("window.start").alias("ws"), "n_events")
     )
+
+
+@query(
+    "stream_interval_join",
+    sql="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+           round(p.value, 4) AS purchase_value,
+           v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Interval-bounded stream-stream join, batch twin (attribution:
+    each purchase to same-user views within the last hour). The
+    streaming form adds watermarks on both sides so join state is
+    evicted past the horizon — tests/test_streaming.py proves
+    stream == batch on this exact plan."""
+    from trendengine_spark.streaming.joins import interval_join_views_purchases
+
+    ev = t(spark, sf_dir, "events")
+    out = interval_join_views_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    return out.select(
+        "user_id", "purchase_id", "p_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "view_id", "v_ts",
+    )

@@ -434,6 +434,74 @@ def a2b_fill_missing_months(spark, sf_dir):
     )
 
 
+# --- A2 + interpolate: JVM-side linear gap fill (oracle-checked)
+@query(
+    "a2c_interpolate_gaps",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_start,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
+                   / count(l_extendedprice) AS value
+      FROM lineitem WHERE month(l_shipdate) <> 6
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT l_returnflag, min(period_start) AS mn, max(period_start) AS mx FROM m GROUP BY 1
+    ), grid AS (
+      SELECT l_returnflag, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS period_start
+      FROM spans
+    ), dense AS (
+      SELECT g.l_returnflag, g.period_start, m.value,
+             year(g.period_start) * 12 + month(g.period_start) AS i
+      FROM grid g LEFT JOIN m USING (l_returnflag, period_start)
+    ), ctx AS (
+      SELECT l_returnflag, period_start, value, i,
+             last_value((CASE WHEN value IS NOT NULL THEN i END) IGNORE NULLS)
+               OVER wb AS pi,
+             last_value((CASE WHEN value IS NOT NULL THEN value END) IGNORE NULLS)
+               OVER wb AS pv,
+             first_value((CASE WHEN value IS NOT NULL THEN i END) IGNORE NULLS)
+               OVER wf AS ni,
+             first_value((CASE WHEN value IS NOT NULL THEN value END) IGNORE NULLS)
+               OVER wf AS nv
+      FROM dense
+      WINDOW wb AS (PARTITION BY l_returnflag ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY l_returnflag ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_returnflag, period_start,
+           round(CASE WHEN value IS NOT NULL THEN value
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (i - pi) / (ni - pi) END, 6)
+             AS value_filled
+    FROM ctx
+    """,
+)
+def a2c_interpolate_gaps(spark, sf_dir):
+    """A2 → densify → JVM-side linear interpolation of the null gaps
+    (``interpolate_months``) — the regular-grid preprocessing chain as
+    pure window functions, no UDF, oracle-checked end-to-end."""
+    from trendengine_spark.operators.composite import (
+        fill_missing_months,
+        interpolate_months,
+    )
+
+    li = t(spark, sf_dir, "lineitem").filter(F.month("l_shipdate") != 6).select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("time"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    dense = fill_missing_months(
+        monthly_composite(li, ["l_returnflag"]), ["l_returnflag"]
+    )
+    out = interpolate_months(dense, ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "period_start",
+        F.round("value_filled", 6).alias("value_filled"),
+    )
+
+
 # --- F8 applied to engine output + U1: PolyTrend over event series (rows-only)
 @query(
     "u1_polytrend_events",
