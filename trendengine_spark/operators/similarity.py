@@ -3,12 +3,15 @@ surface; ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``).
 
 Two paths, per the scale playbook:
 
-- :func:`cosine_topk` — brute-force baseline: the (small) query set
-  broadcasts, cosine is a JVM-side ``zip_with``/``aggregate`` fold
-  over the array (double math, no UDF, no Arrow hop), and top-k is a
-  per-query ``row_number`` window. Cost is O(|queries| × N) scans —
-  linear in N, embarrassingly parallel, the right baseline at any
-  scale where |queries| is modest.
+- :func:`cosine_topk` — brute-force baseline: the (small, bounded)
+  query set is broadcast as a dense numpy matrix, scoring is ONE
+  ``mapInPandas`` pass over the corpus (Arrow batches → BLAS matmul,
+  vectorized across all queries at once), each batch emits only its
+  local top-k per query (partial top-k combine), and a tiny global
+  window finalizes ranks. Cost is O(N·D·|queries|) FLOPs in BLAS with
+  k·|queries| rows per partition reaching the shuffle — linear in N,
+  embarrassingly parallel, the right baseline at any scale where
+  |queries| is modest.
 - :func:`random_hyperplane_ann` — LSH scale path: sign-bit bucket
   signatures from deterministic pseudo-random hyperplanes (hash-seeded,
   no fitted model), candidates only within matching buckets (multi-probe
@@ -23,8 +26,10 @@ on plain DataFrames — no ML pipeline fit step.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from trendengine_spark.operators.util import fan_out
 
@@ -56,20 +61,60 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` must have (query_id_col, vec_col); it is broadcast, so
-    the plan is a single pass over the corpus with a per-query window
-    top-k — no corpus self-join.
+    ``queries`` must have (query_id_col, vec_col). The query side of a
+    kNN search is bounded-small by contract, so it is materialized once
+    on the driver and broadcast as a dense (Q, D) matrix — the corpus
+    side streams through ``mapInPandas`` in Arrow batches and is never
+    collected. Each batch computes all Q scores per row with one BLAS
+    matmul and emits only its local top-k per query, so the follow-up
+    global window ranks at most k·Q rows per partition — no all-pairs
+    shuffle at any corpus size.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-        )
+    sc = corpus.sparkSession.sparkContext
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = sc.broadcast((q_ids, q_mat, q_norm))
+
+    id_field = corpus.schema[id_col]
+    qid_field = queries.schema[query_id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", qid_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    scored = (
-        fan_out(corpus).crossJoin(q)
-        .filter(F.col(id_col) != F.col("_qid"))
-        .withColumn("cos_sim", cosine(F.col("_qvec"), F.col(vec_col)))
-    )
+
+    def score_batches(batches):
+        ids_b, qm, qn = bc.value
+        qm_t = qm.T  # (D, Q)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m @ qm_t) / np.outer(norms, qn)  # (N, Q)
+            out_qid, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(ids_b):
+                col = sims[:, qi]
+                cand = np.flatnonzero(ids != qid)
+                if cand.size == 0:
+                    continue
+                # top-k with the final tie-break (sim desc, id asc) so
+                # the partial combine is exact, not approximate
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:k]
+                out_qid.extend([qid] * order.size)
+                out_id.extend(ids[order].tolist())
+                out_sim.extend(col[order].tolist())
+            yield pd.DataFrame(
+                {"_qid": out_qid, id_col: out_id, "cos_sim": out_sim}
+            )
+
+    scored = fan_out(corpus).mapInPandas(score_batches, schema=out_schema)
     w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
