@@ -768,25 +768,46 @@ def stats_aggregates(spark, sf_dir):
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the canonical scan→filter→aggregate benchmark
-    query (also the bench.py headline)."""
+    query (also the bench.py headline).
+
+    Money math runs in fixed-point int64 ("cents"), not DECIMAL: a
+    decimal(10,2) sum widens past Spark's 18-digit long-backed decimal
+    ceiling and falls into per-row JVM BigDecimal (measured ~3.4x
+    slower than codegen long arithmetic at sf0.1). Prices/discounts/
+    taxes are exact 2-dp values, so cents (and cents x basis-point
+    factors) are exact integers; sums stay far below 2^63 (max
+    ~1e11/row x 6e5 rows at sf0.1; re-scale the factor widths before
+    ~1e9-row partitions). The tiny post-aggregate rows convert back
+    through exact decimal multiplication, so results are bit-identical
+    to the all-DECIMAL formulation the oracle runs."""
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
-    price_d = F.col("l_extendedprice").cast("decimal(10,2)")
-    disc_d = F.col("l_discount").cast("decimal(4,2)")
-    tax_d = F.col("l_tax").cast("decimal(10,2)")
+    # exact integer re-quantization: x is a 2-dp decimal stored as its
+    # nearest double, so round(x*100) recovers the integer exactly
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    s2 = F.lit("0.01").cast("decimal(4,2)")  # scale-2 → value
+    s4 = F.lit("0.0001").cast("decimal(6,4)")  # scale-4 → value
+    s6 = F.lit("0.000001").cast("decimal(8,6)")  # scale-6 → value
+    dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
-        F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
-        F.round(F.sum(price_d * (F.lit(1) - disc_d)), 2).cast("double").alias(
-            "sum_disc_price"
-        ),
-        F.round(
-            F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d)), 2
-        ).cast("double").alias("sum_charge"),
+        F.round(dec(F.sum(cents)) * s2, 2).cast("double").alias("sum_base_price"),
+        F.round(dec(F.sum(cents * (100 - disc_c))) * s4, 2)
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(dec(F.sum(cents * (100 - disc_c) * (100 + tax_c))) * s6, 2)
+        .cast("double")
+        .alias("sum_charge"),
         (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias("avg_qty"),
-        (F.sum(price_d).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
-        (F.sum(disc_d).cast("double") / F.count("l_discount")).alias("avg_disc"),
+        ((dec(F.sum(cents)) * s2).cast("double") / F.count("l_extendedprice")).alias(
+            "avg_price"
+        ),
+        ((dec(F.sum(disc_c)) * s2).cast("double") / F.count("l_discount")).alias(
+            "avg_disc"
+        ),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -807,7 +828,12 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """,
 )
 def tpch_q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter → two-fact join → agg."""
+    """TPC-H Q3 shape: selective dim filter → two-fact join → agg.
+
+    Revenue sums in fixed-point int64 (see tpch_q1_pricing_summary for
+    the exactness argument) — the per-row product and the per-group sum
+    stay in codegen long arithmetic; only the few grouped rows touch
+    DECIMAL on the way out."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -815,18 +841,17 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    s4 = F.lit("0.0001").cast("decimal(6,4)")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(10,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
+            F.round(F.sum(cents * (100 - disc_c)).cast("decimal(28,0)") * s4, 2)
+            .cast("double")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
