@@ -134,3 +134,71 @@ def test_multimodal_feature_plumbing(spark):
     again = extract_media_features(media, fake=True).toPandas()
     merged = feats.merge(again, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["width_a"] == merged["width_b"]).all()
+
+
+def test_resize_geometry_and_passthrough(spark):
+    from trendengine_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    out = resize_images(
+        attach_fake_media(docs), max_side=256, fake=True
+    ).toPandas()
+    assert len(out) == 50
+    long_side = out[["out_width", "out_height"]].max(axis=1)
+    assert (long_side <= 256).all()
+    # never upscale; aspect preserved within floor rounding
+    assert (out["out_width"] <= out["width"]).all()
+    small = out[out[["width", "height"]].max(axis=1) <= 256]
+    assert (small["out_width"] == small["width"]).all()
+    with pytest.raises(Exception):  # stub contract: real resample absent
+        resize_images(attach_fake_media(docs), fake=False).collect()
+
+
+def test_frame_sample_row_expansion(spark):
+    from trendengine_spark.operators.multimodal import (
+        attach_fake_video,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    out = sample_frames(
+        attach_fake_video(docs), step_ms=1000, fake=True
+    ).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    # duration is ((id % 120) + 1) s at 1 frame/s → (id % 120) + 1 frames
+    for doc_id, n in per_doc.items():
+        assert n == (doc_id % 120) + 1
+    assert (out["ts_ms"] == out["frame_idx"] * 1000).all()
+    assert out["frame_md5"].str.len().eq(32).all()
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    from trendengine_spark.operators.text import winnow_fingerprints
+
+    # two docs sharing a long substring must share >= 1 fingerprint
+    # (winnowing guarantee for shared runs >= k + w - 1 chars)
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB"),
+            (2, f"CCC {shared} DDD"),
+            (3, "completely unrelated content zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, k=5, w=4).toPandas()
+    s1 = set(fp[fp.doc_id == 1]["fingerprint"])
+    s2 = set(fp[fp.doc_id == 2]["fingerprint"])
+    s3 = set(fp[fp.doc_id == 3]["fingerprint"])
+    assert s1 & s2
+    assert not (s1 & s3)
+    # deterministic + distinct per doc
+    assert fp.groupby("doc_id")["fingerprint"].nunique().sum() == len(fp)
+
+
+def test_bpe_ish_tokens(spark):
+    from trendengine_spark.operators.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([(1, "it's 2024, ok?!")], "id long, text string")
+    toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["it", "'", "s", "2024", ",", "ok", "?", "!"]

@@ -49,6 +49,76 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+#: non-space symbols — the lookahead-free core of the GPT-2 pattern
+#: (RE2-safe, so the DuckDB oracle can run the identical regex).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-style pre-tokens via ``regexp_extract_all`` (JVM-side,
+    no UDF): letter runs / digit runs / single symbols."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH), 0)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
+    — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, keep
+    the minimum per window, emit the distinct selected hashes.
+
+    Guarantees: any shared substring of length ≥ k+w-1 contributes at
+    least one common fingerprint, so containment/overlap detection
+    needs only an equi-join on the fingerprint — never an all-pairs
+    comparison. Entirely JVM-side array lambdas (transform/slice/
+    array_min over one projection pass — no UDF, no shuffle); the
+    gram hash is the first 16 hex chars of md5, so the min-selection
+    is engine-portable (lexicographic min over fixed-width hex ==
+    numeric min) and the DuckDB oracle reproduces it exactly.
+    """
+    # materialize each stage as a projected column: a lambda re-evaluates
+    # any outer EXPRESSION once per element, so referencing the raw
+    # regexp_replace inside transform() would re-run it per gram —
+    # column references are evaluated once per row
+    normed = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    norm = F.col("_norm")
+    n = F.length(norm)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k), lambda i: norm.substr(i + 1, F.lit(k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = normed.select(
+        F.col(id_col),
+        F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)).alias("_hs"),
+    )
+    hashes = F.col("_hs")
+    nh = F.size(hashes)
+    wins = (
+        F.when(
+            nh >= w,
+            F.transform(
+                F.sequence(F.lit(0), nh - w),
+                lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+            ),
+        )
+        .when(nh > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint")
+    )
+
+
 def char_class_ratio(text: Column, pattern: str) -> Column:
     """len(matches of char class) / len(text), 0-safe."""
     n = F.length(text)

@@ -23,8 +23,11 @@ from trendengine_spark.operators.dedup import (
 )
 from trendengine_spark.operators.multimodal import (
     attach_fake_media,
+    attach_fake_video,
     extract_media_features,
     media_content_stats,
+    resize_images,
+    sample_frames,
 )
 from trendengine_spark.operators.similarity import (
     cosine_topk,
@@ -32,9 +35,13 @@ from trendengine_spark.operators.similarity import (
     random_hyperplane_ann,
 )
 from trendengine_spark.operators.text import (
+    BPE_ISH,
+    bpe_ish_tokens,
     fingerprint_md5,
     language_id,
     quality_features,
+    token_count,
+    winnow_fingerprints,
 )
 from trendengine_spark.queries.base import query, t
 
@@ -288,6 +295,66 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
 
 
+@query(
+    "text_token_count_bpe",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """Token counting two ways per document: whitespace tokens and a
+    BPE-ish pre-tokenizer (letter runs / digit runs / single symbols
+    — the lookahead-free GPT-2 pattern core). Both are single-pass
+    regexp projections, JVM-side."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    sql=f"""
+    WITH g AS (
+        SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= 5 THEN
+                   list_transform(
+                       range(0, length(norm) - 5 + 1),
+                       i -> substr(md5(substr(norm,
+                                              CAST(i + 1 AS INT), 5)), 1, 16))
+               ELSE CAST([] AS VARCHAR[]) END AS hs
+        FROM g
+    ), wmin AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4 THEN
+                   list_transform(
+                       range(0, len(hs) - 4 + 1),
+                       j -> list_min(list_slice(hs, CAST(j + 1 AS INT),
+                                                CAST(j + 4 AS INT))))
+               WHEN len(hs) > 0 THEN [list_min(hs)]
+               ELSE CAST([] AS VARCHAR[]) END AS fps
+        FROM h
+    )
+    SELECT doc_id, UNNEST(list_distinct(fps)) AS fingerprint
+    FROM wmin
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints per document: any
+    shared substring of length >= k+w-1 yields a common fingerprint,
+    so overlap detection is an equi-join on this output — the
+    scale-safe alternative to pairwise text comparison."""
+    return winnow_fingerprints(t(spark, sf_dir, "documents"), k=5, w=4)
+
+
 # --------------------------------------------------------------- similarity
 @query(
     "sim_cosine_topk",
@@ -423,3 +490,62 @@ def multimodal_feature_extract(spark, sf_dir):
     round trip, no shuffle)."""
     media = attach_fake_media(t(spark, sf_dir, "documents"))
     return extract_media_features(media, fake=True)
+
+
+@query(
+    "multimodal_resize",
+    sql="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST((doc_id % 64) * 16 + 64 AS BIGINT) AS w,
+               CAST((doc_id % 48) * 16 + 64 AS BIGINT) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN greatest(1, (w * 256) // greatest(w, h))
+                     ELSE w END AS INT) AS out_width,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN greatest(1, (h * 256) // greatest(w, h))
+                     ELSE h END AS INT) AS out_height,
+           nb AS n_bytes
+    FROM m
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing (mapInPandas, Arrow batch,
+    partition-local): target geometry is computed for real; the pixel
+    resample itself is the stubbed step. Payload bytes projected down
+    to a length so the oracle hash stays engine-portable."""
+    media = attach_fake_media(t(spark, sf_dir, "documents"))
+    out = resize_images(media, max_side=256, fake=True)
+    return out.select(
+        "doc_id", "width", "height", "out_width", "out_height",
+        F.octet_length("media").cast("bigint").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    sql="""
+    WITH fr AS (
+        SELECT doc_id, UNNEST(range(0, (doc_id % 120) + 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           i * 1000 AS ts_ms,
+           md5(doc_id || ':' || i) AS frame_md5
+    FROM fr
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled timestamp
+    via mapInPandas row expansion (the shape a real ffmpeg sampler
+    needs); frame decode stubbed behind a deterministic md5 tag."""
+    media = attach_fake_video(t(spark, sf_dir, "documents"))
+    out = sample_frames(media, step_ms=1000, fake=True)
+    return out.select("doc_id", "frame_idx", "ts_ms", "frame_md5")
