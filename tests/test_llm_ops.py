@@ -202,3 +202,30 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([(1, "it's 2024, ok?!")], "id long, text string")
     toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
     assert toks == ["it", "'", "s", "2024", ",", "ok", "?", "!"]
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from trendengine_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).toPandas()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.5  # nprobe=6/16 of the space probed
+    # full probe == brute force (exactness when every cell is probed)
+    full = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16).toPandas()
+    merged = exact.merge(full, on=["query_id", "rn"], suffixes=("_e", "_f"))
+    assert (merged["vec_id_e"] == merged["vec_id_f"]).all()
+    # deterministic across runs
+    again = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).toPandas()
+    assert approx.sort_values(["query_id", "rn"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rn"]).reset_index(drop=True)
+    )

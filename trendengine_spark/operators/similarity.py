@@ -208,6 +208,161 @@ def random_hyperplane_ann(
     )
 
 
+def _assign_cells(
+    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) cell per vector: broadcast the
+    (small) centroid matrix, one BLAS matmul per Arrow batch via
+    ``mapInPandas`` — no shuffle, corpus never collected."""
+    sc = df.sparkSession.sparkContext
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = sc.broadcast(cn)
+    id_field = df.schema[id_col]
+    vec_field = df.schema[vec_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(vec_col, vec_field.dataType),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        cmat = bc.value.T  # (D, C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            cells = np.argmax((m / norms[:, None]) @ cmat, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic seeded init + Lloyd
+    iterations, all distributed.
+
+    - Init: the ``n_cells`` vectors with smallest ``xxhash64(id, seed)``
+      — a deterministic pseudo-random sample fetched with a TakeOrdered
+      (no full sort, no RNG state).
+    - Assign: one ``mapInPandas`` BLAS pass (no shuffle).
+    - Update: per-(cell, component) mean via ``posexplode`` + a hash
+      aggregate keyed by (cell, pos) — cardinality n_cells × dim, tiny
+      at any corpus size; sums run in decimal so centroids are
+      bit-stable under partial-agg reordering (deterministic index).
+
+    Returns (assignments ``(id, vec, cell)``, centroid matrix). At
+    100 TB the assignment output is what you'd persist, bucketed by
+    ``cell``, so searches prune to probed cells at scan time.
+    """
+    c = fan_out(corpus).select(id_col, vec_col)
+    seed_rows = (
+        c.withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cent = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        asg = _assign_cells(c, cent, id_col, vec_col)
+        comp = asg.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+        means = (
+            comp.groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = cent.copy()  # cells that lost every member keep their centroid
+        for r in means:
+            new[r["cell"], r["pos"]] = r["m"]
+        cent = new
+    return _assign_cells(c, cent, id_col, vec_col), cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF coarse quantizer
+    (the classic FAISS-style scale path, on plain DataFrames).
+
+    Each query probes its ``nprobe`` max-cosine cells; candidates are
+    the corpus vectors assigned to those cells — an equi-join on
+    ``cell`` against the broadcast (query × probe) fan-out, never an
+    all-pairs product. Exact cosine re-rank inside the probed cells.
+    Expected candidate volume is N·nprobe/n_cells; recall is tuned by
+    ``nprobe`` (= 1.0 when nprobe = n_cells, matching brute force).
+    """
+    spark = corpus.sparkSession
+    asg, cent = ivf_index(corpus, n_cells, iters, seed, id_col, vec_col)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        nrm = np.linalg.norm(qv) or 1.0
+        sims = cn @ (qv / nrm)
+        for cell in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((r[0], list(r[1]), int(cell)))
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("_qid", queries.schema[query_id_col].dataType),
+                T.StructField("_qvec", queries.schema[vec_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+    cands = asg.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("_qid")
+    )
+    scored = cands.withColumn("cos_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -402,6 +402,24 @@ def sim_ann_hyperplane(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_topk",
+    sql=None,
+    doc="IVF (FAISS-style coarse quantizer) top-5: deterministic "
+    "seeded k-means cells, queries probe nprobe max-cosine cells, "
+    "exact re-rank inside probed cells — candidate volume "
+    "N·nprobe/n_cells; recall vs sim_cosine_topk asserted in tests.",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from trendengine_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
+
+
+@query(
     "sim_embedding_near_dup",
     sql=None,
     doc="Embedding-cosine near-dup pairs (cos ≥ 0.9) via banded "
