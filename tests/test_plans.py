@@ -94,3 +94,45 @@ def test_canonical_layout_partition_pruning(spark, tmp_path):
     pf = plan[plan.index("PartitionFilters") :][:120]
     assert "yr" in pf and "1991" in pf, pf
     assert df.count() == 10
+
+
+def test_ivf_probe_join_broadcasts(spark):
+    """IVF candidate generation must be a broadcast hash join on the
+    cell key (probe side is |queries|·nprobe rows) — a shuffled join
+    here would re-partition the whole corpus per search."""
+    p = plan_of(spark, "sim_ivf_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_frame_sample_prunes_payload_column(spark):
+    """Frame sampling reads only (doc_id, duration) — the media binary
+    payload must not reach the mapInPandas scan (at 100 TB the payload
+    dominates row size; shipping it through Arrow for a metadata-only
+    fan-out would be the bottleneck)."""
+    from trendengine_spark.operators.multimodal import (
+        attach_fake_video,
+        sample_frames,
+    )
+    from trendengine_spark.tables import load_table
+
+    df = sample_frames(
+        attach_fake_video(load_table(spark, SF_SMOKE, "documents")),
+        fake=True,
+    )
+    scan = next(
+        l
+        for l in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan" in l
+    )
+    assert "text" in scan or "doc_id" in scan  # schema is projected at all
+    # n_chars/source/lang are unrelated columns; they must be pruned
+    assert "n_chars" not in scan and "source" not in scan
+
+
+def test_winnow_is_single_pass_no_shuffle(spark):
+    """Winnowing fingerprints are a pure projection (scan → project →
+    explode): any Exchange in the plan means an accidental shuffle of
+    the full text corpus."""
+    p = plan_of(spark, "text_winnow_fingerprints")
+    assert "Exchange" not in p.replace("BroadcastExchange", "")
