@@ -10,9 +10,12 @@ query gets ONE untimed warm-up execution before its timed run: the
 metric is steady-state plan cost (scan + shuffle + compute), not
 one-time JVM codegen/compilation, which on a real cluster amortizes
 to zero over a 100 TB scan but at sf0.1 would otherwise dominate
-(~50% of cold wall time, measured). Both runs execute the full
-plan end-to-end — nothing is cached between them (noop sink, no
-``.cache()``), so the timed run re-reads parquet and re-shuffles.
+(~50% of cold wall time, measured). Every timed run executes the
+full plan end-to-end from the parquet scan: the cache is cleared
+before each sample, so operators that cache an intermediate
+internally (minhash signatures) recompute it inside the timed
+window. Per query the metric is the min of two samples (the box is
+shared with the harness; a single sample carries scheduler noise).
 """
 
 from __future__ import annotations
@@ -70,9 +73,18 @@ def main() -> None:
         try:
             # warm-up: pays one-time codegen/compile for this plan shape
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            # min of two timed runs: the machine shares cores with the
+            # harness, so a single sample carries ±30% scheduler noise.
+            # clearCache first so operators with an internal .cache()
+            # (minhash signatures, LSH) pay their full plan cost in the
+            # timed run instead of reusing the warm-up's blocks
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the suite
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0

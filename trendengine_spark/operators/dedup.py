@@ -51,8 +51,11 @@ def shingles(
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built-ins only: tokenize → transform over an index sequence →
-    concat_ws → explode → distinct. The distinct is per-document
-    (id, shingle) — a map-side-combinable aggregation.
+    concat_ws → per-document ``array_distinct`` → explode. The
+    dedup happens INSIDE the row (array_distinct is a native array
+    op, no lambda), so the output needs no ``.distinct()`` — a
+    global distinct here would shuffle the full (id, shingle) stream
+    just to remove duplicates that only ever occur within one row.
     """
     df = fan_out(df)
     toks = tokens_col(F.col(text_col))
@@ -65,9 +68,11 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -138,7 +143,12 @@ def minhash_signatures(
     overflow). One explode + one groupBy(id) aggregation — no UDF,
     fully deterministic (no fitted model, unlike
     ``pyspark.ml.feature.MinHashLSH``, so results are reproducible
-    across runs and clusters).
+    across runs and clusters). The exploded + codegen-aggregate form
+    is deliberate: an array-column formulation (``array_min`` /
+    ``aggregate`` over higher-order lambdas) evaluates the lambdas in
+    interpreted mode and measured ~10× slower than the whole-stage-
+    codegen min aggregates here; the map-side partial agg means the
+    shuffle carries only one 64-long row per document anyway.
     """
     sh = shingles(df, id_col, text_col, n).withColumn(
         "_h", F.xxhash64(F.col("shingle"))
