@@ -136,3 +136,14 @@ def test_winnow_is_single_pass_no_shuffle(spark):
     the full text corpus."""
     p = plan_of(spark, "text_winnow_fingerprints")
     assert "Exchange" not in p.replace("BroadcastExchange", "")
+
+
+def test_q6_all_filters_reach_scan(spark):
+    """TPC-H Q6 is the canonical pushdown probe: shipdate, discount,
+    and quantity predicates must all appear in the scan's pushed
+    filters — a residual Filter-above-scan on any of them means the
+    parquet reader does wasted IO at 100 TB."""
+    p = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = p[p.index("PushedFilters") :][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)

@@ -855,3 +855,96 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * CAST(round(l_discount * 100) AS BIGINT))
+                           AS DECIMAL(28,0)) * 0.0001, 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: THE predicate-pushdown benchmark — every
+    filter must reach the parquet scan (asserted in tests), the agg
+    is one partial+final sum, money math in fixed-point int64 (see
+    tpch_q1_pricing_summary)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    s4 = F.lit("0.0001").cast("decimal(6,4)")
+    return li.agg(
+        F.round(F.sum(cents * disc_c).cast("decimal(28,0)") * s4, 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    sql="""
+    WITH j AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_bp,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'
+    )
+    SELECT
+        CAST(round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_bp ELSE 0 END)
+                        AS DECIMAL(28,0)) * 0.0001, 2) AS DOUBLE) AS promo_rev,
+        CAST(round(CAST(sum(rev_bp) AS DECIMAL(28,0)) * 0.0001, 2) AS DOUBLE)
+            AS total_rev,
+        100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_bp ELSE 0 END)
+                          AS DECIMAL(28,0)) * 0.0001 AS DOUBLE)
+              / CAST(CAST(sum(rev_bp) AS DECIMAL(28,0)) * 0.0001 AS DOUBLE)
+            AS promo_pct
+    FROM j
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: fact⋈dim with a conditional aggregate ratio.
+    The part side broadcasts; revenue runs in fixed-point int64; the
+    ratio is emitted unrounded (quotients of identical doubles are
+    bit-identical across engines — rounding one would not be)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rev_bp = cents * (100 - disc_c)
+    s4 = F.lit("0.0001").cast("decimal(6,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_bp).otherwise(F.lit(0)))
+    total = F.sum(rev_bp)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(promo.cast("decimal(28,0)") * s4, 2)
+            .cast("double")
+            .alias("promo_rev"),
+            F.round(total.cast("decimal(28,0)") * s4, 2)
+            .cast("double")
+            .alias("total_rev"),
+            (
+                F.lit(100.0) * (promo.cast("decimal(28,0)") * s4).cast("double")
+                / (total.cast("decimal(28,0)") * s4).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
