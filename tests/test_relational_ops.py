@@ -70,3 +70,16 @@ def test_topk_per_group(spark):
     )
     assert out[out["g"] == "a"]["v"].tolist() == [9, 7]
     assert out[out["g"] == "b"]["v"].tolist() == [8, 2]
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-02"]), "v": [1.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "rt": pd.to_datetime(["2024-01-01"]), "v": [9.0]})
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt")

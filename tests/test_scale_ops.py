@@ -65,3 +65,13 @@ def test_bucketed_write_elides_exchange(spark):
         assert "Exchange" not in agg_plan, agg_plan[:500]
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_t")
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    import pytest
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [2], "name": ["x"]}))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", how=how)

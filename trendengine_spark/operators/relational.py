@@ -46,6 +46,18 @@ def asof_join(
     payload = [c for c in right.columns if c not in keys]
     if right_ts not in payload:
         raise ValueError(f"right_ts {right_ts!r} must be a non-key right column")
+    clash = sorted(set(payload) & set(left.columns))
+    if clash:
+        # the null-cast loop below would silently overwrite the left
+        # column and the final select would emit duplicate names —
+        # require the caller to rename (e.g. views.ts → v_ts) up front
+        raise ValueError(
+            f"right payload columns collide with left columns: {clash}; "
+            "rename the right-side columns before the as-of join"
+        )
+    reserved = {"_side", "_t"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} are reserved by asof_join")
 
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_ts))
     for c in payload:
@@ -85,7 +97,17 @@ def salted_join(
     and AQE's skew-join splitting isn't available/enough; cost is a
     ``salt_buckets``× replication of the right side, so keep that side
     small(ish). Deterministic: the salt is a hash, not a random draw.
+
+    Only ``inner`` and ``left`` are correct under right-side
+    replication: a right/full-outer join would emit each unmatched
+    right row once per salt replica, and semi/anti semantics change.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner', 'left'}}; got {how!r} "
+            "(right-side replication duplicates unmatched right rows under "
+            "right/full-outer and changes semi/anti semantics)"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias(
         "_salt"
     )

@@ -33,6 +33,59 @@ from trendengine_spark.queries.base import REGISTRY, Query
 
 __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 
+#: Registry presentation order. The SURVEY §2 operator spine (S*/F*/A*/
+#: D*/U*, the flagship composition, TPC-H shapes, streaming twins) is
+#: the engine's core contract, so those queries lead the catalogue;
+#: the §2.6 relational closure and the LLM-pipeline extensions follow.
+#: Ordering is also operationally load-bearing: the driver's per-round
+#: correctness pass walks the registry front-to-back under a budget
+#: (round 2 recorded verdicts for the first 50 entries only), so the
+#: spine — which round 2 left without driver rows — must sit at the
+#: front for CORRECTNESS_r03 to cover it. The round-2-green entries
+#: (LLM + first relational batch) rotate to the back; their green rows
+#: stand in CORRECTNESS_r02.json.
+_SPINE_FIRST = [
+    # SURVEY §2 core spine (timeseries.py, definition order)
+    "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
+    "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
+    "f7_timestamp_decode", "f8_decode_labels",
+    "a1_annual_composite", "a1_annual_composite_max",
+    "a2_monthly_composite", "a3_count_distinct",
+    "a4_a5_category_counts", "a6_sum", "a7_count_rows",
+    "d2_explode_tokens", "d1_period_pairing",
+    "a2b_fill_missing_months", "a2c_interpolate_gaps",
+    "u1_polytrend_events", "u2_dbest_events", "flagship_trend_pipeline",
+    # §2 S-rows + second relational batch (relational2.py)
+    "s2_grid_composite", "s3_schema_on_read",
+    "subquery_scalar_avg", "subquery_exists_correlated",
+    "union_all_counts", "intersect_all_keys", "having_groups",
+    "regexp_extract_keys", "string_agg_sorted", "median_exact",
+    "min_by_max_by", "window_range_frame", "window_percent_rank",
+    "scalar_lambda_fns", "sql_api_shared_dialect",
+    "u3_generalize_events", "u5_decomposition_events",
+    # streaming batch twins (streaming_batch.py)
+    "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_late_data_policy",
+    "stream_interval_join",
+    # relational.py tail: stats + TPC-H classics
+    "approx_percentiles", "stats_aggregates",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: REGISTRY[n] for n in _SPINE_FIRST if n in REGISTRY}
+    missing = [n for n in _SPINE_FIRST if n not in REGISTRY]
+    if missing:  # pragma: no cover - authoring guard
+        raise ValueError(f"spine order names unknown queries: {missing}")
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
 
 def all_queries():
     """name → (spark, sf_dir) -> DataFrame for every declared query."""

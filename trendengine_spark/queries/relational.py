@@ -409,13 +409,17 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
-    """EXCEPT (distinct): building-segment customers with no recent order."""
+    """EXCEPT (distinct): building-segment customers with no recent
+    order. ``subtract`` is Spark's EXCEPT DISTINCT — a row appearing
+    anywhere in the right side is removed entirely, regardless of
+    multiplicities (``exceptAll(b).distinct()`` would instead keep
+    rows whose left multiplicity merely exceeds the right's)."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("k")
     )
     b = o.filter(F.year("o_orderdate") >= 2000).select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @query(
@@ -435,12 +439,17 @@ def set_distinct_pairs(spark, sf_dir):
            CAST(quarter(o_orderdate) AS INT) AS qtr,
            CAST(grouping(year(o_orderdate)) * 2 + grouping(quarter(o_orderdate)) AS BIGINT)
              AS gid,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS DOUBLE)
+             AS revenue
     FROM orders GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
     """,
 )
 def rollup_year_quarter(spark, sf_dir):
-    """ROLLUP (year, quarter) with grouping-id disambiguation."""
+    """ROLLUP (year, quarter) with grouping-id disambiguation.
+    Revenue sums in DECIMAL(10,2) and rounds in decimal space —
+    summing raw doubles then rounding is engine-order-dependent and
+    can flip 2-dp results near a .005 boundary at larger sf."""
     o = t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"),
         F.quarter("o_orderdate").alias("qtr"),
@@ -449,7 +458,9 @@ def rollup_year_quarter(spark, sf_dir):
     return o.rollup("yr", "qtr").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
     ).select("yr", "qtr", "gid", "n_orders", "revenue")
 
 

@@ -102,15 +102,18 @@ def stream_sliding_window(spark, sf_dir):
     "stream_session_window",
     sql=f"""
     WITH g AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * {_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- cumulative sum ordered by the SAME (ts, event_id) total order
+      -- as the lag window: with duplicate timestamps per user, a
+      -- ts-only ROWS frame would assign tied rows nondeterministically
       SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess
       FROM g
     )

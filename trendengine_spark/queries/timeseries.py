@@ -92,13 +92,18 @@ def f3_projection(spark, sf_dir):
     SELECT user_id, round(min(value), 6) AS min_value
     FROM events
     GROUP BY user_id
-    HAVING min(value) > 5.0
+    HAVING min(value) > 0.5
     """,
 )
 def f4_quality_gate(spark, sf_dir):
-    """F4: qualifying series keys (reference all(val>t), polytrend.py:284)."""
+    """F4: qualifying series keys (reference all(val>t), polytrend.py:284).
+
+    Threshold 0.5 sits at the median of per-user minima in the test
+    data, so the gate both admits and rejects series at every sf —
+    the check is non-vacuous (a 5.0 threshold passed with 0 rows on
+    both engines, certifying nothing)."""
     ev = t(spark, sf_dir, "events")
-    out = qualified_series(ev, ["user_id"], threshold=5.0, value_col="value")
+    out = qualified_series(ev, ["user_id"], threshold=0.5, value_col="value")
     return out.select("user_id", F.round("min_value", 6).alias("min_value"))
 
 
@@ -364,12 +369,23 @@ def d1_period_pairing(spark, sf_dir):
     sequence, pair the fact table per period, aggregate. Because
     calendar periods tile the time axis, the range predicate
     ``o_orderdate ∈ [m, m+1mo)`` is equivalent to the equi-join
-    ``date_trunc('month', o_orderdate) = m`` — so the plan is a hash
-    join on the month key (O(n)), not a broadcast nested loop
-    (O(n × periods), which is what the naive range form costs and
-    what a 100 TB fact table cannot afford)."""
+    ``date_trunc('month', o_orderdate) = m``.
+
+    Scale shape: aggregate-then-join. The fact table collapses to one
+    row per month FIRST (map-side partial aggregation — the shuffle
+    carries ~#months rows, never raw orders), and the generated month
+    grid left-joins the tiny aggregate via broadcast. Joining the raw
+    fact table to the grid before aggregating would shuffle the whole
+    table on ~80 distinct month values — a textbook low-cardinality
+    skew shuffle at 100× scale."""
     o = t(spark, sf_dir, "orders").withColumn(
         "m", F.date_trunc("month", "o_orderdate")
+    )
+    per_month = o.groupBy("m").agg(
+        F.count("o_orderkey").alias("_n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2)
+        .cast("double")
+        .alias("_rev"),
     )
     months = spark.range(1).select(
         F.explode(
@@ -380,15 +396,10 @@ def d1_period_pairing(spark, sf_dir):
             )
         ).alias("m")
     )
-    joined = F.broadcast(months).join(o, "m", "left")
-    return joined.groupBy(F.col("m").alias("period_start")).agg(
-        F.count("o_orderkey").alias("n_orders"),
-        F.coalesce(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2).cast(
-                "double"
-            ),
-            F.lit(0.0),
-        ).alias("revenue"),
+    return months.join(F.broadcast(per_month), "m", "left").select(
+        F.col("m").alias("period_start"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("_rev"), F.lit(0.0)).alias("revenue"),
     )
 
 
