@@ -101,6 +101,48 @@ def test_interpolate_gaps_recovers_break_with_missing_month():
     assert any(abs(b - 120) <= 12 for b in (start - 1, end - 1))
 
 
+def test_stl_golden_sinusoid():
+    """VERDICT r2 item 5 'done' criterion: STL components on the
+    FIXTURES sinusoid (A·sin(2π·month/12) over a linear trend,
+    noiseless) against pinned expectations. LOESS degree-1 smoothing
+    is exact on lines, so away from the boundary rows STL must
+    recover the generating trend and seasonal to machine precision —
+    a far sharper pin than any tolerance band."""
+    from trendengine_spark.functions.stattools import stl_decompose
+
+    t = np.arange(240)
+    true_trend = 0.45 + 0.002 * t
+    true_seas = 0.05 * np.sin(2 * np.pi * t / 12.0)
+    trend, seasonal, remainder = stl_decompose(true_trend + true_seas, 12)
+    mid = slice(24, -24)  # two periods in from each boundary
+    assert np.allclose(trend[mid], true_trend[mid], atol=1e-12)
+    assert np.allclose(seasonal[mid], true_seas[mid], atol=1e-12)
+    assert np.max(np.abs(remainder[mid])) < 1e-12
+    # pinned spot values (regression guard for the smoother internals)
+    assert abs(trend[120] - 0.69) < 1e-12
+    assert abs(seasonal[63] - 0.05) < 1e-12
+    # exact additive reconstruction everywhere, boundaries included
+    y = true_trend + true_seas
+    assert np.allclose(trend + seasonal + remainder, y, atol=1e-9)
+
+
+def test_stl_robustness_downweights_outlier():
+    """The bisquare outer pass must keep one corrupted month from
+    dragging the trend: compare trend error at the spike with and
+    without robustness iterations."""
+    from trendengine_spark.functions.stattools import stl_decompose
+
+    t = np.arange(240)
+    y = 0.45 + 0.05 * np.sin(2 * np.pi * t / 12.0)
+    y_spiked = y.copy()
+    y_spiked[100] += 5.0
+    tr_rob, _, _ = stl_decompose(y_spiked, 12, outer_iter=2)
+    tr_naive, _, _ = stl_decompose(y_spiked, 12, outer_iter=0)
+    err_rob = abs(tr_rob[100] - 0.45)
+    err_naive = abs(tr_naive[100] - 0.45)
+    assert err_rob < err_naive * 0.5
+
+
 def test_decomposition_components_reconstruct():
     y = monthly_series()
     res = dbest_change_detection(y, seasonality=12)

@@ -14,11 +14,14 @@ remainder) (``dbest.py:133-143,310-329``) for change detection, and
 
 Re-derived pipeline (documented deviations noted):
 
-1. **Seasonal adjustment** — for ``data_type='cyclical'``, classical
-   additive moving-average decomposition (period = ``seasonality``)
-   instead of R's STL (statsmodels is not in the runtime; the
-   classical decomposition is deterministic and golden-testable).
-   Deseasonalized series = trend + remainder.
+1. **Seasonal adjustment** — for ``data_type='cyclical'``, STL
+   (Cleveland et al. 1990, LOESS-based, re-implemented in pure numpy
+   at :func:`~trendengine_spark.functions.stattools.stl_decompose`)
+   with period = ``seasonality`` — the same decomposition the
+   reference obtains from R's ``stl`` inside the DBEST package.
+   ``decomposition='classical'`` selects the moving-average classical
+   decomposition as a deterministic fallback. Deseasonalized series =
+   trend + remainder.
 2. **Trend segmentation** — piecewise-linear segmentation of the
    deseasonalized series by recursive top-down splitting at the
    point of maximum perpendicular distance from the segment chord
@@ -58,8 +61,19 @@ from pyspark.sql import types as T
 from trendengine_spark.functions.stattools import (
     classical_decompose,
     linear_slope_test,
+    stl_decompose,
     _quick_line,
 )
+
+
+def _decompose(y: np.ndarray, seasonality: int, method: str):
+    """Seasonal decomposition dispatch: 'stl' (reference parity — the
+    reference runs R's STL, ``dbest.py:83-92``) or 'classical'."""
+    if method == "stl":
+        return stl_decompose(y, seasonality)
+    if method == "classical":
+        return classical_decompose(y, seasonality)
+    raise ValueError(f"unknown decomposition method: {method!r}")
 
 
 # ---------------------------------------------------------------- core math
@@ -167,13 +181,14 @@ def dbest_change_detection(
     duration: int = 24,
     distance_threshold: float | str = "default",
     alpha: float = 0.05,
+    decomposition: str = "stl",
 ) -> dict:
     """Run change detection on one series. Returns dict of scalars +
     per-change lists + decomposition vectors."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
     if data_type == "cyclical":
-        trend_c, seasonal, remainder = classical_decompose(y, seasonality)
+        trend_c, seasonal, remainder = _decompose(y, seasonality, decomposition)
         deseason = y - seasonal
     else:
         trend_c, seasonal, remainder = y.copy(), np.zeros(n), np.zeros(n)
@@ -235,6 +250,7 @@ def dbest_generalization(
     data_type: str = "cyclical",
     distance_threshold: float | str = "default",
     first_level_shift: float = 0.1,
+    decomposition: str = "stl",
 ) -> dict:
     """Trend generalization: simplify the trend to the fewest linear
     segments whose perpendicular deviation stays under the distance
@@ -243,7 +259,7 @@ def dbest_generalization(
     y = np.asarray(y, dtype=np.float64)
     n = y.size
     if data_type == "cyclical":
-        trend_c, seasonal, remainder = classical_decompose(y, seasonality)
+        trend_c, seasonal, remainder = _decompose(y, seasonality, decomposition)
     else:
         trend_c, remainder = y.copy(), np.zeros(n)
     if distance_threshold == "default":

@@ -177,6 +177,134 @@ def classical_decompose(y: np.ndarray, period: int):
     return trend, seasonal, remainder
 
 
+def _loess(
+    x: np.ndarray,
+    y: np.ndarray,
+    q: int,
+    rho: np.ndarray | None = None,
+    xeval: np.ndarray | None = None,
+) -> np.ndarray:
+    """Degree-1 LOESS smoother (Cleveland 1979, as used inside STL).
+
+    At each evaluation point: take the ``q`` nearest x-neighbours,
+    weight them by the tricube of scaled distance (times the
+    robustness weights ``rho`` if given), and evaluate the weighted
+    least-squares line there. For ``q > n`` the bandwidth inflates by
+    ``q/n`` as in the reference STL implementation.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.size
+    if xeval is None:
+        xeval = x
+    out = np.empty(xeval.size)
+    r = np.ones(n) if rho is None else np.asarray(rho, dtype=np.float64)
+    q_eff = min(q, n)
+    for i, x0 in enumerate(xeval):
+        d = np.abs(x - x0)
+        # bandwidth: distance to the q-th nearest, inflated when q > n
+        lam = np.partition(d, q_eff - 1)[q_eff - 1]
+        if q > n:
+            lam += (q - n) / 2.0
+        if lam <= 0:
+            lam = 1.0
+        w = np.clip(1.0 - (d / lam) ** 3, 0.0, None) ** 3 * r
+        sw = w.sum()
+        if sw <= 0:
+            out[i] = y.mean()
+            continue
+        xm = (w * x).sum() / sw
+        ym = (w * y).sum() / sw
+        denom = (w * (x - xm) ** 2).sum()
+        slope = 0.0 if denom <= 0 else (w * (x - xm) * (y - ym)).sum() / denom
+        out[i] = ym + slope * (x0 - xm)
+    return out
+
+
+def _ma(a: np.ndarray, m: int) -> np.ndarray:
+    """Simple moving average of window m ('valid': len(a) - m + 1)."""
+    return np.convolve(a, np.ones(m) / m, mode="valid")
+
+
+def _next_odd(v: float) -> int:
+    k = int(np.ceil(v))
+    return k if k % 2 == 1 else k + 1
+
+
+def stl_decompose(
+    y: np.ndarray,
+    period: int,
+    seasonal_smoother: int = 7,
+    inner_iter: int = 2,
+    outer_iter: int = 1,
+):
+    """STL: Seasonal-Trend decomposition using LOESS (Cleveland,
+    Cleveland, McRae & Terpenning 1990), additive, pure numpy.
+
+    The reference pipes its series through R's ``stl`` inside DBEST
+    (reference ``TrendEngine/calculations/dbest.py:83-92``; components
+    consumed at ``dbest.py:326-329``); scipy/statsmodels are absent
+    here so the published algorithm is implemented directly:
+
+    inner loop — (1) detrend, (2) LOESS-smooth each cycle-subseries
+    (span ``n_s``), extended one period each side, (3) low-pass the
+    extended seasonal (MA period ×2, MA 3, LOESS span ``n_l``),
+    (4) seasonal = subseries-smooth − low-pass, (5) trend =
+    LOESS(deseasonalized, span ``n_t``). outer loop — bisquare
+    robustness weights from the remainder, fixed ``outer_iter``
+    passes (R's default is 0 extra for ``robust=FALSE``; 1 pass gives
+    bounded protection at deterministic cost).
+
+    Returns (trend, seasonal, remainder), each length ``len(y)``.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if period < 2 or n < 2 * period:
+        return y.copy(), np.zeros(n), np.zeros(n)
+    n_s = _next_odd(max(seasonal_smoother, 7))
+    n_l = _next_odd(period)
+    n_t = _next_odd(1.5 * period / (1.0 - 1.5 / n_s))
+    t_idx = np.arange(n, dtype=np.float64)
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    rho = np.ones(n)
+    for outer in range(max(outer_iter, 0) + 1):
+        for _ in range(inner_iter):
+            detrended = y - trend
+            # cycle-subseries smoothing, extended one period both ways
+            c = np.empty(n + 2 * period)
+            for p in range(period):
+                sub = detrended[p::period]
+                m = sub.size
+                pos = np.arange(1.0, m + 1.0)
+                sm = _loess(
+                    pos,
+                    sub,
+                    n_s,
+                    rho=rho[p::period],
+                    xeval=np.arange(0.0, m + 2.0),
+                )
+                # extended axis is shifted one period right, so phase-p
+                # slots are exactly c[p::period] — m + 2 of them, matching
+                # sm evaluated at cycle positions 0 .. m+1
+                c[p::period] = sm
+            # low-pass: MA(period) x2 then MA(3) -> length n, then LOESS
+            lp = _ma(_ma(_ma(c, period), period), 3)
+            low = _loess(t_idx, lp, n_l)
+            seasonal = c[period : period + n] - low
+            trend = _loess(t_idx, y - seasonal, n_t, rho=rho)
+        if outer < max(outer_iter, 0):
+            resid = y - seasonal - trend
+            h = 6.0 * np.median(np.abs(resid))
+            if h <= 0:
+                rho = np.ones(n)
+            else:
+                u = np.clip(np.abs(resid) / h, 0.0, 1.0)
+                rho = (1.0 - u**2) ** 2
+    remainder = y - trend - seasonal
+    return trend, seasonal, remainder
+
+
 def _quick_line(x: np.ndarray, y: np.ndarray):
     """slope, intercept, mean for a short segment (no inference)."""
     x = np.asarray(x, dtype=np.float64)

