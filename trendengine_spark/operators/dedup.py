@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.text import normalize_text, tokens_col
-from trendengine_spark.operators.util import fan_out
+from trendengine_spark.operators.util import ctx_memo, fan_out
 
 
 def exact_dedup(
@@ -153,14 +153,22 @@ def minhash_signatures(
     sh = shingles(df, id_col, text_col, n).withColumn(
         "_h", F.xxhash64(F.col("shingle"))
     )
-    mins = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature")
+    # the 64-wide aggregate list is ~320 py4j round trips to build
+    # (~1.1 s at default width — 10× the query's execution time), so
+    # the name-based expression trees are built once per context
+    mins, arr = ctx_memo(
+        df.sparkSession,
+        f"minhash.exprs.{num_perm}",
+        lambda: (
+            [
+                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_perm)
+            ],
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        ),
     )
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", arr)
 
 
 def minhash_lsh_pairs(
@@ -184,9 +192,10 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
     sig = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
-    banded = sig.select(
-        "id",
-        F.explode(
+    band_explode = ctx_memo(
+        df.sparkSession,
+        f"minhash.bands.{num_perm}.{bands}",
+        lambda: F.explode(
             F.array(
                 *[
                     F.struct(
@@ -205,7 +214,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+    )
+    banded = sig.select("id", band_explode).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
+    )
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -322,19 +334,24 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
-    h = F.xxhash64("token")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
+    def _build():
+        h = F.xxhash64("token")
+        sums = [
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            acc = acc.bitwiseOR(F.shiftleft(bit, j))
+        return sums, acc.alias("simhash")
+
+    # ~130 wide-expression py4j round trips — built once per context
+    bit_sums, fp = ctx_memo(df.sparkSession, f"simhash.exprs.{bits}", _build)
     agg = tok.groupBy("id").agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        fp = fp.bitwiseOR(F.shiftleft(bit, j))
-    out = agg.select("id", fp.alias("simhash"))
+    out = agg.select("id", fp)
     blocks = [
         F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias(f"block{k}")
         for k in range(4)

@@ -3,8 +3,38 @@
 from __future__ import annotations
 
 import os
+import weakref
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+
+#: SparkContext → {key: built value}. See :func:`ctx_memo`.
+_CTX_MEMO: "weakref.WeakKeyDictionary[Any, dict]" = weakref.WeakKeyDictionary()
+
+
+def ctx_memo(spark, key: str, builder: Callable[[], Any]):
+    """Build-once-per-SparkContext memo for Column expression trees.
+
+    Constructing a wide expression list from Python is pure py4j
+    chatter — every ``F.xxhash64``/``F.min``/``.alias`` is a JVM round
+    trip, and e.g. the 64-permutation MinHash aggregate list costs
+    ~1.1 s to BUILD (vs ~0.1 s to run) at sf0.1. Columns built from
+    name-based references (``F.col``) are immutable and bind to no
+    DataFrame, so they are safe to reuse across plans; this helper
+    caches them per SparkContext (keying on the context — not the
+    session — survives ``SparkSession.newSession`` but drops entries
+    with the JVM, so a restarted context can never serve stale JVM
+    object references).
+
+    Only reuse a memoized expression ONCE per plan: aliased columns
+    carry a fixed exprId, and mounting the same alias twice in one
+    plan would collide.
+    """
+    sc = spark.sparkContext
+    per_ctx = _CTX_MEMO.setdefault(sc, {})
+    if key not in per_ctx:
+        per_ctx[key] = builder()
+    return per_ctx[key]
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -28,6 +58,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     the hot path of every dedup/similarity query).
     """
     spark = df.sparkSession
+    # warm_cache() pins tables pre-repartitioned in the columnar
+    # cache; inputs are already spread, so the files-based estimate
+    # below (which can't see the cache) would add a pointless shuffle
+    if spark.conf.get("spark.trendengine.fanout.skip", "false") == "true":
+        return df
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()

@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.relational import asof_join, topk_per_group
+from trendengine_spark.operators.util import ctx_memo
 from trendengine_spark.queries.base import query, t
 
 
@@ -794,33 +795,41 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
-    # exact integer re-quantization: x is a 2-dp decimal stored as its
-    # nearest double, so round(x*100) recovers the integer exactly
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    tax_c = F.round(F.col("l_tax") * 100).cast("long")
-    s2 = F.lit("0.01").cast("decimal(4,2)")  # scale-2 → value
-    s4 = F.lit("0.0001").cast("decimal(6,4)")  # scale-4 → value
-    s6 = F.lit("0.000001").cast("decimal(8,6)")  # scale-6 → value
-    dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
-        F.round(dec(F.sum(cents)) * s2, 2).cast("double").alias("sum_base_price"),
-        F.round(dec(F.sum(cents * (100 - disc_c))) * s4, 2)
-        .cast("double")
-        .alias("sum_disc_price"),
-        F.round(dec(F.sum(cents * (100 - disc_c) * (100 + tax_c))) * s6, 2)
-        .cast("double")
-        .alias("sum_charge"),
-        (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias("avg_qty"),
-        ((dec(F.sum(cents)) * s2).cast("double") / F.count("l_extendedprice")).alias(
-            "avg_price"
-        ),
-        ((dec(F.sum(disc_c)) * s2).cast("double") / F.count("l_discount")).alias(
-            "avg_disc"
-        ),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+
+    def _aggs():
+        # exact integer re-quantization: x is a 2-dp decimal stored as
+        # its nearest double, so round(x*100) recovers the int exactly
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc_c = F.round(F.col("l_discount") * 100).cast("long")
+        tax_c = F.round(F.col("l_tax") * 100).cast("long")
+        s2 = F.lit("0.01").cast("decimal(4,2)")  # scale-2 → value
+        s4 = F.lit("0.0001").cast("decimal(6,4)")  # scale-4 → value
+        s6 = F.lit("0.000001").cast("decimal(8,6)")  # scale-6 → value
+        dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+        return [
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            F.round(dec(F.sum(cents)) * s2, 2).cast("double").alias("sum_base_price"),
+            F.round(dec(F.sum(cents * (100 - disc_c))) * s4, 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(dec(F.sum(cents * (100 - disc_c) * (100 + tax_c))) * s6, 2)
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias(
+                "avg_qty"
+            ),
+            (
+                (dec(F.sum(cents)) * s2).cast("double") / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            ((dec(F.sum(disc_c)) * s2).cast("double") / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        ]
+
+    # ~100 py4j round trips of pure expression algebra — built once
+    aggs = ctx_memo(spark, "tpch_q1.aggs", _aggs)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
 
 
 @query(

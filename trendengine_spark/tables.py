@@ -99,6 +99,82 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def warm_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLE_NAMES,
+    cpus: int | None = None,
+) -> dict[str, int]:
+    """Pin tables into Spark's in-memory columnar cache (buffer pool).
+
+    Interactive/bench profile only — an explicit opt-in, analogous to a
+    warehouse buffer pool or ``CREATE TABLE AS`` ingest. Two effects:
+
+    - skips per-query parquet decode (the steady-state cost DuckDB
+      pays per query is raw-scan decode from OS page cache; Spark's
+      columnar cache is the engine-native equivalent one level up);
+    - restores scan parallelism on pathological layouts: the driver
+      test files are single-row-group parquet, which caps a Spark scan
+      at ONE task regardless of split count (row groups are assigned
+      to the split holding their midpoint), so every downstream stage
+      inherits a 1-partition straggler. The cache is built through a
+      size-proportional ``repartition`` so cached batches spread over
+      the cores.
+
+    At 100 TB you would not call this on the fact table — you cache
+    dims and hot partitions, and fix the layout at ingest (row groups
+    ~128 MB); the engine's scan path needs no fan-out there, so this
+    helper stays a small-input/interactive tool.
+
+    Subsequent :func:`load_table` calls on the same (session, sf_dir)
+    return the cached plan, so every query built afterwards reads the
+    cache. Returns name → row count (materialization is forced).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    counts: dict[str, int] = {}
+    for name in names:
+        key = (spark, sf_dir, name)
+        df = load_table(spark, sf_dir, name)
+        # ~400 KB of parquet per cached partition, capped at core count:
+        # big enough that per-task overhead stays small, small enough
+        # that the one big table spreads across the machine.
+        parts = max(1, min(cpus, _table_bytes(sf_dir, name) // (400 * 1024) + 1))
+        if parts > 1:
+            df = df.repartition(parts)
+        df = df.cache()
+        counts[name] = df.count()
+        _SCAN_CACHE[key] = df
+    # operators' fan_out() repartitions degenerate single-row-group
+    # scans; cached tables are already spread, so let it skip
+    spark.conf.set("spark.trendengine.fanout.skip", "true")
+    return counts
+
+
+def clear_warm_cache(spark: SparkSession, sf_dir: str) -> None:
+    """Undo :func:`warm_cache`: unpersist and restore raw-scan plans."""
+    spark.conf.set("spark.trendengine.fanout.skip", "false")
+    for name in TABLE_NAMES:
+        key = (spark, sf_dir, name)
+        df = _SCAN_CACHE.pop(key, None)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every test table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
