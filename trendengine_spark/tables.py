@@ -144,8 +144,8 @@ def warm_cache(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     counts: dict[str, int] = {}
+    cached: list[tuple[str, DataFrame]] = []
     for name in names:
-        key = (spark, sf_dir, name)
         df = load_table(spark, sf_dir, name)
         # ~400 KB of parquet per cached partition, capped at core count:
         # big enough that per-task overhead stays small, small enough
@@ -154,8 +154,19 @@ def warm_cache(
         if parts > 1:
             df = df.repartition(parts)
         df = df.cache()
-        counts[name] = df.count()
-        _SCAN_CACHE[key] = df
+        _SCAN_CACHE[(spark, sf_dir, name)] = df
+        cached.append((name, df))
+    # materialize concurrently: each build is a near-serial scan of a
+    # single-row-group file, so overlapping the per-table jobs hides
+    # most of the wall time
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, n in zip(
+            (n for n, _ in cached),
+            pool.map(lambda t: t[1].count(), cached),
+        ):
+            counts[name] = n
     # operators' fan_out() repartitions degenerate single-row-group
     # scans; cached tables are already spread, so let it skip
     spark.conf.set("spark.trendengine.fanout.skip", "true")
