@@ -1,0 +1,170 @@
+"""Pure-stdlib codec correctness + real multimodal decode path.
+
+The PNG decoder must implement the full spec filter set, so beyond the
+encode→decode round trip (our encoder emits filter 0 only) the tests
+forward-apply each filter (Sub/Up/Average/Paeth per RFC 2083 §6) to
+craft IDAT streams the encoder never produces, and assert exact pixel
+recovery.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from trendengine_spark.operators.codecs import (
+    is_png,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (7, 5, 1), (6, 4, 2), (9, 3, 3), (5, 8, 4)])
+def test_png_round_trip_exact(shape):
+    rng = np.random.RandomState(42)
+    a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = png_decode(png_encode(a))
+    expect = a if a.ndim == 3 else a[:, :, None]
+    assert out.shape == expect.shape
+    assert np.array_equal(out, expect)
+
+
+def _filter_forward(arr: np.ndarray, ftype: int) -> bytes:
+    """Apply a PNG filter to raw scanlines (RFC 2083 §6 forward
+    direction) and assemble the uncompressed stream."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = flat[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            left = line[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[x] = (line[x] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_decode_all_spec_filters(ftype, channels):
+    rng = np.random.RandomState(ftype * 10 + channels)
+    a = rng.randint(0, 256, size=(6, 5, channels), dtype=np.uint8)
+    raw = _filter_forward(a, ftype)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, color_type, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(data), a)
+
+
+def test_png_rejects_bad_and_unsupported():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # 16-bit depth is unsupported, not silently wrong
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        png_decode(data)
+
+
+def test_is_png():
+    assert is_png(png_encode(np.zeros((2, 2), dtype=np.uint8)))
+    assert not is_png(b"JFIF....")
+
+
+def test_wav_round_trip():
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-(2**15), 2**15, size=(441, 2), dtype=np.int16)
+    rate, out = wav_decode(wav_encode(44100, samples))
+    assert rate == 44100
+    assert out.dtype == np.int16
+    assert np.array_equal(out, samples)
+
+
+# ------------------------------------------------ Spark real-decode path
+def test_multimodal_png_decode_real_path(spark):
+    """End-to-end: PNGs generated executor-side, decoded FOR REAL by
+    the stdlib decoder inside mapInPandas; values match the closed
+    form the DuckDB oracle predicts."""
+    from tests.conftest import SF_SMOKE
+    from trendengine_spark.queries import all_queries
+
+    rows = all_queries()["multimodal_png_decode"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 4 + r.doc_id % 11
+        assert r.mean_luma == (r.doc_id % 256) / 255.0
+
+
+def test_resize_real_png_path(spark):
+    """resize_images(fake=False) on real PNG payloads: nearest-neighbor
+    downsample, decoded output dims and pixels verified exactly."""
+    import pandas as pd
+
+    from trendengine_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(30, 40, 3), dtype=np.uint8)
+    payload = png_encode(img)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "media": [payload],
+                "media_meta": None,
+            }
+        ).astype({"doc_id": "int64"}),
+        schema="doc_id long, media binary, media_meta struct<width:int,height:int>",
+    )
+    out = resize_images(df, max_side=16, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (40, 30)
+    assert (r.out_width, r.out_height) == (16, 12)
+    dec = png_decode(bytes(r.media))
+    ys = (np.arange(12) * 30 // 12).astype(int)
+    xs = (np.arange(16) * 40 // 16).astype(int)
+    assert np.array_equal(dec, img[ys][:, xs])

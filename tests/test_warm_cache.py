@@ -1,0 +1,85 @@
+"""Warm-cache (buffer pool) semantics: caching must never change results.
+
+`tables.warm_cache` swaps the memoized scan plans for repartitioned,
+cached ones; every query built afterwards reads the cache. These tests
+pin the only property that matters: result sets are identical with and
+without the cache, and the ctx_memo expression reuse underneath
+produces stable plans across repeated builds in one session.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE as SF_DIR
+from trendengine_spark.operators.util import ctx_memo
+from trendengine_spark.queries import all_queries
+from trendengine_spark.tables import clear_warm_cache, load_table, warm_cache
+
+# a slice across plan shapes: scan+agg, join, window, session window,
+# and the ctx_memo-backed minhash path
+REPRESENTATIVE = [
+    "tpch_q1_pricing_summary",
+    "join_inner_3way",
+    "window_topk_per_group",
+    "stream_session_window",
+    "dedup_minhash_lsh",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def cold_results(spark):
+    qs = all_queries()
+    return {n: _rows(qs[n](spark, SF_DIR)) for n in REPRESENTATIVE}
+
+
+def test_warm_cache_results_identical(spark, cold_results):
+    qs = all_queries()
+    counts = warm_cache(spark, SF_DIR)
+    try:
+        assert counts["lineitem"] > 0
+        for name in REPRESENTATIVE:
+            assert _rows(qs[name](spark, SF_DIR)) == cold_results[name], name
+    finally:
+        clear_warm_cache(spark, SF_DIR)
+
+
+def test_clear_warm_cache_restores_raw_scans(spark):
+    warm_cache(spark, SF_DIR, names=("nation",))
+    assert spark.conf.get("spark.trendengine.fanout.skip") == "true"
+    clear_warm_cache(spark, SF_DIR)
+    assert spark.conf.get("spark.trendengine.fanout.skip") == "false"
+    # raw scan again (fresh plan, no InMemoryRelation)
+    plan = load_table(spark, SF_DIR, "nation")._jdf.queryExecution()
+    assert "InMemoryRelation" not in plan.analyzed().toString()
+
+
+def test_ctx_memo_builds_once_and_is_reusable(spark):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        from pyspark.sql import functions as F
+
+        return [F.sum("x").alias("s")]
+
+    a = ctx_memo(spark, "test.memo.exprs", build)
+    b = ctx_memo(spark, "test.memo.exprs", build)
+    assert a is b and calls["n"] == 1
+    # the memoized aliased column mounts cleanly in two separate plans
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    assert df.groupBy().agg(*a).collect()[0]["s"] == 3
+    assert df.filter("x > 1").groupBy().agg(*a).collect()[0]["s"] == 2
+
+
+def test_minhash_twice_same_session_same_result(spark):
+    """The memoized 64-perm expression list must give identical
+    signatures on repeated builds (exprId reuse across plans)."""
+    qs = all_queries()
+    r1 = _rows(qs["dedup_minhash_lsh"](spark, SF_DIR))
+    r2 = _rows(qs["dedup_minhash_lsh"](spark, SF_DIR))
+    assert r1 == r2

@@ -3,12 +3,18 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, per the standard lakehouse pattern. The Spark
 side — schema, partition-preserving ``mapInPandas`` feature
-extraction, Arrow batch shapes — is real and tested; the actual
-codec decode is STUBBED (Pillow/librosa/av are not in this runtime):
-``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-the payload hash) produces stable pseudo-dimensions so the
-downstream plumbing is exercisable end-to-end.
+extraction, Arrow batch shapes — is real and tested. Decode status:
+
+- **PNG decodes and resamples FOR REAL** via the pure-stdlib codec in
+  :mod:`.codecs` (zlib inflate + PNG spec filter reconstruction +
+  numpy nearest-neighbor resample) — no imaging library needed; the
+  ``multimodal_png_decode`` registry query hash-matches the DuckDB
+  oracle end-to-end. WAV PCM decodes via stdlib ``wave``.
+- Entropy-coded formats (JPEG, MP4/video) remain STUBBED —
+  ``NotImplementedError`` unless ``fake=True`` (a deterministic fake
+  decoder produces stable pseudo-dimensions so the plumbing is
+  exercisable); Pillow/libav are absent from this runtime and cannot
+  be installed, so that constraint is final.
 
 At scale: media payloads dominate row size, so the operators keep
 binary columns out of shuffles — metadata-only projections go through
@@ -67,6 +73,47 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media column: a valid PNG per row, generated executor-side.
+
+    Deterministic grayscale constant-fill images (value = id % 256,
+    width = 4 + id % 13, height = 4 + id % 11) so a downstream REAL
+    decode is exactly predictable — the decode round trip is therefore
+    DuckDB-oracle-checkable: mean luma of a constant grayscale image
+    is (id % 256) / 255.0 with no float-summation ambiguity (integer
+    sums are exact in both engines). Payload generation happens inside
+    ``mapInPandas`` (partition-local; the driver never sees a byte of
+    media), which is exactly how a real binary-column ingest behaves.
+    """
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import png_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                png_encode(
+                    np.full(
+                        (4 + int(i) % 11, 4 + int(i) % 13),
+                        int(i) % 256,
+                        dtype=np.uint8,
+                    )
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
 def attach_fake_video(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -88,25 +135,49 @@ def attach_fake_video(
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, mean_luma).
 
-    Real decode needs an imaging library absent from this runtime —
-    see the guard. The ``fake=True`` path derives stable values from
-    the payload bytes (first/last byte + length) so tests exercise the
-    full Arrow round trip deterministically.
+    PNG payloads decode FOR REAL via the pure-stdlib decoder in
+    :mod:`trendengine_spark.operators.codecs` (zlib inflate + spec
+    filter reconstruction; no imaging library needed). ``fake=True``
+    keeps the deterministic plumbing-test decoder (stable values from
+    payload bytes) for non-PNG payloads; a non-PNG payload with
+    ``fake=False`` raises — JPEG/video entropy decode would need a
+    codec library this runtime doesn't have.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow) not "
-            "present in this runtime; pass fake=True for the deterministic "
-            "plumbing-test decoder"
-        )
-    n = payloads.str.len().fillna(0).astype("int64")
-    first = payloads.map(lambda b: b[0] if b else 0).astype("int64")
-    last = payloads.map(lambda b: b[-1] if b else 0).astype("int64")
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import is_png, png_decode
+
+    widths, heights, lumas = [], [], []
+    for b in payloads:
+        if b and is_png(bytes(b)):
+            a = png_decode(bytes(b))
+            h, w, c = a.shape
+            rgb = a[:, :, :3] if c >= 3 else a[:, :, :1]
+            weights = (
+                np.array([0.299, 0.587, 0.114]) if rgb.shape[2] == 3 else np.array([1.0])
+            )
+            luma = float((rgb.astype(np.float64) @ weights).mean() / 255.0)
+            widths.append(w)
+            heights.append(h)
+            lumas.append(luma)
+        elif fake:
+            n = len(b) if b else 0
+            first = b[0] if b else 0
+            last = b[-1] if b else 0
+            widths.append(64 + (n % 512))
+            heights.append(64 + ((n * 7 + first) % 512))
+            lumas.append(((first + last) % 256) / 255.0)
+        else:
+            raise NotImplementedError(
+                "non-PNG image decode requires a codec library not present "
+                "in this runtime (PNG decodes for real; pass fake=True for "
+                "the deterministic plumbing-test decoder on other formats)"
+            )
     return pd.DataFrame(
         {
-            "width": (64 + (n % 512)).astype("int32"),
-            "height": (64 + ((n * 7 + first) % 512)).astype("int32"),
-            "mean_luma": ((first + last) % 256) / 255.0,
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "mean_luma": pd.Series(lumas, dtype="float64"),
         }
     )
 
@@ -164,19 +235,57 @@ def resize_images(
 
     Target geometry (pure arithmetic, exercised for real): scale the
     longer side down to ``max_side`` (never upscale), floor the short
-    side, clamp at 1 px. The pixel resample itself needs an imaging
-    library absent from this runtime: ``fake=True`` passes the payload
-    through unchanged; ``fake=False`` raises (same contract as
-    :func:`decode_image_batch`).
+    side, clamp at 1 px. PNG payloads resample FOR REAL (pure-numpy
+    nearest-neighbor over the stdlib-decoded pixels, re-encoded as
+    PNG via :mod:`.codecs`); ``fake=True`` passes non-PNG payloads
+    through unchanged; a non-PNG payload with ``fake=False`` raises
+    (same contract as :func:`decode_image_batch`).
     """
 
+    def _resample_png(b: bytes) -> tuple[bytes, int, int, int, int]:
+        import numpy as np
+
+        from trendengine_spark.operators.codecs import png_decode, png_encode
+
+        a = png_decode(b)
+        h, w = a.shape[:2]
+        long_side = max(h, w)
+        if long_side <= max_side:
+            return b, w, h, w, h
+        ow = max(1, w * max_side // long_side)
+        oh = max(1, h * max_side // long_side)
+        ys = (np.arange(oh) * h // oh).astype(np.int64)
+        xs = (np.arange(ow) * w // ow).astype(np.int64)
+        return png_encode(a[ys][:, xs]), w, h, ow, oh
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from trendengine_spark.operators.codecs import is_png
+
         for pdf in batches:
+            png_mask = pdf["media"].map(
+                lambda b: bool(b) and is_png(bytes(b))
+            )
+            if png_mask.any():
+                real = pdf[png_mask].copy()
+                resampled = [_resample_png(bytes(b)) for b in real["media"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": real["doc_id"].astype("int64").to_numpy(),
+                        "width": pd.Series([r[1] for r in resampled], dtype="int32"),
+                        "height": pd.Series([r[2] for r in resampled], dtype="int32"),
+                        "out_width": pd.Series([r[3] for r in resampled], dtype="int32"),
+                        "out_height": pd.Series([r[4] for r in resampled], dtype="int32"),
+                        "media": [r[0] for r in resampled],
+                    }
+                )
+            pdf = pdf[~png_mask]
+            if pdf.empty:
+                continue
             if not fake:
                 raise NotImplementedError(
-                    "pixel resampling requires an imaging library (e.g. "
-                    "Pillow) not present in this runtime; pass fake=True "
-                    "for the pass-through plumbing-test resizer"
+                    "non-PNG pixel resampling requires a codec library not "
+                    "present in this runtime (PNG resamples for real; pass "
+                    "fake=True for the pass-through plumbing-test resizer)"
                 )
             w = pdf["width"].astype("int64")
             h = pdf["height"].astype("int64")

@@ -511,6 +511,32 @@ def multimodal_feature_extract(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 11 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) / 255.0 AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL image decode, oracle-checked end-to-end: a valid grayscale
+    PNG is generated per document executor-side (constant fill, dims
+    keyed off doc_id), then decoded by the pure-stdlib PNG decoder
+    (zlib inflate + spec filter reconstruction) inside mapInPandas —
+    no imaging library, no fake path. Constant-fill grayscale makes
+    the decoded mean luma exactly (doc_id % 256)/255 (integer sums are
+    exact in both engines), so the full encode→Spark→decode round trip
+    hash-matches the DuckDB oracle."""
+    from trendengine_spark.operators.multimodal import attach_png_media
+
+    media = attach_png_media(t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
+@query(
     "multimodal_resize",
     sql="""
     WITH m AS (
