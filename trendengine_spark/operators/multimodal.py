@@ -114,6 +114,94 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio column: a valid PCM WAV per row, generated
+    executor-side. Deterministic square wave (amplitude = 100 +
+    id % 900, n = 160 + id % 80 samples at 8 kHz) so real decode
+    features are exactly predictable: peak = amplitude, RMS =
+    amplitude (square wave), duration_ms = n * 1000 / 8000 — all
+    DuckDB-oracle-expressible integer arithmetic."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                amp = 100 + int(i) % 900
+                n = 160 + int(i) % 80
+                wavef = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+                payloads.append(wav_encode(8000, wavef))
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL WAV decode inside ``mapInPandas``: sample rate, sample
+    count, duration, peak and RMS from the decoded PCM frames (stdlib
+    ``wave`` + numpy — no audio library). Partition-local, payload
+    bytes never shuffle."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+                rate, samples = wav_decode(bytes(b))
+                mono = samples[:, 0].astype(np.float64)
+                rows.append(
+                    (
+                        int(i),
+                        rate,
+                        len(mono),
+                        len(mono) * 1000 // rate,
+                        int(np.abs(samples[:, 0].astype(np.int64)).max()),
+                        float(np.sqrt(np.mean(mono * mono))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_ms", "peak", "rms",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "sample_rate": "int32",
+                    "n_samples": "int64",
+                    "duration_ms": "int64",
+                    "peak": "int32",
+                    "rms": "float64",
+                }
+            )
+
+    return fan_out(df.select("doc_id", "media")).mapInPandas(gen, out_schema)
+
+
 def attach_fake_video(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

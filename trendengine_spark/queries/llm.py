@@ -537,6 +537,35 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_wav_features",
+    sql="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(160 + doc_id % 80 AS BIGINT) AS n_samples,
+           (160 + doc_id % 80) * 1000 // 8000 AS duration_ms,
+           CAST(100 + doc_id % 900 AS INT) AS peak,
+           CAST(100 + doc_id % 900 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """REAL audio decode, oracle-checked end-to-end: a valid PCM WAV
+    square wave is generated per document executor-side and decoded by
+    stdlib ``wave`` inside mapInPandas. A square wave of amplitude A
+    has peak = RMS = A exactly (A² is an exact float, the mean of N
+    identical exact values divides exactly, and sqrt of a perfect
+    square is correctly rounded), so peak/RMS/duration all hash-match
+    integer-arithmetic DuckDB oracle columns."""
+    from trendengine_spark.operators.multimodal import (
+        attach_wav_media,
+        extract_audio_features,
+    )
+
+    media = attach_wav_media(t(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+@query(
     "multimodal_resize",
     sql="""
     WITH m AS (
