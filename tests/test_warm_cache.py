@@ -49,10 +49,17 @@ def test_warm_cache_results_identical(spark, cold_results):
 
 
 def test_clear_warm_cache_restores_raw_scans(spark):
+    from trendengine_spark.operators.util import fan_out
+
     warm_cache(spark, SF_DIR, names=("nation",))
-    assert spark.conf.get("spark.trendengine.fanout.skip") == "true"
+    # fan_out's skip is scoped to cache-backed plans, not the session:
+    # the warmed table is left alone while an un-warmed single-file
+    # scan in the same session still gets the parallelism fix
+    warmed = load_table(spark, SF_DIR, "nation")
+    assert fan_out(warmed) is warmed
+    unwarmed = load_table(spark, SF_DIR, "documents")
+    assert fan_out(unwarmed) is not unwarmed
     clear_warm_cache(spark, SF_DIR)
-    assert spark.conf.get("spark.trendengine.fanout.skip") == "false"
     # raw scan again (fresh plan, no InMemoryRelation)
     plan = load_table(spark, SF_DIR, "nation")._jdf.queryExecution()
     assert "InMemoryRelation" not in plan.analyzed().toString()

@@ -119,6 +119,39 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _ranked_partitions(df: DataFrame, cap: int = 20_000) -> int:
+    """Range-partition count for :func:`ranked_global`, derived from the
+    optimizer's size estimate rather than ``defaultParallelism``.
+
+    ``defaultParallelism`` tracks the *driver's* core count, not the
+    data: on a 2-core driver in front of a 1000-executor cluster it
+    would put a 100× fact table into 2 range partitions — two giant
+    straggler tasks. Sizing by estimated plan bytes over
+    ``maxPartitionBytes`` (the same heuristic file scans use) keeps
+    partitions memory-bounded at any scale; ``defaultParallelism``
+    remains only the floor so small inputs still use every core.
+    """
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return floor
+    try:
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            .lower()
+            .removesuffix("b")
+        )
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    # Catalyst reports Long.MaxValue when it has no estimate — treat as
+    # unknown, not as 70k petabytes
+    if size <= 0 or size >= (1 << 62):
+        return floor
+    return max(floor, min(cap, -(-size // max_bytes)))
+
+
 def ranked_global(
     df: DataFrame,
     order_cols: list[str],
@@ -152,9 +185,21 @@ def ranked_global(
     if clash:
         raise ValueError(f"columns {sorted(clash)} are reserved by ranked_global")
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    n_parts = num_partitions or _ranked_partitions(df)
+    # Materialize the range partitioning ONCE. RangePartitioner's
+    # reservoir sample is seeded on the RDD id, so two independent
+    # executions of the same repartitionByRange can pick DIFFERENT
+    # range bounds once the input outgrows the sample — and the offsets
+    # job and the final ranking job would then disagree on which rows
+    # partition i holds, silently corrupting every rank. localCheckpoint
+    # computes the exchange once (both jobs below read the materialized
+    # partitions), truncates lineage, and is freed by the
+    # ContextCleaner when this plan is garbage-collected — no caller
+    # unpersist contract needed.
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     # default RANGE frame (unbounded preceding → current row) is
@@ -162,11 +207,8 @@ def ranked_global(
     local = ranged.withColumn("_lrank", F.rank().over(w)).withColumn(
         "_lcume", F.count(F.lit(1)).over(w)
     )
-    # per-partition sizes from the PRE-window frame: the offsets pass
-    # never ranks, so the window runs exactly once (in the final job).
-    # Partition ids are stable across the two jobs: an explicit
-    # repartitionByRange is never AQE-coalesced and its sampled range
-    # bounds are deterministic for fixed input.
+    # per-partition sizes from the checkpointed frame: a tiny
+    # #partitions-row aggregate over already-materialized partitions
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

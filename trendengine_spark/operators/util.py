@@ -26,9 +26,19 @@ def ctx_memo(spark, key: str, builder: Callable[[], Any]):
     with the JVM, so a restarted context can never serve stale JVM
     object references).
 
-    Only reuse a memoized expression ONCE per plan: aliased columns
-    carry a fixed exprId, and mounting the same alias twice in one
-    plan would collide.
+    CONTRACT — one mount per plan per key: aliased columns carry a
+    fixed JVM exprId, so mounting the same memoized tree twice in ONE
+    query plan (e.g. signatures of two corpora unioned/joined) would
+    put duplicate exprIds in one plan and lean on analyzer
+    deduplication that is not guaranteed to resolve them correctly.
+    Re-aliasing fresh per call is not the fix — ``.alias()`` is one
+    py4j round trip per column, measured ~150 ms for a 64-wide list on
+    this box, which is the exact cost this memo exists to kill.
+    Instead, callers that compose two memoized subplans in one plan
+    must use distinct memo keys (operators expose this as a ``mount``
+    parameter folded into the key, e.g.
+    ``minhash_signatures(df, mount=1)``), giving each mount its own
+    exprIds at full memoized speed.
     """
     sc = spark.sparkContext
     per_ctx = _CTX_MEMO.setdefault(sc, {})
@@ -59,10 +69,18 @@ def fan_out(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     # warm_cache() pins tables pre-repartitioned in the columnar
-    # cache; inputs are already spread, so the files-based estimate
-    # below (which can't see the cache) would add a pointless shuffle
-    if spark.conf.get("spark.trendengine.fanout.skip", "false") == "true":
-        return df
+    # cache; such inputs are already spread, so the files-based
+    # estimate below (which can't see the cache) would add a pointless
+    # shuffle. Detected PER PLAN (not via a session-global flag): the
+    # cache manager substitutes InMemoryRelation into the analyzed
+    # plan, so this probe is scoped to exactly the warmed inputs —
+    # un-warmed scans in the same session still get the fix, and
+    # clearing one sf_dir's cache can't disable the fix for another's.
+    try:
+        if "InMemoryRelation" in df._jdf.queryExecution().withCachedData().toString():
+            return df
+    except Exception:
+        pass
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()

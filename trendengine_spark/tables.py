@@ -10,6 +10,7 @@ filter/column pushdown reach the scan via Catalyst.
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,13 +63,25 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
-#: (session, sf_dir, name) → analyzed scan DataFrame. Plans are
+#: session → {(sf_dir, name): analyzed scan DataFrame}. Plans are
 #: immutable, so handing the same object to every query is safe; the
 #: win is skipping the per-call file listing + parquet schema
 #: inference JVM roundtrips (measurable per-query constant cost in the
-#: bench suite). Keyed on the session OBJECT (not id()) so a stopped
-#: and re-created session can never collide with a stale entry.
-_SCAN_CACHE: dict[tuple, DataFrame] = {}
+#: bench suite). A WeakKeyDictionary keyed on the session OBJECT: a
+#: stopped and re-created session can never collide with a stale
+#: entry, and entries die with their session instead of pinning
+#: DataFrames (and the session itself) for process lifetime.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _scan_cache(spark: SparkSession) -> dict:
+    per_session = _SCAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _SCAN_CACHE[spark] = per_session
+    return per_session
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,8 +92,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps — an integer ``div``, pushdown-friendly and
     exact (int64 arithmetic; a double division would lose precision
     above 2^53)."""
-    key = (spark, sf_dir, name)
-    cached = _SCAN_CACHE.get(key)
+    per_session = _scan_cache(spark)
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
     path = table_path(sf_dir, name)
@@ -95,7 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    _SCAN_CACHE[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 
@@ -154,7 +167,7 @@ def warm_cache(
         if parts > 1:
             df = df.repartition(parts)
         df = df.cache()
-        _SCAN_CACHE[(spark, sf_dir, name)] = df
+        _scan_cache(spark)[(sf_dir, name)] = df
         cached.append((name, df))
     # materialize concurrently: each build is a near-serial scan of a
     # single-row-group file, so overlapping the per-table jobs hides
@@ -167,18 +180,18 @@ def warm_cache(
             pool.map(lambda t: t[1].count(), cached),
         ):
             counts[name] = n
-    # operators' fan_out() repartitions degenerate single-row-group
-    # scans; cached tables are already spread, so let it skip
-    spark.conf.set("spark.trendengine.fanout.skip", "true")
+    # operators' fan_out() detects cache-backed plans per input (it
+    # probes the plan for InMemoryRelation), so no session-global flag
+    # is needed: un-warmed scans in the same session still get the
+    # single-row-group parallelism fix
     return counts
 
 
 def clear_warm_cache(spark: SparkSession, sf_dir: str) -> None:
     """Undo :func:`warm_cache`: unpersist and restore raw-scan plans."""
-    spark.conf.set("spark.trendengine.fanout.skip", "false")
+    per_session = _scan_cache(spark)
     for name in TABLE_NAMES:
-        key = (spark, sf_dir, name)
-        df = _SCAN_CACHE.pop(key, None)
+        df = per_session.pop((sf_dir, name), None)
         if df is not None:
             try:
                 df.unpersist()
