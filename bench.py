@@ -112,7 +112,21 @@ def main() -> None:
     table_cache_ids = persistent_ids()
 
     def drop_new_caches() -> None:
-        """Unpersist operator-internal caches created by a sample."""
+        """Unpersist operator-internal caches created by a sample.
+
+        Owned caches are dropped at the DATAFRAME level: an RDD-level
+        unpersist (the old fallback, kept below as a catch-all) leaves
+        the CacheManager entry registered, so the next sample's
+        ``persist()`` on an equivalent plan is a silent no-op against
+        a stale entry — the r3 bench measured dedup_minhash_lsh
+        through exactly that artifact (cache served across samples
+        that were believed cold)."""
+        pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
+        for key in list(pool):
+            try:
+                pool.pop(key).unpersist(blocking=True)
+            except Exception:
+                pass
         for rid in persistent_ids() - table_cache_ids:
             try:
                 jsc.getPersistentRDDs().get(rid).unpersist()

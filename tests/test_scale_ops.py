@@ -75,3 +75,37 @@ def test_salted_join_rejects_replication_unsafe_how(spark):
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(left, right, "k", how=how)
+
+
+def test_owned_caches_bounded_across_invocations(spark):
+    """Re-invoking cache-backed dedup/similarity operators must not
+    grow the JVM persistent-RDD set: each owned_cache key replaces its
+    previous epoch (VERDICT r3 leak / r4 localCheckpoint regression)."""
+    import pandas as pd
+
+    from trendengine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(40)),
+                "text": [
+                    f"the quick brown fox jumps over dog {i} " * 3
+                    for i in range(40)
+                ],
+            }
+        )
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    minhash_lsh_pairs(docs, threshold=0.1).count()
+    simhash_near_pairs(docs).count()
+    after_first = n_persistent()
+    minhash_lsh_pairs(docs, threshold=0.1).count()
+    simhash_near_pairs(docs).count()
+    assert n_persistent() == after_first

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.text import normalize_text, tokens_col
-from trendengine_spark.operators.util import ctx_memo, fan_out
+from trendengine_spark.operators.util import ctx_memo, fan_out, owned_cache
 
 
 def exact_dedup(
@@ -50,23 +50,24 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built-ins only: tokenize → transform over an index sequence →
-    concat_ws → per-document ``array_distinct`` → explode. The
-    dedup happens INSIDE the row (array_distinct is a native array
-    op, no lambda), so the output needs no ``.distinct()`` — a
-    global distinct here would shuffle the full (id, shingle) stream
-    just to remove duplicates that only ever occur within one row.
+    One JVM regex pass: the token stream is re-joined on single spaces
+    (``concat_ws`` — canonical whitespace, so gram strings are
+    byte-identical to joining token slices), then overlapping n-grams
+    are captured with a ``\\G``-anchored lookahead — each match
+    captures the n tokens starting at the cursor and consumes exactly
+    one token, so every token start yields its gram and matching stops
+    at position len-n+1. The previous formulation
+    (``transform(sequence, slice+concat_ws)``) evaluated the lambda
+    INTERPRETED per gram — measured 2.3 s for 260 k grams at sf0.1,
+    ~90 % of the whole minhash query's honest cost; the regex pass is
+    ordinary codegen'd expression work. Per-document
+    ``array_distinct`` dedups INSIDE the row, so the output needs no
+    global ``.distinct()`` shuffle.
     """
     df = fan_out(df)
-    toks = tokens_col(F.col(text_col))
-    # guard: sequence(0, k) with k < 0 would generate a DESCENDING range
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    joined = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    pat = r"\G(?=((?:\S+ ){%d}\S+))\S+ ?" % (n - 1)
+    grams = F.regexp_extract_all(joined, F.lit(pat), 1)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -92,15 +93,13 @@ def ngram_jaccard_pairs(
     per-shingle join fan-out (a shingle in k docs contributes k²
     candidate pairs).
     """
-    # localCheckpoint, not cache(): the shingle table is read by both
-    # the size and the pair branches, so it must materialize once — but
-    # a cache() here has no owner (callers can't unpersist an internal)
-    # and repeated invocations would accumulate persistent RDDs for
-    # process lifetime. A lazy localCheckpoint materializes on first
-    # use, is shared by every branch of this one plan, and is freed by
-    # Spark's ContextCleaner when the returned plan is garbage
-    # collected — no caller contract needed.
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # owned_cache, not bare cache() (r3's unbounded leak) and not
+    # localCheckpoint (r4's 4× regression: row-format blocks, codegen
+    # cut, truncated lineage = unrecoverable on executor loss at
+    # scale): the shingle table feeds the size branch and both pair
+    # branches, and the columnar cache keeps lineage + codegen while
+    # the per-key pool bounds live persistent RDDs across invocations.
+    sh = owned_cache(shingles(df, id_col, text_col, n), f"dedup.shingles.{n}")
     if max_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -192,6 +191,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    mount: int = 0,
+    carry_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, with the
     signature-estimated Jaccard attached and thresholded.
@@ -200,21 +201,45 @@ def minhash_lsh_pairs(
     caught by a band with prob 1-(1-s^r)^bands. Candidates are joined
     only within (band, band-hash) buckets — the only shuffle wider
     than the data is keyed by bucket, never all-pairs.
+
+    The signature table is materialized once via :func:`owned_cache`:
+    columnar InMemoryRelation (codegen + full lineage → executor loss
+    recomputes, unlike r4's ``localCheckpoint`` whose truncated
+    lineage aborts the job at scale), with per-key ownership so
+    repeated invocations never grow the persistent-RDD set (r3's bare
+    ``cache()`` leak). Plain plan sharing was measured 3-4× slower:
+    the branches' exchanges do not reuse across AQE stage boundaries,
+    so the shingle→hash→min pipeline ran per branch.
+
+    ``carry_signatures`` picks the verification strategy:
+
+    - ``True`` (default): the 64-long signature rides through the band
+      explode, so the bucket self-join emits both signatures and the
+      estimated Jaccard is computed in place — two joins and one
+      ``distinct`` shuffle fewer. Bucket-shuffle volume grows by
+      bands × num_perm × 8 B per doc (~8 KB/doc at the defaults) —
+      the right trade until the corpus is so large that the band
+      shuffle dominates (it is still ~10× smaller than the text
+      itself that the shingle stage already scanned).
+    - ``False``: buckets carry only (id, band, bucket) (~24 B/row);
+      candidate pairs re-join the signature table twice for
+      verification. Narrowest possible shuffle — the petabyte-corpus
+      setting, at the cost of two extra shuffle joins.
+
+    ``mount``: pass distinct values when composing two corpora's LSH
+    plans in one query plan (forwarded to the signature/band memo keys
+    — see ``ctx_memo``'s one-mount-per-plan contract).
     """
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
-    # lazy localCheckpoint: one materialization serves the banding and
-    # both signature re-joins, and the JVM frees it with the plan (a
-    # bare cache() leaked one persistent RDD per invocation — VERDICT
-    # r3 "what's wrong" #3). Lineage truncation also gives the banded
-    # and join branches identical signature values by construction.
-    sig = minhash_signatures(df, num_perm, id_col, text_col, n).localCheckpoint(
-        eager=False
+    sig = owned_cache(
+        minhash_signatures(df, num_perm, id_col, text_col, n, mount=mount),
+        f"dedup.minhash.sig.{num_perm}.{n}.{mount}",
     )
     band_explode = ctx_memo(
         df.sparkSession,
-        f"minhash.bands.{num_perm}.{bands}",
+        f"minhash.bands.{num_perm}.{bands}.{mount}",
         lambda: F.explode(
             F.array(
                 *[
@@ -235,35 +260,59 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     )
-    banded = sig.select("id", band_explode).select(
-        "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
-    )
-
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-    est = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    lambda v: v == 1,
-                )
+    est_jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
             )
-            / F.lit(float(num_perm)),
         )
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+        / F.lit(float(num_perm))
+    ).alias("est_jaccard")
+
+    if carry_signatures:
+        banded = sig.select("id", "signature", band_explode).select(
+            "id", "signature", "bh.band", "bh.bucket"
+        )
+        a = banded.select(
+            F.col("id").alias("id_a"),
+            F.col("signature").alias("sig_a"),
+            "band",
+            "bucket",
+        )
+        b = banded.select(
+            F.col("id").alias("id_b"),
+            F.col("signature").alias("sig_b"),
+            "band",
+            "bucket",
+        )
+        est = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", est_jaccard)
+            .filter(F.col("est_jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        banded = sig.select("id", band_explode).select(
+            "id", "bh.band", "bh.bucket"
+        )
+        a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+        est = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", est_jaccard)
+            .filter(F.col("est_jaccard") >= threshold)
+        )
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -389,10 +438,13 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
     bucketed by 16-bit blocks (pigeonhole ⇒ recall 1.0 for ≤3 bits):
     join only within equal blocks, then verify with bit_count."""
-    # lazy localCheckpoint (not cache) — same ownership rationale as
-    # minhash_lsh_pairs: materialize once for the 4 block-bucket
-    # branches, freed with the plan by the ContextCleaner
-    fp = simhash_fingerprints(df, **kw).localCheckpoint(eager=False)
+    # owned_cache: the fingerprint table feeds all 8 block-bucket
+    # branches; one columnar materialization with full lineage, pool-
+    # bounded across invocations (same rationale as minhash_lsh_pairs)
+    fp = owned_cache(
+        simhash_fingerprints(df, **kw),
+        f"dedup.simhash.fp.{kw.get('bits', 64)}.{kw.get('mount', 0)}",
+    )
     pairs = None
     for k in range(4):
         a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"block{k}").alias("blk"))

@@ -33,19 +33,52 @@ from trendengine_spark.queries.base import REGISTRY, Query
 
 __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 
-#: Registry presentation order. The SURVEY §2 operator spine (S*/F*/A*/
-#: D*/U*, the flagship composition, TPC-H shapes, streaming twins) is
-#: the engine's core contract, so those queries lead the catalogue;
-#: the §2.6 relational closure and the LLM-pipeline extensions follow.
-#: Ordering is also operationally load-bearing: the driver's per-round
-#: correctness pass walks the registry front-to-back under a budget
-#: (round 2 recorded verdicts for the first 50 entries only), so the
-#: spine — which round 2 left without driver rows — must sit at the
-#: front for CORRECTNESS_r03 to cover it. The round-2-green entries
-#: (LLM + first relational batch) rotate to the back; their green rows
-#: stand in CORRECTNESS_r02.json.
+#: Registry presentation order — operationally load-bearing: the
+#: driver's per-round correctness pass walks the registry
+#: front-to-back under a ~50-row budget, so whichever queries lead get
+#: that round's driver verdicts. Rounds 3-4 spent the budget on the
+#: SURVEY §2 spine (three consecutive green rounds: CORRECTNESS_r02/
+#: r03/r04); round 5 rotates the never-or-stale-checked tail to the
+#: front — the LLM families (dedup/text/similarity/multimodal,
+#: several modified since their last r2 rows), the §2.6 join/window/
+#: set/grouped/scalar families, and the two real-codec multimodal
+#: queries (PNG decode, WAV features) that have never had a driver
+#: row. The spine rotates to the back; its green history stands.
 _SPINE_FIRST = [
-    # SURVEY §2 core spine (timeseries.py, definition order)
+    # LLM: dedup family (modified r4-r5: regex shingles, owned_cache,
+    # carried-signature LSH verify)
+    "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",
+    # LLM: text analysis
+    "text_quality_profile", "text_language_id", "text_token_explode_tf",
+    "text_tfidf_top_terms", "text_token_count_bpe",
+    "text_winnow_fingerprints",
+    # LLM: similarity (modified r5: BLAS band signatures, Arrow cosine
+    # re-rank, adaptive near-dup threshold)
+    "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
+    "sim_embedding_near_dup", "sim_label_centroid_dist",
+    # LLM: multimodal (PNG/WAV are REAL decoders, never driver-checked)
+    "multimodal_content_stats", "multimodal_feature_extract",
+    "multimodal_png_decode", "multimodal_wav_features",
+    # §2.6 joins
+    "join_inner_3way", "join_left_count", "join_semi", "join_anti",
+    "join_full_outer", "join_broadcast_dim", "join_theta_range",
+    "join_asof",
+    # §2.6 windows without r4 rows (range_frame/percent_rank stay green
+    # in r04) + sort/top-k
+    "window_rank_orders", "window_topk_per_group", "window_lag_monthly",
+    "window_running_sum", "window_ntile_firstlast", "sort_limit_topn",
+    # §2.6 set ops + grouped analytics
+    "set_union_distinct", "set_intersect", "set_except",
+    "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
+    "pivot_event_types", "grouping_sets_mixed",
+    # §2.6 scalar function families + approx/exact distinct twins
+    "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
+    "scalar_array_fns", "scalar_json_fns",
+    "approx_vs_exact_distinct", "exact_distinct_twin",
+    # ---- 50-row budget line (fake-mode multimodal plumbing next; the
+    # thrice-green §2 spine follows in its r3/r4 order) ----
+    "multimodal_resize", "multimodal_frame_sample",
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
     "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels",
@@ -55,7 +88,6 @@ _SPINE_FIRST = [
     "d2_explode_tokens", "d1_period_pairing",
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "u1_polytrend_events", "u2_dbest_events", "flagship_trend_pipeline",
-    # §2 S-rows + second relational batch (relational2.py)
     "s2_grid_composite", "s3_schema_on_read",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "union_all_counts", "intersect_all_keys", "having_groups",
@@ -63,11 +95,9 @@ _SPINE_FIRST = [
     "min_by_max_by", "window_range_frame", "window_percent_rank",
     "scalar_lambda_fns", "sql_api_shared_dialect",
     "u3_generalize_events", "u5_decomposition_events",
-    # streaming batch twins (streaming_batch.py)
     "stream_tumbling_window", "stream_sliding_window",
     "stream_session_window", "stream_late_data_policy",
     "stream_interval_join",
-    # relational.py tail: stats + TPC-H classics
     "approx_percentiles", "stats_aggregates",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",

@@ -15,6 +15,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -108,6 +109,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # parquet timestamps without isAdjustedToUTC infer as
+    # TIMESTAMP_NTZ (Spark 4 default) — fine for batch, but streaming
+    # event-time (withWatermark/window) requires TIMESTAMP, and the
+    # DuckDB oracle reads the same column as a naive timestamp. With
+    # the session pinned to UTC the cast maps wall time → the same
+    # instant, so values (and driver hashes) are unchanged.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     per_session[(sf_dir, name)] = df
     return df
 
