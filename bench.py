@@ -161,7 +161,35 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
 
+    # Cold pass (VERDICT r3/r4 ask): drop the engine's columnar table
+    # cache and time each query against raw parquet scans. The OS page
+    # cache stays warm (the files were just read), so this is the
+    # posture a DuckDB baseline's second run measures — engine decode
+    # work included, buffer-pool advantage removed. Single sample ×2
+    # min: the cold path exists to bound the cache's contribution, not
+    # to be the headline.
+    from trendengine_spark.tables import clear_warm_cache
+
+    clear_warm_cache(spark, sf_dir)
+    cold_times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        try:
+            run(fn(spark, sf_dir))  # untimed: codegen for uncached shape
+            drop_new_caches()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                drop_new_caches()
+            cold_times[name] = round(best, 3)
+        except Exception as exc:
+            print(f"bench(cold): {name} failed: {exc}", file=sys.stderr)
+            cold_times[name] = -1.0
+
     total = round(sum(v for v in times.values() if v >= 0), 3)
+    cold_total = round(sum(v for v in cold_times.values() if v >= 0), 3)
     print(
         json.dumps(
             {
@@ -171,6 +199,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "warm_sec": warm_sec,
+                "cold_sec": cold_total,
+                "cold_queries": cold_times,
             }
         )
     )

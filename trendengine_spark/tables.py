@@ -10,7 +10,6 @@ filter/column pushdown reach the scan via Catalyst.
 from __future__ import annotations
 
 import os
-import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,24 +63,24 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
-#: session → {(sf_dir, name): analyzed scan DataFrame}. Plans are
-#: immutable, so handing the same object to every query is safe; the
-#: win is skipping the per-call file listing + parquet schema
-#: inference JVM roundtrips (measurable per-query constant cost in the
-#: bench suite). A WeakKeyDictionary keyed on the session OBJECT: a
-#: stopped and re-created session can never collide with a stale
-#: entry, and entries die with their session instead of pinning
-#: DataFrames (and the session itself) for process lifetime.
-_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
 def _scan_cache(spark: SparkSession) -> dict:
-    per_session = _SCAN_CACHE.get(spark)
+    """Per-session {(sf_dir, name): analyzed scan DataFrame}. Plans are
+    immutable, so handing the same object to every query is safe; the
+    win is skipping the per-call file listing + parquet schema
+    inference JVM roundtrips (measurable per-query constant cost in
+    the bench suite).
+
+    The dict hangs as an attribute ON the session object, so entries
+    die with the session and a re-created session starts clean. A
+    module-level WeakKeyDictionary cannot do this job: the cached
+    DataFrames hold a strong reference back to their session
+    (``df._session``), so the values would reach the key and — per the
+    documented weakref caveat — the entry would never collect (ADVICE
+    r4: the previous weak-keyed version was inert)."""
+    per_session = getattr(spark, "_te_scan_cache", None)
     if per_session is None:
         per_session = {}
-        _SCAN_CACHE[spark] = per_session
+        spark._te_scan_cache = per_session
     return per_session
 
 
