@@ -168,3 +168,70 @@ def test_resize_real_png_path(spark):
     ys = (np.arange(12) * 30 // 12).astype(int)
     xs = (np.arange(16) * 40 // 16).astype(int)
     assert np.array_equal(dec, img[ys][:, xs])
+
+
+# ----------------------------------------------------------------- JPEG
+def test_jpeg_constant_fill_roundtrip_exact():
+    """Constant-fill grayscale with DC quant 8 decodes EXACTLY (the
+    level-shifted DC is a multiple of the quant step; all AC zero) —
+    the property the oracle-checked multimodal_jpeg_decode relies on."""
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    for g in (0, 1, 127, 128, 200, 255):
+        img = np.full((19, 13), g, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(img))
+        assert dec.shape == (19, 13, 1)
+        assert (dec == g).all(), (g, int(dec.min()), int(dec.max()))
+
+
+def test_jpeg_gray_roundtrip_quant_bounded():
+    """Random grayscale: encode/decode error bounded by quantization
+    (q=1 → IDCT rounding only)."""
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, dc_quant=1, ac_quant=1))[:, :, 0]
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_rgb_roundtrip_quant_bounded():
+    """RGB 4:4:4: YCbCr forward/backward + q=1 quantization stays
+    within a few levels per channel."""
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, dc_quant=1, ac_quant=1))
+    assert dec.shape == (16, 16, 3)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 6
+
+
+def test_jpeg_rejects_non_baseline():
+    """Progressive SOF2 must raise, not mis-decode."""
+    import pytest
+
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = bytearray(jpeg_encode(img))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite marker to progressive
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jpeg_decode(bytes(payload))
+
+
+def test_jpeg_decode_feature_batch(spark):
+    """decode_image_batch(fake=False) handles a mixed PNG/JPEG batch."""
+    import pandas as pd
+
+    from trendengine_spark.operators.codecs import jpeg_encode
+    from trendengine_spark.operators.multimodal import decode_image_batch
+
+    png_payload = png_encode(np.full((6, 5), 40, dtype=np.uint8))
+    jpeg_payload = jpeg_encode(np.full((9, 12), 80, dtype=np.uint8))
+    out = decode_image_batch(pd.Series([png_payload, jpeg_payload]), fake=False)
+    assert list(out["width"]) == [5, 12]
+    assert list(out["height"]) == [6, 9]
+    assert abs(out["mean_luma"][0] - 40 / 255.0) < 1e-12
+    assert abs(out["mean_luma"][1] - 80 / 255.0) < 1e-12

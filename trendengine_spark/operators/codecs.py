@@ -9,12 +9,18 @@ with nothing beyond the standard library + numpy:
   (filter 0) exists so tests can round-trip without any external
   image library.
 - **WAV** — stdlib ``wave`` for PCM payloads.
+- **JPEG (baseline sequential)** — full marker parse, canonical
+  Huffman entropy decode (DC prediction, AC run-length, restart
+  markers), dequantize + inverse zigzag + IDCT (numpy matrix form),
+  chroma upsampling and JFIF YCbCr→RGB. Progressive/arithmetic/12-bit
+  scans raise ``NotImplementedError``. A minimal baseline encoder
+  (4:4:4, Annex K Huffman tables, uniform quantization) exists for
+  round-trip tests and payload generation.
 
 This turns ``multimodal.decode_image_batch(fake=False)`` into a real
-decode path for PNG payloads; other compressed formats (JPEG, MP4…)
-remain honestly stubbed behind ``NotImplementedError`` — implementing
-a JPEG entropy decoder is out of scope, and the container forbids
-installing codec libraries.
+decode path for PNG and baseline-JPEG payloads; video containers
+(MP4…) remain honestly stubbed behind ``NotImplementedError`` — the
+container forbids installing codec libraries.
 
 Decode cost model at scale: decode runs inside ``mapInPandas``
 partition-local (no shuffle carries pixel data); the per-image Python
@@ -178,3 +184,417 @@ def wav_encode(rate: int, samples: np.ndarray) -> bytes:
         w.setframerate(rate)
         w.writeframes(a.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1, sequential DCT, 8-bit)
+# --------------------------------------------------------------------------
+#
+# A real decoder: marker parse → DQT/DHT/SOF0/SOS → canonical Huffman
+# entropy decode (DC prediction + AC run-length with ZRL/EOB, restart
+# markers) → dequantize → inverse zigzag → IDCT → chroma upsample →
+# YCbCr→RGB (JFIF/BT.601) → crop to SOF dims. Grayscale and 3-component
+# scans with sampling factors 1-2 are supported; progressive DCT,
+# arithmetic coding and 12-bit depth are out of baseline scope and
+# raise. The matching encoder emits baseline grayscale/RGB with the
+# spec's Annex K Huffman tables so tests round-trip without any codec
+# library. All constants below are from the public JPEG specification.
+
+_JPEG_MAGIC = b"\xff\xd8"
+
+#: zigzag scan order: index i of the scan → (row, col) flat offset
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K.3 typical Huffman tables: (bits[1..16], values)
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix: block spectrum = M @ B @ M.T."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16.0)
+    m[0] *= np.sqrt(1.0 / 2.0)
+    return m * 0.5
+
+
+_DCT_M = _dct_matrix()
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == _JPEG_MAGIC
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, per the spec's canonical ordering."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            self.put(0x7F, 7 - ((self._n - 1) % 8) + 1)  # pad with 1s
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing; stops (and
+    reports position) at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller via sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an expected RSTn marker and reset bit state."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (H, W, C) uint8 (C = 1 for
+    grayscale scans, 3 for YCbCr scans converted to RGB)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) → code table
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    out = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                off += 1
+                if pq:  # 16-bit table
+                    q = np.frombuffer(seg, dtype=">u2", count=64, offset=off)
+                    off += 128
+                else:
+                    q = np.frombuffer(seg, dtype=np.uint8, count=64, offset=off)
+                    off += 64
+                qtables[tq] = q.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                htables[(tc, th)] = _canonical_codes(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tdta >> 4, tdta & 0xF)
+            out = _decode_scan(
+                data, pos + seg_len, frame, sel, qtables, htables, restart_interval
+            )
+            break
+        # APPn/COM/others: skip
+        pos += seg_len
+    if out is None:
+        raise ValueError("JPEG missing SOS scan")
+    return out
+
+
+def _decode_scan(data, pos, frame, sel, qtables, htables, restart_interval):
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _ in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, tq in comps:
+                dc_tab = htables[(0, sel[cid][0])]
+                ac_tab = htables[(1, sel[cid][1])]
+                q = qtables[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _decode_huffman(reader, dc_tab)
+                        diff = _extend(reader.receive(t), t)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = zz * q
+                        blk = blk.reshape(8, 8)
+                        pix = _DCT_M.T @ blk @ _DCT_M + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # upsample each plane to full MCU-grid resolution, then crop
+    full = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        y, cb, cr = (full[0], full[1] - 128.0, full[2] - 128.0)
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    dc_quant: int = 8,
+    ac_quant: int = 16,
+) -> bytes:
+    """Minimal baseline JPEG writer: grayscale (H, W) / (H, W, 1) or
+    RGB (H, W, 3) at 4:4:4, uniform quantization (``dc_quant`` for the
+    DC coefficient, ``ac_quant`` for AC), Annex K luminance Huffman
+    tables for every component. ``dc_quant=8`` makes constant-fill
+    images decode EXACTLY (the level-shifted DC is 8·(g−128), an exact
+    multiple of 8; all AC are zero), which the oracle-checked
+    multimodal query relies on."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:  # RGB → JFIF YCbCr
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        chans = [y, cb, cr]
+    elif nc == 1:
+        chans = [a[..., 0].astype(np.float64)]
+    else:
+        raise NotImplementedError(f"jpeg_encode channels {nc}")
+
+    q = np.full(64, ac_quant, dtype=np.int64)
+    q[0] = dc_quant
+    dc_codes = _encode_lengths(_STD_DC_LUM)
+    ac_codes = _encode_lengths(_STD_AC_LUM)
+
+    bw = _BitWriter()
+    pred = [0] * len(chans)
+    bh, bwid = -(-h // 8), -(-w // 8)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, plane in enumerate(chans):
+                blk = np.full((8, 8), float(plane[min(by * 8, h - 1), min(bx * 8, w - 1)]))
+                ys, xs = by * 8, bx * 8
+                tile = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                blk[: tile.shape[0], : tile.shape[1]] = tile
+                # edge replicate padding for partial blocks
+                if tile.shape[0] < 8:
+                    blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1][:, None]
+                spec = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+                zz = np.round(spec.flatten()[_ZIGZAG] / q).astype(np.int64)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t = int(diff != 0 and int(np.abs(diff)).bit_length() or 0)
+                code, ln = dc_codes[t]
+                bw.put(code, ln)
+                if t:
+                    bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s = int(np.abs(v)).bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    ncomp = len(chans)
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_STD_DC_LUM[0]) + bytes(_STD_DC_LUM[1])
+        + bytes([0x10]) + bytes(_STD_AC_LUM[0]) + bytes(_STD_AC_LUM[1]),
+    )
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return (
+        _JPEG_MAGIC + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+def _encode_lengths(table: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from a (bits, values) spec table."""
+    inv = {}
+    for (length, code), sym in _canonical_codes(*table).items():
+        inv[sym] = (code, length)
+    return inv

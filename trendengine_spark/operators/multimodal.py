@@ -114,6 +114,44 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
 
 
+def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media column: a valid baseline JPEG per row, generated
+    executor-side. Deterministic grayscale constant-fill images
+    (value = id % 256, width = 8 + id % 13, height = 8 + id % 11) with
+    DC quantization step 8, so the sequential-DCT decode is EXACT: a
+    constant block's level-shifted DC is 8·(g−128) (a multiple of 8,
+    so quantize→dequantize round-trips) and every AC coefficient is
+    zero — decoded mean luma is exactly (id % 256) / 255.0, which the
+    DuckDB oracle expresses in integer arithmetic."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import jpeg_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                jpeg_encode(
+                    np.full(
+                        (8 + int(i) % 11, 8 + int(i) % 13),
+                        int(i) % 256,
+                        dtype=np.uint8,
+                    )
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
 def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL audio column: a valid PCM WAV per row, generated
     executor-side. Deterministic square wave (amplitude = 100 +
@@ -223,22 +261,30 @@ def attach_fake_video(
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, mean_luma).
 
-    PNG payloads decode FOR REAL via the pure-stdlib decoder in
-    :mod:`trendengine_spark.operators.codecs` (zlib inflate + spec
-    filter reconstruction; no imaging library needed). ``fake=True``
-    keeps the deterministic plumbing-test decoder (stable values from
-    payload bytes) for non-PNG payloads; a non-PNG payload with
-    ``fake=False`` raises — JPEG/video entropy decode would need a
-    codec library this runtime doesn't have.
+    PNG and baseline-JPEG payloads decode FOR REAL via the
+    pure-stdlib/numpy codecs in
+    :mod:`trendengine_spark.operators.codecs` (PNG: zlib inflate +
+    spec filter reconstruction; JPEG: canonical Huffman entropy decode
+    + dequantize + IDCT + YCbCr→RGB). ``fake=True`` keeps the
+    deterministic plumbing-test decoder (stable values from payload
+    bytes) for other formats; an unrecognized payload with
+    ``fake=False`` raises — video entropy decode would need a codec
+    library this runtime doesn't have.
     """
     import numpy as np
 
-    from trendengine_spark.operators.codecs import is_png, png_decode
+    from trendengine_spark.operators.codecs import (
+        is_jpeg,
+        is_png,
+        jpeg_decode,
+        png_decode,
+    )
 
     widths, heights, lumas = [], [], []
     for b in payloads:
-        if b and is_png(bytes(b)):
-            a = png_decode(bytes(b))
+        if b and (is_png(bytes(b)) or is_jpeg(bytes(b))):
+            raw = bytes(b)
+            a = png_decode(raw) if is_png(raw) else jpeg_decode(raw)
             h, w, c = a.shape
             rgb = a[:, :, :3] if c >= 3 else a[:, :, :1]
             weights = (
@@ -257,9 +303,9 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
             lumas.append(((first + last) % 256) / 255.0)
         else:
             raise NotImplementedError(
-                "non-PNG image decode requires a codec library not present "
-                "in this runtime (PNG decodes for real; pass fake=True for "
-                "the deterministic plumbing-test decoder on other formats)"
+                "unrecognized image format: only PNG and baseline JPEG "
+                "decode for real in this runtime (pass fake=True for the "
+                "deterministic plumbing-test decoder on other formats)"
             )
     return pd.DataFrame(
         {

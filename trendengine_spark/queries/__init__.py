@@ -57,9 +57,10 @@ _SPINE_FIRST = [
     # re-rank, adaptive near-dup threshold)
     "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
     "sim_embedding_near_dup", "sim_label_centroid_dist",
-    # LLM: multimodal (PNG/WAV are REAL decoders, never driver-checked)
-    "multimodal_content_stats", "multimodal_feature_extract",
-    "multimodal_png_decode", "multimodal_wav_features",
+    # LLM: multimodal (PNG/JPEG/WAV are REAL decoders; PNG/WAV never
+    # driver-checked, JPEG new in r5)
+    "multimodal_content_stats", "multimodal_png_decode",
+    "multimodal_jpeg_decode", "multimodal_wav_features",
     # §2.6 joins
     "join_inner_3way", "join_left_count", "join_semi", "join_anti",
     "join_full_outer", "join_broadcast_dim", "join_theta_range",
@@ -78,7 +79,8 @@ _SPINE_FIRST = [
     "approx_vs_exact_distinct", "exact_distinct_twin",
     # ---- 50-row budget line (fake-mode multimodal plumbing next; the
     # thrice-green §2 spine follows in its r3/r4 order) ----
-    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_feature_extract", "multimodal_resize",
+    "multimodal_frame_sample",
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
     "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels",

@@ -541,6 +541,33 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 13 AS INT) AS width,
+           CAST(8 + doc_id % 11 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) / 255.0 AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-checked end-to-end: a valid
+    sequential-DCT JPEG is generated per document executor-side
+    (constant fill, dims keyed off doc_id, DC quant step 8) and
+    decoded by the numpy baseline decoder (canonical Huffman → 
+    dequantize → IDCT) inside mapInPandas — no imaging library, no
+    fake path. Constant fill makes every AC coefficient zero and the
+    DC round-trip exact (8·(g−128) is a multiple of the quant step),
+    so decoded mean luma is exactly (doc_id % 256)/255 and the full
+    encode→Spark→decode round trip hash-matches the DuckDB oracle."""
+    from trendengine_spark.operators.multimodal import attach_jpeg_media
+
+    media = attach_jpeg_media(t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
+@query(
     "multimodal_wav_features",
     sql="""
     SELECT doc_id,
