@@ -229,3 +229,61 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx.sort_values(["query_id", "rn"]).reset_index(drop=True).equals(
         again.sort_values(["query_id", "rn"]).reset_index(drop=True)
     )
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    import pandas as pd
+
+    from trendengine_spark.operators.pipeline import stratified_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(400)),
+                "lang": ["en", "de", "fr", "zh"] * 100,
+                "text": ["x"] * 400,
+            }
+        )
+    )
+    out = stratified_sample(docs, rates={"en": 50, "de": 20}, default_rate=10)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # ids for lang L are L_idx + 4k: en ids ≡ 0 (mod 4) → of 100 en ids,
+    # those with id % 100 < 50 → exactly 50 per 100-block × id stride 4
+    # ⇒ 100 ids spread over 0..396; kept iff id % 100 < rate
+    assert counts["en"] == sum(1 for i in range(0, 400, 4) if i % 100 < 50)
+    assert counts["de"] == sum(1 for i in range(1, 400, 4) if i % 100 < 20)
+    assert counts["fr"] == sum(1 for i in range(2, 400, 4) if i % 100 < 10)
+    # deterministic: second run identical
+    again = stratified_sample(docs, rates={"en": 50, "de": 20}, default_rate=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_pack_concat_chunks_layout(spark):
+    import pandas as pd
+
+    from trendengine_spark.operators.pipeline import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 8, 16, 24],  # one shard (n_shards=8)
+                "text": ["a " * 300, "b " * 300, "c " * 100, ""],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_concat_chunks(docs, seq_len=512, n_shards=8).collect()
+    }
+    assert all(r["shard"] == 0 for r in rows.values())
+    # stream: doc0 [0,300) seq0 | doc8 [300,600) straddles seq0/seq1 |
+    # doc16 [600,700) seq1 | doc24 empty at 700 → degenerate seq1 span
+    assert (rows[0]["start_off"], rows[0]["start_seq"], rows[0]["end_seq"]) == (0, 0, 0)
+    assert (rows[8]["start_off"], rows[8]["start_seq"], rows[8]["end_seq"]) == (300, 0, 1)
+    assert (rows[16]["start_off"], rows[16]["start_seq"], rows[16]["end_seq"]) == (600, 1, 1)
+    assert (rows[24]["n_tokens"], rows[24]["start_seq"], rows[24]["end_seq"]) == (0, 1, 1)

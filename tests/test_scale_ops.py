@@ -103,6 +103,13 @@ def test_owned_caches_bounded_across_invocations(spark):
     def n_persistent() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # drain entries left by earlier tests SYNCHRONOUSLY: owned_cache's
+    # own replacement unpersists non-blocking, so a stale async removal
+    # completing mid-test would otherwise shift the baseline count
+    pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
+    for key in list(pool):
+        pool.pop(key).unpersist(blocking=True)
+
     minhash_lsh_pairs(docs, threshold=0.1).count()
     simhash_near_pairs(docs).count()
     after_first = n_persistent()

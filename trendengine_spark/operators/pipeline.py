@@ -1,0 +1,92 @@
+"""Training-data pipeline assembly operators (LLM surface).
+
+Two stages every corpus-to-training-run pipeline needs after cleaning
+and dedup, both expressed as single-pass DataFrame plans with exact
+integer semantics (so both are DuckDB-oracle-checkable):
+
+- :func:`stratified_sample` — deterministic per-stratum systematic
+  sampling: each stratum (e.g. language) keeps a configured fraction,
+  selected by a pure function of the row id (``id % den < num``).
+  Reproducible across runs/engines by construction — no RNG state, no
+  ``sample()`` nondeterminism — which is what a data-mixture spec
+  needs ("20% code, 50% en, …" must survive re-execution bit-for-bit).
+  One filter, no shuffle; the audit aggregate is one groupBy.
+- :func:`pack_concat_chunks` — GPT-style sequence packing: documents
+  are concatenated per shard in a deterministic order and the token
+  stream is cut into fixed-length sequences; each document reports the
+  sequence span [start_seq, end_seq] it lands in (documents straddle
+  cut points by design — that is exactly how concat-then-chunk
+  training prep behaves). Implementation: one window cumulative sum
+  per shard (hash exchange on shard, in-partition sort) + integer
+  division. At 100 TB: shard count scales with the cluster, each
+  shard's cumsum is an independent partition-local sort — no global
+  ordering bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trendengine_spark.operators.text import token_count
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 10,
+    den: int = 100,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ``rates[stratum]`` (else ``default_rate``) out of every
+    ``den`` rows per stratum, selected deterministically by
+    ``id % den``. Returns the kept rows with a ``_stratum_rate``
+    audit column."""
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.withColumn("_stratum_rate", rate).filter(
+        F.col(id_col) % den < F.col("_stratum_rate")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk packing plan: per shard (``id % n_shards``),
+    documents are laid out in ``id`` order into one token stream and
+    cut every ``seq_len`` tokens. Emits per document: shard, token
+    count, stream offset, and the [start_seq, end_seq] span of
+    training sequences the document occupies. All integer arithmetic
+    (window SUM + div), so the layout is exact and engine-portable."""
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    toks = df.select(
+        F.col(id_col),
+        shard,
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = toks.withColumn("end_off", F.sum("n_tokens").over(w))
+    start_off = F.col("end_off") - F.col("n_tokens")
+    start_seq = F.floor(start_off / seq_len)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start_off.alias("start_off"),
+        start_seq.alias("start_seq"),
+        # an empty document occupies no tokens: its span degenerates to
+        # its start sequence instead of going negative
+        F.when(F.col("n_tokens") > 0, F.floor((F.col("end_off") - 1) / seq_len))
+        .otherwise(start_seq)
+        .alias("end_seq"),
+    )

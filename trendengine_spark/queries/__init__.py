@@ -57,6 +57,8 @@ _SPINE_FIRST = [
     # re-rank, adaptive near-dup threshold)
     "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
     "sim_embedding_near_dup", "sim_label_centroid_dist",
+    # LLM: pipeline assembly (new in r5)
+    "pipeline_stratified_sample", "pipeline_pack_sequences",
     # LLM: multimodal (PNG/JPEG/WAV are REAL decoders; PNG/WAV never
     # driver-checked, JPEG new in r5)
     "multimodal_content_stats", "multimodal_png_decode",
@@ -73,12 +75,13 @@ _SPINE_FIRST = [
     "set_union_distinct", "set_intersect", "set_except",
     "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
-    # §2.6 scalar function families + approx/exact distinct twins
+    # §2.6 scalar function families + the exact-distinct twin
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
-    "scalar_array_fns", "scalar_json_fns",
-    "approx_vs_exact_distinct", "exact_distinct_twin",
-    # ---- 50-row budget line (fake-mode multimodal plumbing next; the
-    # thrice-green §2 spine follows in its r3/r4 order) ----
+    "scalar_array_fns", "exact_distinct_twin",
+    # ---- 50-row budget line (rows-only/fake-mode and the remaining
+    # scalar entry next; the thrice-green §2 spine follows in its
+    # r3/r4 order) ----
+    "scalar_json_fns", "approx_vs_exact_distinct",
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",

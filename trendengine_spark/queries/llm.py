@@ -653,3 +653,70 @@ def multimodal_frame_sample(spark, sf_dir):
     media = attach_fake_video(t(spark, sf_dir, "documents"))
     out = sample_frames(media, step_ms=1000, fake=True)
     return out.select("doc_id", "frame_idx", "ts_ms", "frame_md5")
+
+
+# ------------------------------------------------------- pipeline assembly
+@query(
+    "pipeline_stratified_sample",
+    sql="""
+    SELECT doc_id, lang,
+           CAST(CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30
+                          WHEN 'de' THEN 20 ELSE 10 END AS INT) AS _stratum_rate
+    FROM documents
+    WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30
+                                   WHEN 'de' THEN 20 ELSE 10 END
+    """,
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: each language keeps a
+    configured fraction (en 50%, zh 30%, de 20%, rest 10%) selected by
+    ``doc_id % 100`` — a pure function of the row, so the mixture is
+    reproducible bit-for-bit across runs and engines (no RNG state).
+    One filter, no shuffle."""
+    from trendengine_spark.operators.pipeline import stratified_sample
+
+    out = stratified_sample(
+        t(spark, sf_dir, "documents"), rates={"en": 50, "zh": 30, "de": 20}
+    )
+    return out.select("doc_id", "lang", "_stratum_rate")
+
+
+@query(
+    "pipeline_pack_sequences",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_off
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           n_tokens,
+           end_off - n_tokens AS start_off,
+           CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS start_seq,
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor((end_off - 1) / 512.0) AS BIGINT)
+                ELSE CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT)
+           END AS end_seq
+    FROM packed
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing: per shard
+    (doc_id % 8) documents are laid out in id order into one token
+    stream cut every 512 tokens; each document reports its stream
+    offset and the [start_seq, end_seq] span it occupies (documents
+    straddle cut points by design — that IS concat-and-chunk training
+    prep). One window cumsum per shard, all integer arithmetic."""
+    from trendengine_spark.operators.pipeline import pack_concat_chunks
+
+    return pack_concat_chunks(
+        t(spark, sf_dir, "documents"), seq_len=512, n_shards=8
+    )
