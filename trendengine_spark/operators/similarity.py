@@ -371,8 +371,18 @@ def ivf_index(
     Returns (assignments ``(id, vec, cell)``, centroid matrix). At
     100 TB the assignment output is what you'd persist, bucketed by
     ``cell``, so searches prune to probed cells at scan time.
+
+    The prepared corpus is :func:`owned_cache`-materialized: the seed
+    selection, every Lloyd iteration, and the final assignment each
+    stream the full vector column — 4+ scans that would otherwise
+    re-read and re-decode the source per pass (measured ~2× the whole
+    query's time at sf0.01). One columnar materialization, full
+    lineage, pool-bounded across invocations.
     """
-    c = fan_out(corpus).select(id_col, vec_col)
+    c = owned_cache(
+        fan_out(corpus).select(id_col, vec_col),
+        f"sim.ivf.corpus.{n_cells}.{seed}",
+    )
     seed_rows = (
         c.withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("_h")

@@ -129,13 +129,41 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query(
     "dedup_cluster_assignment",
-    sql=None,
-    doc="End-to-end near-dup clustering: exact n-gram Jaccard pairs → "
-    "connected components (pointer-jumping label propagation) → "
-    "(doc_id, cluster_id) canonical assignment; components verified "
-    "in tests.",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
 )
 def dedup_cluster_assignment(spark, sf_dir):
+    """End-to-end near-dup clustering: exact n-gram Jaccard pairs →
+    connected components → (id, cluster_id = min id in component).
+    Spark side is O(log d)-round pointer-jumping label propagation
+    (scale path); the oracle computes the same fixpoint as a DuckDB
+    recursive-CTE transitive closure (fine at oracle scale, O(V·
+    component) rows) — upgrading this from rows-only to hash-checked."""
     from trendengine_spark.operators.dedup import dedup_clusters
 
     pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
