@@ -8,13 +8,15 @@ the bench corpus. This is the scale-out evidence for the SURVEY §2.6
 LLM rows: shingling/signatures are projection+partial-agg (linear,
 no wide shuffle), LSH pairing shuffles only band buckets.
 
-Observed on local[32] (round 2), 120 tokens/doc, planted dups found
-exactly (no false pairs at threshold 0.5):
+Observed on local[32] (round 5 — regex shingling + carried-signature
+LSH verify; round-2 figures were 5.7k/6.3k docs/s), 120 tokens/doc,
+planted dups found exactly (no false pairs at threshold 0.5):
 
-    100k docs: quality 209k docs/s, exact dedup 37k docs/s,
-               MinHash-LSH 5.7k docs/s (17.6s)
-    200k docs: quality 438k docs/s, exact dedup 62k docs/s,
-               MinHash-LSH 6.3k docs/s (31.9s)  <- linear
+    100k docs: quality 192k docs/s, exact dedup 38k docs/s,
+               MinHash-LSH 11.7k docs/s (8.5s)
+    200k docs: quality 386k docs/s, exact dedup 60k docs/s,
+               MinHash-LSH 14.0k docs/s (14.2s)  <- superlinear
+               (fixed job overhead amortizing; per-doc cost flat)
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """
