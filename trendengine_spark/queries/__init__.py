@@ -49,6 +49,7 @@ _SPINE_FIRST = [
     # carried-signature LSH verify)
     "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",
+    "dedup_corpus_survivors",
     # LLM: text analysis
     "text_quality_profile", "text_language_id", "text_token_explode_tf",
     "text_tfidf_top_terms", "text_token_count_bpe",
@@ -75,13 +76,13 @@ _SPINE_FIRST = [
     "set_union_distinct", "set_intersect", "set_except",
     "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
-    # §2.6 scalar function families + the exact-distinct twin
+    # §2.6 scalar function families
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
-    "scalar_array_fns", "exact_distinct_twin",
+    "scalar_array_fns",
     # ---- 50-row budget line (rows-only/fake-mode and the remaining
-    # scalar entry next; the thrice-green §2 spine follows in its
-    # r3/r4 order) ----
-    "scalar_json_fns", "approx_vs_exact_distinct",
+    # scalar/distinct entries next; the thrice-green §2 spine follows
+    # in its r3/r4 order) ----
+    "exact_distinct_twin", "scalar_json_fns", "approx_vs_exact_distinct",
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",

@@ -748,3 +748,56 @@ def pipeline_pack_sequences(spark, sf_dir):
     return pack_concat_chunks(
         t(spark, sf_dir, "documents"), seq_len=512, n_shards=8
     )
+
+
+@query(
+    "dedup_corpus_survivors",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ), clusters AS (
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    LEFT JOIN clusters c ON c.id = d.doc_id AND c.id <> c.cluster_id
+    WHERE c.id IS NULL
+    """,
+)
+def dedup_corpus_survivors(spark, sf_dir):
+    """The dedup pipeline's actual OUTPUT: the corpus with non-
+    representative near-duplicates removed. Exact n-gram Jaccard pairs
+    → connected components → drop every document that is not its
+    cluster's representative (min id); untouched documents survive
+    unchanged. Spark: one left-anti join of the corpus against the
+    non-representative cluster members; oracle: the same via the
+    recursive-CTE closure."""
+    from trendengine_spark.operators.dedup import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    non_reps = dedup_clusters(pairs).filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias("doc_id"))
+    return docs.join(non_reps, "doc_id", "left_anti").select("doc_id", "lang")
