@@ -101,3 +101,74 @@ def test_interpolate_gaps_preserves_known_points(y, data):
         keep[i] = False
     assert np.allclose(filled[keep], y[keep])
     assert not np.isnan(filled).any()
+
+
+# ----------------------------------------------------------------- codecs
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    data=st.data(),
+)
+def test_png_roundtrip_lossless_any_dims(h, w, data):
+    from trendengine_spark.operators.codecs import png_decode, png_encode
+
+    img = data.draw(
+        arrays(np.uint8, (h, w), elements=st.integers(0, 255)), label="img"
+    )
+    dec = png_decode(png_encode(img))
+    assert dec.shape == (h, w, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    data=st.data(),
+)
+def test_jpeg_gray_roundtrip_error_bounded_any_dims(h, w, data):
+    """Baseline JPEG at quant 1: any dims (incl. non-multiples of 8 —
+    padded partial blocks cropped on decode), error ≤ IDCT rounding."""
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    img = data.draw(
+        arrays(np.uint8, (h, w), elements=st.integers(0, 255)), label="img"
+    )
+    dec = jpeg_decode(jpeg_encode(img, dc_quant=1, ac_quant=1))
+    assert dec.shape == (h, w, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(g=st.integers(0, 255), h=st.integers(1, 40), w=st.integers(1, 40))
+def test_jpeg_constant_fill_exact_any_dims(g, h, w):
+    from trendengine_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    dec = jpeg_decode(jpeg_encode(np.full((h, w), g, dtype=np.uint8)))
+    assert (dec == g).all()
+
+
+# --------------------------------------------------------- packing layout
+@settings(max_examples=30, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=1500), min_size=1, max_size=60),
+    seq_len=st.integers(min_value=1, max_value=700),
+)
+def test_pack_layout_invariants(toks, seq_len):
+    """Pure-python twin of pack_concat_chunks' arithmetic: offsets tile
+    the stream with no gaps, spans are monotone, and every non-empty
+    document's span covers exactly its offset range."""
+    off = 0
+    for n in toks:
+        start_off = off
+        end_off = off + n
+        start_seq = start_off // seq_len
+        end_seq = (end_off - 1) // seq_len if n > 0 else start_seq
+        assert end_seq >= start_seq
+        if n > 0:
+            assert start_seq == start_off // seq_len
+            assert end_seq == (end_off - 1) // seq_len
+            # span size matches the token interval's sequence count
+            assert end_seq - start_seq == ((end_off - 1) // seq_len) - (start_off // seq_len)
+        off = end_off
