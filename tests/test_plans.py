@@ -261,3 +261,26 @@ def test_ranked_partitions_scales_with_size_estimate(spark):
     big = spark.range(rows).selectExpr("id", "repeat('x', 48) AS pad")
     n = _ranked_partitions(big)
     assert n > floor, f"expected > {floor} buckets, got {n}"
+
+
+def test_pipeline_query_plans_minimal(spark):
+    """pack = exactly one exchange (hash on shard) + one sort;
+    stratified sample = zero exchanges (pure filter)."""
+    from trendengine_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    pack = (
+        qs["pipeline_pack_sequences"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert pack.count("Exchange") == 1, pack[:600]
+    samp = (
+        qs["pipeline_stratified_sample"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in samp, samp[:600]

@@ -791,8 +791,11 @@ def dedup_corpus_survivors(spark, sf_dir):
     → connected components → drop every document that is not its
     cluster's representative (min id); untouched documents survive
     unchanged. Spark: one left-anti join of the corpus against the
-    non-representative cluster members; oracle: the same via the
-    recursive-CTE closure."""
+    non-representative cluster members — planned as a shuffle anti
+    join by default (the scale-correct choice: a crawl corpus's
+    duplicate fraction can be far too large to broadcast; with AQE on,
+    small build sides convert to broadcast at runtime); oracle: the
+    same via the recursive-CTE closure."""
     from trendengine_spark.operators.dedup import dedup_clusters
 
     docs = t(spark, sf_dir, "documents")
