@@ -55,6 +55,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark()
+    # JVM/codegen warm-up so the first query's reported time is the
+    # query, not one-time JIT (~5-8 s otherwise attributed to whatever
+    # happens to run first)
+    spark.range(1000).selectExpr("sum(id)").collect()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
