@@ -550,3 +550,35 @@ def embedding_near_dup_pairs(
     else:
         scored = scored.filter(F.col("cos_sim") >= threshold)
     return scored.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-L2 vector: v / sqrt(Σ v²) (zero vectors pass through
+    unchanged). Element math in double precision with a strictly
+    sequential sum (JVM left-to-right fold), so the result is
+    bit-deterministic and engine-portable — this is the storage-side
+    prep that lets cosine search degrade to a plain dot product."""
+    n = _norm(vec)
+    return F.when(
+        n == 0.0, vec.cast("array<double>")
+    ).otherwise(F.transform(vec, lambda x: x.cast("double") / n))
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale). Returns (codes ARRAY<INT>, scale).
+    Max-abs is order-independent and the per-element op touches one
+    value at a time, so quantization is exactly reproducible across
+    engines — 4× storage cut for ANN indexes with the scale kept for
+    dequantization. Zero vectors quantize to zeros with scale 0."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        maxabs == 0.0,
+        F.transform(vec, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.round(x.cast("double") / maxabs * 127.0).cast("int"),
+        )
+    )
+    return codes, maxabs / 127.0

@@ -58,6 +58,7 @@ _SPINE_FIRST = [
     # re-rank, adaptive near-dup threshold)
     "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
     "sim_embedding_near_dup", "sim_label_centroid_dist",
+    "sim_embedding_l2norm", "sim_embedding_quantize_int8",
     # LLM: pipeline assembly (new in r5)
     "pipeline_stratified_sample", "pipeline_pack_sequences",
     # LLM: multimodal (PNG/JPEG/WAV are REAL decoders; PNG/WAV never
@@ -77,11 +78,11 @@ _SPINE_FIRST = [
     "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
     # §2.6 scalar function families
-    "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
-    "scalar_array_fns",
+    "scalar_string_fns", "scalar_date_fns",
     # ---- 50-row budget line (rows-only/fake-mode and the remaining
     # scalar/distinct entries next; the thrice-green §2 spine follows
     # in its r3/r4 order) ----
+    "scalar_math_fns", "scalar_array_fns",
     "exact_distinct_twin", "scalar_json_fns", "approx_vs_exact_distinct",
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",

@@ -804,3 +804,70 @@ def dedup_corpus_survivors(spark, sf_dir):
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias("doc_id"))
     return docs.join(non_reps, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query(
+    "sim_embedding_l2norm",
+    sql="""
+    SELECT vec_id,
+           CASE WHEN sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+                ELSE list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) /
+                          sqrt(list_sum(list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
+           END AS unit_vec
+    FROM embeddings
+    """,
+)
+def sim_embedding_l2norm(spark, sf_dir):
+    """Unit-L2 normalization of the embedding column — the storage-side
+    prep that turns cosine search into plain dot products. Strictly
+    sequential double-precision sum per row, so the output is
+    bit-reproducible and hash-matches the DuckDB oracle (components
+    rounded to 6 dp on both sides for stable comparison). Single
+    projection pass, no shuffle."""
+    from trendengine_spark.operators.similarity import l2_normalize
+
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)).alias(
+            "unit_vec"
+        ),
+    )
+
+
+@query(
+    "sim_embedding_quantize_int8",
+    sql="""
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN maxabs = 0
+                THEN list_transform(embedding, x -> CAST(0 AS INT))
+                ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127.0) AS INT))
+           END AS codes,
+           round(maxabs / 127.0, 9) AS scale
+    FROM m
+    """,
+)
+def sim_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (4× storage cut for ANN indexes; scale kept for dequantization).
+    Max-abs is order-independent and each element quantizes alone, so
+    codes are exactly reproducible and hash-match the DuckDB oracle.
+    Single projection pass, no shuffle."""
+    from trendengine_spark.operators.similarity import quantize_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    codes, scale = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id", codes.alias("codes"), F.round(scale, 9).alias("scale")
+    )
