@@ -53,7 +53,7 @@ _SPINE_FIRST = [
     # LLM: text analysis
     "text_quality_profile", "text_language_id", "text_token_explode_tf",
     "text_tfidf_top_terms", "text_token_count_bpe",
-    "text_winnow_fingerprints",
+    "text_winnow_fingerprints", "text_chunk_windows",
     # LLM: similarity (modified r5: BLAS band signatures, Arrow cosine
     # re-rank, adaptive near-dup threshold)
     "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
@@ -77,12 +77,13 @@ _SPINE_FIRST = [
     "set_union_distinct", "set_intersect", "set_except",
     "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
-    # §2.6 scalar function families
-    "scalar_string_fns", "scalar_date_fns",
+    # §2.6 scalar function families (string leads; lambda fns sit in
+    # the r4-green spine, math/date/array/json rotate below the line)
+    "scalar_string_fns",
     # ---- 50-row budget line (rows-only/fake-mode and the remaining
     # scalar/distinct entries next; the thrice-green §2 spine follows
     # in its r3/r4 order) ----
-    "scalar_math_fns", "scalar_array_fns",
+    "scalar_date_fns", "scalar_math_fns", "scalar_array_fns",
     "exact_distinct_twin", "scalar_json_fns", "approx_vs_exact_distinct",
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",

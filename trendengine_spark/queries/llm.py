@@ -871,3 +871,43 @@ def sim_embedding_quantize_int8(spark, sf_dir):
     return emb.select(
         "vec_id", codes.alias("codes"), F.round(scale, 9).alias("scale")
     )
+
+
+@query(
+    "text_chunk_windows",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) / 32 AS INT) AS chunk_idx,
+           array_to_string(ts[i:i+63], ' ') AS chunk_text,
+           CAST(least(64, len(ts) - i + 1) AS INT) AS n_tokens
+    FROM tok, unnest(generate_series(1, greatest(len(ts), 1), 32)) AS u(i)
+    WHERE len(ts) > 0 AND i <= len(ts)
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 32)
+    — the RAG/pretraining segmentation step. One projection +
+    posexplode per document; chunk boundaries are pure integer
+    arithmetic over the token array, so chunk text and counts
+    hash-match the DuckDB oracle. No shuffle."""
+    from trendengine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(32))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / 32).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, 64)).alias("chunk_text"),
+            F.least(F.lit(64), F.size(toks) - s).cast("int").alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
