@@ -1,14 +1,18 @@
 """LLM-training-data-pipeline queries over ``documents`` /
 ``embeddings`` (north-star extensions, SURVEY §2.6 bottom row).
 
-Oracle policy: exact dedup, fingerprinting, token/quality/language
-profiling, exact n-gram Jaccard, brute-force cosine top-k, and the
-multimodal metadata path are all SQL-expressible → full DuckDB
-oracle. The LSH variants (MinHash bands, SimHash blocks, hyperplane
-ANN) are the 100 TB scale paths of the same semantics — their
-candidate generation is probabilistic-by-construction, so they are
-declared rows-only and their recall/consistency is asserted in
-``tests/test_llm_ops.py`` against the exact twins.
+Oracle policy: exact dedup, fingerprinting, connected-components
+clustering + the surviving-corpus output (checked against a DuckDB
+recursive-CTE closure), token/quality/language profiling, exact
+n-gram Jaccard, chunking, brute-force cosine top-k, embedding
+normalize/quantize, pipeline assembly (sampling, packing), and the
+multimodal real-codec decode paths (PNG/JPEG/WAV) are all
+SQL-expressible → full DuckDB oracle. The LSH variants (MinHash
+bands, SimHash blocks, hyperplane ANN, IVF) are the 100 TB scale
+paths of the same semantics — their candidate generation is seeded on
+``xxhash64`` (no DuckDB twin), so they are declared rows-only and
+their recall/consistency is asserted in ``tests/test_llm_ops.py``
+against the exact twins.
 """
 
 from __future__ import annotations
