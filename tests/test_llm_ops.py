@@ -287,3 +287,31 @@ def test_pack_concat_chunks_layout(spark):
     assert (rows[8]["start_off"], rows[8]["start_seq"], rows[8]["end_seq"]) == (300, 0, 1)
     assert (rows[16]["start_off"], rows[16]["start_seq"], rows[16]["end_seq"]) == (600, 1, 1)
     assert (rows[24]["n_tokens"], rows[24]["start_seq"], rows[24]["end_seq"]) == (0, 1, 1)
+
+
+def test_key_skew_profile_values(spark):
+    import pandas as pd
+
+    from trendengine_spark.operators.profile import key_skew_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 6 + [2] * 3 + [3] * 1, "v": range(10)})
+    )
+    r = key_skew_profile(df, "k", top_k=2).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_per_key"]) == (10, 3, 6)
+    assert abs(r["mean_per_key"] - 10 / 3) < 1e-6
+    assert abs(r["skew_ratio"] - 6 / (10 / 3)) < 1e-6
+    assert r["hot_keys"] == "1:6,2:3"
+
+
+def test_null_profile_counts(spark):
+    import pandas as pd
+
+    from trendengine_spark.operators.profile import null_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, None, 3], "b": [None, None, "x"]})
+    )
+    rows = {r["column_name"]: r for r in null_profile(df).collect()}
+    assert rows["a"]["n_null"] == 1 and rows["b"]["n_null"] == 2
+    assert rows["b"]["null_frac"] == round(2 / 3, 6)

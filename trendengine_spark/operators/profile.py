@@ -1,0 +1,88 @@
+"""Data-profiling operators (pipeline ops tooling).
+
+At 100 TB the two questions a pipeline operator asks before tuning are
+"is this join key skewed?" (→ :func:`key_skew_profile`, the diagnosis
+that motivates :func:`~trendengine_spark.operators.relational.salted_join`
+or AQE skew split) and "how dirty is this table?" (→
+:func:`null_profile`). Both are single-aggregation plans: the skew
+profile is one groupBy + one tiny top-k collect-free roll-up, the null
+profile one full-scan aggregate with no shuffle wider than a single
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Key-distribution profile for a prospective join/groupBy key:
+    one row with total rows, distinct keys, the max and mean per-key
+    counts, the skew ratio (max/mean — the straggler multiplier a
+    shuffle on this key would suffer), and the ``top_k`` hottest keys
+    with counts. All exact; the only shuffle is the groupBy on the
+    key itself."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy(F.desc("_cnt"), F.col(key_col).asc())
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    # the ranked window is global but its input is one row per key —
+    # bounded by key cardinality, not table size; for billion-key
+    # domains swap in ranked_global or a TakeOrdered on (_cnt desc)
+    # hot keys flatten to "key:cnt" strings — engine-portable (struct
+    # arrays stringify differently per client) and driver-hashable
+    top = ranked.filter(F.col("_rn") <= top_k).select(
+        F.concat_ws(
+            ":", F.col(key_col).cast("string"), F.col("_cnt").cast("string")
+        ).alias("hot"),
+        "_rn",
+    )
+    agg = counts.agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_cnt").alias("max_per_key"),
+        (F.sum("_cnt") / F.count(F.lit(1))).alias("mean_per_key"),
+    ).withColumn(
+        "skew_ratio", F.round(F.col("max_per_key") / F.col("mean_per_key"), 6)
+    )
+    # collect_list order is not contractual — sort by rank inside the
+    # aggregate (array_sort on (rank, value) structs) for determinism
+    hot = top.agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "hot"))),
+                lambda s: s["hot"],
+            ),
+        ).alias("hot_keys")
+    )
+    return agg.join(hot).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        F.round("mean_per_key", 6).alias("mean_per_key"),
+        "skew_ratio",
+        "hot_keys",
+    )
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column completeness: one output row per profiled column with
+    row count, null count and null fraction. One full-scan aggregate
+    (all counters partial-combined map-side), then a stack to long
+    form — no shuffle wider than one row."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `_null_{c}`" for c in cols)
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null)",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac"),
+    )

@@ -59,8 +59,9 @@ _SPINE_FIRST = [
     "sim_cosine_topk", "sim_ann_hyperplane", "sim_ivf_topk",
     "sim_embedding_near_dup", "sim_label_centroid_dist",
     "sim_embedding_l2norm", "sim_embedding_quantize_int8",
-    # LLM: pipeline assembly (new in r5)
+    # LLM: pipeline assembly + profiling (new in r5)
     "pipeline_stratified_sample", "pipeline_pack_sequences",
+    "profile_key_skew", "profile_table_nulls",
     # LLM: multimodal (PNG/JPEG/WAV are REAL decoders; PNG/WAV never
     # driver-checked, JPEG new in r5)
     "multimodal_content_stats", "multimodal_png_decode",
@@ -75,14 +76,12 @@ _SPINE_FIRST = [
     "window_running_sum", "window_ntile_firstlast", "sort_limit_topn",
     # §2.6 set ops + grouped analytics
     "set_union_distinct", "set_intersect", "set_except",
-    "set_distinct_pairs", "rollup_year_quarter", "cube_flag_status",
+    "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
-    # §2.6 scalar function families (string leads; lambda fns sit in
-    # the r4-green spine, math/date/array/json rotate below the line)
-    "scalar_string_fns",
-    # ---- 50-row budget line (rows-only/fake-mode and the remaining
-    # scalar/distinct entries next; the thrice-green §2 spine follows
-    # in its r3/r4 order) ----
+    # ---- 50-row budget line (scalar fns sit in the r4-green spine
+    # via scalar_lambda_fns; the rest rotate below, then the
+    # thrice-green §2 spine in its r3/r4 order) ----
+    "set_distinct_pairs", "scalar_string_fns",
     "scalar_date_fns", "scalar_math_fns", "scalar_array_fns",
     "exact_distinct_twin", "scalar_json_fns", "approx_vs_exact_distinct",
     "multimodal_feature_extract", "multimodal_resize",

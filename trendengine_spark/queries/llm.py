@@ -915,3 +915,65 @@ def text_chunk_windows(spark, sf_dir):
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+@query(
+    "profile_key_skew",
+    sql="""
+    WITH counts AS (
+      SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+    ), agg AS (
+      SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+             max(cnt) AS max_per_key,
+             round(sum(cnt) / CAST(count(*) AS DOUBLE), 6) AS mean_per_key,
+             round(max(cnt) / (sum(cnt) / CAST(count(*) AS DOUBLE)), 6) AS skew_ratio
+      FROM counts
+    ), hot AS (
+      SELECT array_to_string(
+               list(CAST(k AS VARCHAR) || ':' || CAST(cnt AS VARCHAR)
+                    ORDER BY cnt DESC, k ASC)[1:5], ',') AS hot_keys
+      FROM counts
+    )
+    SELECT n_rows, n_keys, max_per_key, mean_per_key, skew_ratio, hot_keys
+    FROM agg, hot
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis (the measurement that motivates
+    salted_join / AQE skew split): total rows, distinct keys, max and
+    mean per-key counts, the straggler multiplier (max/mean), and the
+    5 hottest keys. One groupBy on the key + a key-cardinality-bounded
+    roll-up."""
+    from trendengine_spark.operators.profile import key_skew_profile
+
+    return key_skew_profile(t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=5)
+
+
+@query(
+    "profile_table_nulls",
+    sql="""
+    WITH one AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE doc_id IS NULL) AS n0,
+             count(*) FILTER (WHERE text IS NULL) AS n1,
+             count(*) FILTER (WHERE lang IS NULL) AS n2,
+             count(*) FILTER (WHERE source IS NULL) AS n3,
+             count(*) FILTER (WHERE n_chars IS NULL) AS n4
+      FROM documents
+    )
+    SELECT u.column_name, one.n AS n_rows, u.n_null,
+           round(u.n_null / CAST(one.n AS DOUBLE), 6) AS null_frac
+    FROM one, LATERAL (
+      VALUES ('doc_id', n0), ('text', n1), ('lang', n2),
+             ('source', n3), ('n_chars', n4)
+    ) AS u(column_name, n_null)
+    """,
+)
+def profile_table_nulls(spark, sf_dir):
+    """Per-column completeness profile of the documents table: one
+    full-scan aggregate (map-side combined), stacked to long form —
+    the data-quality gate a training pipeline runs before anything
+    else."""
+    from trendengine_spark.operators.profile import null_profile
+
+    return null_profile(t(spark, sf_dir, "documents"))
