@@ -44,12 +44,14 @@ def test_no_cartesian_products_anywhere(spark):
     broadcast nested loops allowed are the intentional tiny-side
     ones (query-vector broadcast in similarity search)."""
     # intentional tiny-build-side broadcasts: query vectors (similarity),
-    # a 1-row global aggregate (scalar subquery, watermark horizon)
+    # a 1-row global aggregate (scalar subquery, watermark horizon,
+    # the skew profile's 1-row × 1-row roll-up join)
     allowed_bnlj = {
         "sim_cosine_topk",
         "sim_ann_hyperplane",
         "subquery_scalar_avg",
         "stream_late_data_policy",
+        "profile_key_skew",
     }
     offenders = []
     for name in sorted(REGISTRY):
