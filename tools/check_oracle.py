@@ -2,9 +2,22 @@
 
 Runs every ``queries()`` entry on Spark and, where ``oracle_sql()``
 declares SQL, the same query on DuckDB over the identical parquet
-tables; compares row count, column-name set, and (strictly) the
-sorted value matrix. Strict row equality is a superset of any
-reasonable driver hash, so green here ⇒ green in CORRECTNESS_r{N}.
+tables, then compares row count, column-name set, and the canonical
+value matrix **the way the driver does**: both result sets are pulled
+through pandas (Spark ``toPandas()``, DuckDB ``.df()``), columns
+sorted by name, rows sorted by all columns, and every cell stringified
+with plain ``str()`` — no numeric normalization. That reproduces both
+driver failure modes round 5 exposed (the old ``fetchall()`` path
+could not see either):
+
+* DuckDB ``SUM(BIGINT)`` → HUGEINT → pandas float64 (``"60012.0"``)
+  vs Spark int64 (``"60012"``) — hash drift;
+* list-typed output columns crash pandas ``sort_values``
+  (``TypeError: unhashable type: 'list'``).
+
+Every oracle SQL is additionally ``DESCRIBE``-checked before running:
+HUGEINT / list / struct / map output columns are rejected outright,
+because the driver cannot canonicalize them.
 
 Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
 """
@@ -12,7 +25,6 @@ Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 import traceback
@@ -25,23 +37,49 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# DuckDB type-name fragments the driver's pandas canonicalizer cannot
+# survive: HUGEINT loses int-ness through .df() (float64), nested types
+# crash sort_values.
+_BAD_TYPE_FRAGMENTS = ("HUGEINT", "[]", "STRUCT(", "MAP(", "UNION(")
 
-def canon(rows, cols):
-    """Sort columns by name, normalize cell values, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
 
-    def cell(v):
-        if v is None:
-            return "∅"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
+def describe_offenders(con, sql: str) -> list[tuple[str, str]]:
+    """Return (column, type) pairs whose DuckDB output type the driver
+    harness cannot canonicalize (HUGEINT / list / struct / map)."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        (name, dtype)
+        for name, dtype, *_ in desc
+        if any(frag in dtype.upper() for frag in _BAD_TYPE_FRAGMENTS)
+    ]
 
-    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+def _cell(v):
+    """str() of a pandas scalar, with one normalization: plain
+    ``datetime.date`` (Spark DATE via toPandas) renders as a midnight
+    Timestamp so it compares equal to DuckDB's datetime64[ns] DATE —
+    the driver hashes these equal (scalar_date_fns/window_running_sum
+    were green in r4/r5), so raw str() would false-fail here. Numeric
+    types stay raw: int64 60012 vs float64 60012.0 must differ."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return str(_pd.Timestamp(v))
+    return str(v)
+
+
+def canon_pandas(df):
+    """Driver-style canonical matrix: columns sorted by name, rows
+    sorted by every column, each cell stringified via :func:`_cell`
+    (so int64 60012 and float64 60012.0 stringify differently,
+    exactly as they do in the driver's hash)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return [tuple(_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main() -> int:
@@ -75,35 +113,48 @@ def main() -> int:
             print(f"?? {name}: not declared")
             continue
         t0 = time.time()
+        if name in oracles:
+            offenders = describe_offenders(con, oracles[name])
+            if offenders:
+                print(
+                    f"FAIL {name}: oracle SQL emits driver-hostile column types "
+                    f"{offenders} (HUGEINT/list/struct break pandas canon)"
+                )
+                n_fail += 1
+                continue
         try:
             sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(spd)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spd) != len(dpd):
+            problems.append(f"rowcount spark={len(spd)} duckdb={len(dpd)}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            problems.append(
+                f"cols spark={sorted(spd.columns)} duckdb={sorted(dpd.columns)}"
+            )
         if not problems:
-            sc, dc = canon(srows, scols), canon(drows, dcols)
+            try:
+                sc, dc = canon_pandas(spd), canon_pandas(dpd)
+            except Exception as e:
+                print(f"FAIL {name}: canonicalizer crash ({e!r}) — driver would err")
+                n_fail += 1
+                continue
             if sc != dc:
                 diffs = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b][:3]
                 detail = "; ".join(
@@ -114,7 +165,7 @@ def main() -> int:
             print(f"FAIL {name}: {' | '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spd)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")

@@ -12,6 +12,18 @@ before hashing, so every computed column is aliased identically in
 the Spark plan and the oracle SQL. Floating-point aggregates are
 rounded on BOTH sides (sum order differs between engines; rounding
 makes the hash deterministic).
+
+Output-type discipline (round-5 lesson): the driver canonicalizes
+both engines' results through pandas, so every oracle SQL must
+DESCRIBE to scalar, non-HUGEINT columns. DuckDB ``SUM(BIGINT)``
+returns HUGEINT, which ``.df()`` converts to float64 (``"60012.0"``
+vs Spark's ``"60012"`` → hash mismatch): wrap every integer SUM —
+window sums included — in ``CAST(... AS BIGINT)``. List/struct/map
+output columns crash the driver's ``sort_values`` canonicalizer
+outright: explode vectors to one scalar row per element or
+``concat_ws``-stringify them. ``tests/test_oracle_types.py``
+DESCRIBE-sweeps every registered oracle SQL and fails the suite on
+any offender; ``tools/check_oracle.py`` applies the same guard.
 """
 
 from __future__ import annotations

@@ -455,11 +455,11 @@ def sim_ivf_topk(spark, sf_dir):
     "sim_embedding_near_dup",
     sql=None,
     doc="Embedding-cosine near-dup pairs via banded hyperplane "
-    "self-bucketing with an adaptive cut at the 99.9th percentile of "
-    "observed candidate similarities — non-vacuous at every sf by "
-    "construction (the synthetic corpus has no cos ≥ 0.9 pairs; a "
-    "fixed threshold there returns 0 rows and proves nothing). No "
-    "all-pairs join.",
+    "self-bucketing with an adaptive cut: 99.9th percentile of "
+    "observed candidate similarities, floored to keep at least "
+    "min_pairs=10 survivors — non-vacuous at every sf by construction "
+    "(the synthetic corpus has no cos ≥ 0.9 pairs; a fixed threshold "
+    "there returns 0 rows and proves nothing). No all-pairs join.",
 )
 def sim_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(
@@ -731,7 +731,7 @@ def pipeline_stratified_sample(spark, sf_dir):
     SELECT doc_id,
            CAST(shard AS BIGINT) AS shard,
            n_tokens,
-           end_off - n_tokens AS start_off,
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
            CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS start_seq,
            CASE WHEN n_tokens > 0
                 THEN CAST(floor((end_off - 1) / 512.0) AS BIGINT)
@@ -813,16 +813,20 @@ def dedup_corpus_survivors(spark, sf_dir):
 @query(
     "sim_embedding_l2norm",
     sql="""
-    SELECT vec_id,
-           CASE WHEN sqrt(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
-                THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
-                ELSE list_transform(embedding,
-                     x -> round(CAST(x AS DOUBLE) /
-                          sqrt(list_sum(list_transform(embedding,
-                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
-           END AS unit_vec
-    FROM embeddings
+    WITH norm AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                  THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+                  ELSE list_transform(embedding,
+                       x -> round(CAST(x AS DOUBLE) /
+                            sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6))
+             END AS unit_vec
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS INT) AS pos, unit_vec[i] AS val
+    FROM norm, unnest(generate_series(1, len(unit_vec))) AS u(i)
     """,
 )
 def sim_embedding_l2norm(spark, sf_dir):
@@ -830,17 +834,17 @@ def sim_embedding_l2norm(spark, sf_dir):
     prep that turns cosine search into plain dot products. Strictly
     sequential double-precision sum per row, so the output is
     bit-reproducible and hash-matches the DuckDB oracle (components
-    rounded to 6 dp on both sides for stable comparison). Single
-    projection pass, no shuffle."""
+    rounded to 6 dp on both sides for stable comparison). Output is
+    exploded to one (vec_id, pos, val) scalar row per component —
+    oracle-checked results must not carry array columns. Projection +
+    generator, no shuffle."""
     from trendengine_spark.operators.similarity import l2_normalize
 
     emb = t(spark, sf_dir, "embeddings")
+    unit = F.transform(l2_normalize(F.col("embedding")), lambda x: F.round(x, 6))
     return emb.select(
-        "vec_id",
-        F.transform(l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)).alias(
-            "unit_vec"
-        ),
-    )
+        "vec_id", F.posexplode(unit).alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val")
 
 
 @query(
@@ -851,15 +855,18 @@ def sim_embedding_l2norm(spark, sf_dir):
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
              embedding
       FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS INT))
+                  ELSE list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127.0) AS INT))
+             END AS codes,
+             round(maxabs / 127.0, 9) AS scale
+      FROM m
     )
-    SELECT vec_id,
-           CASE WHEN maxabs = 0
-                THEN list_transform(embedding, x -> CAST(0 AS INT))
-                ELSE list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127.0) AS INT))
-           END AS codes,
-           round(maxabs / 127.0, 9) AS scale
-    FROM m
+    SELECT vec_id, CAST(i AS INT) AS pos, codes[i] AS code, scale
+    FROM q, unnest(generate_series(1, len(codes))) AS u(i)
     """,
 )
 def sim_embedding_quantize_int8(spark, sf_dir):
@@ -867,13 +874,22 @@ def sim_embedding_quantize_int8(spark, sf_dir):
     (4× storage cut for ANN indexes; scale kept for dequantization).
     Max-abs is order-independent and each element quantizes alone, so
     codes are exactly reproducible and hash-match the DuckDB oracle.
-    Single projection pass, no shuffle."""
+    Output is exploded to one (vec_id, pos, code, scale) scalar row per
+    component — oracle-checked results must not carry array columns.
+    Projection + generator, no shuffle."""
     from trendengine_spark.operators.similarity import quantize_int8
 
     emb = t(spark, sf_dir, "embeddings")
     codes, scale = quantize_int8(F.col("embedding"))
-    return emb.select(
-        "vec_id", codes.alias("codes"), F.round(scale, 9).alias("scale")
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(codes).alias("pos", "code"),
+            F.round(scale, 9).alias("scale"),
+        )
+        .select(
+            "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "code", "scale"
+        )
     )
 
 
@@ -923,7 +939,7 @@ def text_chunk_windows(spark, sf_dir):
     WITH counts AS (
       SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
     ), agg AS (
-      SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
              max(cnt) AS max_per_key,
              round(sum(cnt) / CAST(count(*) AS DOUBLE), 6) AS mean_per_key,
              round(max(cnt) / (sum(cnt) / CAST(count(*) AS DOUBLE)), 6) AS skew_ratio
