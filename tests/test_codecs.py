@@ -235,3 +235,57 @@ def test_jpeg_decode_feature_batch(spark):
     assert list(out["height"]) == [6, 9]
     assert abs(out["mean_luma"][0] - 40 / 255.0) < 1e-12
     assert abs(out["mean_luma"][1] - 80 / 255.0) < 1e-12
+
+
+# ----------------------------------------------------------- AVI (RIFF/MJPEG)
+
+
+def test_avi_mjpeg_round_trip_exact():
+    from trendengine_spark.operators.codecs import (
+        avi_mjpeg_encode,
+        avi_parse,
+        is_avi,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    frames = [
+        jpeg_encode(np.full((16, 16), v, dtype=np.uint8)) for v in (0, 77, 255)
+    ]
+    avi = avi_mjpeg_encode(frames, fps=2)
+    assert is_avi(avi)
+    p = avi_parse(avi)
+    assert p["n_frames"] == 3
+    assert p["us_per_frame"] == 500_000
+    assert (p["width"], p["height"]) == (16, 16)
+    # frame payloads come back byte-identical and still decode exactly
+    assert p["frames"] == frames
+    assert [int(jpeg_decode(f).mean()) for f in p["frames"]] == [0, 77, 255]
+
+
+def test_avi_walker_skips_unknown_chunks():
+    """The parser is a generic RIFF walker: JUNK padding chunks and
+    unknown LISTs (as real muxers emit) must not derail it."""
+    from trendengine_spark.operators.codecs import (
+        avi_mjpeg_encode,
+        avi_parse,
+        jpeg_encode,
+    )
+
+    frames = [jpeg_encode(np.full((8, 8), 42, dtype=np.uint8))]
+    avi = bytearray(avi_mjpeg_encode(frames, fps=1))
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    # splice JUNK right after the 'AVI ' form type, fix up RIFF size
+    avi[12:12] = junk
+    avi[4:8] = struct.pack("<I", len(avi) - 8)
+    p = avi_parse(bytes(avi))
+    assert p["frames"] == frames
+    assert p["n_frames"] == 1
+
+
+def test_avi_rejects_non_avi():
+    from trendengine_spark.operators.codecs import avi_parse, is_avi
+
+    assert not is_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        avi_parse(b"\x89PNG not an avi")

@@ -598,3 +598,148 @@ def _encode_lengths(table: tuple[list[int], list[int]]) -> dict[int, tuple[int, 
     for (length, code), sym in _canonical_codes(*table).items():
         inv[sym] = (code, length)
     return inv
+
+
+# ----------------------------------------------------------- AVI (RIFF/MJPEG)
+#
+# Motion-JPEG inside an AVI RIFF container is the one video format this
+# runtime can handle end-to-end with zero codec libraries: the container
+# is plain chunked RIFF (fourcc + u32le size + payload, even-padded) and
+# every frame is an independent baseline JPEG the decoder above already
+# handles. Writer emits the canonical hdrl(avih + strl(strh+strf)) /
+# movi('00dc' per frame) / idx1 layout; the parser is a generic RIFF
+# chunk walker that tolerates unknown chunks (JUNK, INFO, ...), so it
+# reads real-world MJPEG AVIs, not only its own output.
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes], fps: int = 1, width: int = 0, height: int = 0
+) -> bytes:
+    """Minimal MJPEG-in-AVI writer: one video stream, one '00dc' chunk
+    per JPEG frame, idx1 index. ``width``/``height`` default to the
+    SOF0 dimensions of the first frame."""
+    if not frames:
+        raise ValueError("avi_mjpeg_encode needs at least one frame")
+    if not (width and height):
+        width, height = _jpeg_dimensions(frames[0])
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+
+    avih = struct.pack(
+        "<10I",
+        us_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height,
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_bytes, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_payload = b"movi"
+    idx_entries = []
+    for f in frames:
+        idx_entries.append((len(movi_payload) - 4, len(f)))  # offset from 'movi'
+        movi_payload += _chunk(b"00dc", f)
+    movi = _chunk(b"LIST", movi_payload)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off + 4, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF0/1/2 marker of a JPEG payload."""
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            return w, h
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        i += 2 + seg_len
+    raise ValueError("no SOF marker in JPEG payload")
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF chunk
+    run; skips even-padding, stops cleanly on truncation."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = pos + 8
+        if payload + size > end:
+            break
+        yield fourcc, payload, size
+        pos = payload + size + (size % 2)
+
+
+def avi_parse(data: bytes) -> dict:
+    """Parse an AVI container: main-header timing/geometry + the MJPEG
+    frame payloads, in stream order.
+
+    Returns ``{"us_per_frame", "n_frames", "width", "height",
+    "frames": [jpeg_bytes, ...]}``. Unknown chunks (JUNK, INFO, extra
+    streams' packets) are skipped by fourcc, so the walker handles
+    containers this writer did not produce. Non-RIFF/AVI payloads
+    raise ``ValueError``; genuinely compressed codecs (not MJPG)
+    still decode only as opaque frame bytes — MJPEG is the honest
+    limit of a stdlib-only runtime."""
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI payload")
+    info = {"us_per_frame": 0, "n_frames": 0, "width": 0, "height": 0}
+    frames: list[bytes] = []
+    for fourcc, pos, size in _riff_chunks(data, 12, len(data)):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[pos : pos + 4]
+        if list_type == b"hdrl":
+            for sub, spos, ssize in _riff_chunks(data, pos + 4, pos + size):
+                if sub == b"avih" and ssize >= 40:
+                    vals = struct.unpack("<10I", data[spos : spos + 40])
+                    info["us_per_frame"] = vals[0]
+                    info["n_frames"] = vals[4]
+                    info["width"], info["height"] = vals[8], vals[9]
+        elif list_type == b"movi":
+            for sub, spos, ssize in _riff_chunks(data, pos + 4, pos + size):
+                # 00dc/00db = stream-0 compressed/uncompressed video
+                if sub[2:4] in (b"dc", b"db") and sub[:2].isdigit():
+                    frames.append(data[spos : spos + ssize])
+    if not info["n_frames"]:
+        info["n_frames"] = len(frames)
+    return {**info, "frames": frames}

@@ -27,7 +27,6 @@ from trendengine_spark.operators.dedup import (
 )
 from trendengine_spark.operators.multimodal import (
     attach_fake_media,
-    attach_fake_video,
     extract_media_features,
     media_content_stats,
     resize_images,
@@ -668,23 +667,36 @@ def multimodal_resize(spark, sf_dir):
     "multimodal_frame_sample",
     sql="""
     WITH fr AS (
-        SELECT doc_id, UNNEST(range(0, (doc_id % 120) + 1)) AS i
+        SELECT doc_id, UNNEST(range(0, (doc_id % 4) + 2)) AS i
         FROM documents
     )
     SELECT doc_id,
            CAST(i AS INT) AS frame_idx,
            i * 1000 AS ts_ms,
-           md5(doc_id || ':' || i) AS frame_md5
+           CAST((doc_id * 31 + i * 17) % 256 AS INT) AS gray
     FROM fr
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing: one row per sampled timestamp
-    via mapInPandas row expansion (the shape a real ffmpeg sampler
-    needs); frame decode stubbed behind a deterministic md5 tag."""
-    media = attach_fake_video(t(spark, sf_dir, "documents"))
-    out = sample_frames(media, step_ms=1000, fake=True)
-    return out.select("doc_id", "frame_idx", "ts_ms", "frame_md5")
+    """REAL video decode path (r6): each document carries a valid
+    MJPEG-in-AVI container (RIFF hdrl/movi/idx1, frames are baseline
+    JPEGs) built by ``attach_mjpeg_video``; ``sample_frames``
+    chunk-walks the container for real and ``decode_frame_stats``
+    entropy-decodes every sampled frame. The constant-fill frames
+    decode EXACTLY, so the decoded mean gray level is pure integer
+    arithmetic the DuckDB oracle reproduces — a wrong container walk,
+    frame index, or Huffman/IDCT decode all break the hash. Payloads
+    stay partition-local (mapInPandas); no shuffle."""
+    from trendengine_spark.operators.multimodal import (
+        attach_mjpeg_video,
+        decode_frame_stats,
+    )
+
+    media = attach_mjpeg_video(t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, step_ms=1000, fake=False)
+    return decode_frame_stats(frames).select(
+        "doc_id", "frame_idx", "ts_ms", "gray"
+    )
 
 
 # ------------------------------------------------------- pipeline assembly
