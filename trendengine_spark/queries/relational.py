@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from trendengine_spark.operators.relational import asof_join, topk_per_group
-from trendengine_spark.operators.util import ctx_memo
+from trendengine_spark.operators.relational import asof_join
 from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
 
 
 # ---------------------------------------------------------------- joins
@@ -38,18 +38,22 @@ from trendengine_spark.queries.base import query, t
     """,
 )
 def join_inner_3way(spark, sf_dir):
-    """Inner equi-join chain orders⋈customer⋈nation; nation broadcasts."""
-    o, c, n = (t(spark, sf_dir, x) for x in ("orders", "customer", "nation"))
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2
-            ).cast("double").alias("revenue"),
-        )
+    """Inner equi-join chain orders⋈customer⋈nation; nation broadcasts
+    (hinted — same plan as ``F.broadcast``; built through the SQL
+    front-end: one analysis pass, see ``sqltext``)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(nation) */ n_name, count(1) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        ("orders", "customer", "nation"),
     )
 
 
@@ -242,13 +246,24 @@ def window_rank_orders(spark, sf_dir):
     """,
 )
 def window_topk_per_group(spark, sf_dir):
-    """Top-3 parts per brand (engine topk_per_group helper)."""
-    p = t(spark, sf_dir, "part")
-    out = topk_per_group(
-        p, ["p_brand"], order_by=[F.desc("p_retailprice"), F.asc("p_partkey")], k=3
-    )
-    return out.select(
-        "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn"
+    """Top-3 parts per brand — ``row_number`` over a partitioned
+    window, one shuffle on the group key (same plan as the
+    ``topk_per_group`` DataFrame helper, which remains the
+    programmatic API; built through the SQL front-end)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC,
+                                             p_partkey ASC) AS rn
+          FROM part
+        ) WHERE rn <= 3
+        """,
+        ("part",),
     )
 
 
@@ -792,44 +807,48 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     ~1e9-row partitions). The tiny post-aggregate rows convert back
     through exact decimal multiplication, so results are bit-identical
     to the all-DECIMAL formulation the oracle runs."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    # exact integer re-quantization: x is a 2-dp decimal stored as its
+    # nearest double, so round(x*100) recovers the int exactly. Built
+    # through the SQL front-end: one analysis pass (see ``sqltext``) —
+    # the expression-list form paid ~100 py4j round trips even memoized.
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH li AS (
+          SELECT l_returnflag, l_linestatus, l_quantity,
+                 l_extendedprice, l_discount,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        )
+        SELECT l_returnflag, l_linestatus,
+          round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+          CAST(round(CAST(sum(cents) AS DECIMAL(28,0))
+               * CAST('0.01' AS DECIMAL(4,2)), 2) AS DOUBLE)
+            AS sum_base_price,
+          CAST(round(CAST(sum(cents * (100 - disc_c)) AS DECIMAL(28,0))
+               * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE)
+            AS sum_disc_price,
+          CAST(round(CAST(sum(cents * (100 - disc_c) * (100 + tax_c))
+                          AS DECIMAL(28,0))
+               * CAST('0.000001' AS DECIMAL(8,6)), 2) AS DOUBLE)
+            AS sum_charge,
+          CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty,
+          CAST(CAST(sum(cents) AS DECIMAL(28,0))
+               * CAST('0.01' AS DECIMAL(4,2)) AS DOUBLE)
+            / count(l_extendedprice) AS avg_price,
+          CAST(CAST(sum(disc_c) AS DECIMAL(28,0))
+               * CAST('0.01' AS DECIMAL(4,2)) AS DOUBLE)
+            / count(l_discount) AS avg_disc,
+          count(1) AS count_order
+        FROM li
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        ("lineitem",),
     )
-
-    def _aggs():
-        # exact integer re-quantization: x is a 2-dp decimal stored as
-        # its nearest double, so round(x*100) recovers the int exactly
-        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-        disc_c = F.round(F.col("l_discount") * 100).cast("long")
-        tax_c = F.round(F.col("l_tax") * 100).cast("long")
-        s2 = F.lit("0.01").cast("decimal(4,2)")  # scale-2 → value
-        s4 = F.lit("0.0001").cast("decimal(6,4)")  # scale-4 → value
-        s6 = F.lit("0.000001").cast("decimal(8,6)")  # scale-6 → value
-        dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
-        return [
-            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
-            F.round(dec(F.sum(cents)) * s2, 2).cast("double").alias("sum_base_price"),
-            F.round(dec(F.sum(cents * (100 - disc_c))) * s4, 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(dec(F.sum(cents * (100 - disc_c) * (100 + tax_c))) * s6, 2)
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum("l_quantity").cast("double") / F.count("l_quantity")).alias(
-                "avg_qty"
-            ),
-            (
-                (dec(F.sum(cents)) * s2).cast("double") / F.count("l_extendedprice")
-            ).alias("avg_price"),
-            ((dec(F.sum(disc_c)) * s2).cast("double") / F.count("l_discount")).alias(
-                "avg_disc"
-            ),
-            F.count(F.lit(1)).alias("count_order"),
-        ]
-
-    # ~100 py4j round trips of pure expression algebra — built once
-    aggs = ctx_memo(spark, "tpch_q1.aggs", _aggs)
-    return li.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
 
 
 @query(
@@ -854,26 +873,24 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     the exactness argument) — the per-row product and the per-group sum
     stay in codegen long arithmetic; only the few grouped rows touch
     DECIMAL on the way out."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    s4 = F.lit("0.0001").cast("decimal(6,4)")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(cents * (100 - disc_c)).cast("decimal(28,0)") * s4, 2)
-            .cast("double")
-            .alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey,
+               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS DECIMAL(28,0))
+                    * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders   ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        ("customer", "orders", "lineitem"),
     )
 
 

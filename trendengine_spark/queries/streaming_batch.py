@@ -27,6 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
 
 _US = 1_000_000
 HOUR_US = 3600 * _US  # folded: 3600 * 1e6 overflows INT32 inline in DuckDB
@@ -126,23 +127,27 @@ def stream_sliding_window(spark, sf_dir):
 )
 def stream_session_window(spark, sf_dir):
     """Session windows with a 30-minute inactivity gap per user —
-    the real ``F.session_window`` operator (streaming twin uses the
-    identical expression after ``withWatermark``)."""
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
-            .cast("double")
-            .alias("total"),
+    the real ``session_window`` operator (streaming twin uses the
+    identical expression after ``withWatermark``); built through the
+    SQL front-end for a single analysis pass (see ``sqltext``)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id,
+               session_window.start AS session_start,
+               session_window.end AS session_end,
+               n_events, total
+        FROM (
+          SELECT user_id, session_window(ts, '30 minutes') AS session_window,
+                 count(1) AS n_events,
+                 CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE)
+                   AS total
+          FROM events
+          GROUP BY user_id, session_window(ts, '30 minutes')
         )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events", "total",
-        )
+        """,
+        ("events",),
     )
 
 

@@ -27,6 +27,7 @@ from trendengine_spark.operators.composite import annual_composite, monthly_comp
 from trendengine_spark.operators.quality import qualified_series
 from trendengine_spark.operators.stats import category_counts, decode_trend_type
 from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
 
 
 # --- F1: temporal range filter (reference filterDate, polytrend.py:452-458)
@@ -216,14 +217,23 @@ def f8_decode_labels(spark, sf_dir):
     """,
 )
 def a1_annual_composite(spark, sf_dir):
-    """A1: per-series annual mean composite — one hash aggregate."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_shipdate").alias("time"),
-        F.col("l_extendedprice").alias("value"),
+    """A1: per-series annual mean composite — one hash aggregate.
+
+    Same exact-decimal mean as the ``annual_composite`` operator
+    (``operators/composite.py``, which remains the programmatic API
+    and is exercised by a1_max/a2/engine flows); built through the
+    SQL front-end for a single analysis pass (see ``sqltext``)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, year(l_shipdate) AS yr,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
+                 / count(l_extendedprice) AS value
+        FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
+        """,
+        ("lineitem",),
     )
-    out = annual_composite(li, ["l_returnflag"])
-    return out.select("l_returnflag", "yr", "value")
 
 
 # --- A1b: max-composite variant (doc/code conflict, SURVEY §4.4.1)
@@ -378,28 +388,28 @@ def d1_period_pairing(spark, sf_dir):
     fact table to the grid before aggregating would shuffle the whole
     table on ~80 distinct month values — a textbook low-cardinality
     skew shuffle at 100× scale."""
-    o = t(spark, sf_dir, "orders").withColumn(
-        "m", F.date_trunc("month", "o_orderdate")
-    )
-    per_month = o.groupBy("m").agg(
-        F.count("o_orderkey").alias("_n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")), 2)
-        .cast("double")
-        .alias("_rev"),
-    )
-    months = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("1995-01-01").cast("timestamp"),
-                F.lit("2001-08-01").cast("timestamp"),
-                F.expr("interval 1 month"),
-            )
-        ).alias("m")
-    )
-    return months.join(F.broadcast(per_month), "m", "left").select(
-        F.col("m").alias("period_start"),
-        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
-        F.coalesce(F.col("_rev"), F.lit(0.0)).alias("revenue"),
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 count(o_orderkey) AS _n,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2)
+                      AS DOUBLE) AS _rev
+          FROM orders GROUP BY 1
+        ), months AS (
+          SELECT explode(sequence(TIMESTAMP '1995-01-01',
+                                  TIMESTAMP '2001-08-01',
+                                  interval 1 month)) AS m
+        )
+        SELECT /*+ BROADCAST(per_month) */
+               months.m AS period_start,
+               coalesce(_n, 0) AS n_orders,
+               coalesce(_rev, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """,
+        ("orders",),
     )
 
 
