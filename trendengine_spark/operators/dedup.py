@@ -158,29 +158,36 @@ def minhash_signatures(
     codegen min aggregates here; the map-side partial agg means the
     shuffle carries only one 64-long row per document anyway.
     """
-    sh = shingles(df, id_col, text_col, n).withColumn(
-        "_h", F.xxhash64(F.col("shingle"))
+    # Plan built through the SQL front-end (see ``sqltext``): the
+    # 64-wide aggregate list costs ONE JVM-side parse instead of
+    # hundreds of py4j round trips — even with ctx_memo'd Column
+    # trees, shipping the list into groupBy().agg() plus the eager
+    # per-step analysis measured ~300 ms of client latency per build
+    # (tools/profile_constants.py). The SQL text reproduces
+    # :func:`shingles` exactly (same \\G-anchored regex — its
+    # rationale lives on that function, which remains the DataFrame
+    # API for composition). ``mount`` keeps view names distinct when
+    # two corpora's subplans compose in one query.
+    spark = df.sparkSession
+    view = f"_te_minhash_in_{mount}"
+    fan_out(df).createOrReplaceTempView(view)
+    sql_pat = r"\\G(?=((?:\\S+ ){%d}\\S+))\\S+ ?" % (n - 1)
+    mins = ", ".join(f"min(xxhash64(_h, {i}))" for i in range(num_perm))
+    return spark.sql(
+        f"""
+        WITH sh AS (
+          SELECT `{id_col}` AS id,
+                 explode(array_distinct(regexp_extract_all(
+                   concat_ws(' ', filter(split(trim(`{text_col}`), '\\\\s+'),
+                                         x -> x != '')),
+                   '{sql_pat}', 1))) AS shingle
+          FROM {view}
+        )
+        SELECT id, array({mins}) AS signature
+        FROM (SELECT id, xxhash64(shingle) AS _h FROM sh WHERE shingle != '')
+        GROUP BY id
+        """
     )
-    # the 64-wide aggregate list is ~320 py4j round trips to build
-    # (~1.1 s at default width — 10× the query's execution time), so
-    # the name-based expression trees are built once per context.
-    # ``mount`` is folded into the memo key: callers composing TWO
-    # signature subplans in one query plan (union/join of corpora)
-    # pass distinct mounts so each gets its own exprIds (see ctx_memo
-    # contract).
-    mins, arr = ctx_memo(
-        df.sparkSession,
-        f"minhash.exprs.{num_perm}.{mount}",
-        lambda: (
-            [
-                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
-                for i in range(num_perm)
-            ],
-            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
-        ),
-    )
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", arr)
 
 
 def minhash_lsh_pairs(
@@ -237,83 +244,66 @@ def minhash_lsh_pairs(
         minhash_signatures(df, num_perm, id_col, text_col, n, mount=mount),
         f"dedup.minhash.sig.{num_perm}.{n}.{mount}",
     )
-    band_explode = ctx_memo(
-        df.sparkSession,
-        f"minhash.bands.{num_perm}.{bands}.{mount}",
-        lambda: F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", bi * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bh"),
+    # band/verify plan built through the SQL front-end — one JVM
+    # parse for the 16-struct band explode + bucket self-join instead
+    # of hundreds of eager-analysis py4j round trips (the band
+    # expression list alone measured ~200 ms/build even ctx_memo'd).
+    spark = df.sparkSession
+    sig_view = f"_te_minhash_sig_{num_perm}_{bands}_{mount}"
+    sig.createOrReplaceTempView(sig_view)
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+            bi=bi,
+            parts=", ".join(
+                f"CAST(element_at(signature, {bi * r + j + 1}) AS STRING)"
+                for j in range(r)
+            ),
+        )
+        for bi in range(bands)
     )
-    est_jaccard = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(float(num_perm))
-    ).alias("est_jaccard")
-
+    est_expr = (
+        "size(filter(zip_with(a.signature, b.signature,"
+        " (x, y) -> CAST(x = y AS INT)), v -> v = 1))"
+        f" / CAST({num_perm} AS DOUBLE)"
+    )
     if carry_signatures:
-        banded = sig.select("id", "signature", band_explode).select(
-            "id", "signature", "bh.band", "bh.bucket"
+        return spark.sql(
+            f"""
+            WITH banded AS (
+              SELECT id, signature, bh.band AS band, bh.bucket AS bucket
+              FROM {sig_view}
+              LATERAL VIEW explode(array({band_structs})) bt AS bh
+            ), pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, {est_expr} AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            )
+            SELECT DISTINCT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+            FROM pairs WHERE est_jaccard >= {threshold!r}
+            """
         )
-        a = banded.select(
-            F.col("id").alias("id_a"),
-            F.col("signature").alias("sig_a"),
-            "band",
-            "bucket",
+    est_expr_sig = est_expr.replace("a.signature", "sa.signature").replace(
+        "b.signature", "sb.signature"
+    )
+    return spark.sql(
+        f"""
+        WITH banded AS (
+          SELECT id, bh.band AS band, bh.bucket AS bucket
+          FROM {sig_view}
+          LATERAL VIEW explode(array({band_structs})) bt AS bh
+        ), cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ), est AS (
+          SELECT id_a, id_b, {est_expr_sig} AS est_jaccard
+          FROM cands JOIN {sig_view} sa ON sa.id = id_a
+                     JOIN {sig_view} sb ON sb.id = id_b
         )
-        b = banded.select(
-            F.col("id").alias("id_b"),
-            F.col("signature").alias("sig_b"),
-            "band",
-            "bucket",
-        )
-        est = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", est_jaccard)
-            .filter(F.col("est_jaccard") >= threshold)
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    else:
-        banded = sig.select("id", band_explode).select(
-            "id", "bh.band", "bh.bucket"
-        )
-        a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-        b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-        cands = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-        sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-        est = (
-            cands.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select("id_a", "id_b", est_jaccard)
-            .filter(F.col("est_jaccard") >= threshold)
-        )
-    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= {threshold!r}
+        """
+    )
 
 
 def dedup_clusters(

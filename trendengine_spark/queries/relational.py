@@ -872,12 +872,20 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     Revenue sums in fixed-point int64 (see tpch_q1_pricing_summary for
     the exactness argument) — the per-row product and the per-group sum
     stay in codegen long arithmetic; only the few grouped rows touch
-    DECIMAL on the way out."""
+    DECIMAL on the way out.
+
+    Join strategy is pinned to the shape that survives scale: the
+    selective dim (filtered customer) broadcasts; the fact-fact
+    orders⋈lineitem join is SHUFFLE_HASH — auto-planning instead
+    broadcasts the c⋈o intermediate, whose size grows with SF (wrong
+    at 100 TB) and whose extra broadcast-build job measured +125 ms
+    at sf0.1."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
-        SELECT l_orderkey,
+        SELECT /*+ BROADCAST(customer), SHUFFLE_HASH(lineitem) */
+               l_orderkey,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                          AS DECIMAL(28,0))
