@@ -147,11 +147,13 @@ def main() -> None:
             run(fn(spark, sf_dir))
             drop_new_caches()
             best = float("inf")
-            # min of three timed runs: the box is shared with the
+            # min of five timed runs: the box is shared with the
             # harness, so a single sample carries ±50% scheduler
-            # noise. Each run builds a FRESH plan (no shuffle-stage
-            # or result reuse) and executes it end-to-end.
-            for _ in range(3):
+            # noise (r6 measured ±20% run-to-run even on an idle
+            # box at min-of-3). Each run builds a FRESH plan (no
+            # shuffle-stage or result reuse) and executes it
+            # end-to-end.
+            for _ in range(5):
                 t0 = time.perf_counter()
                 run(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)

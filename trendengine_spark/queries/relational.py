@@ -993,3 +993,182 @@ def tpch_q14_promo_effect(spark, sf_dir):
             ).alias("promo_pct"),
         )
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: the slim schema has no commit/receipt
+    dates, so "late" = any line shipped >90 days after the order
+    date): EXISTS decorrelates to a LEFT-SEMI join on the order key —
+    one shuffle keyed by l_orderkey, no subquery re-execution. The
+    semi-join build side carries only (l_orderkey, l_shipdate)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, count(1) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        """,
+        ("orders", "lineitem"),
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    sql="""
+    SELECT n_name,
+           CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS DECIMAL(28,0))
+                * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the 6-way local-supplier-volume join. Scale
+    plan: supplier/nation/region broadcast (bounded dims), the
+    customer⋈orders and orders⋈lineitem fact joins shuffle on their
+    natural keys (SHUFFLE_HASH pinned on lineitem — auto-planning
+    would broadcast a with-SF-growing intermediate). Revenue in
+    fixed-point int64 (see tpch_q1)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
+                   BROADCAST(region), SHUFFLE_HASH(lineitem) */
+               n_name,
+               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS DECIMAL(28,0))
+                    * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS DECIMAL(28,0))
+                * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Global top-n on the grouped result plans as
+    TakeOrderedAndProject (no full sort); the order key is
+    (revenue DESC, c_custkey) so the limit cut is deterministic
+    under ties. nation broadcasts; the fact joins shuffle."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(nation), SHUFFLE_HASH(lineitem) */
+               c_custkey, c_name,
+               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS DECIMAL(28,0))
+                    * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue,
+               round(c_acctbal, 2) AS acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        ("customer", "orders", "lineitem", "nation"),
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    sql="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customers via an aggregated
+    HAVING subquery joined back to orders/customer. The quantity
+    roll-up happens FIRST (map-side partial sum keyed by l_orderkey),
+    so the join probes carry one row per qualifying order — never the
+    raw lineitem. Quantities are integral doubles, so the sum is
+    exact in both engines."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250) big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        """,
+        ("lineitem", "orders", "customer"),
+    )

@@ -74,6 +74,63 @@ def f2_bbox_filter(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
 
 
+# --- Spatial curve clustering (SURVEY §4.1 deferred item, now real)
+@query(
+    "spatial_zorder_rollup",
+    sql="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS cx,
+             CAST(round(l_discount * 100) AS BIGINT) AS cy,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), s1 AS (SELECT (cx | (cx << 8)) & 16711935 AS x,
+                     (cy | (cy << 8)) & 16711935 AS y, cents FROM cells),
+    s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+                  (y | (y << 4)) & 252645135 AS y, cents FROM s1),
+    s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+                  (y | (y << 2)) & 858993459 AS y, cents FROM s2),
+    s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+                  (y | (y << 1)) & 1431655765 AS y, cents FROM s3)
+    SELECT x | (y << 1) AS zkey, count(*) AS n_lines,
+           CAST(round(CAST(sum(cents) AS DECIMAL(28,0))
+                * CAST('0.01' AS DECIMAL(4,2)), 2) AS DOUBLE) AS revenue
+    FROM s4 GROUP BY 1
+    """,
+)
+def spatial_zorder_rollup(spark, sf_dir):
+    """Z-order (Morton) spatial roll-up: the 2-D cell domain
+    (integral quantity × 2-dp discount cells — exact integer
+    quantization on both engines) collapses to ONE long grouping key
+    via codegen bit-interleave (``operators/spatial.morton_key``), so
+    the aggregate shuffles on a single co-locating key and prefix
+    truncation coarsens the grid without re-keying. The write-side
+    twin (``cluster_by_curve``) range-partitions by the same key for
+    min-max row-group pruning; layout properties are asserted in
+    tests/test_spatial.py."""
+    from trendengine_spark.operators.spatial import morton_key
+
+    li = t(spark, sf_dir, "lineitem")
+    zkey = morton_key(
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(zkey, cents.alias("cents"))
+        .groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum("cents").cast("decimal(28,0)")
+                * F.lit("0.01").cast("decimal(4,2)"),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # --- F3: column pruning / band projection (reference dbest.py:576-580)
 @query(
     "f3_projection",
