@@ -82,6 +82,46 @@ def s3_schema_on_read(spark, sf_dir):
     )
 
 
+# --- S7: partitioned raster-region acquisition (Python data source)
+@query(
+    "raster_region_ingest",
+    sql=None,
+    doc="GEE-style region acquisition through the te_region Python "
+    "data source (one InputPartition per tile-year, range-filter "
+    "pushdown prunes the grid) → per-year annual composite. "
+    "Rows-only by design: the source is not a DuckDB-readable "
+    "table; the synthetic field, cadence, pushdown, and composite "
+    "math are pinned in tests/test_region_source.py.",
+)
+def raster_region_ingest(spark, sf_dir):
+    """S7: the reference's acquire→composite flow with the capacity
+    wall removed — ``getRegion`` materialized one region × period on
+    the driver and error-paged past a size limit
+    (utils.py:9-14, polytrend.py:479-481); the te_region source
+    partitions acquisition by (tile, year) and pushes range filters
+    into the partition grid. ``sf_dir`` is unused: the source IS the
+    table."""
+    from trendengine_spark.operators.composite import annual_composite
+    from trendengine_spark.sources import register_sources
+
+    register_sources(spark)
+    obs = (
+        spark.read.format("te_region")
+        .option("dataset", "gimms")
+        .option("bbox", "0,0,8,8")
+        .option("years", "2001,2004")
+        .load()
+        .filter(F.col("time") >= F.lit("2002-01-01").cast("timestamp"))
+    )
+    ann = annual_composite(
+        obs.select("longitude", "latitude", "time", "value"),
+        ["longitude", "latitude"],
+    )
+    return ann.select(
+        "longitude", "latitude", "yr", F.round("value", 6).alias("value")
+    )
+
+
 # --------------------------------------------------------- subqueries
 @query(
     "subquery_scalar_avg",
