@@ -47,14 +47,20 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: r6). The r5-green LLM/join/window/set/grouped families rotate below
 #: the line; their fresh green history stands.
 _SPINE_FIRST = [
-    # Fixed this round — the only r5 reds (driver-harness type
-    # mismatches: HUGEINT→float64 drift, array-column canonicalizer
-    # crash); must get green r6 rows
+    # Fixed in r6 — the only r5 reds (driver-harness type mismatches:
+    # HUGEINT→float64 drift, array-column canonicalizer crash); must
+    # get green r6 rows
     "pipeline_pack_sequences", "profile_key_skew",
     "sim_embedding_l2norm", "sim_embedding_quantize_int8",
-    # Modified this round: adaptive-cut min_pairs floor / empty-query
+    # Modified in r6: adaptive-cut min_pairs floor / empty-query
     # guard (rows-only by design; fresh row counts are the evidence)
     "sim_embedding_near_dup", "sim_ann_hyperplane",
+    # NEW in r6 — need their first driver rows: TPC-H q4/q5/q10/q13/
+    # q18/q22 shapes, Z-order spatial roll-up, te_region data source
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer", "tpch_q22_global_sales_opportunity",
+    "spatial_zorder_rollup", "raster_region_ingest",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
@@ -68,21 +74,21 @@ _SPINE_FIRST = [
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
     "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels",
-    "a1_annual_composite", "a1_annual_composite_max",
-    "a2_monthly_composite", "a2b_fill_missing_months",
-    "a2c_interpolate_gaps", "a3_count_distinct",
+    "a1_annual_composite", "a2_monthly_composite", "a3_count_distinct",
     "a4_a5_category_counts", "a6_sum", "a7_count_rows",
     "d1_period_pairing", "d2_explode_tokens",
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
     "subquery_scalar_avg", "subquery_exists_correlated",
-    "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
-    "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_window", "stream_late_data_policy",
+    "stream_session_window", "stream_tumbling_window",
     "stream_interval_join",
     "tpch_q1_pricing_summary",
     # ---- 50-row budget line (everything below is r4/r5-green or
-    # covered by golden/property tests; r5-greens lead in case the
-    # driver's budget runs long) ----
+    # covered by golden/property tests; the r4 stragglers displaced
+    # by the new-query block lead so they get rows if the driver's
+    # budget runs long) ----
+    "a1_annual_composite_max", "a2b_fill_missing_months",
+    "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",
+    "scalar_lambda_fns", "stream_sliding_window", "stream_late_data_policy",
     "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",
     "dedup_corpus_survivors",

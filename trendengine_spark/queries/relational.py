@@ -1172,3 +1172,80 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
         """,
         ("lineitem", "orders", "customer"),
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    sql="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY n_orders
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution (double
+    aggregate). The left join keeps zero-order customers; the
+    residual predicate rides ON the join (not WHERE — a WHERE would
+    turn it inner). First group-by shuffles on c_custkey; the second
+    input is one row per customer, so the histogram shuffle is tiny."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT n_orders, count(1) AS n_customers
+        FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) per_cust
+        GROUP BY n_orders
+        """,
+        ("customer", "orders"),
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    sql="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: segment stands in for the phone
+    country code, and "never ordered" becomes "no order since
+    2000-01-01" — every synthetic customer has SOME order, so the
+    literal Q22 predicate is vacuous on this data). The scalar
+    average is a 1-row broadcast (no per-row subquery); NOT EXISTS
+    decorrelates to a LEFT-ANTI join on the order key."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment, count(1) AS n_cust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_bal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        """,
+        ("customer", "orders"),
+    )
