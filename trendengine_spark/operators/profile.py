@@ -86,3 +86,40 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "n_null",
         F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac"),
     )
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, buckets: int
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one ``width_bucket``
+    projection + one hash aggregate — a single full-scan pass whose
+    shuffle carries ≤ ``buckets + 2`` rows (underflow bucket 0 and
+    overflow bucket ``buckets + 1`` included, so the histogram always
+    accounts for every row). Bucket edges are reconstructed
+    arithmetically from the bucket id, so the output is
+    self-describing. The at-scale histogram tool when an approximate
+    quantile sketch (``approx_percentile``) is not enough to see
+    multi-modality or out-of-range mass.
+
+    The bucket id is explicit SQL-standard ``width_bucket``
+    arithmetic (floor of the scaled offset, clamped) rather than the
+    builtin — DuckDB lacks the function, and spelling the IEEE ops
+    out guarantees both engines bucket identically at the edges."""
+    w = (hi - lo) / buckets
+    v = F.col(col)
+    b = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(buckets + 1))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(w)) + 1)
+    )
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(w)).alias("lo_edge"),
+            (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("hi_edge"),
+            "n_rows",
+        )
+    )

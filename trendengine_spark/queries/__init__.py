@@ -55,12 +55,15 @@ _SPINE_FIRST = [
     # Modified in r6: adaptive-cut min_pairs floor / empty-query
     # guard (rows-only by design; fresh row counts are the evidence)
     "sim_embedding_near_dup", "sim_ann_hyperplane",
-    # NEW in r6 — need their first driver rows: TPC-H q4/q5/q10/q13/
-    # q18/q22 shapes, Z-order spatial roll-up, te_region data source
+    # NEW in r6 — need their first driver rows: TPC-H q4/q5/q7/q10/
+    # q13/q18/q22 shapes, Z-order spatial roll-up, te_region data
+    # source, numeric histogram profile
     "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customer", "tpch_q22_global_sales_opportunity",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
     "spatial_zorder_rollup", "raster_region_ingest",
+    "profile_numeric_histogram",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
@@ -79,13 +82,13 @@ _SPINE_FIRST = [
     "d1_period_pairing", "d2_explode_tokens",
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
     "subquery_scalar_avg", "subquery_exists_correlated",
-    "stream_session_window", "stream_tumbling_window",
-    "stream_interval_join",
+    "stream_session_window",
     "tpch_q1_pricing_summary",
     # ---- 50-row budget line (everything below is r4/r5-green or
     # covered by golden/property tests; the r4 stragglers displaced
     # by the new-query block lead so they get rows if the driver's
     # budget runs long) ----
+    "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",
     "scalar_lambda_fns", "stream_sliding_window", "stream_late_data_policy",

@@ -1005,3 +1005,32 @@ def profile_table_nulls(spark, sf_dir):
     from trendengine_spark.operators.profile import null_profile
 
     return null_profile(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "profile_numeric_histogram",
+    sql="""
+    SELECT CAST(bucket AS INT) AS bucket,
+           0.0 + (bucket - 1) * 30000.0 AS lo_edge,
+           0.0 + bucket * 30000.0 AS hi_edge,
+           count(*) AS n_rows
+    FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                      WHEN o_totalprice >= 600000.0 THEN 21
+                      ELSE CAST(floor((o_totalprice - 0.0) / 30000.0) AS INT) + 1
+                 END AS bucket
+          FROM orders)
+    GROUP BY bucket
+    """,
+)
+def profile_numeric_histogram(spark, sf_dir):
+    """Equi-width value histogram (``operators/profile.py:
+    numeric_histogram``): one width_bucket scan + one ≤22-row
+    aggregate; under/overflow buckets keep total mass accountable.
+    The bucket id is explicit width_bucket arithmetic spelled out in
+    IEEE double ops on both engines (DuckDB lacks the builtin), so
+    the result hash-matches."""
+    from trendengine_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(
+        t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 20
+    )

@@ -1249,3 +1249,60 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         """,
         ("customer", "orders"),
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS yr, count(*) AS n_lines,
+           CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS DECIMAL(28,0))
+                * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey = n2.n_regionkey
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (adapted: the classic two-nation filter keeps
+    ~2 groups on this synthetic data, so the predicate is
+    intra-region cross-nation trade — same plan shape, non-vacuous):
+    nation joined TWICE under different aliases (supplier side /
+    customer side), dims broadcast, fact-fact SHUFFLE_HASH, yearly
+    revenue roll-up in fixed-point int64."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(supplier), BROADCAST(n1), BROADCAST(n2),
+                   SHUFFLE_HASH(lineitem) */
+               n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS yr, count(1) AS n_lines,
+               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS DECIMAL(28,0))
+                    * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_regionkey = n2.n_regionkey
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        ("lineitem", "supplier", "orders", "customer", "nation"),
+    )
