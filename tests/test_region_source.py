@@ -111,3 +111,58 @@ def test_acquisition_to_composite_pipeline(spark, region_df):
     rows = ann.groupBy("yr").count().orderBy("yr").collect()
     assert [r["yr"] for r in rows] == [2001, 2002, 2003]
     assert all(r["count"] == 64 for r in rows)
+
+
+def test_stream_reader_offsets_and_partitions():
+    """Offset admission: each latestOffset call admits at most
+    dates_per_batch dates; a batch splits into one partition per
+    tile; an empty range yields a single empty partition."""
+    from trendengine_spark.sources.region import RegionStreamReader
+
+    r = RegionStreamReader(
+        {"dataset": "gimms", "bbox": "0,0,4,2", "years": "2001,2001",
+         "tile_deg": "2.0", "dates_per_batch": "10"}
+    )
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 10}
+    assert r.latestOffset() == {"i": 20}
+    assert r.latestOffset() == {"i": 24}  # capped at 24 bimonthly dates
+    assert r.latestOffset() == {"i": 24}
+    parts = r.partitions({"i": 0}, {"i": 10})
+    assert len(parts) == 2  # one per tile
+    assert len(parts[0].dates) == 10
+    empty = r.partitions({"i": 24}, {"i": 24})
+    assert len(empty) == 1 and empty[0].dates == ()
+
+
+def test_stream_equals_batch_acquisition(spark, tmp_path):
+    """The streamed backfill must reproduce the batch reader's rows
+    exactly — same pixels, dates, values — across microbatches."""
+    register_sources(spark)
+    opts = {"dataset": "gimms", "bbox": "0,0,2,2", "years": "2001,2001"}
+    batch = spark.read.format("te_region").options(**opts).load()
+    stream = (
+        spark.readStream.format("te_region")
+        .options(**opts)
+        .option("dates_per_batch", "7")
+        .load()
+    )
+    agg = stream.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("region_stream_eq")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM region_stream_eq").collect()[0]
+    want = batch.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+    ).collect()[0]
+    assert (got.n, got.mean_v) == (want.n, want.mean_v)

@@ -1034,3 +1034,62 @@ def profile_numeric_histogram(spark, sf_dir):
     return numeric_histogram(
         t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 20
     )
+
+
+@query(
+    "pipeline_decontaminate_ngrams",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+7], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    test_g  AS (SELECT id, gram FROM sh WHERE id % 10 = 0),
+    train_g AS (SELECT DISTINCT gram FROM sh WHERE id % 10 <> 0),
+    sizes AS (SELECT id, count(*) AS n_grams FROM test_g GROUP BY 1),
+    hits AS (
+      SELECT id, count(*) AS n_hit
+      FROM test_g WHERE gram IN (SELECT gram FROM train_g)
+      GROUP BY 1
+    )
+    SELECT sizes.id AS test_id, n_grams,
+           coalesce(n_hit, 0) AS n_hit,
+           round(coalesce(n_hit, 0) / CAST(n_grams AS DOUBLE), 6) AS contam_frac
+    FROM sizes LEFT JOIN hits ON hits.id = sizes.id
+    """,
+)
+def pipeline_decontaminate_ngrams(spark, sf_dir):
+    """Train/test decontamination by token 8-gram overlap (the
+    published GPT-3/PaLM recipe, sized down to this corpus's 10-99
+    token docs): the held-out split (doc_id % 10 = 0) is flagged by
+    the fraction of its distinct 8-grams that appear anywhere in the
+    train split. Plan shape at scale: the train side collapses to a
+    DISTINCT gram set (shuffle keyed by gram, map-side combined),
+    the test side left-semi-joins it — candidate volume is the gram
+    vocabulary, never test × train. Reuses the dedup shingle operator
+    (``operators/dedup.shingles``) for both splits."""
+    from trendengine_spark.operators.dedup import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    tg = shingles(test, n=8)
+    trg = shingles(train, n=8).select("shingle").distinct()
+    sizes = tg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(trg, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias("test_id"),
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double"), 6
+            ).alias("contam_frac"),
+        )
+    )

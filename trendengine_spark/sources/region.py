@@ -50,6 +50,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -107,6 +108,46 @@ class _TileYear(InputPartition):
     year: int
 
 
+@dataclass
+class _TileDates(InputPartition):
+    lon0: float
+    lat0: float
+    lon1: float
+    lat1: float
+    dates: tuple  # ISO "YYYY-MM-DD" strings
+
+
+def _emit_batches(dataset: str, scale_deg: float, lon0, lat0, lon1, lat1, dates):
+    """Yield one Arrow RecordBatch per image date for a tile — the
+    shared generation path of the batch and stream readers."""
+    import numpy as np
+    import pyarrow as pa
+
+    lons = np.arange(lon0, lon1 - 1e-12, scale_deg)
+    lats = np.arange(lat0, lat1 - 1e-12, scale_deg)
+    if lons.size == 0 or lats.size == 0:
+        return
+    glon, glat = np.meshgrid(lons, lats)
+    glon, glat = glon.ravel(), glat.ravel()
+    spec = _DATASETS[dataset]
+    series = f"{dataset}/{spec['band']}"
+    n_px = glon.size
+    for d in dates:
+        doy = d.timetuple().tm_yday
+        vals = synthetic_ndvi(dataset, glon, glat, doy)
+        ts = np.full(n_px, datetime(d.year, d.month, d.day), dtype="datetime64[us]")
+        yield pa.record_batch(
+            {
+                "series_id": pa.array([series] * n_px),
+                "image_id": pa.array([f"{dataset}_{d:%Y%m%d}"] * n_px),
+                "longitude": pa.array(glon, pa.float64()),
+                "latitude": pa.array(glat, pa.float64()),
+                "time": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+
 class RegionReader(DataSourceReader):
     def __init__(self, options):
         self.dataset = options.get("dataset", "gimms")
@@ -157,56 +198,88 @@ class RegionReader(DataSourceReader):
                 # re-applies the exact pixel-level bound post-scan
             yield f
 
-    def partitions(self):
-        parts = []
+    def tiles(self) -> list[tuple[float, float, float, float]]:
+        out = []
         lon = self.lon_min
         while lon < self.lon_max:
             lat = self.lat_min
             while lat < self.lat_max:
-                for yr in range(self.year_start, self.year_end + 1):
-                    parts.append(
-                        _TileYear(
-                            lon,
-                            lat,
-                            min(lon + self.tile_deg, self.lon_max),
-                            min(lat + self.tile_deg, self.lat_max),
-                            yr,
-                        )
+                out.append(
+                    (
+                        lon,
+                        lat,
+                        min(lon + self.tile_deg, self.lon_max),
+                        min(lat + self.tile_deg, self.lat_max),
                     )
+                )
                 lat += self.tile_deg
             lon += self.tile_deg
+        return out
+
+    def partitions(self):
         # an over-filtered request yields zero partitions → empty scan,
         # NOT the reference's error page (SURVEY §4.4 emptiness guard)
-        return parts
+        return [
+            _TileYear(lon0, lat0, lon1, lat1, yr)
+            for (lon0, lat0, lon1, lat1) in self.tiles()
+            for yr in range(self.year_start, self.year_end + 1)
+        ]
 
     def read(self, part: _TileYear):
-        import numpy as np
-        import pyarrow as pa
+        dates = _dates_for_year(part.year, _DATASETS[self.dataset]["cadence_days"])
+        yield from _emit_batches(
+            self.dataset, self.scale_deg,
+            part.lon0, part.lat0, part.lon1, part.lat1, dates,
+        )
 
-        spec = _DATASETS[self.dataset]
-        lons = np.arange(part.lon0, part.lon1 - 1e-12, self.scale_deg)
-        lats = np.arange(part.lat0, part.lat1 - 1e-12, self.scale_deg)
-        if lons.size == 0 or lats.size == 0:
-            return
-        glon, glat = np.meshgrid(lons, lats)
-        glon, glat = glon.ravel(), glat.ravel()
-        dates = _dates_for_year(part.year, spec["cadence_days"])
-        series = f"{self.dataset}/{spec['band']}"
-        n_px = glon.size
-        for d in dates:
-            doy = d.timetuple().tm_yday
-            vals = synthetic_ndvi(self.dataset, glon, glat, doy)
-            ts = np.full(n_px, datetime(d.year, d.month, d.day), dtype="datetime64[us]")
-            yield pa.record_batch(
-                {
-                    "series_id": pa.array([series] * n_px),
-                    "image_id": pa.array([f"{self.dataset}_{d:%Y%m%d}"] * n_px),
-                    "longitude": pa.array(glon, pa.float64()),
-                    "latitude": pa.array(glat, pa.float64()),
-                    "time": pa.array(ts, pa.timestamp("us")),
-                    "value": pa.array(vals, pa.float64()),
-                }
-            )
+
+class RegionStreamReader(DataSourceStreamReader):
+    """Microbatch backfill acquisition: the image-date sequence is the
+    offset axis. Each ``latestOffset`` call admits at most
+    ``dates_per_batch`` new image dates (source-side admission
+    control, the same shape as file-source ``maxFilesPerTrigger``);
+    a batch's work splits into one InputPartition per spatial tile,
+    so every microbatch parallelizes exactly like the batch reader.
+    Offsets are ``{"i": <index into the date sequence>}`` — replaying
+    (start, end] is deterministic, which is all Structured Streaming
+    needs for exactly-once over this source."""
+
+    def __init__(self, options):
+        self._cfg = RegionReader(options)
+        spec = _DATASETS[self._cfg.dataset]
+        self._dates = [
+            d
+            for yr in range(self._cfg.year_start, self._cfg.year_end + 1)
+            for d in _dates_for_year(yr, spec["cadence_days"])
+        ]
+        self._per_batch = int(options.get("dates_per_batch", "6"))
+        self._available = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        self._available = min(self._available + self._per_batch, len(self._dates))
+        return {"i": self._available}
+
+    def partitions(self, start: dict, end: dict):
+        dates = tuple(d.isoformat() for d in self._dates[start["i"] : end["i"]])
+        if not dates:
+            return [_TileDates(0.0, 0.0, 0.0, 0.0, ())]  # empty batch
+        return [
+            _TileDates(lon0, lat0, lon1, lat1, dates)
+            for (lon0, lat0, lon1, lat1) in self._cfg.tiles()
+        ]
+
+    def read(self, part: _TileDates):
+        dates = [date.fromisoformat(s) for s in part.dates]
+        yield from _emit_batches(
+            self._cfg.dataset, self._cfg.scale_deg,
+            part.lon0, part.lat0, part.lon1, part.lat1, dates,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class RegionDataSource(DataSource):
@@ -221,3 +294,6 @@ class RegionDataSource(DataSource):
 
     def reader(self, schema) -> RegionReader:
         return RegionReader(self.options)
+
+    def streamReader(self, schema) -> RegionStreamReader:
+        return RegionStreamReader(self.options)
