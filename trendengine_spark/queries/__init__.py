@@ -63,7 +63,7 @@ _SPINE_FIRST = [
     "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
     "tpch_q22_global_sales_opportunity",
     "spatial_zorder_rollup", "raster_region_ingest",
-    "profile_numeric_histogram",
+    "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
@@ -83,11 +83,11 @@ _SPINE_FIRST = [
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_session_window",
-    "tpch_q1_pricing_summary",
     # ---- 50-row budget line (everything below is r4/r5-green or
     # covered by golden/property tests; the r4 stragglers displaced
     # by the new-query block lead so they get rows if the driver's
     # budget runs long) ----
+    "tpch_q1_pricing_summary",
     "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",
