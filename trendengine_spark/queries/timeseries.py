@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trendengine_spark.engine import filter_years
 from trendengine_spark.functions.dbest import dbest_changes
 from trendengine_spark.functions.polytrend import polytrend_groups
 from trendengine_spark.operators.composite import annual_composite, monthly_composite
@@ -633,13 +632,29 @@ def u2_dbest_events(spark, sf_dir):
     "quality gate → PolyTrend per series key.",
 )
 def flagship_trend_pipeline(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_shipdate").alias("time"),
-        (F.col("l_extendedprice") / 1000.0).alias("value"),
+    """Relational prologue (scan → F1 temporal filter → A2 monthly
+    exact-decimal mean) through the SQL front-end — one analysis pass,
+    arithmetic identical to ``filter_years`` + ``monthly_composite``
+    (half-open year bound; per-row /1000.0 in double then
+    DECIMAL(18,10) sum ÷ count) — then the applyInPandas PolyTrend
+    stage on top. Output pinned unchanged across the r6 rewrite at
+    sf0.001 and sf0.01."""
+    monthly = sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                 AS period_start,
+               CAST(sum(CAST(l_extendedprice / 1000.0 AS DECIMAL(18,10)))
+                    AS DOUBLE) / count(l_extendedprice) AS value
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '2002-01-01'
+        GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+        """,
+        ("lineitem",),
     )
-    df = filter_years(li, 1995, 2001)
-    monthly = monthly_composite(df, ["l_returnflag"])
     res = polytrend_groups(
         monthly, ["l_returnflag"], time_col="period_start", value_col="value"
     )
