@@ -67,7 +67,9 @@ _SPINE_FIRST = [
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
-    "scalar_array_fns", "scalar_json_fns", "set_distinct_pairs",
+    "scalar_array_fns", "scalar_json_fns",
+    "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
+    "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",
     # Stale multimodal plumbing (r3); frame_sample is a REAL AVI/MJPEG
     # decode path as of r6
@@ -81,13 +83,13 @@ _SPINE_FIRST = [
     "a4_a5_category_counts", "a6_sum", "a7_count_rows",
     "d1_period_pairing", "d2_explode_tokens",
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
-    "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_session_window",
     # ---- 50-row budget line (everything below is r4/r5-green or
     # covered by golden/property tests; the r4 stragglers displaced
     # by the new-query block lead so they get rows if the driver's
     # budget runs long) ----
     "tpch_q1_pricing_summary",
+    "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",

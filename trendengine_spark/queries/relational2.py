@@ -476,3 +476,77 @@ def u5_decomposition_events(spark, sf_dir):
         "event_type", "status", "breakpoint_no", "segment_no",
         F.size("trend").alias("n_points"),
     )
+
+
+@query(
+    "scalar_try_fns",
+    sql="""
+    SELECT event_id,
+           round(value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0), 6)
+             AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0
+                         THEN concat(CAST(event_id AS VARCHAR), 'x')
+                         ELSE CAST(event_id AS VARCHAR) END AS INTEGER)
+             AS maybe_int
+    FROM events WHERE event_id < 3000
+    """,
+)
+def scalar_try_fns(spark, sf_dir):
+    """ANSI-mode error-safe scalars: Spark 4 runs ANSI SQL by default
+    (divide-by-zero and bad casts THROW), so the production-safe
+    forms are ``try_divide``/``try_cast`` → NULL on error. The DuckDB
+    oracle expresses the same semantics its way (``x / nullif(d, 0)``
+    and ``TRY_CAST``) — same NULLs, same values. One third of the
+    cast inputs are deliberately malformed so the NULL path is
+    non-vacuous."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    noisy = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.col("event_id").cast("string"), F.lit("x")),
+    ).otherwise(F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), (F.col("event_id") % 5).cast("double")), 6
+        ).alias("safe_div"),
+        noisy.try_cast("int").alias("maybe_int"),
+    )
+
+
+@query(
+    "unpivot_user_stats",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             round(min(value), 4) AS min_v,
+             round(max(value), 4) AS max_v,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
+                        / count(value), 4) AS DOUBLE) AS mean_v
+      FROM events GROUP BY user_id
+    )
+    UNPIVOT per_user ON min_v, max_v, mean_v
+    INTO NAME stat VALUE v
+    """,
+)
+def unpivot_user_stats(spark, sf_dir):
+    """Wide→long UNPIVOT (melt): three per-user stat columns become
+    (user_id, stat, v) rows — the inverse of pivot_event_types,
+    closing the reshaping pair. Spark plans it as a single Expand (no
+    join, no shuffle beyond the aggregate); column-name labels match
+    the oracle's UNPIVOT."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,10)")).cast("double")
+            / F.count("value"),
+            4,
+        ).alias("mean_v"),
+    )
+    return per_user.unpivot(
+        ids=["user_id"],
+        values=["min_v", "max_v", "mean_v"],
+        variableColumnName="stat",
+        valueColumnName="v",
+    )
