@@ -95,3 +95,47 @@ def test_reference_named_outputs(spark, tmp_path):
     save_polytrend_outputs(res, ts, d2, save_result=True, save_ts=False)
     assert os.path.isdir(os.path.join(d2, "PolyTrend_result.csv"))
     assert not os.path.exists(os.path.join(d2, "time_series.csv"))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny files → a handful of target-sized ones, byte-identical
+    data, atomic swap (no intermediate dir left behind)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(20000).select(
+        "id", (F.col("id") % 97).alias("k")
+    ).repartition(64).write.parquet(path)
+    assert len(glob.glob(path + "/part-*.parquet")) == 64
+    before = spark.read.parquet(path).groupBy().sum("id", "k").collect()
+
+    n = compact_parquet(spark, path, target_bytes=64 * 1024)
+    assert n == len(glob.glob(path + "/part-*.parquet"))
+    assert 1 <= n < 64
+    assert not os.path.exists(path + "._compact_tmp")
+    after = spark.read.parquet(path).groupBy().sum("id", "k").collect()
+    assert before == after
+
+
+def test_compact_parquet_sorts_within_files(spark, tmp_path):
+    import glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "sorted")
+    spark.range(5000).select(
+        "id", (F.col("id") * 2654435761 % 1000).alias("zkey")
+    ).repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_bytes=32 * 1024, sort_within_by=["zkey"])
+    for f in glob.glob(path + "/part-*.parquet"):
+        pdf = pd.read_parquet(f)
+        if not pdf.empty:
+            assert pdf["zkey"].is_monotonic_increasing

@@ -550,3 +550,38 @@ def unpivot_user_stats(spark, sf_dir):
         variableColumnName="stat",
         valueColumnName="v",
     )
+
+
+@query(
+    "variant_json_shred",
+    sql="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_json_shred(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` builds the binary variant ONCE per row (vs
+    re-parsing the JSON string per extracted path, the
+    ``get_json_object`` anti-pattern when several fields are pulled),
+    then ``variant_get`` extracts typed values. At 100 TB the win is
+    parse-once + binary-encoded storage; the oracle reproduces the
+    same typed extraction with DuckDB's native JSON functions."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+        )
+    )
