@@ -220,18 +220,20 @@ def minhash_lsh_pairs(
 
     ``carry_signatures`` picks the verification strategy:
 
-    - ``True`` (default): the 64-long signature rides through the band
-      explode, so the bucket self-join emits both signatures and the
-      estimated Jaccard is computed in place — two joins and one
-      ``distinct`` shuffle fewer. Bucket-shuffle volume grows by
-      bands × num_perm × 8 B per doc (~8 KB/doc at the defaults) —
-      the right trade until the corpus is so large that the band
-      shuffle dominates (it is still ~10× smaller than the text
-      itself that the shingle stage already scanned).
+    - ``True`` (default for API stability): the 64-long signature
+      rides through the band explode, so the bucket self-join emits
+      both signatures and the estimated Jaccard is computed in
+      place — two joins and one ``distinct`` shuffle fewer, but
+      bucket-shuffle volume grows by bands × num_perm × 8 B per doc
+      (~8 KB/doc at the defaults).
     - ``False``: buckets carry only (id, band, bucket) (~24 B/row);
-      candidate pairs re-join the signature table twice for
-      verification. Narrowest possible shuffle — the petabyte-corpus
-      setting, at the cost of two extra shuffle joins.
+      candidate pairs re-join the (cached, broadcastable) signature
+      table twice for verification. r6 measurement: the narrow
+      shuffle already wins at sf0.1 (0.77 s vs 0.86 s min-of-5,
+      identical output) — the r5 assumption that carrying pays until
+      very large corpora was wrong at the 64-perm default, so the
+      registry query and bench use ``False``; it is also the only
+      posture for petabyte-wide signature rows.
 
     ``mount``: pass distinct values when composing two corpora's LSH
     plans in one query plan (forwarded to the signature/band memo keys
