@@ -8,15 +8,14 @@ the bench corpus. This is the scale-out evidence for the SURVEY §2.6
 LLM rows: shingling/signatures are projection+partial-agg (linear,
 no wide shuffle), LSH pairing shuffles only band buckets.
 
-Observed on local[32] (round 5 — regex shingling + carried-signature
-LSH verify; round-2 figures were 5.7k/6.3k docs/s), 120 tokens/doc,
+Observed on local[32] (round 6 — SQL-built signature plan + narrow
+bucket shuffle with cached-signature verify; r5 carried-signature
+figures were 11.7k/14.0k docs/s, r2 was 5.7k/6.3k), 120 tokens/doc,
 planted dups found exactly (no false pairs at threshold 0.5):
 
-    100k docs: quality 192k docs/s, exact dedup 38k docs/s,
-               MinHash-LSH 11.7k docs/s (8.5s)
-    200k docs: quality 386k docs/s, exact dedup 60k docs/s,
-               MinHash-LSH 14.0k docs/s (14.2s)  <- superlinear
-               (fixed job overhead amortizing; per-doc cost flat)
+    100k docs: MinHash-LSH 26k docs/s (3.8-4.1s warm-JIT min-of-4;
+               carry=True measures 5.1-5.3s — the narrow shuffle
+               wins, see operators/dedup.py)
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """

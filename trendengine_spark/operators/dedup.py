@@ -268,20 +268,29 @@ def minhash_lsh_pairs(
         " (x, y) -> CAST(x = y AS INT)), v -> v = 1))"
         f" / CAST({num_perm} AS DOUBLE)"
     )
+    # NO WITH/CTE here: a CTE reference to a view over a persisted
+    # DataFrame defeats cache substitution (CTE defs are inlined
+    # after withCachedData — measured: the whole signature pipeline
+    # recomputed per branch, 16.8 s vs 11.6 s at 100k docs), so the
+    # banded subquery text is inlined per branch instead. Plain
+    # subqueries/self-joins/LATERAL VIEW all substitute fine.
+    banded_sig = (
+        f"(SELECT id, signature, bh.band AS band, bh.bucket AS bucket"
+        f" FROM {sig_view} LATERAL VIEW explode(array({band_structs})) bt AS bh)"
+    )
+    banded_thin = (
+        f"(SELECT id, bh.band AS band, bh.bucket AS bucket"
+        f" FROM {sig_view} LATERAL VIEW explode(array({band_structs})) bt AS bh)"
+    )
     if carry_signatures:
         return spark.sql(
             f"""
-            WITH banded AS (
-              SELECT id, signature, bh.band AS band, bh.bucket AS bucket
-              FROM {sig_view}
-              LATERAL VIEW explode(array({band_structs})) bt AS bh
-            ), pairs AS (
-              SELECT a.id AS id_a, b.id AS id_b, {est_expr} AS est_jaccard
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-            )
             SELECT DISTINCT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
-            FROM pairs WHERE est_jaccard >= {threshold!r}
+            FROM (
+              SELECT a.id AS id_a, b.id AS id_b, {est_expr} AS est_jaccard
+              FROM {banded_sig} a JOIN {banded_sig} b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ) WHERE est_jaccard >= {threshold!r}
             """
         )
     est_expr_sig = est_expr.replace("a.signature", "sa.signature").replace(
@@ -289,21 +298,17 @@ def minhash_lsh_pairs(
     )
     return spark.sql(
         f"""
-        WITH banded AS (
-          SELECT id, bh.band AS band, bh.bucket AS bucket
-          FROM {sig_view}
-          LATERAL VIEW explode(array({band_structs})) bt AS bh
-        ), cands AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-        ), est AS (
-          SELECT id_a, id_b, {est_expr_sig} AS est_jaccard
-          FROM cands JOIN {sig_view} sa ON sa.id = id_a
-                     JOIN {sig_view} sb ON sb.id = id_b
-        )
         SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
-        FROM est WHERE est_jaccard >= {threshold!r}
+        FROM (
+          SELECT id_a, id_b, {est_expr_sig} AS est_jaccard
+          FROM (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM {banded_thin} a JOIN {banded_thin} b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          ) cands
+          JOIN {sig_view} sa ON sa.id = id_a
+          JOIN {sig_view} sb ON sb.id = id_b
+        ) WHERE est_jaccard >= {threshold!r}
         """
     )
 
