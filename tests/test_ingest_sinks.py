@@ -139,3 +139,49 @@ def test_compact_parquet_sorts_within_files(spark, tmp_path):
         pdf = pd.read_parquet(f)
         if not pdf.empty:
             assert pdf["zkey"].is_monotonic_increasing
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    """CDC-apply semantics: matching keys replaced, new keys inserted,
+    tombstoned keys deleted; result is exact and the tmp dir is gone."""
+    import os
+
+    import pandas as pd
+
+    from trendengine_spark.sinks import merge_upsert
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 5, 3],
+                "v": ["B", "E", None],
+                "_del": [False, False, True],
+            }
+        )
+    )
+    stats = merge_upsert(spark, path, updates, ["k"], deleted_col="_del")
+    got = {
+        r.k: r.v
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d", 5: "E"}  # 3 deleted, 2 updated->B, 5 inserted
+    assert stats == {"replaced_or_deleted": 2, "applied": 2, "total": 4}
+    assert not os.path.exists(path + "._merge_tmp")
+
+
+def test_merge_upsert_pure_insert(spark, tmp_path):
+    import pandas as pd
+
+    from trendengine_spark.sinks import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(pd.DataFrame({"k": [1], "v": [10.0]})).write.parquet(path)
+    ups = spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": [20.0, 30.0]}))
+    stats = merge_upsert(spark, path, ups, ["k"])
+    assert stats == {"replaced_or_deleted": 0, "applied": 2, "total": 3}
+    assert spark.read.parquet(path).count() == 3

@@ -209,3 +209,106 @@ def stream_interval_join(spark, sf_dir):
         F.round("purchase_value", 4).alias("purchase_value"),
         "view_id", "v_ts",
     )
+
+
+@query(
+    "scd2_user_event_history",
+    sql="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WINDOW dedupw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD-type-2 interval construction: the per-user event-type
+    stream collapses to change rows (lag ≠ current), then each change
+    row's validity interval is [its ts, next change's ts), with the
+    open row flagged current and closed at the sentinel high date
+    (2100-01-01 — the classic 9999-12-31 overflows the nanosecond
+    timestamps the pandas-side canonicalizer uses).
+    Both windows shuffle ONCE on user_id (same partition key) — the
+    standard warehouse dimension-history builder as two window
+    passes, no self-join. Ties broken by event_id so the change
+    detection is deterministic under equal timestamps."""
+    w_dedup = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    ev = t(spark, sf_dir, "events")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w_dedup)
+    ).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    nxt = F.lead("ts").over(w_lead)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2100-01-01").cast("timestamp")).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    sql="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view → later click → later
+    purchase) via per-stage min-timestamp joins: each stage collapses
+    to one row per user BEFORE joining (aggregate-then-join, the d1
+    discipline), so every join probes one-row-per-user sides keyed by
+    user_id — never the raw event stream against itself. The output
+    is the classic 3-number funnel; conversion ratios are left to the
+    caller (they'd be exact divisions of these)."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )

@@ -19,6 +19,7 @@ small result tables only; it routes through one task)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_csv(
@@ -161,3 +162,57 @@ def compact_parquet(
     shutil.rmtree(path)
     os.replace(tmp, path)
     return len(_glob.glob(os.path.join(path, "part-*.parquet")))
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    deleted_col: str | None = None,
+) -> dict:
+    """MERGE INTO for a plain-parquet table: rows in ``updates``
+    replace target rows with the same key, new keys insert, and (when
+    ``deleted_col`` names a boolean column on ``updates``) flagged
+    keys delete — the warehouse upsert/CDC-apply primitive.
+
+    Plan shape: ONE left-anti join keyed on ``key_cols`` (kept target
+    rows) + a union with the surviving updates — no full-outer join,
+    no row-by-row driver logic; both sides shuffle once on the merge
+    key. Rewrite is atomic via the tmp-dir swap (:func:`compact_parquet`'s
+    pattern): a crash never leaves the table half-merged. At 100 TB
+    the production answer is a table format with file-level pruning
+    and a transaction log (Delta/Iceberg ``MERGE``); this is the
+    engine-native rendering with the same single-shuffle join shape —
+    partition the table and merge partition-by-partition to avoid
+    rewriting cold data.
+
+    Returns {"replaced_or_deleted": n target rows removed,
+    "applied": n update rows written, "total": final row count}.
+    """
+    import os
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    keys = updates.select(*key_cols)
+    kept = target.join(keys, key_cols, "left_anti")
+    kept_n = kept.count()
+    touched = target.count() - kept_n
+    if deleted_col is not None:
+        surviving = updates.filter(
+            ~F.coalesce(F.col(deleted_col), F.lit(False))
+        ).drop(deleted_col)
+    else:
+        surviving = updates
+    surviving = surviving.select(*target.columns)
+    merged = kept.unionByName(surviving)
+    tmp = target_path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    total = spark.read.parquet(tmp).count()
+    shutil.rmtree(target_path)
+    os.replace(tmp, target_path)
+    return {
+        "replaced_or_deleted": touched,
+        "applied": total - kept_n,
+        "total": total,
+    }
