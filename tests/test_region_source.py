@@ -166,3 +166,37 @@ def test_stream_equals_batch_acquisition(spark, tmp_path):
         F.round(F.avg("value"), 6).alias("mean_v"),
     ).collect()[0]
     assert (got.n, got.mean_v) == (want.n, want.mean_v)
+
+
+def test_pushdown_never_changes_results(spark):
+    """Pruning must be conservative: for non-tile-aligned and
+    boundary-exact range predicates, the filtered scan must return
+    EXACTLY the rows the unfiltered scan would after filtering —
+    the r6 review found a version that re-anchored the pixel grid at
+    the pushed bound (different coordinates AND values)."""
+    register_sources(spark)
+    df = (
+        spark.read.format("te_region")
+        .option("dataset", "gimms")
+        .option("bbox", "0,0,4,4")
+        .option("years", "2001,2001")
+        .load()
+    )
+    full = df.collect()
+    for pred in [
+        (F.col("longitude") >= 1.8),          # non-aligned lower bound
+        (F.col("longitude") <= 2.0),          # exact boundary pixel kept
+        (F.col("latitude") > 0.5) & (F.col("latitude") < 2.5),
+        (F.col("longitude") >= 1.8) & (F.col("time") >= F.lit("2001-06-01").cast("timestamp")),
+    ]:
+        got = sorted(
+            (r.longitude, r.latitude, r.time, r.value) for r in df.filter(pred).collect()
+        )
+        # reference: filter applied to the UNPRUNED full materialization
+        import pandas as pd
+
+        fdf = spark.createDataFrame(full, df.schema).filter(pred)
+        want = sorted(
+            (r.longitude, r.latitude, r.time, r.value) for r in fdf.collect()
+        )
+        assert got == want and len(got) > 0

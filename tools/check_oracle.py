@@ -114,7 +114,12 @@ def main() -> int:
             continue
         t0 = time.time()
         if name in oracles:
-            offenders = describe_offenders(con, oracles[name])
+            try:
+                offenders = describe_offenders(con, oracles[name])
+            except Exception as exc:  # malformed SQL must fail THIS row only
+                print(f"FAIL {name}: oracle DESCRIBE error: {exc}")
+                n_fail += 1
+                continue
             if offenders:
                 print(
                     f"FAIL {name}: oracle SQL emits driver-hostile column types "

@@ -635,6 +635,8 @@ def avi_mjpeg_encode(
         raise ValueError("avi_mjpeg_encode needs at least one frame")
     if not (width and height):
         width, height = _jpeg_dimensions(frames[0])
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
     us_per_frame = 1_000_000 // fps
     max_bytes = max(len(f) for f in frames)
 
@@ -738,7 +740,10 @@ def avi_parse(data: bytes) -> dict:
         elif list_type == b"movi":
             for sub, spos, ssize in _riff_chunks(data, pos + 4, pos + size):
                 # 00dc/00db = stream-0 compressed/uncompressed video
-                if sub[2:4] in (b"dc", b"db") and sub[:2].isdigit():
+                # (stream 0 ONLY — a multi-stream AVI's 01dc/02dc
+                # packets would otherwise interleave foreign frames
+                # into the index)
+                if sub[2:4] in (b"dc", b"db") and sub[:2] == b"00":
                     frames.append(data[spos : spos + ssize])
     if not info["n_frames"]:
         info["n_frames"] = len(frames)

@@ -218,14 +218,13 @@ def stream_interval_join(spark, sf_dir):
            coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
            CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
     FROM (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
-      WINDOW dedupw AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     WHERE prev_type IS NULL OR prev_type <> event_type
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def scd2_user_event_history(spark, sf_dir):
@@ -240,7 +239,7 @@ def scd2_user_event_history(spark, sf_dir):
     passes, no self-join. Ties broken by event_id so the change
     detection is deterministic under equal timestamps."""
     w_dedup = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    w_lead = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = t(spark, sf_dir, "events")
     changes = ev.withColumn(
         "prev_type", F.lag("event_type").over(w_dedup)

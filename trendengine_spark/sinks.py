@@ -119,6 +119,24 @@ def write_parquet(
     w.parquet(path)
 
 
+def _swap_dirs(tmp: str, path: str) -> None:
+    """Crash-safe directory swap: rename the live dir ASIDE first,
+    move the new one in, then delete the old. A crash leaves either
+    the original intact (before the second rename) or the new data
+    live + a stale ``._old`` to clean up — never a missing or
+    half-deleted table (the naive rmtree-then-replace loses the whole
+    table if interrupted between the two)."""
+    import os
+    import shutil
+
+    old_dir = path.rstrip("/") + "._old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    os.replace(path, old_dir)
+    os.replace(tmp, path)
+    shutil.rmtree(old_dir)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -145,7 +163,6 @@ def compact_parquet(
     """
     import glob as _glob
     import os
-    import shutil
 
     files = _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
         os.path.join(path, "part-*")
@@ -159,8 +176,7 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.replace(tmp, path)
+    _swap_dirs(tmp, path)
     return len(_glob.glob(os.path.join(path, "part-*.parquet")))
 
 
@@ -170,6 +186,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     deleted_col: str | None = None,
+    collect_stats: bool = True,
 ) -> dict:
     """MERGE INTO for a plain-parquet table: rows in ``updates``
     replace target rows with the same key, new keys insert, and (when
@@ -189,15 +206,18 @@ def merge_upsert(
 
     Returns {"replaced_or_deleted": n target rows removed,
     "applied": n update rows written, "total": final row count}.
+    ``collect_stats=False`` skips the two extra count jobs those
+    first two numbers cost (they re-scan target + anti-join) and
+    returns them as None — the large-table CDC posture.
     """
-    import os
-    import shutil
-
     target = spark.read.parquet(target_path)
     keys = updates.select(*key_cols)
     kept = target.join(keys, key_cols, "left_anti")
-    kept_n = kept.count()
-    touched = target.count() - kept_n
+    if collect_stats:
+        kept_n = kept.count()
+        touched = target.count() - kept_n
+    else:
+        kept_n = touched = None
     if deleted_col is not None:
         surviving = updates.filter(
             ~F.coalesce(F.col(deleted_col), F.lit(False))
@@ -209,10 +229,9 @@ def merge_upsert(
     tmp = target_path.rstrip("/") + "._merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     total = spark.read.parquet(tmp).count()
-    shutil.rmtree(target_path)
-    os.replace(tmp, target_path)
+    _swap_dirs(tmp, target_path)
     return {
         "replaced_or_deleted": touched,
-        "applied": total - kept_n,
+        "applied": None if kept_n is None else total - kept_n,
         "total": total,
     }

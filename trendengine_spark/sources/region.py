@@ -163,6 +163,14 @@ class RegionReader(DataSourceReader):
         self.year_start, self.year_end = years[0], years[-1]
         self.scale_deg = float(options.get("scale_deg", "0.5"))
         self.tile_deg = float(options.get("tile_deg", "2.0"))
+        # pushdown PRUNING bounds — used ONLY to skip whole tiles in
+        # :meth:`tiles`; the generation grid stays anchored to the
+        # ORIGINAL bbox. (An earlier version mutated the bbox itself,
+        # which re-anchored np.arange at the filter value and produced
+        # different pixel coordinates/values than the unfiltered scan —
+        # pruning must be conservative, never re-gridding.)
+        self._prune_lon = [self.lon_min, self.lon_max]
+        self._prune_lat = [self.lat_min, self.lat_max]
 
     # -- pushdown: range predicates shrink the partition grid ----------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -184,35 +192,34 @@ class RegionReader(DataSourceReader):
             ):
                 v = float(f.value)
                 lo = isinstance(f, (GreaterThan, GreaterThanOrEqual))
-                if attr == "longitude":
-                    if lo:
-                        self.lon_min = max(self.lon_min, v)
-                    else:
-                        self.lon_max = min(self.lon_max, v)
+                side = self._prune_lon if attr == "longitude" else self._prune_lat
+                if lo:
+                    side[0] = max(side[0], v)
                 else:
-                    if lo:
-                        self.lat_min = max(self.lat_min, v)
-                    else:
-                        self.lat_max = min(self.lat_max, v)
-                # pruning is tile-granular; keep the filter so Spark
-                # re-applies the exact pixel-level bound post-scan
+                    side[1] = min(side[1], v)
+                # tile-granular pruning only (whole tiles kept when
+                # they INTERSECT the bound, so boundary pixels
+                # survive); the re-yielded filter applies the exact
+                # pixel-level predicate post-scan
             yield f
 
     def tiles(self) -> list[tuple[float, float, float, float]]:
+        """Tile grid anchored at the ORIGINAL bbox origin; tiles that
+        don't intersect the pushdown pruning bounds are skipped. A
+        tile intersects [lo, hi] when tile_end > lo and tile_start <=
+        hi — the closed upper test keeps the tile containing a pixel
+        AT a <=/>= bound."""
         out = []
         lon = self.lon_min
         while lon < self.lon_max:
-            lat = self.lat_min
-            while lat < self.lat_max:
-                out.append(
-                    (
-                        lon,
-                        lat,
-                        min(lon + self.tile_deg, self.lon_max),
-                        min(lat + self.tile_deg, self.lat_max),
-                    )
-                )
-                lat += self.tile_deg
+            lon1 = min(lon + self.tile_deg, self.lon_max)
+            if lon1 > self._prune_lon[0] and lon <= self._prune_lon[1]:
+                lat = self.lat_min
+                while lat < self.lat_max:
+                    lat1 = min(lat + self.tile_deg, self.lat_max)
+                    if lat1 > self._prune_lat[0] and lat <= self._prune_lat[1]:
+                        out.append((lon, lat, lon1, lat1))
+                    lat += self.tile_deg
             lon += self.tile_deg
         return out
 

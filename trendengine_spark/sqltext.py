@@ -22,12 +22,16 @@ Policy:
 - Only the *query callables* on the interactive hot path use this
   front-end. The DataFrame-API operators in ``operators/`` remain the
   programmatic composition surface (and keep their own tests).
-- Temp views are registered lazily per (session, sf_dir) over
-  :func:`~trendengine_spark.tables.load_table` plans. Spark's cache
-  manager matches by plan, so the views transparently pick up
-  ``warm_cache``'s columnar cache and fall back to the parquet scan
-  after ``clear_warm_cache`` — the view registration itself never
-  fixes a physical choice.
+- Temp views are registered over
+  :func:`~trendengine_spark.tables.load_table` plans ON EVERY call
+  (one cheap py4j round trip per table — a memoized variant was
+  silently wrong: other code paths legitimately register the same
+  view names for a different sf_dir, e.g. ``tables.register_views``
+  or the shared-dialect query, and a stale memo would then serve the
+  wrong scale's data). Spark's cache manager matches by plan, so the
+  views transparently pick up ``warm_cache``'s columnar cache and
+  fall back to the parquet scan after ``clear_warm_cache`` — the
+  view registration itself never fixes a physical choice.
 """
 
 from __future__ import annotations
@@ -36,24 +40,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trendengine_spark.tables import load_table
 
-_VIEWS_ATTR = "_te_sql_views"
-
 
 def sql_over_tables(
     spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]
 ) -> DataFrame:
     """Issue one Spark-SQL statement over the named driver tables.
 
-    Registers (memoized per session + sf_dir) temp views for
-    ``tables`` and returns ``spark.sql(sql)`` — a single analysis
-    pass for the whole statement.
+    Re-registers the temp views for ``tables`` (unconditionally —
+    see module docstring for why memoization is unsafe) and returns
+    ``spark.sql(sql)`` — a single analysis pass for the statement.
     """
-    reg = getattr(spark, _VIEWS_ATTR, None)
-    if reg is None:
-        reg = {}
-        setattr(spark, _VIEWS_ATTR, reg)
     for name in tables:
-        if reg.get(name) != sf_dir:
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-            reg[name] = sf_dir
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(sql)
