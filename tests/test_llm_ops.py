@@ -379,3 +379,45 @@ def test_real_video_frame_sample_end_to_end(spark):
     per_doc = got.groupby("doc_id").size()
     for did, n in per_doc.items():
         assert n == (did % 4) + 2
+
+
+def test_pq_adc_and_refined_recall(spark):
+    """PQ two-stage contract at sf0.01: raw ADC candidates carry real
+    signal (recall@5 ≥ 0.4 vs brute force at m=32 × k=32), and the
+    exact re-rank of the 4× pool recovers ≥ 0.9 — measured 1.0."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.similarity import (
+        cosine_topk,
+        l2_normalize,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from trendengine_spark.queries import all_queries
+    from trendengine_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    unit = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    queries = unit.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = cosine_topk(unit, queries, k=5).toPandas()
+    truth = {q: set(bf[bf.query_id == q].vec_id) for q in range(10)}
+
+    books = pq_train_codebooks(unit, m_subspaces=32, k=32, iters=3, seed=7)
+    assert books.shape == (32, 32, 2)
+    raw = pq_topk(pq_encode(unit, books), books, queries, k=5).toPandas()
+    raw_rec = sum(
+        len(set(raw[raw.query_id == q].vec_id) & truth[q]) / 5 for q in range(10)
+    ) / 10
+    assert raw_rec >= 0.4, raw_rec
+
+    refined = all_queries()["sim_pq_topk"](spark, sf).toPandas()
+    assert len(refined) == 50
+    ref_rec = sum(
+        len(set(refined[refined.query_id == q].vec_id) & truth[q]) / 5
+        for q in range(10)
+    ) / 10
+    assert ref_rec >= 0.9, ref_rec

@@ -17,6 +17,7 @@ against the exact twins.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.dedup import (
@@ -1097,5 +1098,63 @@ def pipeline_decontaminate_ngrams(spark, sf_dir):
             F.round(
                 F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double"), 6
             ).alias("contam_frac"),
+        )
+    )
+
+
+@query(
+    "sim_pq_topk",
+    sql=None,
+    doc="Product-quantization ANN top-5 (Jégou 2011): 32 subspaces × "
+    "32 centroids (160-bit codes, 12.8× compression of the 64-d "
+    "float vectors), asymmetric-distance candidate search over codes "
+    "only, then exact-cosine re-rank of the 4× candidate pool — the "
+    "compressed-index scale path beyond IVF. Rows-only by design; "
+    "recall vs brute force pinned in tests/test_llm_ops.py.",
+)
+def sim_pq_topk(spark, sf_dir):
+    """ADC search touches ONLY the 20-byte codes (the RAM-resident
+    representation at billion-vector scale); the refine step joins
+    exact vectors for just k×4 candidates per query — the standard
+    two-stage recipe. Candidate generation never materializes
+    query × corpus."""
+    from trendengine_spark.operators.similarity import (
+        cosine,
+        l2_normalize,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    unit = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    books = pq_train_codebooks(unit, m_subspaces=32, k=32, iters=3, seed=7)
+    codes = pq_encode(unit, books)
+    queries = unit.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = pq_topk(
+        codes,
+        books,
+        queries.select("query_id", F.col("q_vec").alias("embedding")),
+        k=20,
+    ).select("query_id", "vec_id")
+    exact = (
+        cands.join(unit, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rn"),
         )
     )
