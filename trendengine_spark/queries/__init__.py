@@ -65,7 +65,7 @@ _SPINE_FIRST = [
     "spatial_zorder_rollup", "raster_region_ingest",
     "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
     "scd2_user_event_history", "funnel_view_click_purchase",
-    "sim_pq_topk",
+    "sim_pq_topk", "text_bigram_familiarity",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

@@ -1158,3 +1158,51 @@ def sim_pq_topk(spark, sf_dir):
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+@query(
+    "text_bigram_familiarity",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    big AS (
+      SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS bg
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS total_freq,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
+    FROM big JOIN cnt USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_familiarity(spark, sf_dir):
+    """Corpus-frequency familiarity score (an LM-free quality
+    signal): each document's token bigrams are weighted by their
+    corpus-wide occurrence count; low scores = rare-bigram documents
+    (boilerplate noise, lorem-garbage, wrong-language text). The
+    plan is the inverted-index discipline: bigram counts are one
+    map-side-combined aggregate, and the doc-side re-join is keyed
+    by the bigram (never doc × doc). All-integer math ending in ONE
+    bigint/bigint division, so the score is bit-identical across
+    engines — no log/rounding ambiguity."""
+    from trendengine_spark.operators.text import tokens_col
+
+    pat = r"\G(?=((?:\S+ ){1}\S+))\S+ ?"
+    docs = t(spark, sf_dir, "documents")
+    joined = F.concat_ws(" ", tokens_col(F.col("text")))
+    bigs = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(joined, F.lit(pat), 1)).alias("bg"),
+    ).filter(F.col("bg") != "")
+    cnt = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigs.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("total_freq"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )
