@@ -164,3 +164,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_wm_test").toPandas()
     assert sorted(got["event_id"].tolist()) == [1, 2, 3]
+
+
+def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
+    """Change stream → merge_upsert per microbatch: updates replace,
+    inserts land, deletes drop, and the newest change per key wins
+    within a batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.streaming.cdc import apply_cdc_stream
+
+    target = str(tmp_path / "dim")
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    ).write.parquet(target)
+
+    src_dir = str(tmp_path / "changes")
+    schema = "k LONG, v STRING, _del BOOLEAN, seq LONG"
+    # batch 1 file: update k=2 twice (seq 1 then 2 — newest must win),
+    # insert k=4, delete k=3
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 2, 4, 3],
+                "v": ["B_old", "B_new", "D", None],
+                "_del": [False, False, False, True],
+                "seq": [1, 2, 1, 1],
+            }
+        ),
+        schema=schema,
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = apply_cdc_stream(
+        stream, target, ["k"], order_col="seq", deleted_col="_del",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B_new", 4: "D"}
