@@ -40,12 +40,14 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: join/window/set/grouped families (46 green + 4 harness-type reds of
 #: 50). Round 6 front-loads (a) the four r5-red queries, now fixed
 #: (HUGEINT casts, exploded-scalar vector outputs), (b) the two
-#: similarity queries modified this round (near-dup min_pairs floor,
-#: ANN empty-query guard), (c) the stalest r2/r3-era families (scalar
-#: fns, distinct twins, multimodal feature/resize/frame), and (d) the
-#: SURVEY §2 spine + streaming whose last rows are r4 (2 rounds old by
-#: r6). The r5-green LLM/join/window/set/grouped families rotate below
-#: the line; their fresh green history stands.
+#: similarity queries modified this round, (c) the ~18 queries NEW in
+#: r6 (TPC-H q4/q5/q7/q10/q13/q18/q22, Z-order roll-up, te_region
+#: ingest, numeric histogram, n-gram decontamination, SCD2, funnel,
+#: PQ top-k, bigram familiarity, try-scalars, UNPIVOT, VARIANT),
+#: (d) the stalest r2/r3-era families (scalar fns, distinct twins,
+#: multimodal), and (e) as much of the r4-row SURVEY §2 spine as the
+#: budget still holds. The r5-green LLM/join/window/set/grouped
+#: families rotate below the line; their fresh green history stands.
 _SPINE_FIRST = [
     # Fixed in r6 — the only r5 reds (driver-harness type mismatches:
     # HUGEINT→float64 drift, array-column canonicalizer crash); must
