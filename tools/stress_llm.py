@@ -9,13 +9,18 @@ LLM rows: shingling/signatures are projection+partial-agg (linear,
 no wide shuffle), LSH pairing shuffles only band buckets.
 
 Observed on local[32] (round 6 — SQL-built signature plan + narrow
-bucket shuffle with cached-signature verify; r5 carried-signature
-figures were 11.7k/14.0k docs/s, r2 was 5.7k/6.3k), 120 tokens/doc,
-planted dups found exactly (no false pairs at threshold 0.5):
+bucket shuffle with cached-signature verify, the registry/bench
+posture; r2 was 5.7k/6.3k docs/s), 120 tokens/doc, planted dups
+found exactly (no false pairs at threshold 0.5):
 
     100k docs: MinHash-LSH 26k docs/s (3.8-4.1s warm-JIT min-of-4;
-               carry=True measures 5.1-5.3s — the narrow shuffle
-               wins, see operators/dedup.py)
+               carry=True measures 5.1-5.3s)
+    200k docs: MinHash-LSH 13k docs/s (15.3s; the sig table outgrows
+               the broadcast threshold so verification shuffle-joins).
+               carry=True hits a CLIFF here — 37-84s: 3.2M band rows
+               each dragging a 64-long signature is a ~1.6 GB bucket
+               shuffle that spills; the narrow posture shuffles 77 MB.
+               This is why the registry default is carry=False.
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """
@@ -78,7 +83,9 @@ def main() -> None:
         ("exact_dedup", lambda: exact_dedup(docs)),
         (
             "minhash_lsh_pairs",
-            lambda: minhash_lsh_pairs(docs, threshold=0.5),
+            # carry_signatures=False = the registry/bench posture (the
+            # carried-signature variant spills its band shuffle at 200k)
+            lambda: minhash_lsh_pairs(docs, threshold=0.5, carry_signatures=False),
         ),
     ]:
         t0 = time.perf_counter()
