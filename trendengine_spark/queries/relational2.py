@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 
 from trendengine_spark.operators.composite import grid_composite
 from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
 from trendengine_spark.tables import table_path
 
 
@@ -584,4 +585,62 @@ def variant_json_shred(spark, sf_dir):
             F.min("_k").alias("k_min"),
             F.max("_k").alias("k_max"),
         )
+    )
+
+
+@query(
+    "recursive_cte_month_spine",
+    sql="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    ), per_month AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2)
+                  AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS period_start,
+           coalesce(rev, 0.0) AS revenue,
+           CAST(round(sum(CAST(coalesce(rev, 0.0) AS DECIMAL(18,4)))
+                OVER (PARTITION BY year(months.m) ORDER BY months.m), 2)
+             AS DOUBLE) AS ytd_revenue
+    FROM months LEFT JOIN per_month ON months.m = per_month.m
+    """,
+)
+def recursive_cte_month_spine(spark, sf_dir):
+    """RECURSIVE CTE (Spark 4's newest dialect feature — UNION ALL
+    form, which is the only recursion mode Spark supports; the
+    spine's monotone month bound guarantees termination): generate
+    the calendar spine by recursion instead of ``sequence()``, pair
+    it with the pre-aggregated monthly revenue (d1's
+    aggregate-then-join shape), and add a year-partitioned running
+    (YTD) total. The recursion materializes ~80 single-row steps —
+    a dialect-parity demonstration; the ``sequence()`` generator
+    (d1_period_pairing) remains the at-scale spine construction."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        ), per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2)
+                      AS DOUBLE) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT months.m AS period_start,
+               coalesce(rev, 0.0) AS revenue,
+               CAST(round(sum(CAST(coalesce(rev, 0.0) AS DECIMAL(18,4)))
+                    OVER (PARTITION BY year(months.m) ORDER BY months.m), 2)
+                 AS DOUBLE) AS ytd_revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """,
+        ("orders",),
     )
