@@ -68,7 +68,7 @@ _SPINE_FIRST = [
     "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
     "scd2_user_event_history", "funnel_view_click_purchase",
     "sim_pq_topk", "text_bigram_familiarity",
-    "recursive_cte_month_spine",
+    "recursive_cte_month_spine", "pipeline_source_mixture",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

@@ -1206,3 +1206,64 @@ def text_bigram_familiarity(spark, sf_dir):
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("familiarity"),
         )
     )
+
+
+@query(
+    "pipeline_source_mixture",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) AS src_num,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), kept AS (
+      SELECT source,
+             count(*) AS n_total,
+             count(*) FILTER (rn % (CASE WHEN src_num < 5 THEN 1
+                                         WHEN src_num < 10 THEN 2
+                                         ELSE 5 END) = 0) AS n_kept
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_total, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(CAST(n_kept AS BIGINT) AS DOUBLE) / n_total AS realized_rate
+    FROM kept
+    """,
+)
+def pipeline_source_mixture(spark, sf_dir):
+    """Training-mixture downsampling (the Pile/Dolma-style per-source
+    weighting): each source keeps a deterministic stride of its
+    id-ordered documents (high-quality sources 0-4 at 1.0, mid 5-9 at
+    0.5, tail at 0.2) — a pure window + modulo filter, no RNG, so the
+    sample is reproducible across runs/partitionings and the oracle
+    hash-matches. One shuffle keyed by source; output is the per-
+    source realized mixture audit (the kept doc set itself is the
+    same plan without the roll-up)."""
+    stride = (
+        F.when(F.col("src_num") < 5, F.lit(1))
+        .when(F.col("src_num") < 10, F.lit(2))
+        .otherwise(F.lit(5))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("rn") % stride == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias(
+                "realized_rate"
+            ),
+        )
+    )
