@@ -28,6 +28,7 @@ from trendengine_spark.queries import (  # noqa: F401
     relational2,
     streaming_batch,
     timeseries,
+    tpch2,
 )
 from trendengine_spark.queries.base import REGISTRY, Query
 
@@ -69,6 +70,17 @@ _SPINE_FIRST = [
     "scd2_user_event_history", "funnel_view_click_purchase",
     "sim_pq_topk", "text_bigram_familiarity",
     "recursive_cte_month_spine", "pipeline_source_mixture",
+    # NEW in r6 (second batch) — the remaining adaptable TPC-H
+    # shapes: correlated scalar min (q2), market-share ratio (q8),
+    # profit roll-up (q9), late-lines histogram (q12), top-supplier
+    # view max (q15), bridge distinct counts (q16), correlated avg
+    # (q17), disjunctive pushdown (q19), nested-IN (q20), double
+    # EXISTS/NOT-EXISTS (q21)
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q12_late_lines_priority",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

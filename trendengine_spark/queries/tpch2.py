@@ -1,0 +1,551 @@
+"""Remaining TPC-H query shapes, adapted to the slim driver schema.
+
+SURVEY.md §2.6 breadth work: the reference implements none of these
+(it is a two-algorithm trend app — §2.6 verified), but a user of a
+general analytics engine expects the full TPC-H decision-support
+repertoire. Rounds 4-6 covered q1/q3/q4/q5/q6/q7/q10/q13/q14/q18/q22;
+this module closes the rest of the adaptable set: q2/q8/q9/q12/q15/
+q16/q17/q19/q20/q21.
+
+"Adapted" because the driver's tables omit partsupp, ps_supplycost,
+l_shipmode, l_commitdate and l_receiptdate. Each query keeps the
+*plan shape* that makes the original interesting (correlated scalar
+min, disjunctive pushdown, nested IN, double EXISTS/NOT-EXISTS
+decorrelation, …) with stand-ins documented per query:
+
+- part-supplier bridge: ``SELECT DISTINCT l_partkey, l_suppkey FROM
+  lineitem`` replaces partsupp;
+- supply cost: ``s_acctbal`` (q2's min-cost pick) or a fixed fraction
+  of ``p_retailprice`` (q9's profit);
+- lateness: ``l_shipdate`` vs ``o_orderdate`` (no commit/receipt);
+- ship mode: ``l_linestatus``.
+
+Every query runs through the SQL front-end (one analysis pass —
+``sqltext``) with join strategies pinned where auto-planning picks a
+broadcast that only works at test scale: dims (nation/supplier)
+broadcast, lineitem-sided joins SHUFFLE_HASH. Money math follows the
+tpch_q1 fixed-point convention: cents/basis-points in int64 inside
+whole-stage codegen, one DECIMAL rescale at the end — bit-identical
+across engines and safe to ~1e9-row partitions.
+"""
+
+from __future__ import annotations
+
+from trendengine_spark.queries.base import query
+from trendengine_spark.sqltext import sql_over_tables
+
+#: revenue in basis points, exact int64 (see tpch_q1 in relational.py)
+_REV_BP = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+#: rescale a summed basis-point int back to a 2-dp double
+_BP_TO_D = (
+    "CAST(round(CAST({x} AS DECIMAL(28,0))"
+    " * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE)"
+)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    sql=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ), cand AS (
+      SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+      FROM part
+      JOIN ps ON p_partkey = partkey
+      JOIN supplier ON s_suppkey = suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 20
+        AND n_regionkey = 2
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(s_acctbal, 2) AS acctbal
+    FROM cand c
+    WHERE s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the part-supplier bridge is the
+    distinct (l_partkey, l_suppkey) projection of lineitem, and
+    ``s_acctbal`` stands in for ps_supplycost): per qualifying part,
+    keep the supplier(s) with the minimum balance in the target
+    region. The correlated scalar MIN decorrelates to one aggregate
+    on p_partkey joined back to the candidate set — the candidate
+    CTE is built once per branch, keyed by partkey, so the "min per
+    part" shuffle carries one row per part, never the bridge. The
+    bridge distinct itself is a map-side-combined aggregate on
+    (partkey, suppkey) — at 100 TB this is the partsupp table you
+    would materialize at ingest."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM lineitem
+        ), cand AS (
+          SELECT /*+ BROADCAST(supplier), BROADCAST(nation) */
+                 p_partkey, p_name, s_name, n_name, s_acctbal
+          FROM part
+          JOIN ps ON p_partkey = partkey
+          JOIN supplier ON s_suppkey = suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 20
+            AND n_regionkey = 2
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               round(s_acctbal, 2) AS acctbal
+        FROM cand c
+        WHERE s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2
+                           WHERE c2.p_partkey = c.p_partkey)
+        """,
+        ("lineitem", "part", "supplier", "nation"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    sql=f"""
+    WITH base AS (
+      SELECT year(o_orderdate) AS yr, {_REV_BP} AS rev_bp,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE nc.n_regionkey = 2 AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT yr,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                              THEN rev_bp ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(rev_bp) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (adapted: "national market share" = NATION_7's
+    share of PROMO-part revenue sold into region 2, per order year).
+    Numerator and denominator are exact int64 basis-point sums cast
+    to double only for the final division, so the ratio is
+    bit-identical across engines — no rounding needed. Plan: the
+    six-way join broadcasts the bounded dims (nation twice under
+    different aliases, supplier), lineitem stays the shuffle-hash
+    probe side; the conditional aggregate computes both sums in ONE
+    pass (no second scan for the denominator)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH base AS (
+          SELECT /*+ BROADCAST(nc), BROADCAST(ns), BROADCAST(supplier),
+                     SHUFFLE_HASH(lineitem) */
+                 year(o_orderdate) AS yr, {_REV_BP} AS rev_bp,
+                 ns.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE nc.n_regionkey = 2 AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT yr,
+               CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                                  THEN rev_bp ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(rev_bp) AS BIGINT) AS DOUBLE) AS mkt_share
+        FROM base
+        GROUP BY yr
+        """,
+        ("lineitem", "orders", "customer", "nation", "supplier", "part"),
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    sql=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS yr,
+           {_BP_TO_D.format(
+               x="CAST(sum(" + _REV_BP
+               + " - CAST(round(p_retailprice * 100) AS BIGINT)"
+               + "   * CAST(l_quantity AS BIGINT) * 50) AS BIGINT)")} AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: supply cost = 50% of p_retailprice —
+    the schema has no ps_supplycost): profit per supplier nation per
+    order year over parts whose name matches a token. Profit stays in
+    exact int64 basis points (revenue bp minus cost bp; quantity is an
+    integral double, cast exactly) until one final DECIMAL rescale.
+    The LIKE filter prunes part before the join; dims broadcast;
+    lineitem is the shuffle-hash probe. The group key (25 nations ×
+    ~7 years) is tiny — partial aggregation collapses the shuffle."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
+                   SHUFFLE_HASH(lineitem) */
+               n_name AS nation, year(o_orderdate) AS yr,
+               {_BP_TO_D.format(
+                   x="CAST(sum(" + _REV_BP
+                   + " - CAST(round(p_retailprice * 100) AS BIGINT)"
+                   + "   * CAST(l_quantity AS BIGINT) * 50) AS BIGINT)")}
+                 AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)
+        """,
+        ("lineitem", "orders", "supplier", "nation", "part"),
+    )
+
+
+@query(
+    "tpch_q12_late_lines_priority",
+    sql="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_late_lines_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: l_linestatus stands in for
+    l_shipmode, and "late" = shipped >60 days after the order date —
+    no commit/receipt dates in the schema): count high- vs
+    low-priority orders among late lines, per status. The shippdate
+    range filter pushes to the lineitem scan; the lateness predicate
+    is a post-join residual (it needs both sides); both priority
+    counts come out of one conditional-aggregate pass."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ SHUFFLE_HASH(lineitem) */ l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        """,
+        ("orders", "lineitem"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    sql=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_REV_BP}) AS BIGINT) AS total_bp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {_BP_TO_D.format(x="total_bp")} AS total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = supplier_no
+    WHERE total_bp = (SELECT max(total_bp) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue "view" (one quarter's per-supplier
+    revenue roll-up) filtered to its own maximum — the classic
+    aggregate-of-aggregate with a scalar subquery. Revenue is summed
+    in exact int64 basis points BEFORE the max comparison, so the
+    tie-exactness the original query's spec worries about is literal
+    integer equality here (doubles would make "= max" engine-
+    dependent). Plan: one partial+final aggregate keyed by suppkey;
+    the scalar max is a 1-row broadcast; the supplier dim joins
+    broadcast."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum({_REV_BP}) AS BIGINT) AS total_bp
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT /*+ BROADCAST(supplier) */ s_suppkey, s_name,
+               {_BP_TO_D.format(x="total_bp")} AS total_revenue
+        FROM supplier
+        JOIN rev ON s_suppkey = supplier_no
+        WHERE total_bp = (SELECT max(total_bp) FROM rev)
+        """,
+        ("lineitem", "supplier"),
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM lineitem) ps
+    JOIN part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20)
+      AND suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the distinct (l_partkey, l_suppkey)
+    bridge replaces partsupp; "customer complaints" = suppliers with
+    negative balance): distinct-supplier counts per (brand, type,
+    size) outside an excluded brand/type, minus the NOT IN supplier
+    set. NOT IN over a non-nullable key decorrelates to a left-anti
+    join with a broadcast build (the exclusion list is tiny); the
+    count(DISTINCT) runs as a two-phase aggregate. The part filters
+    (IN-list + <>) push to the part scan before the join."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+              FROM lineitem) ps
+        JOIN part ON p_partkey = partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (5, 10, 15, 20)
+          AND suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """,
+        ("lineitem", "part", "supplier"),
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    sql="""
+    SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) / 700.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue that would vanish if small-quantity
+    orders (below half the part's average quantity) were batched —
+    the classic correlated scalar-average subquery. Catalyst
+    decorrelates it to a per-part average aggregate joined back on
+    p_partkey: ONE extra aggregate over the brand's lineitems, not a
+    re-scan per row. Quantities are integral doubles, so the average
+    (exact sum / exact count) and the comparison are deterministic;
+    the price sum runs in cents int64 and the /7.0 annualization is
+    one double op at the end."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                          / 700.0, 2) AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = part.p_partkey)
+        """,
+        ("lineitem", "part"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    sql=f"""
+    SELECT {_BP_TO_D.format(x="CAST(sum(" + _REV_BP + ") AS BIGINT)")}
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: the disjunctive (OR-of-conjunctions) predicate
+    that exercises CNF conversion. Catalyst extracts the common
+    sub-predicates for pushdown: ``p_brand IN (...)``/``p_size <= 40``
+    prune the part scan and ``l_quantity <= 50`` the lineitem scan
+    BEFORE the join, while the full disjunction stays as the residual
+    filter — the join never sees rows no branch could accept. Revenue
+    in exact int64 basis points."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        SELECT {_BP_TO_D.format(x="CAST(sum(" + _REV_BP + ") AS BIGINT)")}
+                 AS revenue,
+               count(1) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+               AND l_quantity BETWEEN 20 AND 50)
+        """,
+        ("lineitem", "part"),
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    sql="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 40
+      )
+    """,
+)
+def tpch_q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: "has excess stock" = shipped >40
+    units of some red-prefixed part within the year — availqty does
+    not exist): region-1 suppliers selected by a nested IN whose
+    inner query is itself a grouped HAVING aggregate. The IN
+    decorrelates to a left-semi join against the aggregated
+    (suppkey, partkey) roll-up — the semi probe carries one row per
+    qualifying supplier-part, and duplicate suppkeys collapse in the
+    semi join (no DISTINCT needed). nation broadcasts; the inner
+    aggregate is partial+final on a compound key."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(nation) */ s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 1
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 40
+          )
+        """,
+        ("supplier", "nation", "lineitem", "part"),
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    sql="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_regionkey = 0
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: "kept the order waiting" = shipped
+    strictly last among an F-status order's multi-supplier lines —
+    l_shipdate stands in for the missing receipt/commit dates): the
+    signature EXISTS + NOT-EXISTS correlated pair over the same fact
+    table. Both subqueries decorrelate onto the l_orderkey equi-key:
+    the EXISTS becomes a left-semi and the NOT EXISTS a left-anti
+    join, each shuffling (orderkey, suppkey, shipdate) projections —
+    never full rows — with the inequality as the join residual.
+    Supplier/nation broadcast; count(*) per supplier name is a tiny
+    final roll-up."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
+                   SHUFFLE_HASH(l1), SHUFFLE_HASH(orders) */
+               s_name, count(1) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_regionkey = 0
+          AND EXISTS (SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(l3) */ 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        """,
+        ("supplier", "lineitem", "orders", "nation"),
+    )
