@@ -205,3 +205,41 @@ def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
     q.stop()
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "B_new", 4: "D"}
+
+
+def test_streaming_dedup_matches_batch_twin_keys(spark, events_dir):
+    """The watermark-bounded streaming dedup must keep exactly one row
+    per (user_id, event_type) and cover the same key set as the
+    oracle-checked batch twin (stream_dedup_first_event)."""
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.streaming.joins import dedup_within_watermark
+
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in REGISTRY["stream_dedup_first_event"]
+        .fn(spark, SF_SMOKE)
+        .select("user_id", "event_type")
+        .collect()
+    }
+
+    schema = spark.read.parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark("ts", "6 hours")
+    )
+    out = dedup_within_watermark(src, ["user_id", "event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_keys_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, event_type, count(*) AS n FROM dedup_keys_test "
+        "GROUP BY user_id, event_type"
+    ).collect()
+    assert all(r["n"] == 1 for r in got)
+    assert {(r["user_id"], r["event_type"]) for r in got} == batch_keys

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from trendengine_spark.queries import (  # noqa: F401
     llm,
+    llm2,
     relational,
     relational2,
     streaming_batch,
@@ -81,6 +82,10 @@ _SPINE_FIRST = [
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
+    # NEW in r6 (second batch) — curation signals + block dedup +
+    # deterministic sampling + streaming-dedup batch twin
+    "text_repetition_signals", "dedup_paragraph_global",
+    "pipeline_hash_sample_per_key", "stream_dedup_first_event",
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

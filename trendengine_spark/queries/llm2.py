@@ -1,0 +1,218 @@
+"""LLM-training-data-pipeline queries, second batch (round 6).
+
+Extends :mod:`.llm` with the curation signals a pretraining pipeline
+applies between dedup and packing:
+
+- **repetition signals** (the Gopher-style quality rules): top-bigram
+  coverage and duplicated-trigram fraction per document — the
+  cheapest high-precision detector of degenerate/boilerplate text;
+- **corpus-wide paragraph dedup**: remove repeated 32-token blocks
+  across the whole corpus, keeping the first occurrence — the
+  block-level complement to the document-level dedup family;
+- **deterministic per-key sampling**: smallest-hash top-k per group —
+  the reproducible, coordination-free way to cap a source's
+  contribution to a mixture.
+
+All three are pure relational plans (explode → partial+final
+aggregate, one hash-keyed window), fully DuckDB-oracle-checked.
+Fractions are ratios of exact integers rounded to 6 dp, so the hash
+comparison is engine-stable.
+"""
+
+from __future__ import annotations
+
+from trendengine_spark.queries.base import query
+from trendengine_spark.sqltext import sql_over_tables
+
+#: DuckDB-side whitespace tokenization (1-based list)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+#: Spark-side twin (0-based array)
+_TOKS_SPARK = r"filter(split(trim(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "text_repetition_signals",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), big AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 3
+    ), bg AS (
+      SELECT doc_id, max(cnt) AS top_bigram_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM big GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), tri AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+      WHERE len(ts) >= 3
+    ), tg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_tri,
+             CAST(sum(cnt) AS BIGINT) AS n_tri
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT bg.doc_id,
+           CAST(n_bigrams + 1 AS BIGINT) AS n_tokens,
+           top_bigram_cnt,
+           round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6)
+             AS top_bigram_frac,
+           round(dup_tri / CAST(n_tri AS DOUBLE), 6) AS dup_trigram_frac
+    FROM bg JOIN tg ON bg.doc_id = tg.doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: the
+    coverage of the single most frequent bigram and the fraction of
+    trigram slots occupied by a trigram that repeats — the standard
+    cheap detectors of keyboard-mash/boilerplate/template text in
+    pretraining curation (cf. the repetition rules of the Gopher
+    data-quality appendix; re-derived, no external code). Plan: two
+    explode→count passes over the token stream, both partial-
+    aggregated map-side on (doc_id, gram) before one shuffle keyed by
+    doc_id; the final join is doc_id-co-partitioned. Fractions are
+    ratios of exact int64 counts rounded to 6 dp — engine-stable.
+    Docs under 3 tokens are excluded (no trigram slots)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKS_SPARK} AS ts FROM documents
+        ), big AS (
+          SELECT doc_id, concat_ws(' ', ts[i], ts[i+1]) AS g
+          FROM tok LATERAL VIEW explode(sequence(0, size(ts) - 2)) u AS i
+          WHERE size(ts) >= 3
+        ), bg AS (
+          SELECT doc_id, max(cnt) AS top_bigram_cnt,
+                 CAST(sum(cnt) AS BIGINT) AS n_bigrams
+          FROM (SELECT doc_id, g, count(1) AS cnt FROM big GROUP BY doc_id, g)
+          GROUP BY doc_id
+        ), tri AS (
+          SELECT doc_id, concat_ws(' ', ts[i], ts[i+1], ts[i+2]) AS g
+          FROM tok LATERAL VIEW explode(sequence(0, size(ts) - 3)) u AS i
+          WHERE size(ts) >= 3
+        ), tg AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup_tri,
+                 CAST(sum(cnt) AS BIGINT) AS n_tri
+          FROM (SELECT doc_id, g, count(1) AS cnt FROM tri GROUP BY doc_id, g)
+          GROUP BY doc_id
+        )
+        SELECT bg.doc_id,
+               CAST(n_bigrams + 1 AS BIGINT) AS n_tokens,
+               top_bigram_cnt,
+               round(top_bigram_cnt / CAST(n_bigrams AS DOUBLE), 6)
+                 AS top_bigram_frac,
+               round(dup_tri / CAST(n_tri AS DOUBLE), 6) AS dup_trigram_frac
+        FROM bg JOIN tg ON bg.doc_id = tg.doc_id
+        """,
+        ("documents",),
+    )
+
+
+@query(
+    "dedup_paragraph_global",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), ch AS (
+      SELECT doc_id, CAST((i - 1) / 32 AS INT) AS chunk_idx,
+             md5(array_to_string(ts[i:i+31], ' ')) AS h
+      FROM tok, unnest(generate_series(1, greatest(len(ts), 1), 32)) AS u(i)
+      WHERE len(ts) > 0 AND i <= len(ts)
+    ), ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+               AS rnk,
+             count(*) OVER (PARTITION BY h) AS n_copies
+      FROM ch
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS kept,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked
+    """,
+)
+def dedup_paragraph_global(spark, sf_dir):
+    """Corpus-wide paragraph (32-token block) deduplication, keep
+    first occurrence — the block-level pass pretraining pipelines run
+    AFTER document-level dedup (repeated headers/footers/licenses
+    survive document dedup because the surrounding text differs).
+    Plan: one explode into non-overlapping blocks, md5 each block,
+    ONE shuffle keyed by the block hash for the first-occurrence
+    window (rank by (doc_id, chunk_idx) — deterministic), emit a
+    kept/copies verdict per block. At 100 TB the hash key is uniform
+    by construction (md5) — no skew; the window state per key is the
+    tiny duplicate set, and blocks never carry the 32-token text
+    past the hash projection."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKS_SPARK} AS ts FROM documents
+        ), ch AS (
+          SELECT doc_id, CAST(s / 32 AS INT) AS chunk_idx,
+                 md5(concat_ws(' ', slice(ts, s + 1, 32))) AS h
+          FROM tok
+          LATERAL VIEW explode(sequence(0, greatest(size(ts) - 1, 0), 32))
+            u AS s
+          WHERE size(ts) > 0
+        ), ranked AS (
+          SELECT doc_id, chunk_idx,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+                   AS rnk,
+                 count(1) OVER (PARTITION BY h) AS n_copies
+          FROM ch
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS kept,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM ranked
+        """,
+        ("documents",),
+    )
+
+
+@query(
+    "pipeline_hash_sample_per_key",
+    sql="""
+    SELECT doc_id, lang, CAST(rnk AS INT) AS rnk
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents) s
+    WHERE rnk <= 20
+    """,
+)
+def pipeline_hash_sample_per_key(spark, sf_dir):
+    """Deterministic per-key sampling: the k=20 documents per language
+    with the smallest md5(doc_id) — a reproducible, coordination-free
+    uniform sample (the hash is the random draw; no RNG state, no
+    seed file, identical on every engine and every run). This is how
+    a mixture pipeline caps a source's contribution without a global
+    sort: one window per key, top-k by rank. Plan: single shuffle
+    keyed by lang; with k bounded the window needs only a running
+    top-k per partition key. The doc_id tie-break makes the cut
+    deterministic even under (impossible) hash collisions."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id, lang, CAST(rnk AS INT) AS rnk
+        FROM (SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rnk
+              FROM documents) s
+        WHERE rnk <= 20
+        """,
+        ("documents",),
+    )

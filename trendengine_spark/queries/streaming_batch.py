@@ -311,3 +311,41 @@ def funnel_view_click_purchase(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@query(
+    "stream_dedup_first_event",
+    sql="""
+    SELECT user_id, event_type, ts, event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rnk
+          FROM events) r
+    WHERE rnk = 1
+    """,
+)
+def stream_dedup_first_event(spark, sf_dir):
+    """Batch twin of watermark-bounded streaming dedup
+    (``streaming.dedup_within_watermark`` /
+    ``dropDuplicatesWithinWatermark``): the first event per
+    (user_id, event_type), made deterministic for the oracle by the
+    (ts, event_id) order — streaming keeps first-SEEN, which for a
+    time-ordered source is the same row. One shuffle keyed by the
+    dedup key; the window needs only running-min state per key, the
+    batch analog of the streaming operator's one-row-per-key state
+    bounded by the watermark horizon
+    (``tests/test_streaming.py`` runs the real streaming twin and
+    asserts key-set equivalence against this plan)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, event_type, ts, event_id
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rnk
+              FROM events) r
+        WHERE rnk = 1
+        """,
+        ("events",),
+    )

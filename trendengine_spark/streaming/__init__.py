@@ -16,3 +16,7 @@ from trendengine_spark.streaming.windows import (  # noqa: F401
     tumbling_agg,
 )
 from trendengine_spark.streaming.detector import online_level_shifts  # noqa: F401
+from trendengine_spark.streaming.joins import (  # noqa: F401
+    dedup_within_watermark,
+    interval_join_views_purchases,
+)
