@@ -421,3 +421,33 @@ def test_pq_adc_and_refined_recall(spark):
         for q in range(10)
     ) / 10
     assert ref_rec >= 0.9, ref_rec
+
+
+def test_range_search_subsumes_topk_above_threshold(spark):
+    """Radius search at τ must return exactly the topk rows whose
+    similarity clears τ (same scoring path, count-bound vs
+    similarity-bound), and an empty query set must degrade to an
+    empty frame instead of crashing the BLAS pass."""
+    from trendengine_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_topk,
+    )
+
+    sf = SF_SMOKE
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tau = 0.3
+    rng = cosine_range_search(emb, queries, threshold=tau).toPandas()
+    assert len(rng) > 0
+    assert (rng["cos_sim"] >= tau - 1e-9).all()
+    topk = cosine_topk(emb, queries, k=5).toPandas()
+    top_above = topk[topk.cos_sim >= tau]
+    got = set(zip(rng.query_id, rng.vec_id))
+    assert set(zip(top_above.query_id, top_above.vec_id)) <= got
+
+    empty = cosine_range_search(
+        emb, queries.filter(F.col("query_id") < 0), threshold=tau
+    )
+    assert empty.count() == 0

@@ -159,6 +159,74 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """All corpus neighbors with cosine ≥ ``threshold`` per query
+    (radius search — the dedup/recall twin of :func:`cosine_topk`,
+    which bounds by count instead of similarity).
+
+    Same execution shape as :func:`cosine_topk`: the bounded query
+    side broadcasts as one dense matrix, the corpus streams through
+    ``mapInPandas`` scoring every batch with one BLAS matmul — but
+    the radius cut needs NO ranking, so there is no window and no
+    shuffle at all: emit-if-above is decided entirely inside the
+    batch. Result size is data-dependent (that is the operator's
+    contract); at 100 TB the map-only plan means output cost is the
+    only cost.
+    """
+    sc = corpus.sparkSession.sparkContext
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    id_field = corpus.schema[id_col]
+    qid_field = queries.schema[query_id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], schema=out_schema)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def score_batches(batches):
+        ids_b, qm, qn = bc.value
+        qm_t = qm.T
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m @ qm_t) / np.outer(norms, qn)  # (N, Q)
+            out_qid, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(ids_b):
+                col = sims[:, qi]
+                hit = np.flatnonzero((col >= threshold) & (ids != qid))
+                out_qid.extend([qid] * hit.size)
+                out_id.extend(ids[hit].tolist())
+                out_sim.extend(col[hit].tolist())
+            yield pd.DataFrame(
+                {query_id_col: out_qid, id_col: out_id, "cos_sim": out_sim}
+            )
+
+    return (
+        fan_out(corpus)
+        .mapInPandas(score_batches, schema=out_schema)
+        .select(query_id_col, id_col, F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (unit-normalized rows)."""
     rng = np.random.RandomState(seed)

@@ -59,6 +59,7 @@ _SPINE_FIRST = [
     # Modified in r6: adaptive-cut min_pairs floor / empty-query
     # guard (rows-only by design; fresh row counts are the evidence)
     "sim_embedding_near_dup", "sim_ann_hyperplane",
+    "sim_range_search",  # NEW r6: map-only radius search
     # NEW in r6 — need their first driver rows: TPC-H q4/q5/q7/q10/
     # q13/q18/q22 shapes, Z-order spatial roll-up, te_region data
     # source, numeric histogram profile

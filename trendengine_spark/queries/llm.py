@@ -426,6 +426,46 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "sim_range_search",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    )
+    SELECT q.query_id, e.vec_id,
+           round(list_dot_product(qe, e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(qe, qe)) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))), 4)
+             AS cos_sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.query_id
+      AND list_dot_product(qe, e.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(qe, qe)) *
+           sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                 e.embedding::DOUBLE[]))) >= 0.3
+    """,
+)
+def sim_range_search(spark, sf_dir):
+    """Radius (threshold) search: every corpus vector with cosine
+    ≥ 0.3 to each of 10 query vectors — the similarity-bounded twin
+    of sim_cosine_topk's count-bounded search, and the primitive
+    behind embedding-level near-dup blocking. Spark plan: broadcast
+    query matrix × one ``mapInPandas`` BLAS pass over the corpus,
+    emit-if-above inside the batch — NO window, NO shuffle (the
+    map-only plan is the whole point of radius search at scale).
+    τ=0.3 is calibrated non-vacuous on the synthetic corpus at every
+    sf (max observed cosine ≈ 0.49)."""
+    from trendengine_spark.operators.similarity import cosine_range_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_range_search(emb, queries, threshold=0.3)
+
+
+@query(
     "sim_ann_hyperplane",
     sql=None,
     doc="Random-hyperplane LSH ANN top-5 (8 planes × 4 bands) — the "
