@@ -292,3 +292,46 @@ def test_pipeline_query_plans_minimal(spark):
         .toString()
     )
     assert "Exchange" not in samp, samp[:600]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At warehouse scale a selective dim filter should reach the fact
+    side BEFORE the shuffle: Spark's runtime bloom filter injects a
+    might_contain(...) predicate built from the filtered build side.
+    The trigger thresholds are sized for real tables
+    (applicationSideScanSizeThreshold defaults to 10GB), so the test
+    lowers them to prove the mechanism our 100 TB posture relies on
+    is live in this engine build, then restores the session."""
+    from trendengine_spark.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            "o_orderpriority = '1-URGENT' "
+            "AND o_orderdate >= TIMESTAMP '1997-06-01'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:800]
+        assert "bloom_filter_agg" in plan, plan[:800]
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -644,3 +644,40 @@ def recursive_cte_month_spine(spark, sf_dir):
         """,
         ("orders",),
     )
+
+
+@query(
+    "fuzzy_name_pairs_blocked",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    t AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_name_pairs_blocked(spark, sf_dir):
+    """Approximate-string matching with blocking — the standard
+    entity-resolution shape: candidate pairs are generated only
+    WITHIN a blocking key (here the head noun of the part name), then
+    scored by edit distance. The blocked equi-self-join keeps the
+    work Σ(block size)² instead of N² — the same bucket-bounded
+    discipline as the MinHash/SimHash dedup family, applied to
+    short strings where Levenshtein (a JVM built-in, codegen'd) is
+    affordable per candidate. The ``<`` tie-break halves the pair
+    space and makes output deterministic; distinct names first so
+    duplicate part rows can't multiply candidates."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        t AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        """,
+        ("part",),
+    )
