@@ -222,6 +222,8 @@ def test_streaming_dedup_matches_batch_twin_keys(spark, events_dir):
         .collect()
     }
 
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(events_dir)
     schema = spark.read.parquet(events_dir).schema
     src = (
         spark.readStream.schema(schema)
@@ -243,3 +245,53 @@ def test_streaming_dedup_matches_batch_twin_keys(spark, events_dir):
     ).collect()
     assert all(r["n"] == 1 for r in got)
     assert {(r["user_id"], r["event_type"]) for r in got} == batch_keys
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, events_dir):
+    """The data-dependent-gap session window must produce identical
+    sessions on the streaming path (availableNow over the same rows)
+    as the oracle-checked batch twin."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.queries import REGISTRY
+
+    batch = (
+        REGISTRY["stream_session_dynamic_gap"].fn(spark, SF_SMOKE).toPandas()
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark("ts", "6 hours")
+    )
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "10 minutes"
+    )
+    agg = (
+        src.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dyn_session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.sql("SELECT * FROM dyn_session_test").toPandas()
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    s = stream[cols].sort_values(cols).reset_index(drop=True)
+    assert len(b) == len(s)
+    assert b.equals(s)

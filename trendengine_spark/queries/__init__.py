@@ -88,6 +88,7 @@ _SPINE_FIRST = [
     "text_repetition_signals", "dedup_paragraph_global",
     "pipeline_hash_sample_per_key", "stream_dedup_first_event",
     "fuzzy_name_pairs_blocked",  # NEW r6: blocked edit-distance ER
+    "stream_session_dynamic_gap", "approx_top_k_events",  # NEW r6
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

@@ -681,3 +681,35 @@ def fuzzy_name_pairs_blocked(spark, sf_dir):
         """,
         ("part",),
     )
+
+
+@query(
+    "approx_top_k_events",
+    sql="""
+    SELECT event_type, cnt FROM (
+      SELECT event_type, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rnk
+      FROM events GROUP BY event_type
+    ) t WHERE rnk <= 3
+    """,
+)
+def approx_top_k_events(spark, sf_dir):
+    """Sketch-based heavy hitters: ``approx_top_k`` (Spark 4) tracks
+    frequent items in one pass with bounded memory — the streaming-
+    friendly alternative to a full group-by when only the head of the
+    distribution matters. With far fewer distinct values than the
+    sketch capacity (5 ≪ 10000) the sketch is EXACT, so the DuckDB
+    exact top-3 is a valid oracle — same pattern as
+    approx_vs_exact_distinct. At real cardinalities the sketch keeps
+    its fixed memory while the exact plan's hash table grows with
+    #groups; counts here are sketch-reported, not re-aggregated."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (SELECT approx_top_k(event_type, 3) AS tk FROM events) s
+        LATERAL VIEW explode(tk) u AS t
+        """,
+        ("events",),
+    )

@@ -349,3 +349,62 @@ def stream_dedup_first_event(spark, sf_dir):
         """,
         ("events",),
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    sql=f"""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN {HALF_US} ELSE 600 * {_US} END AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, t_us, gap_us,
+             CASE WHEN max(t_us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY t_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+                  WHEN t_us >= max(t_us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY t_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g
+    ), sess AS (
+      SELECT user_id, t_us, gap_us,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY t_us
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           make_timestamp(min(t_us)) AS session_start,
+           make_timestamp(max(t_us + gap_us)) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a DATA-DEPENDENT gap (purchase events hold
+    the session open 30 minutes, everything else 10): Spark's dynamic
+    ``session_window(ts, CASE ...)`` — each event contributes the
+    interval [ts, ts+gap) and overlapping intervals merge, so the
+    session end is max(ts+gap) over its members. The oracle
+    reproduces the merge with the gaps-and-islands running-max rule
+    (new session when ts ≥ max prior ts+gap — the same half-open
+    ``>=`` convention as the fixed-gap twin). One shuffle keyed by
+    user_id either way; streaming state per open session only."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "10 minutes"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
