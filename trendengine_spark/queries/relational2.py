@@ -713,3 +713,50 @@ def approx_top_k_events(spark, sf_dir):
         """,
         ("events",),
     )
+
+
+@query(
+    "udtf_run_length_segments",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, event_type, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+      FROM e
+    )
+    SELECT user_id, event_type, min(ts) AS run_start,
+           CAST(count(*) AS INT) AS run_len
+    FROM g GROUP BY user_id, event_type, grp
+    """,
+)
+def udtf_run_length_segments(spark, sf_dir):
+    """Run-length segmentation of each user's event stream through a
+    Spark 4 Python UDTF with a partitioned-ordered TABLE argument
+    (``functions/udtfs.RunLengthSegments``): per-group stateful
+    one-pass expansion registered as a SQL table function — the
+    engine's extension surface for streaming-shaped per-group
+    algorithms. The DuckDB oracle computes the identical runs with
+    the classic gaps-and-islands lag/sum/group-by, so the whole
+    UDTF path (registration, TABLE arg, PARTITION BY shuffle,
+    in-group ORDER, Arrow row transport, terminate flush) is
+    hash-checked end-to-end. One shuffle keyed by user_id."""
+    from trendengine_spark.functions.udtfs import register_udtfs
+    from trendengine_spark.sqltext import sql_over_tables as _sot
+
+    register_udtfs(spark)
+    return _sot(
+        spark,
+        sf_dir,
+        """
+        SELECT * FROM run_length_segments(
+          TABLE(SELECT user_id, event_type, ts, event_id FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """,
+        ("events",),
+    )
