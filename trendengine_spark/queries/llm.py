@@ -417,12 +417,14 @@ def text_winnow_fingerprints(spark, sf_dir):
 )
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for 10 query vectors: broadcast
-    queries × one corpus pass (JVM fold, no UDF) + per-query window."""
+    query matrix × one corpus pass + per-query window. The query side
+    is fetched driver-side with pyarrow (client input, no Spark
+    job — a distributed collect for 10 vectors costs a full job
+    launch, ~100-150 ms of pure scheduler constant at sf0.1)."""
+    from trendengine_spark.operators.similarity import load_query_vectors
+
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk(emb, queries, k=5)
+    return cosine_topk(emb, k=5, queries_local=load_query_vectors(sf_dir))
 
 
 @query(
@@ -456,13 +458,15 @@ def sim_range_search(spark, sf_dir):
     map-only plan is the whole point of radius search at scale).
     τ=0.3 is calibrated non-vacuous on the synthetic corpus at every
     sf (max observed cosine ≈ 0.49)."""
-    from trendengine_spark.operators.similarity import cosine_range_search
+    from trendengine_spark.operators.similarity import (
+        cosine_range_search,
+        load_query_vectors,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    return cosine_range_search(
+        emb, None, threshold=0.3, queries_local=load_query_vectors(sf_dir)
     )
-    return cosine_range_search(emb, queries, threshold=0.3)
 
 
 @query(
