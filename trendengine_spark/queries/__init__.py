@@ -90,6 +90,7 @@ _SPINE_FIRST = [
     "fuzzy_name_pairs_blocked",  # NEW r6: blocked edit-distance ER
     "stream_session_dynamic_gap", "approx_top_k_events",  # NEW r6
     "udtf_run_length_segments",  # NEW r6: Spark 4 UDTF TABLE-arg path
+    "lateral_top_order_per_customer",  # NEW r6: LATERAL decorrelation
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

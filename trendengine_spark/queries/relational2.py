@@ -760,3 +760,39 @@ def udtf_run_length_segments(spark, sf_dir):
         """,
         ("events",),
     )
+
+
+@query(
+    "lateral_top_order_per_customer",
+    sql="""
+    SELECT c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS top_price
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+    """,
+)
+def lateral_top_order_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER/LIMIT — the
+    SQL-standard form of "top order per customer". Catalyst
+    decorrelates the lateral top-1 into a partitioned window plan
+    (rank over o_custkey, filter rank=1, join back) rather than
+    re-running the subquery per customer row — same physical shape
+    as window_topk_per_group, arrived at from the opposite
+    (subquery-first) syntax; both engines agree row-for-row under
+    the (price DESC, orderkey) deterministic tie-break. Customers
+    with no orders drop (inner lateral)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS top_price
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        """,
+        ("customer", "orders"),
+    )
