@@ -335,3 +335,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_range_frame_has_no_global_window(spark):
+    """The trailing-range query must run its RANGE window PARTITIONED
+    (halo-bucketed trailing_range_aggs), never as a single-task
+    global-order WindowExec."""
+    p = plan_of(spark, "window_range_frame")
+    window_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert window_lines, "expected a Window node in the plan"
+    for line in window_lines:
+        assert "_bkt" in line, f"unpartitioned global window: {line}"

@@ -83,3 +83,47 @@ def test_asof_join_rejects_payload_collision(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+
+
+def test_trailing_range_aggs_equals_global_window(spark):
+    """Halo-partitioned trailing RANGE aggregates must equal the naive
+    single-partition global window on dense/ties/boundary-straddling
+    values — including rows exactly lookback before a bucket edge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.relational import trailing_range_aggs
+
+    # values clustered around multiples of the bucket width to force
+    # halo traffic, plus ties and gaps
+    vals = (
+        list(range(0, 30))
+        + [60, 61, 61, 63]
+        + list(range(120, 135))
+        + [127, 127]
+        + [191, 250, 251]
+    )
+    df = spark.createDataFrame(
+        [(i, v, float(v % 11)) for i, v in enumerate(vals)],
+        schema="id int, v int, x double",
+    )
+    got = {
+        r["id"]: (r["n"], round(r["s"], 6))
+        for r in trailing_range_aggs(
+            df,
+            "v",
+            {"n": F.count(F.lit(1)), "s": F.sum("x")},
+            lookback=7,
+            bucket_width=64,
+        ).collect()
+    }
+    w = Window.orderBy("v").rangeBetween(-7, 0)
+    want = {
+        r["id"]: (r["n"], r["s"])
+        for r in df.select(
+            "id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.round(F.sum("x").over(w), 6).alias("s"),
+        ).collect()
+    }
+    assert got == want

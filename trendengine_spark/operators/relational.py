@@ -290,3 +290,51 @@ def topk_per_group(
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn(rn_col, F.row_number().over(w)).filter(F.col(rn_col) <= k)
+
+
+def trailing_range_aggs(
+    df: DataFrame,
+    order_col: str,
+    aggs: dict[str, Column],
+    lookback: int,
+    bucket_width: int = 512,
+) -> DataFrame:
+    """Trailing RANGE-frame window aggregates over a GLOBAL value
+    order, computed scale-safe with overlap ("halo") partitioning.
+
+    A plain ``Window.orderBy(v).rangeBetween(-lookback, 0)`` funnels
+    every row into ONE task (Spark's unpartitioned-window warning) —
+    correct only while the input is driver-bounded. This operator
+    keeps the exact semantics at any size: rows are bucketed by
+    ``floor(v / bucket_width)``; rows within ``lookback`` of a
+    bucket's upper boundary are DUPLICATED into the next bucket as
+    non-emitting halo rows, so every row's full ``[v-lookback, v]``
+    frame is present inside its own bucket; the window then runs
+    partitioned by bucket and halo rows are dropped after. Overhead
+    is the halo fraction (~lookback/bucket_width duplicated rows);
+    parallelism is #buckets, which grows with the value domain.
+
+    ``aggs``: output column name → aggregate expression (e.g.
+    ``{"n": F.count(F.lit(1))}``), each applied ``.over`` the frame.
+    ``lookback``/``bucket_width`` are in ``order_col`` units
+    (``bucket_width > lookback`` required).
+    """
+    if bucket_width <= lookback:  # pragma: no cover - authoring guard
+        raise ValueError("bucket_width must exceed lookback")
+    v = F.col(order_col)
+    bucket = F.floor(v / bucket_width)
+    own = df.withColumn("_bkt", bucket).withColumn("_halo", F.lit(0))
+    halo = (
+        df.filter(v % bucket_width >= bucket_width - lookback)
+        .withColumn("_bkt", bucket + 1)
+        .withColumn("_halo", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rangeBetween(-lookback, 0)
+    )
+    out = own.unionByName(halo)
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out.filter(F.col("_halo") == 0).drop("_bkt", "_halo")

@@ -321,7 +321,15 @@ def min_by_max_by(spark, sf_dir):
 )
 def window_range_frame(spark, sf_dir):
     """RANGE frame (value-based window): trailing-7-day order count
-    and revenue."""
+    and revenue. Computed with the halo-partitioned operator
+    (:func:`~trendengine_spark.operators.relational.
+    trailing_range_aggs`) — rows within 7 days of a bucket boundary
+    duplicate into the next bucket as non-emitting halo rows, so the
+    global-order RANGE frame runs PARTITIONED (no single-task
+    WindowExec; equivalence to the naive global window is asserted in
+    ``tests/test_relational_ops.py``)."""
+    from trendengine_spark.operators.relational import trailing_range_aggs
+
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     d = o.select(
         "o_orderkey",
@@ -330,13 +338,21 @@ def window_range_frame(spark, sf_dir):
         ).alias("day_no"),
         "o_totalprice",
     )
-    w = Window.orderBy("day_no").rangeBetween(-7, 0)
-    return d.select(
-        "o_orderkey", "day_no",
-        F.count(F.lit(1)).over(w).alias("n_week"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).over(w), 2)
-        .cast("double")
-        .alias("week_rev"),
+    out = trailing_range_aggs(
+        d,
+        "day_no",
+        {
+            "n_week": F.count(F.lit(1)),
+            "_rev": F.sum(F.col("o_totalprice").cast("decimal(10,2)")),
+        },
+        lookback=7,
+        bucket_width=512,
+    )
+    return out.select(
+        "o_orderkey",
+        "day_no",
+        "n_week",
+        F.round("_rev", 2).cast("double").alias("week_rev"),
     )
 
 
