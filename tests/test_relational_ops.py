@@ -127,3 +127,30 @@ def test_trailing_range_aggs_equals_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ntile_global_matches_naive_window(spark):
+    """Arithmetic global ntile must equal Window.orderBy ntile for
+    several n, including non-dividing N and n > N."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.relational import ntile_global
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(97)],
+        schema="id int, v double",
+    )
+    for n in (2, 4, 7, 100):
+        got = {
+            r["id"]: r["b"]
+            for r in ntile_global(
+                df, ["v", "id"], n, out_col="b", num_partitions=5
+            ).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["b"]
+            for r in df.select("id", F.ntile(n).over(w).alias("b")).collect()
+        }
+        assert got == want, f"n={n}"

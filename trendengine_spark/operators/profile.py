@@ -24,18 +24,22 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     with counts. All exact; the only shuffle is the groupBy on the
     key itself."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    w = Window.orderBy(F.desc("_cnt"), F.col(key_col).asc())
-    ranked = counts.withColumn("_rn", F.row_number().over(w))
-    # the ranked window is global but its input is one row per key —
-    # bounded by key cardinality, not table size; for billion-key
-    # domains swap in ranked_global or a TakeOrdered on (_cnt desc)
+    # hottest keys via orderBy().limit() → TakeOrderedAndProject:
+    # per-partition top-k + driver merge of top_k·partitions rows —
+    # scale-safe at any key cardinality (a global row_number window
+    # here would funnel every key into one task).
     # hot keys flatten to "key:cnt" strings — engine-portable (struct
     # arrays stringify differently per client) and driver-hashable
-    top = ranked.filter(F.col("_rn") <= top_k).select(
-        F.concat_ws(
-            ":", F.col(key_col).cast("string"), F.col("_cnt").cast("string")
-        ).alias("hot"),
-        "_rn",
+    top = (
+        counts.orderBy(F.desc("_cnt"), F.col(key_col).asc())
+        .limit(top_k)
+        .select(
+            (-F.col("_cnt")).alias("_neg"),
+            F.col(key_col).alias("_k"),
+            F.concat_ws(
+                ":", F.col(key_col).cast("string"), F.col("_cnt").cast("string")
+            ).alias("hot"),
+        )
     )
     agg = counts.agg(
         F.sum("_cnt").alias("n_rows"),
@@ -45,13 +49,14 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     ).withColumn(
         "skew_ratio", F.round(F.col("max_per_key") / F.col("mean_per_key"), 6)
     )
-    # collect_list order is not contractual — sort by rank inside the
-    # aggregate (array_sort on (rank, value) structs) for determinism
+    # collect_list order is not contractual — sort by (count desc,
+    # key asc) inside the aggregate (array_sort on typed structs) for
+    # determinism
     hot = top.agg(
         F.concat_ws(
             ",",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_rn", "hot"))),
+                F.array_sort(F.collect_list(F.struct("_neg", "_k", "hot"))),
                 lambda s: s["hot"],
             ),
         ).alias("hot_keys")

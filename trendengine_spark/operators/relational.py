@@ -220,7 +220,10 @@ def ranked_global(
     source satisfies; lineage stays intact, so the 100 TB failure
     story is recompute, not abort.
     """
-    reserved = {"_pid", "_lrank", "_lcume", "_rank", "_pct_rank", "_cume_dist"}
+    reserved = {
+        "_pid", "_lrank", "_lcume", "_rank", "_pct_rank", "_cume_dist",
+        "_n_total",
+    }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"columns {sorted(clash)} are reserved by ranked_global")
@@ -272,7 +275,42 @@ def ranked_global(
             .otherwise(F.lit(0.0)),
         )
         .withColumn("_cume_dist", (F.col("_offset") + F.col("_lcume")) / F.lit(total))
+        .withColumn("_n_total", F.lit(total))
         .drop("_pid", "_lrank", "_lcume", "_offset")
+    )
+
+
+def ntile_global(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "_ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global ``ntile(n)``: SQL ntile over a TOTAL order
+    without the single-partition WindowExec of a bare
+    ``Window.orderBy`` (fatal on a fact-sized input).
+
+    Built on :func:`ranked_global`; ``order_cols`` MUST be a unique
+    ascending order (include a key tiebreak — for a descending
+    criterion pre-compute a negated column), so ``_rank`` is the
+    global row number. The SQL ntile contract is then pure
+    arithmetic on (row number, N): the first ``N % n`` buckets carry
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — reproduced exactly,
+    whole-stage codegen'd, no extra shuffle beyond ranked_global's.
+    """
+    r = ranked_global(df, order_cols, num_partitions=num_partitions)
+    i = F.col("_rank")
+    big = F.floor(F.col("_n_total") / n) + 1  # size of the first rem buckets
+    rem = F.col("_n_total") % n
+    cut = rem * big  # rows living in the bigger buckets
+    bucket = (
+        F.when(i <= cut, F.floor((i - 1) / big) + 1)
+        .otherwise(rem + F.floor((i - cut - 1) / (big - 1)) + 1)
+        .cast("int")
+    )
+    return r.withColumn(out_col, bucket).drop(
+        "_rank", "_pct_rank", "_cume_dist", "_n_total"
     )
 
 

@@ -349,15 +349,25 @@ def window_running_sum(spark, sf_dir):
     """,
 )
 def window_ntile_firstlast(spark, sf_dir):
-    """ntile + first_value analytic functions."""
-    c = t(spark, sf_dir, "customer")
-    w_all = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    """ntile + first_value analytic functions. The global quartile is
+    computed by the scale-safe arithmetic ntile
+    (:func:`~trendengine_spark.operators.relational.ntile_global` —
+    range-bucketed global row number + the SQL bucket-size formula),
+    not a single-partition ``Window.orderBy``; the descending balance
+    order becomes a negated ascending key. first_value stays a
+    partitioned window (per-segment — already parallel)."""
+    from trendengine_spark.operators.relational import ntile_global
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "_negbal", -F.col("c_acctbal")
+    )
+    q = ntile_global(c, ["_negbal", "c_custkey"], 4, out_col="quartile")
     w_seg = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
-    return c.select(
+    return q.select(
         "c_custkey",
-        F.ntile(4).over(w_all).alias("quartile"),
+        "quartile",
         F.round(F.first("c_acctbal").over(w_seg), 2).alias("seg_max"),
         "c_mktsegment",
     )
