@@ -96,6 +96,7 @@ _SPINE_FIRST = [
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
     "scalar_array_fns", "scalar_json_fns",
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
+    "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",

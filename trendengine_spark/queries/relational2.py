@@ -812,3 +812,91 @@ def lateral_top_order_per_customer(spark, sf_dir):
         """,
         ("customer", "orders"),
     )
+
+
+@query(
+    "group_by_all_dialect",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def group_by_all_dialect(spark, sf_dir):
+    """GROUP BY ALL — the modern-dialect shorthand (every
+    non-aggregate select item becomes a group key) that Spark 4 and
+    DuckDB resolve identically; the IDENTICAL text runs on both
+    engines, extending the shared-dialect surface
+    (sql_api_shared_dialect) to analyzer-level resolution sugar.
+    Plan is a plain partial+final hash aggregate on the three
+    resolved keys — the sugar desugars before optimization."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+               count(1) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ALL
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "scalar_map_fns",
+    sql="""
+    WITH m AS (
+      SELECT o_custkey,
+             map(list(o_orderstatus ORDER BY o_orderkey),
+                 list(o_orderkey ORDER BY o_orderkey)) AS status_first
+      FROM (SELECT o_custkey, o_orderstatus, min(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderstatus) d
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(cardinality(status_first) AS INT) AS n_statuses,
+           status_first['F'][1] AS first_f_order,
+           array_to_string(map_keys(status_first), ',') AS statuses
+    FROM m
+    """,
+)
+def scalar_map_fns(spark, sf_dir):
+    """Map-type construction and access: per customer, a map from
+    order status → earliest order key, probed with subscript access,
+    cardinality and sorted key listing. Map columns never reach the
+    output (the driver canonicalizer can't sort them) — probes are
+    scalar, keys stringified sorted. Spark builds the map with
+    map_from_entries over a sorted collect_list (entry order is made
+    deterministic BEFORE map construction; both engines iterate
+    insertion order for map_keys)."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderkey").alias("o_orderkey")
+    )
+    m = d.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderstatus")))
+        ).alias("_km")
+    ).select(
+        "o_custkey",
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(F.col("_km")),
+                lambda e: F.struct(
+                    e["value"].alias("k"), e["key"].alias("v")
+                ),
+            )
+        ).alias("status_first"),
+    )
+    return m.select(
+        "o_custkey",
+        F.size("status_first").cast("int").alias("n_statuses"),
+        F.col("status_first")["F"].alias("first_f_order"),
+        F.concat_ws(",", F.map_keys("status_first")).alias("statuses"),
+    )

@@ -7,6 +7,15 @@ queries declare (``queries/streaming_batch.py``), applied to a
 ``readStream`` source with watermarking, plus a stateful online
 level-shift detector (``applyInPandasWithState``) as the streaming
 twin of DBEST change detection.
+
+Note on ``transformWithStateInPandas`` (the Spark 4 successor API
+with typed value/list/map state and timers): its Python driver
+worker requires ``google.protobuf``, which is not installed in this
+build environment (verified: the streaming runner crashes with
+``ImportError: cannot import name 'descriptor'``; installs are not
+permitted here). The stateful surface therefore stays on
+``applyInPandasWithState``, which is self-contained — the detector
+port is mechanical once protobuf exists.
 """
 
 from trendengine_spark.streaming.windows import (  # noqa: F401
