@@ -21,6 +21,10 @@ found exactly (no false pairs at threshold 0.5):
                each dragging a 64-long signature is a ~1.6 GB bucket
                shuffle that spills; the narrow posture shuffles 77 MB.
                This is why the registry default is carry=False.
+    100k docs: paragraph_dedup (32-token block, md5-keyed
+               first-occurrence window) ~32k docs/s on a shared box;
+               finds exactly the planted 20k duplicate blocks
+               (5k copied docs × 4 blocks).
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """
@@ -78,9 +82,41 @@ def main() -> None:
     )
     n = docs.count()
 
+    def paragraph_dedup():
+        # same plan as the dedup_paragraph_global registry query:
+        # explode 32-token blocks, md5, first-occurrence window on the
+        # block hash (text dropped before the shuffle)
+        from pyspark.sql import Window
+
+        toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ch = (
+            docs.select("doc_id", toks.alias("ts"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("ts") - 1, F.lit(0)),
+                        F.lit(32),
+                    )
+                ).alias("s"),
+                "ts",
+            )
+            .select(
+                "doc_id",
+                (F.col("s") / 32).cast("int").alias("chunk_idx"),
+                F.md5(F.concat_ws(" ", F.slice("ts", F.col("s") + 1, 32))).alias("h"),
+            )
+        )
+        w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+        return ch.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") > 1
+        )
+
     for name, fn in [
         ("quality_features", lambda: quality_features(docs)),
         ("exact_dedup", lambda: exact_dedup(docs)),
+        ("paragraph_dedup", paragraph_dedup),
         (
             "minhash_lsh_pairs",
             # carry_signatures=False = the registry/bench posture (the
