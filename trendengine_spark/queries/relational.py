@@ -886,7 +886,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 
     Join strategy is pinned to the shape that survives scale: the
     selective dim (filtered customer) broadcasts; the fact-fact
-    orders⋈lineitem join is SHUFFLE_HASH — auto-planning instead
+    orders⋈lineitem join is pinned MERGE (sort-merge) — auto-planning instead
     broadcasts the c⋈o intermediate, whose size grows with SF (wrong
     at 100 TB) and whose extra broadcast-build job measured +125 ms
     at sf0.1."""
@@ -894,7 +894,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         spark,
         sf_dir,
         """
-        SELECT /*+ BROADCAST(customer), SHUFFLE_HASH(lineitem) */
+        SELECT /*+ BROADCAST(customer), MERGE(lineitem) */
                l_orderkey,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
@@ -1065,7 +1065,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: the 6-way local-supplier-volume join. Scale
     plan: supplier/nation/region broadcast (bounded dims), the
     customer⋈orders and orders⋈lineitem fact joins shuffle on their
-    natural keys (SHUFFLE_HASH pinned on lineitem — auto-planning
+    natural keys (MERGE pinned on lineitem — auto-planning
     would broadcast a with-SF-growing intermediate). Revenue in
     fixed-point int64 (see tpch_q1)."""
     return sql_over_tables(
@@ -1073,7 +1073,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         sf_dir,
         """
         SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
-                   BROADCAST(region), SHUFFLE_HASH(lineitem) */
+                   BROADCAST(region), MERGE(lineitem) */
                n_name,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
@@ -1125,7 +1125,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         spark,
         sf_dir,
         """
-        SELECT /*+ BROADCAST(nation), SHUFFLE_HASH(lineitem) */
+        SELECT /*+ BROADCAST(nation), MERGE(lineitem) */
                c_custkey, c_name,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
@@ -1288,14 +1288,14 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     ~2 groups on this synthetic data, so the predicate is
     intra-region cross-nation trade — same plan shape, non-vacuous):
     nation joined TWICE under different aliases (supplier side /
-    customer side), dims broadcast, fact-fact SHUFFLE_HASH, yearly
+    customer side), dims broadcast, fact-fact sort-merge, yearly
     revenue roll-up in fixed-point int64."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
         SELECT /*+ BROADCAST(supplier), BROADCAST(n1), BROADCAST(n2),
-                   SHUFFLE_HASH(lineitem) */
+                   MERGE(lineitem) */
                n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS yr, count(1) AS n_lines,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

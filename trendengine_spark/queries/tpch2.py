@@ -23,7 +23,11 @@ decorrelation, …) with stand-ins documented per query:
 Every query runs through the SQL front-end (one analysis pass —
 ``sqltext``) with join strategies pinned where auto-planning picks a
 broadcast that only works at test scale: dims (nation/supplier)
-broadcast, lineitem-sided joins SHUFFLE_HASH. Money math follows the
+broadcast, lineitem-sided joins pinned MERGE (sort-merge — the
+spillable strategy; the r6 synthetic-sf1 probe showed a pinned
+SHUFFLE_HASH builds its un-spillable hash table on the HINTED side,
+i.e. the fact table, which exhausts execution memory at 18M rows —
+see BASELINE.md). Money math follows the
 tpch_q1 fixed-point convention: cents/basis-points in int64 inside
 whole-stage codegen, one DECIMAL rescale at the end — bit-identical
 across engines and safe to ~1e9-row partitions.
@@ -138,8 +142,8 @@ def tpch_q8_market_share(spark, sf_dir):
     to double only for the final division, so the ratio is
     bit-identical across engines — no rounding needed. Plan: the
     six-way join broadcasts the bounded dims (nation twice under
-    different aliases, supplier), lineitem stays the shuffle-hash
-    probe side; the conditional aggregate computes both sums in ONE
+    different aliases, supplier), the fact joins run spillable
+    sort-merge; the conditional aggregate computes both sums in ONE
     pass (no second scan for the denominator)."""
     return sql_over_tables(
         spark,
@@ -147,7 +151,7 @@ def tpch_q8_market_share(spark, sf_dir):
         f"""
         WITH base AS (
           SELECT /*+ BROADCAST(nc), BROADCAST(ns), BROADCAST(supplier),
-                     SHUFFLE_HASH(lineitem) */
+                     MERGE(lineitem) */
                  year(o_orderdate) AS yr, {_REV_BP} AS rev_bp,
                  ns.n_name AS supp_nation
           FROM lineitem
@@ -196,14 +200,14 @@ def tpch_q9_product_type_profit(spark, sf_dir):
     exact int64 basis points (revenue bp minus cost bp; quantity is an
     integral double, cast exactly) until one final DECIMAL rescale.
     The LIKE filter prunes part before the join; dims broadcast;
-    lineitem is the shuffle-hash probe. The group key (25 nations ×
+    lineitem runs spillable sort-merge. The group key (25 nations ×
     ~7 years) is tiny — partial aggregation collapses the shuffle."""
     return sql_over_tables(
         spark,
         sf_dir,
         f"""
         SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
-                   SHUFFLE_HASH(lineitem) */
+                   MERGE(lineitem) */
                n_name AS nation, year(o_orderdate) AS yr,
                {_BP_TO_D.format(
                    x="CAST(sum(" + _REV_BP
@@ -250,7 +254,7 @@ def tpch_q12_late_lines_priority(spark, sf_dir):
         spark,
         sf_dir,
         """
-        SELECT /*+ SHUFFLE_HASH(lineitem) */ l_linestatus,
+        SELECT /*+ MERGE(lineitem) */ l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
@@ -530,7 +534,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         sf_dir,
         """
         SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
-                   SHUFFLE_HASH(l1), SHUFFLE_HASH(orders) */
+                   MERGE(l1), MERGE(orders) */
                s_name, count(1) AS numwait
         FROM supplier
         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -538,10 +542,10 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         JOIN nation ON s_nationkey = n_nationkey
         WHERE o_orderstatus = 'F'
           AND n_regionkey = 0
-          AND EXISTS (SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem l2
+          AND EXISTS (SELECT /*+ MERGE(l2) */ 1 FROM lineitem l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(l3) */ 1 FROM lineitem l3
+          AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1 FROM lineitem l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate > l1.l_shipdate)

@@ -54,12 +54,22 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         target = os.path.join(path, parts[0])
     try:
         schema = pq.read_schema(target)
+        # Arrow reports BOTH parquet TIMESTAMP(NANOS) and legacy INT96
+        # timestamps as timestamp[ns]; only the former reads as LONG
+        # under nanosAsLong (INT96 reads natively). Disambiguate on
+        # the parquet physical type.
+        phys = pq.ParquetFile(target).schema
+        int96 = {
+            phys.column(i).name
+            for i in range(len(phys))
+            if phys.column(i).physical_type == "INT96"
+        }
     except Exception:
         return ()
     return tuple(
         f.name
         for f in schema
-        if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        if pt.is_timestamp(f.type) and f.type.unit == "ns" and f.name not in int96
     )
 
 
