@@ -83,6 +83,7 @@ _SPINE_FIRST = [
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
+    "tpch_q11_important_stock",  # completes all 22 TPC-H shapes
     # NEW in r6 (second batch) — curation signals + block dedup +
     # deterministic sampling + streaming-dedup batch twin
     "text_repetition_signals", "dedup_paragraph_global",

@@ -4,8 +4,9 @@ SURVEY.md §2.6 breadth work: the reference implements none of these
 (it is a two-algorithm trend app — §2.6 verified), but a user of a
 general analytics engine expects the full TPC-H decision-support
 repertoire. Rounds 4-6 covered q1/q3/q4/q5/q6/q7/q10/q13/q14/q18/q22;
-this module closes the rest of the adaptable set: q2/q8/q9/q12/q15/
-q16/q17/q19/q20/q21.
+this module closes the rest: q2/q8/q9/q11/q12/q15/q16/q17/q19/q20/q21
+— with it, ALL 22 TPC-H query shapes are implemented and
+oracle-checked.
 
 "Adapted" because the driver's tables omit partsupp, ps_supplycost,
 l_shipmode, l_commitdate and l_receiptdate. Each query keeps the
@@ -552,4 +553,60 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         GROUP BY s_name
         """,
         ("supplier", "lineitem", "orders", "nation"),
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    sql="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 3
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(round(CAST(val_c AS DECIMAL(28,0))
+                * CAST('0.01' AS DECIMAL(6,4)), 2) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE val_c > (SELECT 1.5 * sum(val_c) / count(*) FROM pv)
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: "stock value" = shipped
+    price×quantity through region-3 suppliers — no ps_availqty): the
+    grouped roll-up filtered against a scalar aggregate OF ITSELF.
+    The official query scales its threshold fraction by 1/SF; the
+    scale-free equivalent here is "parts holding >1.5× the average
+    share", so the query stays non-vacuous at every sf. The scalar
+    subquery is a 1-row broadcast over pv's own aggregate — pv is
+    built once per branch (value sums in exact int64 cents; the
+    threshold is a ratio of exact ints, identical on both engines).
+    Dims broadcast; one partkey-keyed aggregate shuffle."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH pv AS (
+          SELECT /*+ BROADCAST(supplier), BROADCAST(nation) */
+                 l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_c
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 3
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey,
+               CAST(round(CAST(val_c AS DECIMAL(28,0))
+                    * CAST('0.01' AS DECIMAL(6,4)), 2) AS DOUBLE) AS part_value
+        FROM pv
+        WHERE val_c > (SELECT 1.5 * sum(val_c) / count(*) FROM pv)
+        """,
+        ("lineitem", "supplier", "nation"),
     )
