@@ -98,6 +98,7 @@ _SPINE_FIRST = [
     "scalar_array_fns", "scalar_json_fns",
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
+    "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",

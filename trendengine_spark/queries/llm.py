@@ -1311,3 +1311,37 @@ def pipeline_source_mixture(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "profile_equidepth_histogram",
+    sql="""
+    WITH b AS (
+      SELECT value,
+             CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS bkt
+      FROM events
+    )
+    SELECT bkt, count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM b GROUP BY bkt
+    """,
+)
+def profile_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH (quantile) histogram of the value column — the
+    profiling complement to profile_numeric_histogram's equi-width
+    buckets: deciles carry equal row counts, bucket bounds reveal the
+    distribution. Built on the scale-safe arithmetic ntile
+    (:func:`~trendengine_spark.operators.relational.ntile_global` —
+    range-bucketed global row number, no single-partition window; the
+    (value, event_id) order makes decile assignment deterministic on
+    both engines). One range shuffle + one tiny group-by."""
+    from trendengine_spark.operators.relational import ntile_global
+
+    ev = t(spark, sf_dir, "events").select("value", "event_id")
+    b = ntile_global(ev, ["value", "event_id"], 10, out_col="bkt")
+    return b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
