@@ -154,3 +154,62 @@ def test_ntile_global_matches_naive_window(spark):
             for r in df.select("id", F.ntile(n).over(w).alias("b")).collect()
         }
         assert got == want, f"n={n}"
+
+
+def test_asof_join_forward_nearest_tolerance(spark):
+    """Forward picks the earliest right row at-or-after; nearest picks
+    the closer side (tie -> backward, pandas convention); tolerance
+    nulls out-of-horizon matches without dropping left rows."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "t": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 11:00",
+                     "2024-01-01 09:00", "2024-01-01 10:00"]
+                ),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "rt": pd.to_datetime(
+                    ["2024-01-01 09:30", "2024-01-01 10:30",
+                     "2024-01-01 12:00", "2024-01-01 09:00"]
+                ),
+                "payload": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    from trendengine_spark.operators.relational import asof_join
+
+    fwd = (
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                  direction="forward")
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # k=1: 09:00->a(09:30), 10:00->b(10:30), 11:00->c(12:00); k=2@10:00->none
+    assert fwd["payload"].tolist()[:3] == ["a", "b", "c"]
+    assert pd.isna(fwd.loc[3, "payload"])
+
+    near = (
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                  direction="nearest")
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # k=1@09:00: only forward a(09:30); @10:00: a(-30m) vs b(+30m) tie->backward a
+    # @11:00: b(-30m) vs c(+60m) -> b; k=2@10:00 -> d (backward only)
+    assert near["payload"].tolist() == ["a", "a", "b", "d"]
+
+    tol = (
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                  direction="backward", tolerance=1800.0)
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # backward matches: 09:00->none, 10:00->a(30m ok), 11:00->b(30m ok),
+    # k=2@10:00->d(60m > 30m tol -> null)
+    assert pd.isna(tol.loc[0, "payload"])
+    assert tol["payload"].tolist()[1:3] == ["a", "b"]
+    assert pd.isna(tol.loc[3, "payload"])

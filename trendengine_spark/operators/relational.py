@@ -27,17 +27,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     how: str = "left",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row
-    with the greatest ``right_ts`` ≤ ``left_ts`` within the same key.
+    """As-of join (kdb/pandas ``merge_asof`` semantics): for each left
+    row, attach the right row with the greatest ``right_ts`` ≤
+    ``left_ts`` (``direction='backward'``), the smallest ``right_ts``
+    ≥ ``left_ts`` (``'forward'``), or whichever of the two is closer
+    in time (``'nearest'``, ties → backward — the pandas convention),
+    within the same key. ``tolerance`` (seconds) nulls the match when
+    |left_ts − matched right_ts| exceeds it.
 
     Implementation: tag both sides, union by name, sort each key
     partition by (ts, side) with right rows first on ties, and carry
-    the latest non-null right payload forward with
-    ``last(ignorenulls=True)`` over a running frame. Left rows are
-    then filtered back out. Cost: one hash exchange on ``on`` plus an
-    in-partition sort — no range join, no per-key broadcast, and the
-    plan co-partitions with any downstream groupBy on the same key.
+    the latest non-null right payload with ``last(ignorenulls=True)``
+    over a running frame — ascending for backward, descending for
+    forward; ``nearest`` evaluates both windows over the SAME
+    partitioning (two in-partition sorts, still one hash exchange)
+    and picks per row. Cost at any scale: one shuffle on ``on`` plus
+    per-key sorts — no range join, no per-row subquery, and the plan
+    co-partitions with any downstream groupBy on the same key.
 
     ``how='left'`` keeps unmatched left rows (right payload null);
     ``how='inner'`` drops them.
@@ -46,6 +55,8 @@ def asof_join(
     payload = [c for c in right.columns if c not in keys]
     if right_ts not in payload:
         raise ValueError(f"right_ts {right_ts!r} must be a non-key right column")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     clash = sorted(set(payload) & set(left.columns))
     if clash:
         # the null-cast loop below would silently overwrite the left
@@ -55,7 +66,7 @@ def asof_join(
             f"right payload columns collide with left columns: {clash}; "
             "rename the right-side columns before the as-of join"
         )
-    reserved = {"_side", "_t"} & (set(left.columns) | set(right.columns))
+    reserved = {"_side", "_t", "_oot"} & (set(left.columns) | set(right.columns))
     if reserved:
         raise ValueError(f"columns {sorted(reserved)} are reserved by asof_join")
 
@@ -65,13 +76,50 @@ def asof_join(
     rhs = right.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_ts))
 
     u = lhs.unionByName(rhs, allowMissingColumns=True)
-    w = (
+    w_bwd = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "nearest":
+        for c in payload:
+            u = u.withColumn(f"{c}__b", F.last(c, ignorenulls=True).over(w_bwd))
+            u = u.withColumn(f"{c}__f", F.last(c, ignorenulls=True).over(w_fwd))
+        lt = F.col("_t")
+        bwd_d = lt.cast("double") - F.col(f"{right_ts}__b").cast("double")
+        fwd_d = F.col(f"{right_ts}__f").cast("double") - lt.cast("double")
+        take_bwd = F.col(f"{right_ts}__b").isNotNull() & (
+            F.col(f"{right_ts}__f").isNull() | (bwd_d <= fwd_d)
+        )
+        for c in payload:
+            u = u.withColumn(
+                c, F.when(take_bwd, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f"))
+            )
+        u = u.drop(*[f"{c}__b" for c in payload], *[f"{c}__f" for c in payload])
+    else:
+        w = w_bwd if direction == "backward" else w_fwd
+        for c in payload:
+            u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if tolerance is not None:
+        diff = F.abs(
+            F.col("_t").cast("double") - F.col(right_ts).cast("double")
+        )
+        # materialize the verdict BEFORE masking: the loop nulls
+        # right_ts itself, and a lazily re-resolved predicate would
+        # then see the masked value for the remaining columns
+        u = u.withColumn(
+            "_oot", F.col(right_ts).isNotNull() & (diff > F.lit(tolerance))
+        )
+        for c in payload:
+            u = u.withColumn(
+                c, F.when(F.col("_oot"), F.lit(None)).otherwise(F.col(c))
+            )
+        u = u.drop("_oot")
     out = u.filter(F.col("_side") == 1).drop("_side", "_t")
     if how == "inner":
         out = out.filter(F.col(right_ts).isNotNull())

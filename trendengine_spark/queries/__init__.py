@@ -99,6 +99,7 @@ _SPINE_FIRST = [
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
     "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
+    "join_asof_forward_tolerance",  # NEW r6: merge_asof parity
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",

@@ -900,3 +900,58 @@ def scalar_map_fns(spark, sf_dir):
         F.col("status_first")["F"].alias("first_f_order"),
         F.concat_ws(",", F.map_keys("status_first")).alias("statuses"),
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    sql="""
+    WITH j AS (
+      SELECT p.event_id, p.user_id, p.ts, v.ts AS next_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN next_view_ts IS NOT NULL
+                 AND date_diff('second', ts, next_view_ts) <= 7200
+                THEN next_view_ts END AS next_view_ts,
+           CASE WHEN next_view_ts IS NOT NULL
+                 AND date_diff('second', ts, next_view_ts) <= 7200
+                THEN CAST(date_diff('second', ts, next_view_ts) AS BIGINT)
+           END AS secs_to_view
+    FROM j
+    """,
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    """Forward as-of join with a tolerance horizon: each purchase
+    matched to the user's NEXT view, nulled when it is more than two
+    hours later — the merge_asof(direction='forward', tolerance=...)
+    semantics (re-engagement analysis). Engine operator
+    ``asof_join(direction='forward', tolerance=7200)``: same
+    union + descending-order running-last plan as backward, one
+    shuffle on user_id; the oracle reproduces it with DuckDB's native
+    ASOF (v.ts >= p.ts) plus the same tolerance CASE."""
+    from trendengine_spark.operators.relational import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("next_view_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="next_view_ts",
+        direction="forward",
+        tolerance=7200.0,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "next_view_ts",
+        (
+            F.unix_timestamp("next_view_ts") - F.unix_timestamp("ts")
+        ).alias("secs_to_view"),
+    )
