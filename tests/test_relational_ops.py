@@ -102,6 +102,9 @@ def test_trailing_range_aggs_equals_global_window(spark):
         + list(range(120, 135))
         + [127, 127]
         + [191, 250, 251]
+        # negative values straddling the -64 bucket edge: Spark's %
+        # keeps the dividend sign, so a %-based halo test misses these
+        + [-1, -2, -63, -64, -65, -70, -127, -130]
     )
     df = spark.createDataFrame(
         [(i, v, float(v % 11)) for i, v in enumerate(vals)],

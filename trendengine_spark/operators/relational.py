@@ -411,7 +411,10 @@ def trailing_range_aggs(
     bucket = F.floor(v / bucket_width)
     own = df.withColumn("_bkt", bucket).withColumn("_halo", F.lit(0))
     halo = (
-        df.filter(v % bucket_width >= bucket_width - lookback)
+        # pmod, not %: Spark's % keeps the dividend's sign, so for
+        # negative order values the halo test would never fire and
+        # frames straddling a bucket edge would silently come up short
+        df.filter(F.pmod(v, bucket_width) >= bucket_width - lookback)
         .withColumn("_bkt", bucket + 1)
         .withColumn("_halo", F.lit(1))
     )
