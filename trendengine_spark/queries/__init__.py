@@ -92,15 +92,17 @@ _SPINE_FIRST = [
     "stream_session_dynamic_gap", "approx_top_k_events",  # NEW r6
     "udtf_run_length_segments",  # NEW r6: Spark 4 UDTF TABLE-arg path
     "lateral_top_order_per_customer",  # NEW r6: LATERAL decorrelation
+    # NEW r6 (never driver-checked) ahead of the stale-but-once-green
+    # scalar families: a first row beats a refresh under the ~50 budget
+    "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
+    "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
+    "join_asof_forward_tolerance",  # NEW r6: merge_asof parity
+    "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
+    "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
     "scalar_array_fns", "scalar_json_fns",
-    "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
-    "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
-    "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
-    "join_asof_forward_tolerance",  # NEW r6: merge_asof parity
-    "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",
     # Stale multimodal plumbing (r3); frame_sample is a REAL AVI/MJPEG
