@@ -185,3 +185,53 @@ def test_merge_upsert_pure_insert(spark, tmp_path):
     stats = merge_upsert(spark, path, ups, ["k"])
     assert stats == {"replaced_or_deleted": 0, "applied": 2, "total": 3}
     assert spark.read.parquet(path).count() == 3
+
+
+def test_maintain_rollup_incremental_equals_full(spark, tmp_path):
+    """base+delta maintenance must equal the direct full aggregate —
+    including exact double sums (decimal state) and min/max, plus a
+    read-time avg."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from trendengine_spark.sinks import maintain_rollup, read_rollup
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    spec = {
+        "n": ("count", "value"),
+        "v_sum": ("sum", "value"),
+        "v_min": ("min", "value"),
+        "v_max": ("max", "value"),
+    }
+    path = str(tmp_path / "rollup")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    maintain_rollup(spark, path, half_a, ["event_type"], spec)
+    out = maintain_rollup(spark, path, half_b, ["event_type"], spec)
+
+    got = (
+        read_rollup(spark, path, avg_pairs={"v_avg": ("v_sum", "n")})
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("v_sum"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .withColumn("v_avg", (F.col("v_sum") / F.col("n")).cast("double"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert out["groups"] == len(want)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["v_sum"].tolist() == want["v_sum"].tolist()
+    assert got["v_min"].tolist() == want["v_min"].tolist()
+    assert got["v_max"].tolist() == want["v_max"].tolist()
+    assert got["v_avg"].tolist() == want["v_avg"].tolist()

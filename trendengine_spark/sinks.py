@@ -235,3 +235,100 @@ def merge_upsert(
         "applied": None if kept_n is None else total - kept_n,
         "total": total,
     }
+
+
+def _rollup_state_aggs(agg_spec: dict[str, tuple[str, str]]) -> list:
+    """Partial-aggregate state expressions for :func:`maintain_rollup`.
+
+    Every supported aggregate is ALGEBRAIC — its state merges by
+    re-aggregating state rows (sum-of-counts, sum-of-sums, min-of-
+    mins, max-of-maxes) — which is exactly what makes incremental
+    maintenance a union + group-by instead of a recompute. Double
+    sums are kept as DECIMAL(28,10) state so base+delta equals the
+    full recompute bit-for-bit (float partial sums would drift with
+    grouping order)."""
+    exprs = []
+    for out, (kind, src) in agg_spec.items():
+        if kind == "count":
+            exprs.append(F.count(F.lit(1)).alias(out))
+        elif kind == "sum":
+            exprs.append(F.sum(F.col(src).cast("decimal(28,10)")).alias(out))
+        elif kind == "min":
+            exprs.append(F.min(src).alias(out))
+        elif kind == "max":
+            exprs.append(F.max(src).alias(out))
+        else:  # pragma: no cover - authoring guard
+            raise ValueError(f"unsupported rollup aggregate {kind!r}")
+    return exprs
+
+
+def _rollup_merge_aggs(agg_spec: dict[str, tuple[str, str]]) -> list:
+    exprs = []
+    for out, (kind, _src) in agg_spec.items():
+        if kind in ("count", "sum"):
+            exprs.append(F.sum(out).alias(out))
+        elif kind == "min":
+            exprs.append(F.min(out).alias(out))
+        else:
+            exprs.append(F.max(out).alias(out))
+    return exprs
+
+
+def maintain_rollup(
+    spark,
+    target_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+) -> dict:
+    """Incrementally maintain a pre-aggregated rollup table: fold a
+    new batch into the stored partial-aggregate state WITHOUT
+    re-scanning history — the materialized-view maintenance primitive
+    a streaming ingest needs once the fact history stops being cheap
+    to re-aggregate.
+
+    ``agg_spec``: output column → (kind, source column), kind in
+    {count, sum, min, max} (all algebraic; avg = sum/count at read
+    time via :func:`read_rollup`). Plan: the delta partial-aggregates
+    map-side (one shuffle keyed by ``keys``, one row per touched
+    group), unions with the stored state, and re-aggregates — cost
+    scales with |delta| + |rollup|, never with history. The rewrite
+    swaps atomically (:func:`_swap_dirs`); at 100 TB partition the
+    rollup and rewrite only partitions the delta touches.
+
+    Returns {"groups": row count of the new rollup}.
+    """
+    import os
+
+    partial = delta.groupBy(*keys).agg(*_rollup_state_aggs(agg_spec))
+    if os.path.exists(target_path):
+        state = spark.read.parquet(target_path)
+        merged = (
+            state.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_rollup_merge_aggs(agg_spec))
+        )
+        tmp = target_path.rstrip("/") + "._rollup_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(tmp, target_path)
+    else:
+        partial.write.parquet(target_path)
+    n = spark.read.parquet(target_path).count()
+    return {"groups": n}
+
+
+def read_rollup(
+    spark,
+    target_path: str,
+    avg_pairs: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Read a :func:`maintain_rollup` table, finalizing derived
+    aggregates: ``avg_pairs`` maps an output column to its
+    (sum_state, count_state) columns (avg = exact decimal sum /
+    count, cast to double at the end)."""
+    df = spark.read.parquet(target_path)
+    for out, (s, c) in (avg_pairs or {}).items():
+        df = df.withColumn(
+            out, (F.col(s) / F.col(c)).cast("double")
+        )
+    return df
