@@ -295,3 +295,46 @@ def test_dynamic_gap_session_stream_equals_batch(spark, events_dir):
     s = stream[cols].sort_values(cols).reset_index(drop=True)
     assert len(b) == len(s)
     assert b.equals(s)
+
+
+def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
+    """foreachBatch rollup maintenance over microbatches must equal
+    the direct batch aggregate of all the data."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import read_rollup
+    from trendengine_spark.streaming.cdc import maintain_rollup_stream
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src_dir = str(tmp_path / "ev_stream")
+    # several files → several microbatches under maxFilesPerTrigger
+    ev.repartition(4).write.parquet(src_dir)
+
+    spec = {"n": ("count", "value"), "v_sum": ("sum", "value")}
+    target = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = maintain_rollup_stream(
+        stream, target, ["event_type"], spec,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = (
+        read_rollup(spark, target, avg_pairs={"v_avg": ("v_sum", "n")})
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("v_sum"),
+        )
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["v_sum"].tolist() == want["v_sum"].tolist()

@@ -75,3 +75,43 @@ def apply_cdc_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def maintain_rollup_stream(
+    events: DataFrame,
+    target_path: str,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    checkpoint: str | None = None,
+    query_name: str = "rollup_maintain",
+):
+    """Streaming materialized rollup: every microbatch folds into the
+    stored partial-aggregate state via
+    :func:`~trendengine_spark.sinks.maintain_rollup` — the
+    ``foreachBatch`` twin of the batch maintainer, so a live stream
+    and a batch backfill produce the identical table (algebraic
+    state merges are order-insensitive across batches).
+
+    Unlike a streaming ``groupBy().agg()`` in complete mode, state
+    lives in the TABLE, not the state store: restarts resume from the
+    checkpoint without replaying history, and the rollup is readable
+    by any engine mid-stream. Per-batch cost scales with
+    |batch| + |rollup|.
+    """
+    from trendengine_spark.sinks import maintain_rollup
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintain_rollup(
+            batch_df.sparkSession, target_path, batch_df, keys, agg_spec
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
