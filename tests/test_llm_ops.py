@@ -451,3 +451,28 @@ def test_range_search_subsumes_topk_above_threshold(spark):
         emb, queries.filter(F.col("query_id") < 0), threshold=tau
     )
     assert empty.count() == 0
+
+
+def test_audio_spectrogram_recovers_tone_frequency(spark):
+    """Every frame's dominant FFT bin must land within one bin width
+    (8000/256 = 31.25 Hz) of the generated sine frequency — a wrong
+    window, framing, decode, or FFT shifts it."""
+    from trendengine_spark.queries import all_queries
+
+    pdf = all_queries()["multimodal_audio_spectrogram"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert len(pdf) > 0
+    expected_hz = 200.0 + (pdf["doc_id"] % 20) * 150.0
+    err = (pdf["dominant_hz"] - expected_hz).abs()
+    assert float(err.max()) <= 8000.0 / 256, float(err.max())
+    assert (pdf["energy"] > 0).all()
+    # n_frames per doc = (n_samples - 256)//128 + 1 with
+    # n = 1024 + (doc_id % 4)*256
+    n = 1024 + (pdf["doc_id"] % 4) * 256
+    want_frames = (n - 256) // 128 + 1
+    got_frames = pdf.groupby("doc_id")["frame_idx"].count()
+    import pandas as pd
+
+    per_doc_want = want_frames.groupby(pdf["doc_id"]).first()
+    assert got_frames.equals(per_doc_want.astype(got_frames.dtype))

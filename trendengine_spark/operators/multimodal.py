@@ -667,3 +667,97 @@ def decode_frame_stats(frames: DataFrame) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "ts_ms", "frame").mapInPandas(
         gen, FRAME_STATS_SCHEMA
     )
+
+
+def attach_tone_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio column for spectral analysis: a pure sine tone per
+    row at f = 200 + (id % 20)·150 Hz (8 kHz PCM, 1024 + (id % 4)·256
+    samples, amplitude 8000) — a known ground-truth frequency, so the
+    spectrogram's dominant bin is exactly predictable per document."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                freq = 200.0 + (int(i) % 20) * 150.0
+                n = 1024 + (int(i) % 4) * 256
+                t = np.arange(n, dtype=np.float64) / 8000.0
+                wavef = (8000.0 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                payloads.append(wav_encode(8000, wavef))
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL short-time spectral analysis inside ``mapInPandas``:
+    Hann-windowed rfft frames over the decoded PCM stream (stdlib
+    ``wave`` + numpy — no audio library), emitting per frame the
+    dominant frequency bin (DC excluded), its frequency in Hz, and
+    the frame's total spectral energy. The DSP every audio-feature
+    pipeline starts from (mel/MFCC stack on top of exactly this).
+    Partition-local — payload bytes and sample streams never shuffle;
+    output is #frames small metadata rows per document. Rows-only
+    (no FFT in the DuckDB oracle); the math is pinned by a golden
+    known-tone test."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("dominant_bin", T.IntegerType(), True),
+            T.StructField("dominant_hz", T.DoubleType(), True),
+            T.StructField("energy", T.DoubleType(), True),
+        ]
+    )
+    window = None  # built lazily so the closure ships cheaply
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal window
+        if window is None:
+            window = np.hanning(n_fft)
+        for pdf in batches:
+            ids, frames, bins, hzs, energies = [], [], [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["media"]):
+                rate, samples = wav_decode(bytes(b))
+                mono = samples[:, 0].astype(np.float64)
+                n_frames = max(0, (len(mono) - n_fft) // hop + 1)
+                for f in range(n_frames):
+                    seg = mono[f * hop : f * hop + n_fft] * window
+                    spec = np.abs(np.fft.rfft(seg)) ** 2
+                    dom = int(np.argmax(spec[1:]) + 1)  # skip DC
+                    ids.append(int(i))
+                    frames.append(f)
+                    bins.append(dom)
+                    hzs.append(round(dom * rate / n_fft, 3))
+                    energies.append(round(float(spec.sum()), 3))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(frames, dtype="int32"),
+                    "dominant_bin": pd.Series(bins, dtype="int32"),
+                    "dominant_hz": pd.Series(hzs, dtype="float64"),
+                    "energy": pd.Series(energies, dtype="float64"),
+                }
+            )
+
+    return fan_out(df).mapInPandas(gen, out_schema)

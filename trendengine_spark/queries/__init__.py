@@ -97,6 +97,7 @@ _SPINE_FIRST = [
     "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
     "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
     "join_asof_forward_tolerance",  # NEW r6: merge_asof parity
+    "multimodal_audio_spectrogram",  # NEW r6: real STFT (rows-only)
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

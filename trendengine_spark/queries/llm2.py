@@ -216,3 +216,31 @@ def pipeline_hash_sample_per_key(spark, sf_dir):
         """,
         ("documents",),
     )
+
+
+@query(
+    "multimodal_audio_spectrogram",
+    sql=None,
+    doc="REAL short-time spectral analysis: Hann-windowed rfft frames "
+    "over stdlib-decoded PCM tones with known per-document ground-"
+    "truth frequencies; dominant bin/Hz + frame energy per frame. "
+    "Rows-only (no FFT in DuckDB); the recovered dominant frequency "
+    "is golden-tested against the generated tone within one bin "
+    "(tests/test_llm_ops.py).",
+)
+def multimodal_audio_spectrogram(spark, sf_dir):
+    """Spectrogram over real generated-and-decoded audio: each doc
+    carries a sine tone at 200 + (id % 20)·150 Hz; frames of 256
+    samples at hop 128 are Hann-windowed and rfft'd inside
+    ``mapInPandas`` (payloads partition-local, never shuffled). A
+    wrong window, FFT, framing, or decode shifts the dominant bin —
+    the golden test pins it to the generated frequency."""
+    from trendengine_spark.operators.multimodal import (
+        attach_tone_media,
+        audio_spectrogram,
+    )
+
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_spectrogram(attach_tone_media(docs))
