@@ -761,3 +761,53 @@ def audio_spectrogram(
             )
 
     return fan_out(df).mapInPandas(gen, out_schema)
+
+
+def attach_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media column for resampling tests: a grayscale gradient
+    PNG per row, pixel(y, x) = (3x + 5y + id) % 256 at
+    w = 20 + id % 13, h = 20 + id % 11 — spatial structure (unlike
+    the constant-fill of :func:`attach_png_media`) whose
+    nearest-neighbor downsample is closed-form integer arithmetic,
+    so a real decode→resample→re-encode→decode round trip is
+    DuckDB-oracle-checkable pixel-exactly."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import png_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType(), True),
+                        T.StructField("format", T.StringType(), True),
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("duration_ms", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, metas = [], []
+            for i in ids:
+                w = 20 + int(i) % 13
+                h = 20 + int(i) % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                a = ((3 * xx + 5 * yy + int(i)) % 256).astype(np.uint8)
+                payloads.append(png_encode(a[:, :, None]))
+                metas.append(("image", "png", w, h, None))
+            yield pd.DataFrame(
+                {id_col: ids, "media": payloads, "media_meta": metas}
+            )
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)

@@ -244,3 +244,60 @@ def multimodal_audio_spectrogram(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return audio_spectrogram(attach_tone_media(docs))
+
+
+@query(
+    "multimodal_resize_real",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             20 + doc_id % 13 AS w, 20 + doc_id % 11 AS h
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w, h,
+             greatest(1, (w * 16) // greatest(w, h)) AS ow,
+             greatest(1, (h * 16) // greatest(w, h)) AS oh
+      FROM d
+    ), px AS (
+      SELECT doc_id, w, h, ow, oh,
+             CAST(sum((3 * ((x * w) // ow) + 5 * ((y * h) // oh) + doc_id)
+                      % 256) AS BIGINT) AS s
+      FROM g,
+           unnest(generate_series(0, ow - 1)) AS gx(x),
+           unnest(generate_series(0, oh - 1)) AS gy(y)
+      GROUP BY doc_id, w, h, ow, oh
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           (s / (ow * oh)) / 255.0 AS mean_luma
+    FROM px
+    """,
+)
+def multimodal_resize_real(spark, sf_dir):
+    """REAL image resize, oracle-checked end-to-end: gradient PNGs
+    (pixel = (3x+5y+id) % 256) decode via the pure-stdlib PNG codec,
+    downsample nearest-neighbor to max side 16 (index arithmetic
+    ys = ⌊oy·h/oh⌋), re-encode as PNG, then the RESIZED payload is
+    decoded AGAIN and its mean luma compared against DuckDB computing
+    the identical pixel function over the identical index grid — a
+    wrong decode, index map, re-encode, or second decode all break
+    the hash (the division association (s/n)/255 matches the
+    decoder's np.mean exactly). All pixel work partition-local in
+    mapInPandas; the final dims⋈mean join is doc_id-keyed."""
+    from trendengine_spark.operators.multimodal import (
+        attach_gradient_png,
+        extract_media_features,
+        resize_images,
+    )
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = resize_images(attach_gradient_png(docs), max_side=16, fake=False)
+    feats = extract_media_features(
+        rs.select("doc_id", "media"), fake=False
+    ).select("doc_id", "mean_luma")
+    return (
+        rs.select("doc_id", "width", "height", "out_width", "out_height")
+        .join(feats, "doc_id")
+    )
