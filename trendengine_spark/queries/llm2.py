@@ -301,3 +301,68 @@ def multimodal_resize_real(spark, sf_dir):
         rs.select("doc_id", "width", "height", "out_width", "out_height")
         .join(feats, "doc_id")
     )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "flagship_curation_pipeline",
+    sql=f"""
+    WITH filt AS (
+      SELECT doc_id, text, lang,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE lang IN ('en', 'zh', 'de')
+        AND len({_TOKS_SQL}) >= 20
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM filt GROUP BY {_NORM_SQL}
+    ), surv AS (
+      SELECT f.doc_id, f.lang, f.doc_id % 8 AS shard, f.n_tokens
+      FROM filt f JOIN reps USING (doc_id)
+    ), packed AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_off
+      FROM surv
+    )
+    SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
+           CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS start_seq
+    FROM packed
+    """,
+)
+def flagship_curation_pipeline(spark, sf_dir):
+    """The LLM-side flagship: the full curation pipeline a pretraining
+    corpus goes through, composed from the engine's own operators and
+    oracle-checked END TO END — quality gate (≥ 20 tokens), language
+    selection, exact-dedup survivor election (min-id representative
+    per normalized text), and GPT-style sequence packing of the
+    surviving corpus. One statement of intent, four pipeline stages,
+    three shuffles total (dedup group, survivor semi-join, per-shard
+    packing window) — each stage is individually oracle-checked
+    elsewhere (text_quality_profile, dedup_exact,
+    pipeline_pack_sequences); this query proves they COMPOSE without
+    re-materialization: the optimizer pipelines the filter into the
+    dedup scan and the survivor join feeds the packing window
+    directly."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.pipeline import pack_concat_chunks
+    from trendengine_spark.operators.text import token_count
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    filt = docs.filter(
+        F.col("lang").isin("en", "zh", "de")
+        & (token_count(F.col("text")) >= 20)
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    reps = filt.groupBy(norm.alias("_n")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = filt.join(reps, "doc_id", "left_semi")
+    packed = pack_concat_chunks(surv, seq_len=512, n_shards=8)
+    return packed.join(surv.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "shard", "n_tokens", "start_off", "start_seq"
+    )
