@@ -124,3 +124,123 @@ def test_owned_caches_bounded_across_invocations(spark):
     while time.time() < deadline and n_persistent() > after_first:
         time.sleep(0.2)
     assert n_persistent() <= after_first
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """asof_join vs pandas.merge_asof (the de-facto reference) on
+    seeded random data, all three directions, with and without
+    tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from trendengine_spark.operators.relational import asof_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        nl, nr = 120, 90
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, nl),
+                "t": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 100_000, nl), unit="s"),
+                "lid": np.arange(nl),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, nr),
+                "rt": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 100_000, nr), unit="s"),
+                "pay": rng.randint(0, 1_000_000, nr).astype("int64"),
+            }
+        )
+        sl = spark.createDataFrame(left)
+        sr = spark.createDataFrame(right)
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 3600.0):
+                got = (
+                    asof_join(
+                        sl, sr, on="k", left_ts="t", right_ts="rt",
+                        direction=direction, tolerance=tol,
+                    )
+                    .toPandas()
+                    .sort_values("lid")
+                    .reset_index(drop=True)
+                )
+                want = pd.merge_asof(
+                    left.sort_values("t"),
+                    right.sort_values("rt"),
+                    left_on="t",
+                    right_on="rt",
+                    by="k",
+                    direction=direction,
+                    tolerance=(
+                        None if tol is None else pd.Timedelta(seconds=tol)
+                    ),
+                ).sort_values("lid").reset_index(drop=True)
+                g = got["pay"].astype("float64")
+                w = want["pay"].astype("float64")
+                mism = (g.fillna(-1) != w.fillna(-1))
+                assert not mism.any(), (
+                    seed, direction, tol,
+                    got[mism].head().to_dict(),
+                    want[mism].head().to_dict(),
+                )
+
+
+def test_trailing_range_aggs_randomized(spark):
+    """Halo-partitioned trailing aggregates vs the naive global window
+    on seeded random ints (negatives included, duplicates likely)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.relational import trailing_range_aggs
+
+    for seed in (7, 8):
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(-300, 300, 400)
+        df = spark.createDataFrame(
+            [(int(i), int(v)) for i, v in enumerate(vals)],
+            schema="id int, v int",
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in trailing_range_aggs(
+                df, "v", {"n": F.count(F.lit(1))}, lookback=13, bucket_width=64
+            ).collect()
+        }
+        w = Window.orderBy("v").rangeBetween(-13, 0)
+        want = {
+            r["id"]: r["n"]
+            for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()
+        }
+        assert got == want, seed
+
+
+def test_ntile_global_randomized(spark):
+    """Arithmetic global ntile vs the naive window on seeded random
+    doubles with duplicates, across several n."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.relational import ntile_global
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 40, 250).astype(float)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)],
+        schema="id int, v double",
+    )
+    for n in (3, 8, 11):
+        got = {
+            r["id"]: r["b"]
+            for r in ntile_global(df, ["v", "id"], n, out_col="b").collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["b"]
+            for r in df.select("id", F.ntile(n).over(w).alias("b")).collect()
+        }
+        assert got == want, n
