@@ -320,10 +320,15 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     )
 
 
-def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, fake: bool = True, keep_cols: list[str] | None = None
+) -> DataFrame:
     """Partition-local feature extraction over the media column via
     ``mapInPandas`` (Arrow-batched, no shuffle). Output schema is
-    :data:`FEATURE_SCHEMA`."""
+    :data:`FEATURE_SCHEMA` plus any ``keep_cols`` passed through
+    unchanged — pass-through beats re-joining the producer subtree,
+    which would execute the upstream decode pipeline TWICE."""
+    keep = keep_cols or []
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,9 +342,15 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "mean_luma": feats["mean_luma"],
                 }
             )
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
             yield out
 
-    return fan_out(df.select("doc_id", "media")).mapInPandas(gen, FEATURE_SCHEMA)
+    schema = T.StructType(
+        FEATURE_SCHEMA.fields
+        + [df.schema[c] for c in keep]
+    )
+    return fan_out(df.select("doc_id", "media", *keep)).mapInPandas(gen, schema)
 
 
 RESIZE_SCHEMA = T.StructType(

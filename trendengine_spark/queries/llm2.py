@@ -21,6 +21,8 @@ comparison is engine-stable.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from trendengine_spark.queries.base import query
 from trendengine_spark.sqltext import sql_over_tables
 
@@ -284,7 +286,10 @@ def multimodal_resize_real(spark, sf_dir):
     wrong decode, index map, re-encode, or second decode all break
     the hash (the division association (s/n)/255 matches the
     decoder's np.mean exactly). All pixel work partition-local in
-    mapInPandas; the final dims⋈mean join is doc_id-keyed."""
+    mapInPandas, ONE linear pipeline — the original dims ride through
+    the second decode as pass-through columns instead of re-joining
+    (a self-join here would execute the attach+resize subtree
+    twice)."""
     from trendengine_spark.operators.multimodal import (
         attach_gradient_png,
         extract_media_features,
@@ -295,11 +300,21 @@ def multimodal_resize_real(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     rs = resize_images(attach_gradient_png(docs), max_side=16, fake=False)
     feats = extract_media_features(
-        rs.select("doc_id", "media"), fake=False
-    ).select("doc_id", "mean_luma")
-    return (
-        rs.select("doc_id", "width", "height", "out_width", "out_height")
-        .join(feats, "doc_id")
+        rs.withColumnRenamed("width", "in_width").withColumnRenamed(
+            "height", "in_height"
+        ),
+        fake=False,
+        keep_cols=["in_width", "in_height"],
+    )
+    return feats.select(
+        "doc_id",
+        F.col("in_width").alias("width"),
+        F.col("in_height").alias("height"),
+        # the second decode re-measures the RESIZED payload — its
+        # dims ARE the resize output, no join needed
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+        "mean_luma",
     )
 
 
