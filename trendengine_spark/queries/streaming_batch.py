@@ -360,7 +360,7 @@ def stream_dedup_first_event(spark, sf_dir):
                   THEN {HALF_US} ELSE 600 * {_US} END AS gap_us
       FROM events
     ), marked AS (
-      SELECT user_id, t_us, gap_us,
+      SELECT user_id, event_id, t_us, gap_us,
              CASE WHEN max(t_us + gap_us) OVER (
                     PARTITION BY user_id ORDER BY t_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -372,8 +372,11 @@ def stream_dedup_first_event(spark, sf_dir):
       FROM g
     ), sess AS (
       SELECT user_id, t_us, gap_us,
+             -- event_id tiebreak: a ROWS cumulative sum over a
+             -- ts-only order is permutation-unstable under duplicate
+             -- timestamps (sid off-by-one between engines)
              CAST(sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY t_us
+               PARTITION BY user_id ORDER BY t_us, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM marked
     )
