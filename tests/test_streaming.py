@@ -338,3 +338,70 @@ def test_streaming_rollup_equals_batch_aggregate(spark, tmp_path):
     )
     assert got["n"].tolist() == want["n"].tolist()
     assert got["v_sum"].tolist() == want["v_sum"].tolist()
+
+
+def test_streaming_rollup_restart_and_retry_safe(spark, tmp_path):
+    """Restarting from the checkpoint must fold only NEW files, and a
+    retried (duplicate) batch id must be a no-op — the exactly-once
+    contract of the marker protocol."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.streaming.cdc import maintain_rollup_stream
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    src_dir = str(tmp_path / "ev_stream")
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    spec = {"n": ("count", "value")}
+
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    q = maintain_rollup_stream(
+        spark.readStream.schema(schema).parquet(src_dir),
+        target, ["event_type"], spec, checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+
+    # restart with MORE files on the same checkpoint: only the new
+    # file may fold (the old one is committed in the checkpoint log)
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = maintain_rollup_stream(
+        spark.readStream.schema(schema).parquet(src_dir),
+        target, ["event_type"], spec, checkpoint=ckpt,
+    )
+    q2.awaitTermination(180)
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # simulate a RETRY of the last batch id: the guarded fold must be
+    # a no-op on a duplicate id and fold again on a fresh one
+    from trendengine_spark.streaming.cdc import fold_rollup_batch
+
+    marker = target + "._applied_batch"
+    last = int(open(marker).read())
+    dup = spark.read.parquet(src_dir)
+    assert fold_rollup_batch(dup, last, target, ["event_type"], spec) is False
+    unchanged = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert unchanged == want  # duplicate id: nothing double-counted
+
+    assert fold_rollup_batch(
+        dup.limit(0), last + 1, target, ["event_type"], spec
+    ) is True  # fresh id advances the marker even for an empty batch
+    assert int(open(marker).read()) == last + 1

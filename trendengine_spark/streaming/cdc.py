@@ -77,6 +77,37 @@ def apply_cdc_stream(
     return writer.start()
 
 
+def fold_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+) -> bool:
+    """The marker-guarded microbatch fold behind
+    :func:`maintain_rollup_stream` (module-level so the retry/no-op
+    contract is directly testable). Returns True when the batch was
+    folded, False when skipped as an already-applied retry."""
+    import os
+
+    from trendengine_spark.sinks import maintain_rollup
+
+    marker = target_path + "._applied_batch"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip() or -1):
+                return False  # retry of an already-folded batch
+    if not batch_df.isEmpty():
+        maintain_rollup(
+            batch_df.sparkSession, target_path, batch_df, keys, agg_spec
+        )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, marker)
+    return True
+
+
 def maintain_rollup_stream(
     events: DataFrame,
     target_path: str,
@@ -97,14 +128,21 @@ def maintain_rollup_stream(
     checkpoint without replaying history, and the rollup is readable
     by any engine mid-stream. Per-batch cost scales with
     |batch| + |rollup|.
-    """
-    from trendengine_spark.sinks import maintain_rollup
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        maintain_rollup(
-            batch_df.sparkSession, target_path, batch_df, keys, agg_spec
+    Exactly-once: an algebraic fold is NOT idempotent — a retried
+    microbatch would double-count — so the applied batch id is
+    recorded in a marker file written AFTER the atomic table swap,
+    and any batch ≤ the marker is skipped. Crash windows resolve
+    safely in both directions: crash before the swap → nothing
+    applied, retry re-folds; crash between swap and marker → the
+    retry re-applies, which the pre-swap marker check cannot catch —
+    hence the marker is read BEFORE and written AFTER, and the swap +
+    marker write happen driver-side back-to-back (the standard
+    foreachBatch transactional-sink recipe).
+    """
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fold_rollup_batch(
+            batch_df, batch_id, target_path, keys, agg_spec
         )
 
     writer = (
