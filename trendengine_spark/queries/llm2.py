@@ -11,11 +11,16 @@ applies between dedup and packing:
   block-level complement to the document-level dedup family;
 - **deterministic per-key sampling**: smallest-hash top-k per group —
   the reproducible, coordination-free way to cap a source's
-  contribution to a mixture.
+  contribution to a mixture;
+- **real multimodal round trips**: STFT audio spectrogram over
+  stdlib-decoded tones (rows-only, golden-tested) and the
+  pixel-exact resize round trip (oracle-checked);
+- **the curation flagship**: quality gate → language filter → dedup
+  survivors → sequence packing composed end-to-end in one statement.
 
-All three are pure relational plans (explode → partial+final
-aggregate, one hash-keyed window), fully DuckDB-oracle-checked.
-Fractions are ratios of exact integers rounded to 6 dp, so the hash
+The relational ones are pure plans (explode → partial+final
+aggregate, one hash-keyed window), fully DuckDB-oracle-checked;
+fractions are ratios of exact integers rounded to 6 dp, so the hash
 comparison is engine-stable.
 """
 
