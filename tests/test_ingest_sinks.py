@@ -235,3 +235,61 @@ def test_maintain_rollup_incremental_equals_full(spark, tmp_path):
     assert got["v_min"].tolist() == want["v_min"].tolist()
     assert got["v_max"].tolist() == want["v_max"].tolist()
     assert got["v_avg"].tolist() == want["v_avg"].tolist()
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Partition-pruned MERGE: content correct AND cold partition
+    files physically untouched (same inode listing before/after)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import merge_upsert_partitioned
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4, 5, 6],
+                "seg": ["a", "a", "b", "b", "c", "c"],
+                "v": ["x1", "x2", "x3", "x4", "x5", "x6"],
+            }
+        )
+    )
+    base.write.partitionBy("seg").parquet(target)
+
+    def listing(seg):
+        d = os.path.join(target, f"seg={seg}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    cold_before = listing("c")
+
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 7, 3],
+                "seg": ["a", "a", "b"],
+                "v": ["X2", "X7", None],
+                "_del": [False, False, True],
+            }
+        )
+    )
+    out = merge_upsert_partitioned(
+        spark, target, updates, ["k"], "seg", deleted_col="_del"
+    )
+    assert out["touched_partitions"] == ["a", "b"]
+
+    got = {
+        (r["seg"], r["k"]): r["v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        ("a", 1): "x1", ("a", 2): "X2", ("a", 7): "X7",
+        ("b", 4): "x4", ("c", 5): "x5", ("c", 6): "x6",
+    }
+    assert listing("c") == cold_before  # cold partition untouched
