@@ -411,3 +411,48 @@ def stream_session_dynamic_gap(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    sql="""
+    WITH first AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS d
+      FROM events e
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS INT) AS days_since,
+           count(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort, date_diff('day', f.cohort, a.d)
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the canonical product-analytics
+    roll-up: users grouped by first-seen DAY (the test events span a
+    single month, so daily cohorts are the non-vacuous granularity;
+    the month variant is the same plan), activity counted per
+    days-since-cohort offset. Plan: first-seen collapses to one row
+    per user (map-side combined min), activity deduplicates to one
+    row per (user, day), and the join is user_id-co-partitioned
+    before the tiny (cohort × offset) aggregate — the fact table is
+    never joined against itself raw. Day arithmetic is integral on
+    truncated timestamps, so the offsets match DuckDB exactly."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    j = act.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.col("cohort").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("int").alias("days_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
