@@ -97,13 +97,25 @@ def join_semi(spark, sf_dir):
     "join_anti",
     sql="""
     SELECT c_custkey, c_mktsegment FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderstatus = 'F'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+    )
     """,
 )
 def join_anti(spark, sf_dir):
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no completed order since 1999
+    (the all-orders variant returns 0-1 rows on this synthetic data —
+    vacuous evidence; this predicate keeps ~25% of customers at every
+    sf, so the anti join's keep/drop behavior is actually exercised).
+    The build side carries only the filtered order keys."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    recent_f = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    )
+    return c.join(recent_f, c.c_custkey == recent_f.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
 
