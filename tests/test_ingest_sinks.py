@@ -293,3 +293,49 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
         ("b", 4): "x4", ("c", 5): "x5", ("c", 6): "x6",
     }
     assert listing("c") == cold_before  # cold partition untouched
+
+
+def test_maintain_rollup_approx_distinct_merges_exactly(spark, tmp_path):
+    """HLL sketch state: incremental base+delta estimate must equal
+    the full-recompute estimate exactly (register-wise max merge),
+    and stay within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from trendengine_spark.sinks import maintain_rollup, read_rollup
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    spec = {"n": ("count", "value"), "u_sketch": ("approx_distinct", "user_id")}
+    path = str(tmp_path / "rollup_hll")
+    maintain_rollup(
+        spark, path, ev.filter(F.col("event_id") % 2 == 0),
+        ["event_type"], spec,
+    )
+    maintain_rollup(
+        spark, path, ev.filter(F.col("event_id") % 2 == 1),
+        ["event_type"], spec,
+    )
+    got = {
+        r["event_type"]: r["u_sketch"]
+        for r in read_rollup(
+            spark, path, estimate_cols=["u_sketch"]
+        ).collect()
+    }
+    full = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        )
+        .collect()
+    }
+    assert got == full  # incremental merge == full recompute, exactly
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

@@ -257,6 +257,11 @@ def _rollup_state_aggs(agg_spec: dict[str, tuple[str, str]]) -> list:
             exprs.append(F.min(src).alias(out))
         elif kind == "max":
             exprs.append(F.max(src).alias(out))
+        elif kind == "approx_distinct":
+            # HLL sketch state (binary): register-wise max merge means
+            # union-of-sub-sketches == sketch-of-union EXACTLY, so the
+            # incremental estimate equals the full-recompute estimate
+            exprs.append(F.hll_sketch_agg(src).alias(out))
         else:  # pragma: no cover - authoring guard
             raise ValueError(f"unsupported rollup aggregate {kind!r}")
     return exprs
@@ -269,6 +274,8 @@ def _rollup_merge_aggs(agg_spec: dict[str, tuple[str, str]]) -> list:
             exprs.append(F.sum(out).alias(out))
         elif kind == "min":
             exprs.append(F.min(out).alias(out))
+        elif kind == "approx_distinct":
+            exprs.append(F.hll_union_agg(out).alias(out))
         else:
             exprs.append(F.max(out).alias(out))
     return exprs
@@ -321,16 +328,21 @@ def read_rollup(
     spark,
     target_path: str,
     avg_pairs: dict[str, tuple[str, str]] | None = None,
+    estimate_cols: list[str] | None = None,
 ) -> DataFrame:
     """Read a :func:`maintain_rollup` table, finalizing derived
     aggregates: ``avg_pairs`` maps an output column to its
     (sum_state, count_state) columns (avg = exact decimal sum /
-    count, cast to double at the end)."""
+    count, cast to double at the end); ``estimate_cols`` names
+    approx_distinct sketch columns to finalize with
+    ``hll_sketch_estimate`` (replacing the binary state)."""
     df = spark.read.parquet(target_path)
     for out, (s, c) in (avg_pairs or {}).items():
         df = df.withColumn(
             out, (F.col(s) / F.col(c)).cast("double")
         )
+    for c in estimate_cols or []:
+        df = df.withColumn(c, F.hll_sketch_estimate(F.col(c)))
     return df
 
 
