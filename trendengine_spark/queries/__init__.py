@@ -101,6 +101,7 @@ _SPINE_FIRST = [
     "multimodal_resize_real",  # NEW r6: real NN-resample, oracle-checked
     "flagship_curation_pipeline",  # NEW r6: LLM-side end-to-end flagship
     "retention_cohorts",  # NEW r6: cohort retention matrix
+    "window_locf_fill",  # NEW r6: LOCF step gap-fill
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

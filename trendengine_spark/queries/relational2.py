@@ -955,3 +955,45 @@ def join_asof_forward_tolerance(spark, sf_dir):
             F.unix_timestamp("next_view_ts") - F.unix_timestamp("ts")
         ).alias("secs_to_view"),
     )
+
+
+@query(
+    "window_locf_fill",
+    sql="""
+    WITH src AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE round(value, 4) END AS v_raw
+      FROM events
+    )
+    SELECT event_id, user_id, ts, v_raw,
+           last_value(v_raw IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM src
+    """,
+)
+def window_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap fill: error events null
+    their reading and inherit the user's latest prior valid value —
+    the ``last(..., ignorenulls) OVER`` running frame (the same
+    primitive the as-of join builds on), the step-fill complement to
+    a2c's linear interpolation. One shuffle keyed by user_id;
+    (ts, event_id) order makes the carried value deterministic under
+    duplicate timestamps. Leading nulls stay null (nothing to
+    carry)."""
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.round("value", 4))
+        .alias("v_raw"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return src.withColumn(
+        "v_filled", F.last("v_raw", ignorenulls=True).over(w)
+    )
