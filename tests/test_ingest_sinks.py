@@ -339,3 +339,50 @@ def test_maintain_rollup_approx_distinct_merges_exactly(spark, tmp_path):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
+    """Manifest-versioned table: pinned readers see their version
+    regardless of later commits; time travel works; vacuum removes
+    only unreferenced files and keeps the retained versions
+    readable."""
+    import os
+
+    import pandas as pd
+
+    from trendengine_spark.tablelog import (
+        current_version,
+        read_versioned,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    v0 = write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), path
+    )
+    assert (v0, current_version(path)) == (0, 0)
+
+    pinned = read_versioned(spark, path, version=0)  # plan pinned to v0
+
+    v1 = write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [3], "v": ["c"]})), path
+    )
+    assert v1 == 1
+    # latest sees v1; the pinned plan still scans v0's files
+    assert {r.k for r in read_versioned(spark, path).collect()} == {3}
+    assert {r.k for r in pinned.collect()} == {1, 2}
+    # time travel
+    assert {r.k for r in read_versioned(spark, path, version=0).collect()} == {1, 2}
+
+    v2 = write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [4], "v": ["d"]})), path
+    )
+    out = vacuum_versioned(path, keep_last=2)
+    assert out["dropped_manifests"] == 1 and out["removed_files"] >= 1
+    # v0 is gone, v1/v2 still readable
+    assert {r.k for r in read_versioned(spark, path, version=v1).collect()} == {3}
+    assert {r.k for r in read_versioned(spark, path, version=v2).collect()} == {4}
+    assert not any(
+        f.startswith("_staging") for f in os.listdir(path)
+    )
