@@ -386,3 +386,35 @@ def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
     assert not any(
         f.startswith("_staging") for f in os.listdir(path)
     )
+
+
+def test_versioned_table_schema_evolution(spark, tmp_path):
+    """A later version may add columns; each version reads with its
+    own schema (no cross-file merge needed), and a mergeSchema scan
+    over the data pool union-reads both generations with null fill."""
+    import pandas as pd
+
+    from trendengine_spark.tablelog import read_versioned, write_versioned
+
+    path = str(tmp_path / "vt_evo")
+    write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]})), path
+    )
+    write_versioned(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame({"k": [2], "v": ["b"], "extra": [9.5]})
+        ),
+        path,
+    )
+    v0 = read_versioned(spark, path, version=0)
+    v1 = read_versioned(spark, path, version=1)
+    assert v0.columns == ["k", "v"]
+    assert v1.columns == ["k", "v", "extra"]
+    assert v1.collect()[0]["extra"] == 9.5
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "vt_evo" / "data")
+    )
+    rows = {r["k"]: r["extra"] for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
