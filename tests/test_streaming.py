@@ -405,3 +405,42 @@ def test_streaming_rollup_restart_and_retry_safe(spark, tmp_path):
         dup.limit(0), last + 1, target, ["event_type"], spec
     ) is True  # fresh id advances the marker even for an empty batch
     assert int(open(marker).read()) == last + 1
+
+
+def test_stream_publishes_versioned_snapshots(spark, tmp_path):
+    """foreachBatch versioned publishing: each microbatch commits a
+    complete version; append mode accumulates; a reader pinned before
+    the stream still sees its version."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.tablelog import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+    from trendengine_spark.tablelog import publish_stream_versioned
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "vt_stream")
+    base = ev.limit(0)
+    write_versioned(spark, base, path)  # v0: empty schema-bearing table
+    pinned_v = current_version(path)
+
+    src_dir = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = publish_stream_versioned(
+        stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    latest = read_versioned(spark, path)
+    assert latest.count() == ev.count()  # all batches accumulated
+    assert current_version(path) > pinned_v

@@ -57,15 +57,10 @@ def current_version(path: str) -> int:
     return int(os.path.basename(ms[-1])[1:-5])
 
 
-def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
-    """Commit ``df`` as the table's next version; returns the version.
-
-    The data lands in a staging directory, its part files move into
-    the immutable ``data/`` pool under unique names, and the commit
-    point is one atomic manifest rename — a crash before it leaves
-    the previous version intact and the stragglers invisible (cleaned
-    by :func:`vacuum_versioned`). Readers pinned to any OTHER version
-    are unaffected: no visible file is ever mutated."""
+def _stage_files(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` and move its part files into the immutable
+    ``data/`` pool under unique names; returns the names. Nothing is
+    visible until a manifest references them."""
     os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
@@ -83,14 +78,29 @@ def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
     for f in os.listdir(staging):  # _SUCCESS, .crc droppings
         os.remove(os.path.join(staging, f))
     os.rmdir(staging)
+    return names
+
+
+def _commit_manifest(path: str, files: list[str]) -> int:
+    """Publish ``files`` as the next version via one atomic rename —
+    THE commit point; a crash before it leaves only invisible
+    stragglers."""
     version = current_version(path) + 1
-    manifest = {"version": version, "files": names}
     final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, final)  # THE commit point
+        json.dump({"version": version, "files": files}, fh)
+    os.replace(tmp, final)
     return version
+
+
+def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the table's next version; returns the version.
+
+    Stage (invisible) → one atomic manifest rename (the commit).
+    Readers pinned to any OTHER version are unaffected: no visible
+    file is ever mutated."""
+    return _commit_manifest(path, _stage_files(df, path))
 
 
 def read_versioned(
@@ -130,3 +140,48 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> dict:
     for m in drop:
         os.remove(m)
     return {"dropped_manifests": len(drop), "removed_files": removed}
+
+
+def publish_stream_versioned(
+    events: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    query_name: str = "versioned_publish",
+    mode: str = "append",
+):
+    """Streaming publisher: every microbatch commits one table version
+    (``mode='snapshot'`` publishes the batch AS the new table;
+    ``'append'`` unions it with the current version's files by
+    listing them in the new manifest — no data rewrite either way).
+    Readers always see a complete committed version; a batch that
+    crashes mid-write leaves only invisible stragglers (the append
+    manifest is assembled BEFORE its single atomic commit — no
+    window where a version shows only the new batch). Exactly-once
+    follows from the version≈batch correspondence: a retried batch
+    re-publishes the same content as a new version rather than
+    double-appending into a live one."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_files = _stage_files(batch_df, path)
+        if mode == "snapshot":
+            _commit_manifest(path, new_files)
+            return
+        prev = current_version(path)
+        old_files: list[str] = []
+        if prev >= 0:
+            with open(
+                os.path.join(path, _MANIFEST_DIR, f"v{prev:06d}.json")
+            ) as fh:
+                old_files = json.load(fh)["files"]
+        _commit_manifest(path, old_files + new_files)
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
