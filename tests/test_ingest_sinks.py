@@ -418,3 +418,36 @@ def test_versioned_table_schema_evolution(spark, tmp_path):
     )
     rows = {r["k"]: r["extra"] for r in merged.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_versioned_commit_collision_retries(spark, tmp_path):
+    """Two commits racing for the same version number must both land
+    (the loser retries at the next version) — never silently clobber."""
+    import pandas as pd
+
+    from trendengine_spark.tablelog import (
+        _commit_manifest,
+        _stage_files,
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt_race")
+    write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [0]})), path
+    )
+    a = _stage_files(
+        spark.createDataFrame(pd.DataFrame({"k": [1]})), path
+    )
+    b = _stage_files(
+        spark.createDataFrame(pd.DataFrame({"k": [2]})), path
+    )
+    # simulate the race: both saw current_version == 0; commit A
+    # first, then B (which would have targeted v1 too)
+    va = _commit_manifest(path, a)
+    vb = _commit_manifest(path, b)
+    assert (va, vb) == (1, 2)
+    assert current_version(path) == 2
+    assert {r.k for r in read_versioned(spark, path, version=1).collect()} == {1}
+    assert {r.k for r in read_versioned(spark, path, version=2).collect()} == {2}

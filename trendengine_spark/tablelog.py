@@ -82,16 +82,28 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
 
 
 def _commit_manifest(path: str, files: list[str]) -> int:
-    """Publish ``files`` as the next version via one atomic rename —
-    THE commit point; a crash before it leaves only invisible
-    stragglers."""
-    version = current_version(path) + 1
-    final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-    os.replace(tmp, final)
-    return version
+    """Publish ``files`` as the next version — THE commit point; a
+    crash before it leaves only invisible stragglers.
+
+    Optimistic concurrency: the manifest is linked into place with
+    ``os.link`` (fails with EEXIST instead of overwriting), so two
+    racing writers cannot silently clobber each other's commit — the
+    loser observes the collision and retries at the next version
+    number (correct for snapshot/append-new-data commits; commits
+    that must be REBASED on the winner, like append folding the
+    previous file list, should catch the retry at a higher level)."""
+    while True:
+        version = current_version(path) + 1
+        final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+        tmp = final + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        try:
+            os.link(tmp, final)
+            os.remove(tmp)
+            return version
+        except FileExistsError:
+            os.remove(tmp)  # lost the race — re-read and retry
 
 
 def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
