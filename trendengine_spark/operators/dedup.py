@@ -133,6 +133,44 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT |A∩B| / |A| for all DIRECTED pairs
+    ≥ ``threshold`` — the asymmetric near-dup measure Jaccard misses:
+    a short document quoted inside a long one scores high containment
+    but low Jaccard (the union is dominated by the long side), which
+    is exactly the quote/subset/boilerplate case corpus dedup wants
+    to catch. Same inverted-index plan as :func:`ngram_jaccard_pairs`
+    (shingle join, never all-pairs); the pair set is directed
+    (id_a ≠ id_b both ways) because containment is not symmetric."""
+    sh = owned_cache(
+        shingles(df, id_col, text_col, n), f"dedup.shingles.{n}"
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    out = (
+        common.join(sa, "id_a")
+        .withColumn(
+            "containment", F.col("n_common") / F.col("n_a").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "n_a", "containment")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 64,

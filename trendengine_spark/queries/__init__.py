@@ -102,6 +102,7 @@ _SPINE_FIRST = [
     "flagship_curation_pipeline",  # NEW r6: LLM-side end-to-end flagship
     "retention_cohorts",  # NEW r6: cohort retention matrix
     "window_locf_fill",  # NEW r6: LOCF step gap-fill
+    "dedup_ngram_containment",  # NEW r6: asymmetric quote/subset dedup
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

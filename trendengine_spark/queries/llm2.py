@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trendengine_spark.queries.base import query
+from trendengine_spark.queries.base import query, t
 from trendengine_spark.sqltext import sql_over_tables
 
 #: DuckDB-side whitespace tokenization (1-based list)
@@ -385,4 +385,43 @@ def flagship_curation_pipeline(spark, sf_dir):
     packed = pack_concat_chunks(surv, seq_len=512, n_shards=8)
     return packed.join(surv.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "shard", "n_tokens", "start_off", "start_seq"
+    )
+
+
+@query(
+    "dedup_ngram_containment",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id <> b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a,
+           round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+    FROM common JOIN sizes sa ON sa.id = id_a
+    WHERE n_common / CAST(sa.n_sh AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Directed n-gram containment pairs (|A∩B|/|A| ≥ 0.8) — the
+    asymmetric complement to dedup_ngram_jaccard: catches a short
+    document quoted/embedded inside a longer one, which Jaccard
+    under-scores because the union is dominated by the long side.
+    Same inverted shingle index, no all-pairs; directed output (a
+    contained-in-b and b-contains-a are different facts)."""
+    from trendengine_spark.operators.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, n=3
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a",
+        F.round("containment", 6).alias("containment"),
     )
