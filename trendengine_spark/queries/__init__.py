@@ -103,6 +103,7 @@ _SPINE_FIRST = [
     "retention_cohorts",  # NEW r6: cohort retention matrix
     "window_locf_fill",  # NEW r6: LOCF step gap-fill
     "dedup_ngram_containment",  # NEW r6: asymmetric quote/subset dedup
+    "text_shingle_novelty",  # NEW r6: corpus redundancy curve
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

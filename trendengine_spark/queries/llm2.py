@@ -425,3 +425,61 @@ def dedup_ngram_containment(spark, sf_dir):
         "id_a", "id_b", "n_common", "n_a",
         F.round("containment", 6).alias("containment"),
     )
+
+
+@query(
+    "text_shingle_novelty",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    first AS (SELECT shingle, min(id) AS first_id FROM sh GROUP BY shingle)
+    SELECT sh.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.id
+    """,
+)
+def text_shingle_novelty(spark, sf_dir):
+    """Corpus novelty per document: the fraction of its 3-gram
+    shingles FIRST seen in this document (ingest order = doc_id) —
+    the redundancy curve a curation pipeline watches to decide when
+    additional data from a source stops contributing new content.
+    Plan: shingle first-occurrence is one min-aggregate keyed by
+    shingle (the same inverted index the dedup family builds), joined
+    back shingle-keyed, rolled up per doc. Exact-int ratio rounded to
+    6 dp."""
+    from trendengine_spark.operators.dedup import shingles
+    from trendengine_spark.operators.util import owned_cache
+
+    sh = owned_cache(
+        shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3),
+        "dedup.shingles.3",
+    )
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    j = sh.join(first, "shingle")
+    novel = F.sum(
+        F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+    )
+    return (
+        j.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
