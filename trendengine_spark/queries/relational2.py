@@ -997,3 +997,37 @@ def window_locf_fill(spark, sf_dir):
     return src.withColumn(
         "v_filled", F.last("v_raw", ignorenulls=True).over(w)
     )
+
+
+@query(
+    "daily_value_percentiles",
+    sql="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def daily_value_percentiles(spark, sf_dir):
+    """Exact interpolated daily P50/P90/P99 per event type — the
+    latency-band time series every operations dashboard is built on.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so exact quantiles hash-match
+    (the approx sketch variants are deliberately rows-only —
+    approx_percentiles). One partial+final aggregate keyed by
+    (day, type): exact percentiles hold per-group sorted state, fine
+    while groups are day-sized; at unbounded group width the sketch
+    is the scale path."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
