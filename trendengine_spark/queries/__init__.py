@@ -105,6 +105,7 @@ _SPINE_FIRST = [
     "dedup_ngram_containment",  # NEW r6: asymmetric quote/subset dedup
     "text_shingle_novelty",  # NEW r6: corpus redundancy curve
     "daily_value_percentiles",  # NEW r6: exact P50/P90/P99 bands
+    "pipeline_interleave_sources",  # NEW r6: round-robin training order
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

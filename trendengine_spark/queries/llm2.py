@@ -26,6 +26,7 @@ comparison is engine-stable.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trendengine_spark.queries.base import query, t
@@ -482,4 +483,42 @@ def text_shingle_novelty(spark, sf_dir):
                 F.col("n_novel") / F.col("n_shingles").cast("double"), 6
             ).alias("novelty"),
         )
+    )
+
+
+@query(
+    "pipeline_interleave_sources",
+    sql="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(row_number() OVER (ORDER BY rank_in_source, source, doc_id)
+                AS BIGINT) AS global_pos
+    FROM r
+    """,
+)
+def pipeline_interleave_sources(spark, sf_dir):
+    """Deterministic source interleaving — the training-order step
+    after mixture weighting: documents are ranked within their source
+    and emitted round-robin (all rank-1 docs across sources, then all
+    rank-2, …), so no source dominates any contiguous stretch of the
+    training stream. The per-source rank is an ordinary partitioned
+    window; the GLOBAL position runs through the scale-safe
+    range-bucketed ranking (``ranked_global`` over the unique
+    (rank, source, doc) order — never a single-partition window).
+    Everything is integer-exact and reproducible."""
+    from trendengine_spark.operators.relational import ranked_global
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    r = docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+    g = ranked_global(r, ["rank_in_source", "source", "doc_id"])
+    return g.select(
+        "doc_id", "source", "rank_in_source",
+        F.col("_rank").alias("global_pos"),
     )
