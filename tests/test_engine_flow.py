@@ -185,3 +185,27 @@ def test_interpolate_months_linear_fill(spark):
     )
     # interior gaps: linear between 1.0@jan and 4.0@apr; trailing gap carries 4.0
     assert out == [1.0, 2.0, 3.0, 4.0, 4.0]
+
+
+def test_trend_engine_facade_delegates(spark):
+    """The facade must produce byte-identical results to the
+    functional API it wraps."""
+    from trendengine_spark.engine import TrendEngine, polytrend
+
+    obs = obs_frame(spark)
+    eng = TrendEngine(spark, obs)
+    a = (
+        eng.polytrend(1990, 2009)
+        .toPandas()
+        .sort_values(["longitude", "latitude"])
+        .reset_index(drop=True)
+    )
+    b = (
+        polytrend(obs, 1990, 2009)
+        .toPandas()
+        .sort_values(["longitude", "latitude"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    stats = eng.polytrend_stats(eng.polytrend(1990, 2009))
+    assert stats.count() > 0

@@ -198,3 +198,40 @@ def dbest(
     if algorithm == "generalization":
         return dbest_generalize(monthly, series_cols, **knobs)
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+class TrendEngine:
+    """Facade binding a SparkSession + observation table to the full
+    flow surface — the one-object migration target for a reference
+    user (the reference's Flask routes dispatch to exactly these two
+    flows, ``calculations/routes.py:22-33``):
+
+        eng = TrendEngine(spark, obs)          # or .from_parquet(...)
+        result = eng.polytrend(1990, 2010, point=(13.8, 55.6))
+        stats  = eng.polytrend_stats(result)
+        change = eng.dbest(2000, 2010, bbox=(10, 50, 15, 55))
+
+    Pure delegation — every method is the module-level function with
+    the bound observation table as its first argument, so the
+    functional API and the facade cannot drift.
+    """
+
+    def __init__(self, spark, obs: DataFrame):
+        self.spark = spark
+        self.obs = obs
+
+    @classmethod
+    def from_parquet(cls, spark, path: str) -> "TrendEngine":
+        return cls(spark, spark.read.parquet(path))
+
+    def filter_years(self, year_from: int, year_to: int) -> DataFrame:
+        return filter_years(self.obs, year_from, year_to)
+
+    def polytrend(self, year_from: int, year_to: int, **kw) -> DataFrame:
+        return polytrend(self.obs, year_from, year_to, **kw)
+
+    def polytrend_stats(self, result: DataFrame) -> DataFrame:
+        return polytrend_stats(result)
+
+    def dbest(self, year_from: int, year_to: int, **kw) -> DataFrame:
+        return dbest(self.obs, year_from, year_to, **kw)
