@@ -89,7 +89,11 @@ def session_agg(
     value_col: str = "value",
 ) -> DataFrame:
     """Session windows with an inactivity gap (streaming twin of
-    ``stream_session_window``)."""
+    ``stream_session_window``). ``gap`` may be a fixed duration
+    string OR a Column expression for DATA-DEPENDENT gaps (e.g.
+    ``F.when(col('event_type') == 'purchase', '30 minutes')
+    .otherwise('10 minutes')`` — the dynamic form the oracle-checked
+    ``stream_session_dynamic_gap`` twin validates)."""
     return (
         events.groupBy(key_col, F.session_window(ts_col, gap))
         .agg(
