@@ -200,3 +200,36 @@ def test_pushdown_never_changes_results(spark):
             (r.longitude, r.latitude, r.time, r.value) for r in fdf.collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_versioned_sink_writer_commits_and_appends(spark, tmp_path):
+    """te_versioned writer: Spark's job commit publishes one manifest
+    per save; append folds previous files; time travel sees each
+    commit; empty partitions stage nothing."""
+    import pandas as pd
+
+    from trendengine_spark.sources import register_sources
+    from trendengine_spark.tablelog import current_version, read_versioned
+
+    register_sources(spark)
+    path = str(tmp_path / "vt_sink")
+
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+    ).repartition(4)  # > row count: some partitions empty
+    df1.write.format("te_versioned").mode("append").save(path)
+    assert current_version(path) == 0
+    assert {r.k for r in read_versioned(spark, path).collect()} == {1, 2}
+
+    df2 = spark.createDataFrame(pd.DataFrame({"k": [3], "v": ["c"]}))
+    df2.write.format("te_versioned").mode("append").save(path)
+    assert current_version(path) == 1
+    assert {r.k for r in read_versioned(spark, path).collect()} == {1, 2, 3}
+
+    df3 = spark.createDataFrame(pd.DataFrame({"k": [9], "v": ["z"]}))
+    df3.write.format("te_versioned").mode("overwrite").save(path)
+    assert {r.k for r in read_versioned(spark, path).collect()} == {9}
+    # time travel still sees the appended generation
+    assert {r.k for r in read_versioned(spark, path, version=1).collect()} == {
+        1, 2, 3,
+    }

@@ -4,6 +4,10 @@
 acquisition stage (GEE ``ImageCollection.filterDate().filterBounds()
 .getRegion()``), as a partitioned, filter-pushdown-capable source
 instead of one driver-memory RPC.
+
+:mod:`.versioned_sink` — the write side of the API: ``te_versioned``,
+a transactional writer whose task/commit protocol publishes
+manifest-versioned table commits (:mod:`trendengine_spark.tablelog`).
 """
 
 from __future__ import annotations
@@ -11,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from trendengine_spark.sources.region import RegionDataSource
+from trendengine_spark.sources.versioned_sink import VersionedSinkDataSource
 
 
 def register_sources(spark: SparkSession) -> None:
@@ -20,3 +25,4 @@ def register_sources(spark: SparkSession) -> None:
     pruning depends on it, so enable it here (runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RegionDataSource)
+    spark.dataSource.register(VersionedSinkDataSource)
