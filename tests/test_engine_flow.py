@@ -209,3 +209,33 @@ def test_trend_engine_facade_delegates(spark):
     assert a.equals(b)
     stats = eng.polytrend_stats(eng.polytrend(1990, 2009))
     assert stats.count() > 0
+
+
+def test_expectations_report_and_quarantine_agree(spark):
+    """Report fail counts must equal quarantine row membership, and
+    _failed_rules must name exactly the violated rules."""
+    import pandas as pd
+
+    from trendengine_spark.operators.quality import expectations
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "v": [5.0, -1.0, 7.0, -2.0],
+                "cat": ["a", "a", "zz", "zz"],
+            }
+        )
+    )
+    report, quarantine = expectations(
+        df,
+        {
+            "v_nonneg": F.col("v") >= 0,
+            "cat_known": F.col("cat").isin("a", "b"),
+        },
+    )
+    rep = {r["rule"]: (r["n_pass"], r["n_fail"]) for r in report.collect()}
+    assert rep == {"v_nonneg": (2, 2), "cat_known": (2, 2)}
+    q = {r["id"]: r["_failed_rules"] for r in quarantine.collect()}
+    assert q == {2: "v_nonneg", 3: "cat_known", 4: "v_nonneg,cat_known"}

@@ -16,7 +16,9 @@ and broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,3 +50,65 @@ def qualified_series(
         .agg(F.min(value_col).alias("min_value"))
         .filter(F.col("min_value") > threshold)
     )
+
+
+def expectations(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Data-quality expectations (the Delta-Live/Great-Expectations
+    primitive, engine-native): ``rules`` maps a rule name to a
+    boolean Column that each GOOD row satisfies. Returns
+    ``(report, quarantine)``:
+
+    - ``report``: one row per rule — rows checked, passed, failed,
+      pass fraction (one full-scan aggregate, all counters
+      partial-combined map-side; null predicate results count as
+      failures, the conservative read);
+    - ``quarantine``: the failing rows with a ``_failed_rules``
+      column naming every violated rule (filter + projection — no
+      shuffle; write it next to the clean table and the pipeline
+      never silently drops data).
+
+    Both outputs derive from the same single-pass expressions, so
+    report counts and quarantine row counts cannot disagree.
+    """
+    checks = [
+        F.coalesce(cond.cast("boolean"), F.lit(False)).alias(f"_ok_{name}")
+        for name, cond in rules.items()
+    ]
+    checked = df.select("*", *checks)
+    agg = checked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.col(f"_ok_{name}").cast("long")).alias(f"_pass_{name}")
+            for name in rules
+        ],
+    )
+    stack = ", ".join(f"'{name}', `_pass_{name}`" for name in rules)
+    report = agg.selectExpr(
+        "_n AS n_rows", f"stack({len(rules)}, {stack}) AS (rule, n_pass)"
+    ).select(
+        "rule",
+        "n_rows",
+        "n_pass",
+        (F.col("n_rows") - F.col("n_pass")).alias("n_fail"),
+        F.round(F.col("n_pass") / F.col("n_rows"), 6).alias("pass_frac"),
+    )
+    failed_any = ~reduce(
+        lambda a, b: a & b, [F.col(f"_ok_{n}") for n in rules]
+    )
+    names_arr = F.filter(
+        F.array(
+            *[
+                F.when(~F.col(f"_ok_{n}"), F.lit(n))
+                for n in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    quarantine = (
+        checked.filter(failed_any)
+        .withColumn("_failed_rules", F.concat_ws(",", names_arr))
+        .drop(*[f"_ok_{n}" for n in rules])
+    )
+    return report, quarantine

@@ -1031,3 +1031,55 @@ def daily_value_percentiles(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+@query(
+    "dq_expectations_events",
+    sql="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             CAST(count(*) FILTER (WHERE value >= 0) AS BIGINT) AS p_nonneg,
+             CAST(count(*) FILTER (WHERE event_type IN
+               ('view','click','purchase','signup','error')) AS BIGINT)
+               AS p_type,
+             CAST(count(*) FILTER (WHERE user_id IS NOT NULL) AS BIGINT)
+               AS p_user,
+             CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01'
+               AND ts < TIMESTAMP '2024-02-01') AS BIGINT) AS p_ts
+      FROM events
+    )
+    SELECT u.rule, agg.n_rows, u.n_pass,
+           agg.n_rows - u.n_pass AS n_fail,
+           round(u.n_pass / CAST(agg.n_rows AS DOUBLE), 6) AS pass_frac
+    FROM agg, LATERAL (VALUES
+      ('value_nonnegative', p_nonneg), ('known_event_type', p_type),
+      ('user_id_present', p_user), ('ts_in_january', p_ts)
+    ) AS u(rule, n_pass)
+    """,
+)
+def dq_expectations_events(spark, sf_dir):
+    """Data-quality expectations report over events — the validation
+    gate a pipeline runs before anything downstream: four rules
+    (non-negative value, known event type, user present, timestamp in
+    the expected window), each scored in ONE full-scan aggregate
+    (map-side combined counters) and stacked to long form. The
+    operator's twin output (the quarantine frame of failing rows with
+    their violated-rule list) is exercised in tests — report counts
+    and quarantine rows derive from the same expressions and cannot
+    disagree."""
+    from trendengine_spark.operators.quality import expectations
+
+    ev = t(spark, sf_dir, "events")
+    rules = {
+        "value_nonnegative": F.col("value") >= 0,
+        "known_event_type": F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "user_id_present": F.col("user_id").isNotNull(),
+        "ts_in_january": (
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        ),
+    }
+    report, _quarantine = expectations(ev, rules)
+    return report
