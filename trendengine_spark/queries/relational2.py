@@ -1083,3 +1083,67 @@ def dq_expectations_events(spark, sf_dir):
     }
     report, _quarantine = expectations(ev, rules)
     return report
+
+
+@query(
+    "graph_copurchase_2hop",
+    sql="""
+    WITH edges AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ), seed AS (
+      SELECT p_partkey AS k FROM part WHERE p_brand = 'Brand#1'
+    ), h1 AS (
+      SELECT DISTINCT e.b AS k FROM edges e JOIN seed s ON e.a = s.k
+      WHERE e.b NOT IN (SELECT k FROM seed)
+    ), h2 AS (
+      SELECT DISTINCT e.b AS k FROM edges e JOIN h1 ON e.a = h1.k
+      WHERE e.b NOT IN (SELECT k FROM seed)
+        AND e.b NOT IN (SELECT k FROM h1)
+    )
+    SELECT k AS partkey, 1 AS hop FROM h1
+    UNION ALL
+    SELECT k AS partkey, 2 AS hop FROM h2
+    """,
+)
+def graph_copurchase_2hop(spark, sf_dir):
+    """Bounded graph traversal — the BFS complement to the dedup
+    family's connected components: parts reachable from the Brand#1
+    seed set in exactly one / exactly two co-purchase hops (edge =
+    two parts sharing an order). The edge build is an order-keyed
+    self-join whose fan-out is bounded by lines-per-order (~4 → ~12
+    directed pairs per order — never N²); each hop is one
+    semi/anti-joined frontier expansion, the per-level building
+    block an iterative k-hop (or the CC pointer-jumping loop)
+    repeats. Set semantics make the result order-free and
+    engine-exact."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnRenamed("l_partkey", "b")
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("b"))
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct()
+    )
+    seed = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("k"))
+    )
+    h1 = (
+        edges.join(seed, edges.a == seed.k)
+        .select(F.col("b").alias("k"))
+        .distinct()
+        .join(seed, "k", "left_anti")
+    )
+    h2 = (
+        edges.join(h1, edges.a == h1.k)
+        .select(F.col("b").alias("k"))
+        .distinct()
+        .join(seed, "k", "left_anti")
+        .join(h1, "k", "left_anti")
+    )
+    return h1.select(F.col("k").alias("partkey"), F.lit(1).alias("hop")).unionAll(
+        h2.select(F.col("k").alias("partkey"), F.lit(2).alias("hop"))
+    )
