@@ -244,3 +244,33 @@ def test_ntile_global_randomized(spark):
             for r in df.select("id", F.ntile(n).over(w).alias("b")).collect()
         }
         assert got == want, n
+
+
+def test_khop_frontiers_exact_levels(spark):
+    """BFS levels on a hand-built graph: each node reported at its
+    shortest distance only; unreachable nodes absent; the 2-hop query
+    shape is the k=2 case of this operator."""
+    import pandas as pd
+
+    from trendengine_spark.operators.graph import khop_frontiers
+
+    # 0→1→2→3→4 chain, plus shortcut 0→2 and a cycle 3→0, island 9→10
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": [0, 1, 2, 3, 0, 9], "b": [1, 2, 3, 4, 2, 10]}
+        )
+    )
+    seed = spark.createDataFrame(pd.DataFrame({"k": [0]}))
+    got = {
+        (r["k"], r["hop"])
+        for r in khop_frontiers(edges, seed, k=4, checkpoint_every=2).collect()
+    }
+    # 1 and 2 at hop 1 (0→1, 0→2 shortcut); 3 at hop 2; 4 at hop 3
+    assert got == {(1, 1), (2, 1), (3, 2), (4, 3)}
+
+    # consistency with the declared 2-hop query semantics
+    h2 = {
+        (r["k"], r["hop"])
+        for r in khop_frontiers(edges, seed, k=2).collect()
+    }
+    assert h2 == {(1, 1), (2, 1), (3, 2)}

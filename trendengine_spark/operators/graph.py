@@ -1,0 +1,63 @@
+"""Graph traversal operators (BFS frontiers).
+
+Complements the connected-components labeler in
+:mod:`trendengine_spark.operators.dedup` (``dedup_clusters`` —
+pointer-jumping min-label fixpoint): where CC answers "which
+component", k-hop BFS answers "how far" — the reach/expansion
+primitive behind co-occurrence recommendations, blast-radius
+analysis, and feature neighborhoods.
+
+Scale shape per hop: one equi-join of the current frontier against
+the edge list (shuffle keyed by the edge source — co-partitions
+across hops), one distinct, one anti-join against the visited set.
+Frontier and visited sets carry a single key column, so the state
+crossing the network is minimal. Lineage grows linearly with hops;
+past a handful of hops ``localCheckpoint`` bounds re-analysis cost
+(the same cadence-based discipline as the CC loop, and the same
+trade: truncated lineage means executor loss recomputes from the
+checkpoint, not the source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_frontiers(
+    edges: DataFrame,
+    seed: DataFrame,
+    k: int,
+    src_col: str = "a",
+    dst_col: str = "b",
+    key_col: str = "k",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact BFS levels: nodes at hop distance 1..``k`` from the seed
+    set (hop = shortest distance; a node appears at its FIRST level
+    only). ``edges`` is directed (``src_col`` → ``dst_col``) — pass
+    the symmetrized union for undirected semantics. Returns
+    (``key_col``, ``hop``).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    visited = seed.select(F.col(key_col).alias("_k")).distinct()
+    frontier = visited
+    out: DataFrame | None = None
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e._src == frontier._k)
+            .select(F.col("_dst").alias("_k"))
+            .distinct()
+            .join(visited, "_k", "left_anti")
+        )
+        if hop % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        level = nxt.select(
+            F.col("_k").alias(key_col), F.lit(hop).alias("hop")
+        )
+        out = level if out is None else out.unionAll(level)
+        visited = visited.unionAll(nxt.select("_k"))
+        frontier = nxt
+    return out
