@@ -1118,6 +1118,8 @@ def graph_copurchase_2hop(spark, sf_dir):
     block an iterative k-hop (or the CC pointer-jumping loop)
     repeats. Set semantics make the result order-free and
     engine-exact."""
+    from trendengine_spark.operators.graph import khop_frontiers
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.withColumnRenamed("l_partkey", "b")
     edges = (
@@ -1129,21 +1131,6 @@ def graph_copurchase_2hop(spark, sf_dir):
     seed = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
-        .select(F.col("p_partkey").alias("k"))
+        .select(F.col("p_partkey").alias("partkey"))
     )
-    h1 = (
-        edges.join(seed, edges.a == seed.k)
-        .select(F.col("b").alias("k"))
-        .distinct()
-        .join(seed, "k", "left_anti")
-    )
-    h2 = (
-        edges.join(h1, edges.a == h1.k)
-        .select(F.col("b").alias("k"))
-        .distinct()
-        .join(seed, "k", "left_anti")
-        .join(h1, "k", "left_anti")
-    )
-    return h1.select(F.col("k").alias("partkey"), F.lit(1).alias("hop")).unionAll(
-        h2.select(F.col("k").alias("partkey"), F.lit(2).alias("hop"))
-    )
+    return khop_frontiers(edges, seed, k=2, key_col="partkey")
