@@ -1134,3 +1134,34 @@ def graph_copurchase_2hop(spark, sf_dir):
         .select(F.col("p_partkey").alias("partkey"))
     )
     return khop_frontiers(edges, seed, k=2, key_col="partkey")
+
+
+@query(
+    "scalar_agg_predicates",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_agg_predicates(spark, sf_dir):
+    """Predicate aggregates — count_if / bool_and / bool_or (a.k.a.
+    every/any): the boolean roll-up family both engines share
+    verbatim. One partial+final aggregate; booleans combine
+    associatively so partial combine is exact by construction."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    )
