@@ -346,3 +346,37 @@ def test_range_frame_has_no_global_window(spark):
     assert window_lines, "expected a Window node in the plan"
     for line in window_lines:
         assert "_bkt" in line, f"unpartitioned global window: {line}"
+
+
+def test_plan_digest_counts_and_scale_guard(spark):
+    """plan_digest must count join/exchange/window facts correctly on
+    known plans, and assert_scale_safe must catch a cartesian and a
+    global window while passing clean plans."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.planinfo import assert_scale_safe, plan_digest
+    from trendengine_spark.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+
+    d = plan_digest(o.join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    assert d["broadcast_joins"] == 1 and d["cartesian_products"] == 0
+
+    filtered = o.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    d2 = plan_digest(filtered)
+    assert any("o_orderkey" in s["pushed_filters"] for s in d2["scans"])
+    assert_scale_safe(filtered)  # clean plan passes
+
+    cart = o.limit(5).crossJoin(c.limit(5))
+    with pytest.raises(AssertionError, match="cartesian|nested-loop"):
+        assert_scale_safe(cart)
+
+    gw = o.limit(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    with pytest.raises(AssertionError, match="single-task"):
+        assert_scale_safe(gw)
+    assert_scale_safe(gw, allow_global_window=True)
