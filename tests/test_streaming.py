@@ -444,3 +444,63 @@ def test_stream_publishes_versioned_snapshots(spark, tmp_path):
     latest = read_versioned(spark, path)
     assert latest.count() == ev.count()  # all batches accumulated
     assert current_version(path) > pinned_v
+
+
+def test_stream_stream_left_outer_interval_join(spark, events_dir):
+    """Left-outer stream-stream interval join equals the batch plan
+    INCLUDING null rows — which only flush once the watermark passes
+    each purchase's horizon, so the stream carries a far-future
+    sentinel event to advance it past all real data."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.streaming.joins import (
+        interval_left_join_views_purchases,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(events_dir)
+    batch_ev = spark.read.parquet(events_dir)
+    expected = interval_left_join_views_purchases(
+        batch_ev.filter("event_type = 'purchase'"),
+        batch_ev.filter("event_type = 'view'"),
+    )
+    want_n = expected.count()
+    want_nulls = expected.filter("view_id IS NULL").count()
+    assert want_nulls > 0  # the outer semantics are actually exercised
+
+    # sentinel: one far-future row per side pushes the watermark past
+    # every real purchase's horizon so unmatched rows can be emitted
+    sentinel = batch_ev.limit(1).select(
+        F.lit(-1).alias("event_id"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.col("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sdir = events_dir + "_outer"
+    batch_ev.unionByName(
+        sentinel.withColumn("event_type", F.lit("purchase"))
+    ).unionByName(
+        sentinel.withColumn("event_type", F.lit("view"))
+    ).repartition(4).write.mode("overwrite").parquet(sdir)
+
+    s_ev = spark.readStream.schema(batch_ev.schema).parquet(sdir)
+    s_p = s_ev.filter("event_type = 'purchase'").withWatermark("ts", "1 minute")
+    s_v = s_ev.filter("event_type = 'view'").withWatermark("ts", "1 minute")
+    joined = interval_left_join_views_purchases(s_p, s_v)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssouter_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT count(*) AS n,"
+        " count_if(view_id IS NULL) AS n_null"
+        " FROM ssouter_test WHERE purchase_id <> -1"
+    ).collect()[0]
+    assert got["n"] == want_n
+    assert got["n_null"] == want_nulls

@@ -456,3 +456,39 @@ def retention_cohorts(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "stream_interval_left_join",
+    sql="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+           round(p.value, 4) AS purchase_value,
+           v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_left_join(spark, sf_dir):
+    """LEFT OUTER interval stream-stream join, batch twin: every
+    purchase emitted, un-attributed ones with null view columns. The
+    streaming form is the semantics corner the inner join avoids —
+    the null row can only surface after the watermark passes the
+    purchase's join horizon (tests/test_streaming.py drives the real
+    two-stream outer join and asserts equality with this plan,
+    including the null rows)."""
+    from trendengine_spark.streaming.joins import (
+        interval_left_join_views_purchases,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    out = interval_left_join_views_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    return out.select(
+        "user_id", "purchase_id", "p_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "view_id", "v_ts",
+    )

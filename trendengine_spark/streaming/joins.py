@@ -46,6 +46,41 @@ def interval_join_views_purchases(
     )
 
 
+def interval_left_join_views_purchases(
+    purchases: DataFrame,
+    views: DataFrame,
+    horizon: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """LEFT OUTER variant of the attribution join: every purchase is
+    emitted, un-attributed ones with null view columns. In streaming
+    this is the semantics corner the inner join avoids: the null row
+    for an unmatched purchase can only be emitted once the WATERMARK
+    has passed its join horizon (no earlier view can still arrive),
+    so outer results trail the inner ones by the watermark delay —
+    state stays bounded exactly as in the inner case."""
+    p = purchases.select(
+        F.col(key_col).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = views.select(
+        F.col(key_col).alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"interval {horizon}"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "p_ts", "purchase_value", "view_id", "v_ts",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],
