@@ -1165,3 +1165,79 @@ def scalar_agg_predicates(spark, sf_dir):
         """,
         ("orders",),
     )
+
+
+@query(
+    "scalar_bitwise_aggs",
+    sql="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey) AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scalar_bitwise_aggs(spark, sf_dir):
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — commutative and
+    associative, so partial combine is exact by construction; xor
+    aggregation is the classic set-difference fingerprint trick
+    (xor of two equal multisets cancels)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               bit_and(o_orderkey) AS k_and,
+               bit_or(o_orderkey) AS k_or,
+               bit_xor(o_orderkey) AS k_xor
+        FROM orders GROUP BY o_orderpriority
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "scalar_array_setops",
+    sql="""
+    WITH s AS (
+      SELECT o_custkey,
+             list(o_orderkey) FILTER (WHERE o_totalprice > 150000) AS big,
+             list(o_orderkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+               AS urgent
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(list_intersect(coalesce(big, []), coalesce(urgent, [])))
+                AS INT) AS n_both,
+           CAST(len(list_distinct(list_concat(
+             coalesce(big, []), coalesce(urgent, [])))) AS INT) AS n_either,
+           coalesce(array_to_string(
+             list_sort(list_intersect(coalesce(big, []),
+                                      coalesce(urgent, []))), ','), '')
+             AS both_keys
+    FROM s
+    """,
+)
+def scalar_array_setops(spark, sf_dir):
+    """Array set operations (intersect / distinct-union) over grouped
+    key lists — per customer, the orders that are BOTH big and urgent
+    and the count of either. Set semantics make collect order
+    irrelevant; outputs reduce to counts + a sorted stringified list
+    so the driver canonicalizer sees scalars only."""
+    o = t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.when(F.col("o_totalprice") > 150000, F.col("o_orderkey"))
+        ).alias("big"),
+        F.collect_list(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey"))
+        ).alias("urgent"),
+    )
+    inter = F.array_intersect("big", "urgent")
+    either = F.array_distinct(F.concat("big", "urgent"))
+    return s.select(
+        "o_custkey",
+        F.size(inter).cast("int").alias("n_both"),
+        F.size(either).cast("int").alias("n_either"),
+        F.concat_ws(",", F.sort_array(inter)).alias("both_keys"),
+    )
