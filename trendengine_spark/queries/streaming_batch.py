@@ -492,3 +492,52 @@ def stream_interval_left_join(spark, sf_dir):
         F.round("purchase_value", 4).alias("purchase_value"),
         "view_id", "v_ts",
     )
+
+
+@query(
+    "temporal_scd2_lookup",
+    sql="""
+    WITH hist AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      )
+      WHERE prev_type IS NULL OR prev_type <> event_type
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT h.state AS state_before_purchase, count(*) AS n_purchases
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN hist h ON p.user_id = h.user_id
+               AND h.valid_from < p.ts AND p.ts <= h.valid_to
+    GROUP BY h.state
+    """,
+)
+def temporal_scd2_lookup(spark, sf_dir):
+    """Temporal (AS-OF state) lookup — the bitemporal-warehouse
+    pattern the SCD2 history exists FOR: each purchase joined to the
+    user's state interval in force just BEFORE its timestamp (strict
+    lower bound excludes the state change the purchase itself starts
+    — with an inclusive bound every answer is trivially 'purchase').
+    Equi-join on user_id + half-open validity range as the residual:
+    one shuffle keyed by user, each probe matching at most one
+    interval (a user's very first event has no prior state and drops).
+    Reuses the oracle-checked scd2_user_event_history builder, so
+    history construction and lookup are verified as a composition."""
+    hist = scd2_user_event_history(spark, sf_dir)
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = p.join(
+        hist,
+        (p.p_user == hist.user_id)
+        & (hist.valid_from < p.p_ts)
+        & (p.p_ts <= hist.valid_to),
+    )
+    return j.groupBy(F.col("state").alias("state_before_purchase")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
