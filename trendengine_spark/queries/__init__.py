@@ -112,6 +112,7 @@ _SPINE_FIRST = [
     "stream_interval_left_join",  # NEW r6: outer stream-stream corner
     "scalar_bitwise_aggs", "scalar_array_setops",  # NEW r6 dialect
     "temporal_scd2_lookup",  # NEW r6: AS-OF state against SCD2 history
+    "profile_user_zscore_outliers",  # NEW r6: exact-moment anomaly flags
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

@@ -1241,3 +1241,55 @@ def scalar_array_setops(spark, sf_dir):
         F.size(either).cast("int").alias("n_either"),
         F.concat_ws(",", F.sort_array(inter)).alias("both_keys"),
     )
+
+
+@query(
+    "profile_user_zscore_outliers",
+    sql="""
+    WITH m AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, round(e.value, 6) AS value,
+           round((e.value - m.s1 / m.n)
+                 / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 4)
+             AS zscore
+    FROM events e JOIN m ON e.user_id = m.user_id
+    WHERE m.n >= 20
+      AND m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n) > 0
+      AND abs(e.value - m.s1 / m.n)
+          > 2.5 * sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))
+    """,
+)
+def profile_user_zscore_outliers(spark, sf_dir):
+    """Per-user z-score anomaly flags (|z| > 2.5 against the user's
+    own distribution) — the per-entity outlier primitive behind fraud
+    and sensor-fault screens. Population variance comes from EXACT
+    first/second moments (DECIMAL sums, so merge order cannot move
+    the threshold — a float stddev_pop would make borderline rows
+    engine-dependent); the aggregate collapses to one row per user
+    before broadcasting back across the events. Users with <20
+    events or zero variance are skipped."""
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,10)")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    j = ev.join(F.broadcast(m), "user_id").filter(
+        (F.col("n") >= 20)
+        & (var > 0)
+        & (F.abs(F.col("value") - mean) > 2.5 * F.sqrt(var))
+    )
+    return j.select(
+        "user_id", "event_id",
+        F.round("value", 6).alias("value"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("zscore"),
+    )
