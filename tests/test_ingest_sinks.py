@@ -386,6 +386,12 @@ def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
     assert not any(
         f.startswith("_staging") for f in os.listdir(path)
     )
+    # a crashed writer's staging dir must be reaped by vacuum
+    os.makedirs(os.path.join(path, "_staging_deadbeef"))
+    vacuum_versioned(path, keep_last=2)
+    assert not any(
+        f.startswith("_staging") for f in os.listdir(path)
+    )
 
 
 def test_versioned_table_schema_evolution(spark, tmp_path):

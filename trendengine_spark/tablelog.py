@@ -151,6 +151,14 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> dict:
             removed += 1
     for m in drop:
         os.remove(m)
+    # a writer that crashed BEFORE moving its part files leaves a
+    # _staging_* directory; vacuum runs under the same no-live-writer
+    # contract as file deletion, so these are always dead
+    import shutil
+
+    for d in os.listdir(path):
+        if d.startswith("_staging_"):
+            shutil.rmtree(os.path.join(path, d))
     return {"dropped_manifests": len(drop), "removed_files": removed}
 
 
