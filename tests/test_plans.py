@@ -380,3 +380,34 @@ def test_plan_digest_counts_and_scale_guard(spark):
     with pytest.raises(AssertionError, match="single-task"):
         assert_scale_safe(gw)
     assert_scale_safe(gw, allow_global_window=True)
+
+
+def test_observed_metrics_collected_in_same_action(spark):
+    """Observation metrics must match a direct aggregate without a
+    second scan (collected during the same action)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.planinfo import observed_metrics
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    df, obs = observed_metrics(
+        ev.filter(F.col("event_type") == "purchase"),
+        rows=F.count(F.lit(1)),
+        v_sum=F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4).cast(
+            "double"
+        ),
+    )
+    n_action = df.count()
+    got = obs.get
+    assert got["rows"] == n_action
+    want = (
+        ev.filter("event_type = 'purchase'")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
+            .cast("double")
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert got["v_sum"] == want

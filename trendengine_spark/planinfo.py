@@ -105,3 +105,25 @@ def assert_scale_safe(
             "plan is not scale-safe: " + "; ".join(problems)
         )
     return d
+
+
+def observed_metrics(df: DataFrame, name: str = "metrics", **aggs):
+    """Attach zero-cost pipeline metrics to a DataFrame via Spark's
+    Observation API: the aggregates in ``aggs`` are computed DURING
+    the next action on the returned frame (inside the same pass — no
+    second scan, works on any plan incl. streaming foreachBatch
+    batches). Returns ``(df, observation)``; read
+    ``observation.get`` after an action completes.
+
+    Example::
+
+        df2, obs = observed_metrics(df, rows=F.count(F.lit(1)),
+                                    nulls=F.count_if(F.col("v").isNull()))
+        df2.write.parquet(path)
+        print(obs.get)   # {'rows': ..., 'nulls': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in aggs.items()])
+    return out, obs

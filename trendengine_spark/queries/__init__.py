@@ -113,6 +113,7 @@ _SPINE_FIRST = [
     "scalar_bitwise_aggs", "scalar_array_setops",  # NEW r6 dialect
     "temporal_scd2_lookup",  # NEW r6: AS-OF state against SCD2 history
     "profile_user_zscore_outliers",  # NEW r6: exact-moment anomaly flags
+    "events_dow_hour_heatmap",  # NEW r6: load-profile roll-up
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

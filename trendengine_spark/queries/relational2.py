@@ -1293,3 +1293,37 @@ def profile_user_zscore_outliers(spark, sf_dir):
         F.round("value", 6).alias("value"),
         F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("zscore"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    sql="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,10))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the load-profile
+    roll-up behind capacity planning. Dialect trap handled
+    explicitly: Spark's ``dayofweek`` is 1=Sunday while DuckDB's
+    ``isodow`` is 1=Monday..7=Sunday, so the Spark side converts to
+    ISO numbering (((dow+5) % 7) + 1). One partial+final aggregate
+    over a bounded 7×24 key grid; decimal-exact value sums."""
+    ev = t(spark, sf_dir, "events")
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        ev.groupBy(
+            isodow.alias("dow"), F.hour("ts").cast("int").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,10)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
