@@ -40,6 +40,11 @@ TABLES = (
 # DuckDB type-name fragments the driver's pandas canonicalizer cannot
 # survive: HUGEINT loses int-ness through .df() (float64), nested types
 # crash sort_values.
+# DECIMAL is deliberately NOT here: .df() flattens it to float64 (scale
+# lost, '1.50'→'1.5'), which is SAFE only when the Spark side emits
+# DOUBLE with identical shortest-repr values (profile_numeric_histogram
+# relies on this) — never emit Decimal from the SPARK side of an
+# oracle-checked query.
 _BAD_TYPE_FRAGMENTS = ("HUGEINT", "[]", "STRUCT(", "MAP(", "UNION(")
 
 

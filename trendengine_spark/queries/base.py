@@ -24,6 +24,10 @@ outright: explode vectors to one scalar row per element or
 ``concat_ws``-stringify them. ``tests/test_oracle_types.py``
 DESCRIBE-sweeps every registered oracle SQL and fails the suite on
 any offender; ``tools/check_oracle.py`` applies the same guard.
+DECIMAL oracle outputs are tolerated (DuckDB ``.df()`` flattens them
+to float64) but only safe when the SPARK side emits DOUBLE with the
+same shortest-repr values — never return Decimal-typed columns from
+the Spark side of an oracle-checked query.
 """
 
 from __future__ import annotations
