@@ -822,3 +822,53 @@ def attach_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
+def image_tile_means(
+    df: DataFrame, grid: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """ViT-style patchify: split each decoded image into a
+    ``grid``×``grid`` tile lattice and emit every tile's mean pixel —
+    the patch-embedding prep of vision transformers reduced to its
+    verifiable core (real decode → block reduction → per-patch
+    scalar). Tile (ty, tx) covers rows [ty·h//g, (ty+1)·h//g) — the
+    floor-split convention, so the math is pure integer arithmetic an
+    oracle can reproduce. Partition-local ``mapInPandas``; payloads
+    never shuffle; output is g² small rows per image."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import png_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("tile_y", T.IntegerType(), True),
+            T.StructField("tile_x", T.IntegerType(), True),
+            T.StructField("mean_pixel", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tys, txs, means = [], [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["media"]):
+                a = png_decode(bytes(b))[:, :, 0].astype(np.float64)
+                h, w = a.shape
+                for ty in range(grid):
+                    y0, y1 = ty * h // grid, (ty + 1) * h // grid
+                    for tx in range(grid):
+                        x0, x1 = tx * w // grid, (tx + 1) * w // grid
+                        ids.append(int(i))
+                        tys.append(ty)
+                        txs.append(tx)
+                        means.append(float(a[y0:y1, x0:x1].mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "tile_y": pd.Series(tys, dtype="int32"),
+                    "tile_x": pd.Series(txs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return fan_out(df.select(id_col, "media")).mapInPandas(gen, out_schema)

@@ -114,6 +114,7 @@ _SPINE_FIRST = [
     "temporal_scd2_lookup",  # NEW r6: AS-OF state against SCD2 history
     "profile_user_zscore_outliers",  # NEW r6: exact-moment anomaly flags
     "events_dow_hour_heatmap",  # NEW r6: load-profile roll-up
+    "multimodal_image_tiles",  # NEW r6: ViT patchify, pixel-exact oracle
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

@@ -522,3 +522,49 @@ def pipeline_interleave_sources(spark, sf_dir):
         "doc_id", "source", "rank_in_source",
         F.col("_rank").alias("global_pos"),
     )
+
+
+@query(
+    "multimodal_image_tiles",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, 20 + doc_id % 13 AS w, 20 + doc_id % 11 AS h
+      FROM documents
+    ), px AS (
+      -- tile split must match the operator's ty*h//g boundary rule
+      -- (2*y//h buckets differently when h is odd)
+      SELECT doc_id, w, h,
+             CAST(CASE WHEN y < h // 2 THEN 0 ELSE 1 END AS INT) AS tile_y,
+             CAST(CASE WHEN x < w // 2 THEN 0 ELSE 1 END AS INT) AS tile_x,
+             (3 * x + 5 * y + doc_id) % 256 AS p
+      FROM d,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT doc_id, tile_y, tile_x,
+           round(CAST(sum(p) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_pixel
+    FROM px GROUP BY doc_id, tile_y, tile_x
+    """,
+)
+def multimodal_image_tiles(spark, sf_dir):
+    """ViT-style patchify over REAL decoded pixels: each gradient PNG
+    splits into a 2×2 tile lattice, one mean per tile — the
+    patch-embedding prep step, oracle-checked pixel-exactly (the
+    DuckDB side reproduces the pixel function over the same
+    floor-split tile ranges; a wrong decode, split convention, or
+    block reduction breaks the hash). Partition-local mapInPandas;
+    rounding to 6 dp on both sides (tile sums are exact ints; the
+    division is one double op)."""
+    from trendengine_spark.operators.multimodal import (
+        attach_gradient_png,
+        image_tile_means,
+    )
+
+    tiles = image_tile_means(
+        attach_gradient_png(t(spark, sf_dir, "documents")), grid=2
+    )
+    return tiles.select(
+        "doc_id", "tile_y", "tile_x",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
