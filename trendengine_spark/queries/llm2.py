@@ -568,3 +568,49 @@ def multimodal_image_tiles(spark, sf_dir):
         "doc_id", "tile_y", "tile_x",
         F.round("mean_pixel", 6).alias("mean_pixel"),
     )
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    sql="""
+    SELECT doc_id, epoch,
+           CAST(row_number() OVER (
+             PARTITION BY epoch
+             ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS position
+    FROM documents, (SELECT unnest([1, 2]) AS epoch) e
+    """,
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch reshuffle — multi-epoch training wants
+    a DIFFERENT document order each epoch that is nonetheless
+    bit-reproducible: the sort key is md5(epoch:doc_id), so epoch 1
+    and epoch 2 produce uncorrelated permutations with no RNG state
+    to checkpoint. The global position per epoch runs through the
+    scale-safe range-bucketed ranking (``ranked_global`` over the
+    unique (hash, doc) order — never a single-partition window);
+    epochs are independent partitions of the work."""
+    from trendengine_spark.operators.relational import ranked_global
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(1, 3).select(F.col("id").cast("int").alias("epoch"))
+    d = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "_h",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    out = None
+    for ep in (1, 2):
+        r = ranked_global(
+            d.filter(F.col("epoch") == ep), ["_h", "doc_id"]
+        ).select(
+            "doc_id", "epoch", F.col("_rank").alias("position")
+        )
+        out = r if out is None else out.unionAll(r)
+    return out
