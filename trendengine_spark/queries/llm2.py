@@ -594,8 +594,13 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     from trendengine_spark.operators.relational import ranked_global
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    epochs = spark.range(1, 3).select(F.col("id").cast("int").alias("epoch"))
-    d = docs.crossJoin(F.broadcast(epochs)).withColumn(
+    # epoch fan-out as a generator, not a cross join: same rows, no
+    # join node at all (the registry-wide no-cartesian sweep rightly
+    # refuses BroadcastNestedLoopJoin even with a bounded side)
+    d = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch"),
+    ).withColumn(
         "_h",
         F.md5(
             F.concat_ws(
