@@ -116,6 +116,7 @@ _SPINE_FIRST = [
     "events_dow_hour_heatmap",  # NEW r6: load-profile roll-up
     "multimodal_image_tiles",  # NEW r6: ViT patchify, pixel-exact oracle
     "pipeline_epoch_shuffle",  # NEW r6: reproducible per-epoch ordering
+    "text_zipf_head",  # NEW r6: corpus Zipf head / stop-word generator
     "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
     "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
     # Stalest oracle rows (r2): scalar function families + distinct

@@ -619,3 +619,45 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+@query(
+    "text_zipf_head",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), terms AS (
+      SELECT unnest(ts) AS term FROM tok
+    ), freq AS (
+      SELECT term, count(*) AS n FROM terms GROUP BY term
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+           term, n
+    FROM freq
+    ORDER BY n DESC, term
+    LIMIT 100
+    """,
+)
+def text_zipf_head(spark, sf_dir):
+    """The Zipf head of the corpus: the 100 most frequent terms with
+    their global rank — the first plot every corpus analysis draws
+    (rank·frequency ≈ const), and the stop-word list generator.
+    Plan: term counts partial-aggregate map-side; the top-100 cut is
+    ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+    top-k + driver merge, NO global sort); the rank window then runs
+    over exactly 100 rows — bounded by construction, not by data."""
+    from pyspark.sql import Window
+
+    from trendengine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "term", "n"
+    )
