@@ -51,74 +51,13 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: budget still holds. The r5-green LLM/join/window/set/grouped
 #: families rotate below the line; their fresh green history stands.
 _SPINE_FIRST = [
-    # Fixed in r6 — the only r5 reds (driver-harness type mismatches:
-    # HUGEINT→float64 drift, array-column canonicalizer crash); must
-    # get green r6 rows
-    "pipeline_pack_sequences", "profile_key_skew",
-    "sim_embedding_l2norm", "sim_embedding_quantize_int8",
-    # Modified in r6: adaptive-cut min_pairs floor / empty-query
-    # guard (rows-only by design; fresh row counts are the evidence)
-    "sim_embedding_near_dup", "sim_ann_hyperplane",
-    "sim_range_search",  # NEW r6: map-only radius search
-    # NEW in r6 — need their first driver rows: TPC-H q4/q5/q7/q10/
-    # q13/q18/q22 shapes, Z-order spatial roll-up, te_region data
-    # source, numeric histogram profile
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
-    "tpch_q22_global_sales_opportunity",
-    "spatial_zorder_rollup", "raster_region_ingest",
-    "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
-    "scd2_user_event_history", "funnel_view_click_purchase",
-    "sim_pq_topk", "text_bigram_familiarity",
-    "recursive_cte_month_spine", "pipeline_source_mixture",
-    # NEW in r6 (second batch) — the remaining adaptable TPC-H
-    # shapes: correlated scalar min (q2), market-share ratio (q8),
-    # profit roll-up (q9), late-lines histogram (q12), top-supplier
-    # view max (q15), bridge distinct counts (q16), correlated avg
-    # (q17), disjunctive pushdown (q19), nested-IN (q20), double
-    # EXISTS/NOT-EXISTS (q21)
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "tpch_q12_late_lines_priority",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q11_important_stock",  # completes all 22 TPC-H shapes
-    # NEW in r6 (second batch) — curation signals + block dedup +
-    # deterministic sampling + streaming-dedup batch twin
-    "text_repetition_signals", "dedup_paragraph_global",
-    "pipeline_hash_sample_per_key", "stream_dedup_first_event",
-    "fuzzy_name_pairs_blocked",  # NEW r6: blocked edit-distance ER
-    "stream_session_dynamic_gap", "approx_top_k_events",  # NEW r6
-    "udtf_run_length_segments",  # NEW r6: Spark 4 UDTF TABLE-arg path
-    "lateral_top_order_per_customer",  # NEW r6: LATERAL decorrelation
-    # NEW r6 (never driver-checked) ahead of the stale-but-once-green
-    # scalar families: a first row beats a refresh under the ~50 budget
-    "group_by_all_dialect", "scalar_map_fns",  # NEW r6 batch 2
-    "profile_equidepth_histogram",  # NEW r6: ntile_global-backed
-    "join_asof_forward_tolerance",  # NEW r6: merge_asof parity
-    "multimodal_audio_spectrogram",  # NEW r6: real STFT (rows-only)
-    "multimodal_resize_real",  # NEW r6: real NN-resample, oracle-checked
-    "flagship_curation_pipeline",  # NEW r6: LLM-side end-to-end flagship
-    "retention_cohorts",  # NEW r6: cohort retention matrix
-    "window_locf_fill",  # NEW r6: LOCF step gap-fill
-    "dedup_ngram_containment",  # NEW r6: asymmetric quote/subset dedup
-    "text_shingle_novelty",  # NEW r6: corpus redundancy curve
-    "daily_value_percentiles",  # NEW r6: exact P50/P90/P99 bands
-    "pipeline_interleave_sources",  # NEW r6: round-robin training order
-    "dq_expectations_events",  # NEW r6: validation gate + quarantine
-    "graph_copurchase_2hop",  # NEW r6: bounded BFS frontier expansion
-    "scalar_agg_predicates",  # NEW r6: count_if/bool_and/bool_or
-    "stream_interval_left_join",  # NEW r6: outer stream-stream corner
-    "scalar_bitwise_aggs", "scalar_array_setops",  # NEW r6 dialect
-    "temporal_scd2_lookup",  # NEW r6: AS-OF state against SCD2 history
-    "profile_user_zscore_outliers",  # NEW r6: exact-moment anomaly flags
-    "events_dow_hour_heatmap",  # NEW r6: load-profile roll-up
-    "multimodal_image_tiles",  # NEW r6: ViT patchify, pixel-exact oracle
-    "pipeline_epoch_shuffle",  # NEW r6: reproducible per-epoch ordering
-    "text_zipf_head",  # NEW r6: corpus Zipf head / stop-word generator
-    "scalar_try_fns", "unpivot_user_stats",  # NEW r6 dialect breadth
-    "variant_json_shred",  # NEW r6: Spark 4 VARIANT shredding
+    # Round-7 rotation (VERDICT r6 task 1): the driver's ~50-row budget
+    # goes to the STALEST registry rows this round — the r2-era scalar
+    # families, the r3-era multimodal plumbing, and the r4-era SURVEY
+    # §2 spine have not had a fresh driver verdict in 3-5 rounds. The
+    # entire r6 new-query block (45 green rows in CORRECTNESS_r06)
+    # rotates below the line; its fresh green history stands.
+    #
     # Stalest oracle rows (r2): scalar function families + distinct
     # twins
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
@@ -129,7 +68,8 @@ _SPINE_FIRST = [
     # decode path as of r6
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",
-    # SURVEY §2 spine, last rows r4 — refresh before they go stale
+    # SURVEY §2 spine, last rows r4 — the reference's own operator
+    # surface deserves current driver evidence
     "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
     "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels",
@@ -138,16 +78,70 @@ _SPINE_FIRST = [
     "d1_period_pairing", "d2_explode_tokens",
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
     "stream_session_window",
-    # ---- 50-row budget line (everything below is r4/r5-green or
-    # covered by golden/property tests; the r4 stragglers displaced
-    # by the new-query block lead so they get rows if the driver's
-    # budget runs long) ----
-    "tpch_q1_pricing_summary",
+    # r4/r5-era relational stragglers never refreshed since
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",
-    "scalar_lambda_fns", "stream_sliding_window", "stream_late_data_policy",
+    "scalar_lambda_fns",
+    # Re-planned in r7 (skew-proofed / generalized) — fresh rows
+    # verify the rewrites under the driver's own canonicalizer
+    "dedup_paragraph_global",  # r7: window → aggregate+join-back
+    "pipeline_epoch_shuffle",  # r7: single-plan E-epoch generalization
+    # ---- ~50-row budget line (everything below is r5/r6-green or
+    # covered by golden/property tests) ----
+    "pipeline_pack_sequences", "profile_key_skew",
+    "sim_embedding_l2norm", "sim_embedding_quantize_int8",
+    "sim_embedding_near_dup", "sim_ann_hyperplane",
+    "sim_range_search",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
+    "spatial_zorder_rollup", "raster_region_ingest",
+    "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
+    "scd2_user_event_history", "funnel_view_click_purchase",
+    "sim_pq_topk", "text_bigram_familiarity",
+    "recursive_cte_month_spine", "pipeline_source_mixture",
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q12_late_lines_priority",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
+    "tpch_q11_important_stock",
+    "text_repetition_signals",
+    "pipeline_hash_sample_per_key", "stream_dedup_first_event",
+    "fuzzy_name_pairs_blocked",
+    "stream_session_dynamic_gap", "approx_top_k_events",
+    "udtf_run_length_segments",
+    "lateral_top_order_per_customer",
+    "group_by_all_dialect", "scalar_map_fns",
+    "profile_equidepth_histogram",
+    "join_asof_forward_tolerance",
+    "multimodal_audio_spectrogram",
+    "multimodal_resize_real",
+    "flagship_curation_pipeline",
+    "retention_cohorts",
+    "window_locf_fill",
+    "dedup_ngram_containment",
+    "text_shingle_novelty",
+    "daily_value_percentiles",
+    "pipeline_interleave_sources",
+    "dq_expectations_events",
+    "graph_copurchase_2hop",
+    "scalar_agg_predicates",
+    "stream_interval_left_join",
+    "scalar_bitwise_aggs", "scalar_array_setops",
+    "temporal_scd2_lookup",
+    "profile_user_zscore_outliers",
+    "events_dow_hour_heatmap",
+    "multimodal_image_tiles",
+    "text_zipf_head",
+    "scalar_try_fns", "unpivot_user_stats",
+    "variant_json_shred",
+    "stream_sliding_window", "stream_late_data_policy",
     "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",
     "dedup_corpus_survivors",
@@ -172,8 +166,6 @@ _SPINE_FIRST = [
     "u1_polytrend_events", "u2_dbest_events",
     "u3_generalize_events", "u5_decomposition_events",
     "approx_percentiles", "stats_aggregates",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
 ]
 
 
