@@ -411,3 +411,16 @@ def test_observed_metrics_collected_in_same_action(spark):
         .collect()[0]["s"]
     )
     assert got["v_sum"] == want
+
+
+def test_paragraph_dedup_aggregates_not_window(spark):
+    """dedup_paragraph_global's kept/copies verdict must come from a
+    partial+final hash aggregate on the block hash plus a join-back —
+    NOT from a window over PARTITION BY h. A window admits no partial
+    aggregation, so a 10^8-copy boilerplate block would land on one
+    task; the aggregate absorbs it map-side and AQE can split the
+    join-back's probe side (VERDICT r6 task 2)."""
+    p = plan_of(spark, "dedup_paragraph_global")
+    assert "Window" not in p
+    assert "partial_count" in p  # map-side combine on h
+    assert "partial_min" in p  # winner selection is aggregated too

@@ -22,9 +22,21 @@ found exactly (no false pairs at threshold 0.5):
                shuffle that spills; the narrow posture shuffles 77 MB.
                This is why the registry default is carry=False.
     100k docs: paragraph_dedup (32-token block, md5-keyed
-               first-occurrence window) ~32k docs/s on a shared box;
+               first-occurrence) ~32k docs/s on a shared box;
                finds exactly the planted 20k duplicate blocks
                (5k copied docs × 4 blocks).
+
+Round 7 (aggregate+join-back plan, 1M docs × 40 tokens):
+    paragraph_dedup 6.1s (163k docs/s), exact planted-dup counts.
+    Hot-block stress — ONE 32-token boilerplate block shared by all
+    1M docs (10^6 copies of one md5 key): agg plan 3.3s, old window
+    plan 3.3s. At this size the hot partition is ~50 MB so the
+    window's single task doesn't yet straggle; the reason the agg
+    plan is the registry posture is structural — GROUP BY partial-
+    aggregates the hot key map-side (final agg sees #partitions
+    rows), and the join-back's hot PROBE partition is AQE-splittable
+    (one-row build side), while a PARTITION BY h window can never be
+    split. tests/test_plans.py pins the agg shape.
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """
@@ -82,15 +94,10 @@ def main() -> None:
     )
     n = docs.count()
 
-    def paragraph_dedup():
-        # same plan as the dedup_paragraph_global registry query:
-        # explode 32-token blocks, md5, first-occurrence window on the
-        # block hash (text dropped before the shuffle)
-        from pyspark.sql import Window
-
+    def _blocks(src):
         toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
-        ch = (
-            docs.select("doc_id", toks.alias("ts"))
+        return (
+            src.select("doc_id", toks.alias("ts"))
             .select(
                 "doc_id",
                 F.explode(
@@ -108,6 +115,29 @@ def main() -> None:
                 F.md5(F.concat_ws(" ", F.slice("ts", F.col("s") + 1, 32))).alias("h"),
             )
         )
+
+    def paragraph_dedup(src=None):
+        # same plan as the dedup_paragraph_global registry query (r7,
+        # skew-proofed): GROUP BY h → (count, min(struct)) with
+        # map-side partial aggregation, then join the winner back —
+        # no PARTITION BY h window (which cannot partial-aggregate a
+        # hot boilerplate hash). Returns the duplicate (non-kept) rows.
+        ch = _blocks(docs if src is None else src)
+        agg = ch.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("w"),
+        )
+        return ch.join(agg, "h").filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("chunk_idx") != F.col("w.chunk_idx"))
+        )
+
+    def paragraph_dedup_window(src):
+        # the pre-r7 window formulation, kept only as the straggler
+        # comparison baseline for the hot-block stress
+        from pyspark.sql import Window
+
+        ch = _blocks(src)
         w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
         return ch.withColumn("rnk", F.row_number().over(w)).filter(
             F.col("rnk") > 1
@@ -129,6 +159,51 @@ def main() -> None:
         cnt = out.count()
         dt = time.perf_counter() - t0
         print(f"{name}: {cnt} rows from {n} docs in {dt:.1f}s -> {n / dt:.0f} docs/s")
+
+    # --- hot-block stress (VERDICT r6 task 2): one 32-token
+    # boilerplate block shared by EVERY document — the license-header
+    # case block dedup exists for. All n_docs copies hash to ONE key;
+    # the aggregate+join-back plan must absorb it map-side while the
+    # old window plan funnels every copy through a single task.
+    hot = F.concat_ws(
+        " ",
+        F.transform(F.sequence(F.lit(0), F.lit(31)), lambda j: F.concat(F.lit("boiler"), j.cast("string"))),
+    )
+    hot_docs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                hot,
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_tok - 33)),
+                        lambda j: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64("doc_id", j), F.lit(vocab_size)).cast("string"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        .repartition(64)
+        .cache()
+    )
+    hot_docs.count()
+    for name, fn in [
+        ("hot_block_dedup_agg", lambda: paragraph_dedup(hot_docs)),
+        ("hot_block_dedup_window", lambda: paragraph_dedup_window(hot_docs)),
+    ]:
+        t0 = time.perf_counter()
+        cnt = fn().count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{name}: {cnt} dup rows, {n_docs} copies of the hot block "
+            f"in {dt:.1f}s -> {n_docs / dt:.0f} docs/s"
+        )
 
 
 if __name__ == "__main__":

@@ -152,13 +152,29 @@ def dedup_paragraph_global(spark, sf_dir):
     first occurrence — the block-level pass pretraining pipelines run
     AFTER document-level dedup (repeated headers/footers/licenses
     survive document dedup because the surrounding text differs).
-    Plan: one explode into non-overlapping blocks, md5 each block,
-    ONE shuffle keyed by the block hash for the first-occurrence
-    window (rank by (doc_id, chunk_idx) — deterministic), emit a
-    kept/copies verdict per block. At 100 TB the hash key is uniform
-    by construction (md5) — no skew; the window state per key is the
-    tiny duplicate set, and blocks never carry the 32-token text
-    past the hash projection."""
+
+    Skew-proof plan (r7, VERDICT r6 task 2): the r6 version computed
+    the kept/copies verdict with ``row_number()/count(*) OVER
+    (PARTITION BY h)`` — but a window admits NO partial aggregation,
+    so a boilerplate block with 10^7-10^8 copies in a 100 TB corpus
+    (license headers, navigation chrome — exactly the data this
+    operator exists for) lands ALL its copies on one task. The
+    rewrite is a two-pass aggregate + join-back:
+
+    1. ``GROUP BY h → count(1), min(struct(doc_id, chunk_idx))`` —
+       map-side partial aggregation absorbs the hot key (each task
+       emits one partial row per h, the final agg sees #partitions
+       rows for even the hottest block);
+    2. join the one-row-per-h winner back to the blocks on h — the
+       probe side of that join is still hot on h, but a sort-merge /
+       shuffle join's large side CAN be split by AQE's skew-join
+       (the build side per key is exactly one row), which a window
+       physically cannot.
+
+    min(struct(...)) orders lexicographically by (doc_id, chunk_idx),
+    matching the window's ``ORDER BY doc_id, chunk_idx`` rnk=1 row,
+    so the oracle SQL keeps the (clearer) window formulation. Blocks
+    never carry the 32-token text past the md5 projection."""
     return sql_over_tables(
         spark,
         sf_dir,
@@ -172,17 +188,18 @@ def dedup_paragraph_global(spark, sf_dir):
           LATERAL VIEW explode(sequence(0, greatest(size(ts) - 1, 0), 32))
             u AS s
           WHERE size(ts) > 0
-        ), ranked AS (
-          SELECT doc_id, chunk_idx,
-                 row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
-                   AS rnk,
-                 count(1) OVER (PARTITION BY h) AS n_copies
-          FROM ch
+        ), agg AS (
+          SELECT h, count(1) AS n_copies,
+                 min(named_struct('doc_id', doc_id,
+                                  'chunk_idx', chunk_idx)) AS w
+          FROM ch GROUP BY h
         )
-        SELECT doc_id, chunk_idx,
-               CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS kept,
-               CAST(n_copies AS BIGINT) AS n_copies
-        FROM ranked
+        SELECT ch.doc_id, ch.chunk_idx,
+               CAST(CASE WHEN ch.doc_id = agg.w.doc_id
+                          AND ch.chunk_idx = agg.w.chunk_idx
+                    THEN 1 ELSE 0 END AS INT) AS kept,
+               CAST(agg.n_copies AS BIGINT) AS n_copies
+        FROM ch JOIN agg ON ch.h = agg.h
         """,
         ("documents",),
     )
