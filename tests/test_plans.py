@@ -424,3 +424,14 @@ def test_paragraph_dedup_aggregates_not_window(spark):
     assert "Window" not in p
     assert "partial_count" in p  # map-side combine on h
     assert "partial_min" in p  # winner selection is aggregated too
+
+
+def test_epoch_shuffle_single_ranked_pass(spark):
+    """pipeline_epoch_shuffle at E epochs must plan ONE range-bucketed
+    ranking pipeline (epoch leads the order; per-epoch position is
+    arithmetic) — not E per-epoch subplans unioned (r6 shape, linear
+    plan growth in E)."""
+    p = plan_of(spark, "pipeline_epoch_shuffle")
+    assert "Union" not in p
+    # exactly one WindowExec, partitioned by the range bucket id
+    assert p.count("Window") - p.count("WindowGroupLimit") == 1

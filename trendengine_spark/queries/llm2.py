@@ -587,27 +587,44 @@ def multimodal_image_tiles(spark, sf_dir):
     )
 
 
+#: Epoch count for the declared epoch-shuffle query. One constant
+#: drives both the Spark plan and the oracle SQL; the plan is a
+#: SINGLE ranked pass regardless of E (r7 generalization).
+_N_EPOCHS = 4
+
+
 @query(
     "pipeline_epoch_shuffle",
-    sql="""
+    sql=f"""
     SELECT doc_id, epoch,
            CAST(row_number() OVER (
              PARTITION BY epoch
              ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
                           || CAST(doc_id AS VARCHAR)), doc_id)
              AS BIGINT) AS position
-    FROM documents, (SELECT unnest([1, 2]) AS epoch) e
+    FROM documents,
+         (SELECT unnest([{", ".join(str(e) for e in range(1, _N_EPOCHS + 1))}])
+            AS epoch) e
     """,
 )
 def pipeline_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch reshuffle — multi-epoch training wants
     a DIFFERENT document order each epoch that is nonetheless
-    bit-reproducible: the sort key is md5(epoch:doc_id), so epoch 1
-    and epoch 2 produce uncorrelated permutations with no RNG state
-    to checkpoint. The global position per epoch runs through the
-    scale-safe range-bucketed ranking (``ranked_global`` over the
-    unique (hash, doc) order — never a single-partition window);
-    epochs are independent partitions of the work."""
+    bit-reproducible: the sort key is md5(epoch:doc_id), so epochs
+    produce uncorrelated permutations with no RNG state to
+    checkpoint.
+
+    Single-plan for any epoch count E (r7, VERDICT r6 task 6 — the
+    r6 version built one ``ranked_global`` subplan per epoch in a
+    Python loop, linear plan growth in E): ONE range-bucketed ranked
+    pass ordered by (epoch, hash, doc). ``epoch`` leads the order,
+    so range buckets never straddle epochs and the global rank is a
+    concatenation of the per-epoch orders; because every epoch
+    contains exactly the same document set, the per-epoch position
+    is pure arithmetic: ``position = rank − (epoch−1)·(N/E)``. The
+    md5 keys make every (epoch, doc) tuple unique, so rank ≡
+    row_number. No single-partition window, no per-epoch subplans,
+    no union."""
     from trendengine_spark.operators.relational import ranked_global
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
@@ -616,7 +633,9 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     # refuses BroadcastNestedLoopJoin even with a bounded side)
     d = docs.select(
         "doc_id",
-        F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch"),
+        F.explode(
+            F.array(*[F.lit(e) for e in range(1, _N_EPOCHS + 1)])
+        ).alias("epoch"),
     ).withColumn(
         "_h",
         F.md5(
@@ -627,15 +646,15 @@ def pipeline_epoch_shuffle(spark, sf_dir):
             )
         ),
     )
-    out = None
-    for ep in (1, 2):
-        r = ranked_global(
-            d.filter(F.col("epoch") == ep), ["_h", "doc_id"]
-        ).select(
-            "doc_id", "epoch", F.col("_rank").alias("position")
-        )
-        out = r if out is None else out.unionAll(r)
-    return out
+    r = ranked_global(d, ["epoch", "_h", "doc_id"])
+    per_epoch = (F.col("_n_total") / F.lit(_N_EPOCHS)).cast("long")
+    return r.select(
+        "doc_id",
+        "epoch",
+        (F.col("_rank") - (F.col("epoch") - 1) * per_epoch)
+        .cast("long")
+        .alias("position"),
+    )
 
 
 @query(
