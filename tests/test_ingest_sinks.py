@@ -457,3 +457,114 @@ def test_versioned_commit_collision_retries(spark, tmp_path):
     assert current_version(path) == 2
     assert {r.k for r in read_versioned(spark, path, version=1).collect()} == {1}
     assert {r.k for r in read_versioned(spark, path, version=2).collect()} == {2}
+
+
+def test_versioned_append_batch_retry_is_noop(spark, tmp_path):
+    """A retried streaming append batch (crash between manifest commit
+    and checkpoint commit) must NOT double-append: the manifest
+    records the batch id and a replayed id is skipped (ADVICE r6)."""
+    from trendengine_spark.tablelog import (
+        current_version,
+        last_batch_id,
+        publish_versioned_batch,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert publish_versioned_batch(df, 0, path, mode="append") is True
+    assert publish_versioned_batch(df, 1, path, mode="append") is True
+    v_before = current_version(path)
+    n_before = read_versioned(spark, path).count()
+    assert n_before == 20 and last_batch_id(path) == 1
+    # replay batch 1 (and a stale batch 0): both no-ops
+    assert publish_versioned_batch(df, 1, path, mode="append") is False
+    assert publish_versioned_batch(df, 0, path, mode="append") is False
+    assert current_version(path) == v_before
+    assert read_versioned(spark, path).count() == n_before
+    # a FRESH batch still commits
+    assert publish_versioned_batch(df, 2, path, mode="append") is True
+    assert read_versioned(spark, path).count() == 30
+
+
+def test_versioned_snapshot_batch_retry_is_noop(spark, tmp_path):
+    from trendengine_spark.tablelog import (
+        current_version,
+        publish_versioned_batch,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    assert publish_versioned_batch(df, 7, path, mode="snapshot") is True
+    v = current_version(path)
+    assert publish_versioned_batch(df, 7, path, mode="snapshot") is False
+    assert current_version(path) == v
+    assert read_versioned(spark, path).count() == 5
+
+
+def test_commit_manifest_raise_on_conflict(tmp_path):
+    """Folded (append-style) commits must surface a lost optimistic-
+    concurrency race instead of silently retrying with a stale file
+    list (ADVICE r6)."""
+    import pytest
+
+    from trendengine_spark.tablelog import _commit_manifest
+
+    path = str(tmp_path / "vt")
+    import os
+
+    os.makedirs(os.path.join(path, "_manifests"))
+    _commit_manifest(path, ["a.parquet"])  # v0
+    # simulate the winner committing v1 while our fold is in flight
+    _commit_manifest(path, ["a.parquet", "b.parquet"])  # v1
+    # loser rebuilt on v0's list and targets v1 → must raise, not
+    # publish a manifest that drops b.parquet
+
+    real_cv = __import__(
+        "trendengine_spark.tablelog", fromlist=["current_version"]
+    ).current_version
+    import trendengine_spark.tablelog as tl
+
+    orig = tl.current_version
+    tl.current_version = lambda p: 0  # pretend we still see v0
+    try:
+        with pytest.raises(FileExistsError):
+            _commit_manifest(path, ["a.parquet", "c.parquet"], on_conflict="raise")
+    finally:
+        tl.current_version = orig
+    assert real_cv(path) == 1
+
+
+def test_merge_upsert_partitioned_rejects_hostile_partition_types(
+    spark, tmp_path
+):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import merge_upsert_partitioned
+
+    tgt = str(tmp_path / "t")
+    upd = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") / 2.0).alias("p")
+    )
+    with pytest.raises(ValueError, match="string/integer"):
+        merge_upsert_partitioned(spark, tgt, upd, ["k"], "p")
+    upd_s = spark.range(4).select(
+        F.col("id").alias("k"), F.lit("a b/c").alias("p")
+    )
+    with pytest.raises(ValueError, match="escap"):
+        merge_upsert_partitioned(spark, tgt, upd_s, ["k"], "p")
+
+
+def test_expectations_validates_rules(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.quality import expectations
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one rule"):
+        expectations(df, {})
+    with pytest.raises(ValueError, match="rule names"):
+        expectations(df, {"bad'name": F.col("id") > 0})

@@ -391,7 +391,11 @@ def test_streaming_rollup_restart_and_retry_safe(spark, tmp_path):
     # a no-op on a duplicate id and fold again on a fresh one
     from trendengine_spark.streaming.cdc import fold_rollup_batch
 
-    marker = target + "._applied_batch"
+    import os
+
+    # r7: marker lives INSIDE the rollup dir, published by the same
+    # rename as the data (no swap/marker crash window)
+    marker = os.path.join(target, "_applied_batch")
     last = int(open(marker).read())
     dup = spark.read.parquet(src_dir)
     assert fold_rollup_batch(dup, last, target, ["event_type"], spec) is False
@@ -401,9 +405,19 @@ def test_streaming_rollup_restart_and_retry_safe(spark, tmp_path):
     }
     assert unchanged == want  # duplicate id: nothing double-counted
 
+    # an empty batch folds nothing and leaves the marker UNTOUCHED
+    # (re-folding nothing is idempotent; advancing the marker outside
+    # the atomic data+marker rename would reintroduce the sidecar's
+    # crash window)
     assert fold_rollup_batch(
         dup.limit(0), last + 1, target, ["event_type"], spec
-    ) is True  # fresh id advances the marker even for an empty batch
+    ) is True
+    assert int(open(marker).read()) == last
+    # a fresh NON-empty batch advances the marker atomically with the
+    # folded state
+    assert fold_rollup_batch(
+        dup.limit(1), last + 1, target, ["event_type"], spec
+    ) is True
     assert int(open(marker).read()) == last + 1
 
 

@@ -71,7 +71,23 @@ def expectations(
 
     Both outputs derive from the same single-pass expressions, so
     report counts and quarantine row counts cannot disagree.
+
+    Rule names must match ``[A-Za-z0-9_.-]+`` — they are interpolated
+    into a ``stack(...)`` SQL literal for the report, so a quote or
+    backtick in a name would break (or worse, rewrite) the expression;
+    an empty ``rules`` dict is rejected up front (``stack(0)`` and the
+    quarantine's empty reduce both fail obscurely otherwise).
     """
+    import re
+
+    if not rules:
+        raise ValueError("expectations() requires at least one rule")
+    bad = [n for n in rules if not re.fullmatch(r"[A-Za-z0-9_.\-]+", n)]
+    if bad:
+        raise ValueError(
+            f"rule names must match [A-Za-z0-9_.-]+ (they are embedded in "
+            f"SQL literals and column names): {bad!r}"
+        )
     checks = [
         F.coalesce(cond.cast("boolean"), F.lit(False)).alias(f"_ok_{name}")
         for name, cond in rules.items()

@@ -287,6 +287,7 @@ def maintain_rollup(
     delta: DataFrame,
     keys: list[str],
     agg_spec: dict[str, tuple[str, str]],
+    applied_batch_id: int | None = None,
 ) -> dict:
     """Incrementally maintain a pre-aggregated rollup table: fold a
     new batch into the stored partial-aggregate state WITHOUT
@@ -303,9 +304,24 @@ def maintain_rollup(
     swaps atomically (:func:`_swap_dirs`); at 100 TB partition the
     rollup and rewrite only partitions the delta touches.
 
+    ``applied_batch_id``, when given, is written as an
+    ``_applied_batch`` file INSIDE the rollup directory BEFORE the
+    swap, so one rename publishes data and idempotence marker
+    together — the streaming fold (:func:`~trendengine_spark.
+    streaming.cdc.fold_rollup_batch`) reads it to skip retried
+    batches, and there is no window where new state is visible
+    without its marker (a sidecar marker written after the swap had
+    exactly that double-count window — ADVICE r6 fix). Spark's
+    parquet reader ignores underscore-prefixed files.
+
     Returns {"groups": row count of the new rollup}.
     """
     import os
+
+    def _mark(d: str) -> None:
+        if applied_batch_id is not None:
+            with open(os.path.join(d, "_applied_batch"), "w") as fh:
+                fh.write(str(applied_batch_id))
 
     partial = delta.groupBy(*keys).agg(*_rollup_state_aggs(agg_spec))
     if os.path.exists(target_path):
@@ -317,9 +333,16 @@ def maintain_rollup(
         )
         tmp = target_path.rstrip("/") + "._rollup_tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        _mark(tmp)
         _swap_dirs(tmp, target_path)
     else:
-        partial.write.parquet(target_path)
+        # initial create: stage + marker into a tmp dir, publish with
+        # ONE rename (writing marker after a direct create would leave
+        # a marker-less visible table on a crash in between)
+        tmp = target_path.rstrip("/") + "._rollup_tmp"
+        partial.write.mode("overwrite").parquet(tmp)
+        _mark(tmp)
+        os.replace(tmp, target_path)
     n = spark.read.parquet(target_path).count()
     return {"groups": n}
 
@@ -367,38 +390,83 @@ def merge_upsert_partitioned(
     same guarantee a transaction-log format gives per commit, minus
     cross-partition atomicity, which plain parquet cannot provide).
 
+    ``partition_col`` must be a string or integer column: the hive
+    directory name is derived with ``str(value)``, which for floats,
+    dates/timestamps, or strings needing hive path escaping (space,
+    ``/``, ``=``) diverges from Spark's own partition-path encoding
+    and would target a wrong or invalid directory — rejected up
+    front rather than mis-merged (ADVICE r6 fix). String values are
+    checked for path-hostile characters. ``updates`` is persisted for
+    the loop (each touched partition filters it once; without the
+    persist every iteration re-ran the full updates plan).
+
     Returns {"touched_partitions": [...], "applied": update rows}.
     """
     import os
+    import re
 
-    vals = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
-    touched = sorted(str(v) for v in vals)
-    if deleted_col is not None:
-        surviving = updates.filter(
-            ~F.coalesce(F.col(deleted_col), F.lit(False))
-        ).drop(deleted_col)
-    else:
-        surviving = updates
-    applied = 0
-    for v in touched:
-        part_dir = os.path.join(target_path, f"{partition_col}={v}")
-        upd_v = surviving.filter(F.col(partition_col) == v).drop(
-            partition_col
+    from pyspark.sql import types as T
+
+    ptype = updates.schema[partition_col].dataType
+    if not isinstance(
+        ptype,
+        (T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType),
+    ):
+        raise ValueError(
+            f"merge_upsert_partitioned requires a string/integer partition "
+            f"column; {partition_col!r} is {ptype.simpleString()} (its str() "
+            f"form need not match Spark's hive partition-path encoding)"
         )
-        keys_v = updates.filter(F.col(partition_col) == v).select(*key_cols)
-        if os.path.exists(part_dir):
-            tgt = spark.read.parquet(part_dir)
-            kept = tgt.join(keys_v, key_cols, "left_anti")
-            merged = kept.unionByName(upd_v.select(*tgt.columns))
+    updates = updates.persist()
+    try:
+        vals = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        if isinstance(ptype, T.StringType):
+            bad = [
+                v for v in vals
+                if v is None or re.search(r"[/=\s%#?\\]", v)
+            ]
+            if bad:
+                raise ValueError(
+                    f"partition values {bad!r} need hive path escaping; "
+                    f"use Spark's own partitionBy writer for these"
+                )
+        elif any(v is None for v in vals):
+            raise ValueError("null partition values are not supported")
+        touched = sorted(str(v) for v in vals)
+        if deleted_col is not None:
+            surviving = updates.filter(
+                ~F.coalesce(F.col(deleted_col), F.lit(False))
+            ).drop(deleted_col)
         else:
-            merged = upd_v
-        tmp = part_dir.rstrip("/") + "._merge_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        applied += upd_v.count()
-        if os.path.exists(part_dir):
-            _swap_dirs(tmp, part_dir)
-        else:
-            os.replace(tmp, part_dir)
-    return {"touched_partitions": touched, "applied": applied}
+            surviving = updates
+        applied = 0
+        for v in touched:
+            part_dir = os.path.join(target_path, f"{partition_col}={v}")
+            # compare against the typed literal, not str(v): the
+            # directory name is str-derived but the filter must match
+            # the column's own type semantics
+            lit_v = F.lit(v).cast(ptype)
+            upd_v = surviving.filter(F.col(partition_col) == lit_v).drop(
+                partition_col
+            )
+            keys_v = updates.filter(F.col(partition_col) == lit_v).select(
+                *key_cols
+            )
+            if os.path.exists(part_dir):
+                tgt = spark.read.parquet(part_dir)
+                kept = tgt.join(keys_v, key_cols, "left_anti")
+                merged = kept.unionByName(upd_v.select(*tgt.columns))
+            else:
+                merged = upd_v
+            tmp = part_dir.rstrip("/") + "._merge_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            applied += upd_v.count()
+            if os.path.exists(part_dir):
+                _swap_dirs(tmp, part_dir)
+            else:
+                os.replace(tmp, part_dir)
+        return {"touched_partitions": touched, "applied": applied}
+    finally:
+        updates.unpersist()

@@ -31,7 +31,6 @@ Usage::
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 from dataclasses import dataclass
@@ -99,22 +98,30 @@ class VersionedWriter(DataSourceWriter):
     def commit(self, messages):
         from trendengine_spark.tablelog import (
             _commit_manifest,
-            _MANIFEST_DIR,
+            _read_manifest,
             current_version,
         )
 
         new_files = [m.name for m in messages if m and m.name]
-        files = new_files
-        if not self.overwrite:
+        if self.overwrite:
+            # self-contained file list: a lost optimistic-concurrency
+            # race can safely retry at the next version slot
+            _commit_manifest(self.path, new_files)
+            return
+        # append FOLDS the previous file list into the manifest, so a
+        # lost race must REBASE on the winner's manifest, never retry
+        # with the stale list (that would silently drop the winner's
+        # files — ADVICE r6 fix)
+        while True:
             prev = current_version(self.path)
+            files = new_files
             if prev >= 0:
-                with open(
-                    os.path.join(
-                        self.path, _MANIFEST_DIR, f"v{prev:06d}.json"
-                    )
-                ) as fh:
-                    files = json.load(fh)["files"] + new_files
-        _commit_manifest(self.path, files)
+                files = _read_manifest(self.path, prev)["files"] + new_files
+            try:
+                _commit_manifest(self.path, files, on_conflict="raise")
+                return
+            except FileExistsError:
+                continue
 
     def abort(self, messages):
         for m in messages:

@@ -87,24 +87,36 @@ def fold_rollup_batch(
     """The marker-guarded microbatch fold behind
     :func:`maintain_rollup_stream` (module-level so the retry/no-op
     contract is directly testable). Returns True when the batch was
-    folded, False when skipped as an already-applied retry."""
+    folded, False when skipped as an already-applied retry.
+
+    Atomic commit (r7, ADVICE fix): the applied batch id travels
+    INSIDE the rollup directory — :func:`~trendengine_spark.sinks.
+    maintain_rollup` writes ``_applied_batch`` into the staged dir
+    before the swap, so one rename publishes data + marker together.
+    The previous sidecar marker (written after the swap) left a crash
+    window between swap and marker write in which a retry re-folded
+    the batch and double-counted; now state and marker are never out
+    of sync. An empty batch folds nothing and leaves the marker
+    untouched (re-folding nothing is idempotent)."""
     import os
 
     from trendengine_spark.sinks import maintain_rollup
 
-    marker = target_path + "._applied_batch"
+    marker = os.path.join(target_path, "_applied_batch")
     if os.path.exists(marker):
         with open(marker) as fh:
             if batch_id <= int(fh.read().strip() or -1):
                 return False  # retry of an already-folded batch
-    if not batch_df.isEmpty():
-        maintain_rollup(
-            batch_df.sparkSession, target_path, batch_df, keys, agg_spec
-        )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, marker)
+    if batch_df.isEmpty():
+        return True
+    maintain_rollup(
+        batch_df.sparkSession,
+        target_path,
+        batch_df,
+        keys,
+        agg_spec,
+        applied_batch_id=batch_id,
+    )
     return True
 
 
@@ -131,14 +143,13 @@ def maintain_rollup_stream(
 
     Exactly-once: an algebraic fold is NOT idempotent — a retried
     microbatch would double-count — so the applied batch id is
-    recorded in a marker file written AFTER the atomic table swap,
-    and any batch ≤ the marker is skipped. Crash windows resolve
-    safely in both directions: crash before the swap → nothing
-    applied, retry re-folds; crash between swap and marker → the
-    retry re-applies, which the pre-swap marker check cannot catch —
-    hence the marker is read BEFORE and written AFTER, and the swap +
-    marker write happen driver-side back-to-back (the standard
-    foreachBatch transactional-sink recipe).
+    recorded in an ``_applied_batch`` file INSIDE the rollup
+    directory, staged with the new state and published by the SAME
+    rename (see :func:`fold_rollup_batch`); any batch ≤ the marker
+    is skipped. Crash windows resolve safely in both directions:
+    crash before the swap → nothing applied (old state + old
+    marker), retry re-folds; crash after the swap → new state + new
+    marker are already both visible, retry no-ops.
     """
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         fold_rollup_batch(

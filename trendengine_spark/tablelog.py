@@ -81,29 +81,70 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return names
 
 
-def _commit_manifest(path: str, files: list[str]) -> int:
+def _read_manifest(path: str, version: int) -> dict:
+    with open(
+        os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def last_batch_id(path: str) -> int | None:
+    """Streaming batch id recorded by the newest manifest (None for
+    an empty table or a manifest from a non-streaming commit)."""
+    v = current_version(path)
+    if v < 0:
+        return None
+    return _read_manifest(path, v).get("batch_id")
+
+
+def _commit_manifest(
+    path: str,
+    files: list[str],
+    batch_id: int | None = None,
+    on_conflict: str = "retry",
+) -> int:
     """Publish ``files`` as the next version — THE commit point; a
     crash before it leaves only invisible stragglers.
 
     Optimistic concurrency: the manifest is linked into place with
     ``os.link`` (fails with EEXIST instead of overwriting), so two
-    racing writers cannot silently clobber each other's commit — the
-    loser observes the collision and retries at the next version
-    number (correct for snapshot/append-new-data commits; commits
-    that must be REBASED on the winner, like append folding the
-    previous file list, should catch the retry at a higher level)."""
+    racing writers cannot silently clobber each other's commit.
+    ``on_conflict`` decides what the LOSER does:
+
+    - ``'retry'`` — re-read and take the next version number. Correct
+      ONLY for self-contained commits (snapshot / append-new-data):
+      the file list being published doesn't depend on the current
+      version, so publishing it one slot later is the same commit.
+    - ``'raise'`` — re-raise ``FileExistsError``. Required for FOLDED
+      commits whose file list embeds the previous version's files
+      (VersionedWriter append, streaming append): a blind retry would
+      publish a manifest built on a stale list and silently DROP the
+      winning writer's files. The caller must re-read the current
+      manifest, rebase its fold, and commit again.
+
+    ``batch_id``, when given, is recorded in the manifest — the
+    idempotence marker streaming commits use to make retried
+    microbatches no-ops (see :func:`publish_stream_versioned`)."""
+    if on_conflict not in ("retry", "raise"):
+        raise ValueError(f"unknown on_conflict {on_conflict!r}")
     while True:
         version = current_version(path) + 1
         final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
         tmp = final + f".tmp{uuid.uuid4().hex}"
+        body = {"version": version, "files": files}
+        if batch_id is not None:
+            body["batch_id"] = batch_id
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump(body, fh)
         try:
             os.link(tmp, final)
             os.remove(tmp)
             return version
         except FileExistsError:
-            os.remove(tmp)  # lost the race — re-read and retry
+            os.remove(tmp)  # lost the race
+            if on_conflict == "raise":
+                raise
+            # self-contained commit: re-read and retry the next slot
 
 
 def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
@@ -162,6 +203,43 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> dict:
     return {"dropped_manifests": len(drop), "removed_files": removed}
 
 
+def publish_versioned_batch(
+    batch_df: DataFrame, batch_id: int, path: str, mode: str = "append"
+) -> bool:
+    """One microbatch commit of :func:`publish_stream_versioned`
+    (module-level so the retry/no-op contract is directly testable).
+    Returns True when a version was committed, False when the batch
+    was skipped as empty or as an already-applied retry."""
+    if batch_df.isEmpty():
+        return False
+    applied = last_batch_id(path)
+    if applied is not None and batch_id <= applied:
+        return False  # retry of an already-committed batch: no-op
+    new_files = _stage_files(batch_df, path)
+    if mode == "snapshot":
+        _commit_manifest(path, new_files, batch_id=batch_id)
+        return True
+    while True:
+        prev = current_version(path)
+        old_files: list[str] = []
+        if prev >= 0:
+            m = _read_manifest(path, prev)
+            old_files = m["files"]
+            prev_bid = m.get("batch_id")
+            if prev_bid is not None and batch_id <= prev_bid:
+                return False  # another attempt won while we staged
+        try:
+            _commit_manifest(
+                path,
+                old_files + new_files,
+                batch_id=batch_id,
+                on_conflict="raise",
+            )
+            return True
+        except FileExistsError:
+            continue  # rebase the fold on the winner's manifest
+
+
 def publish_stream_versioned(
     events: DataFrame,
     path: str,
@@ -176,26 +254,26 @@ def publish_stream_versioned(
     Readers always see a complete committed version; a batch that
     crashes mid-write leaves only invisible stragglers (the append
     manifest is assembled BEFORE its single atomic commit — no
-    window where a version shows only the new batch). Exactly-once
-    follows from the version≈batch correspondence: a retried batch
-    re-publishes the same content as a new version rather than
-    double-appending into a live one."""
+    window where a version shows only the new batch).
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        new_files = _stage_files(batch_df, path)
-        if mode == "snapshot":
-            _commit_manifest(path, new_files)
-            return
-        prev = current_version(path)
-        old_files: list[str] = []
-        if prev >= 0:
-            with open(
-                os.path.join(path, _MANIFEST_DIR, f"v{prev:06d}.json")
-            ) as fh:
-                old_files = json.load(fh)["files"]
-        _commit_manifest(path, old_files + new_files)
+    Exactly-once (r7, ADVICE fix): every commit records its streaming
+    ``batch_id`` in the manifest, and a batch whose id is ≤ the
+    newest manifest's recorded id is skipped as an already-applied
+    retry. This closes the append-mode double-apply window the
+    version≈batch argument alone left open: a crash between the
+    manifest commit and the streaming checkpoint commit replays the
+    batch, and without the marker the retry would fold fresh copies
+    of the same rows onto a file list that already contains the first
+    attempt's. Append commits also use ``on_conflict='raise'`` with
+    an explicit rebase loop, so a concurrent writer's commit is never
+    silently dropped by a stale-list retry. Residual contract: the
+    marker lives in the NEWEST manifest only, so interleaving
+    non-streaming commits into a live stream's table re-opens the
+    window (same single-streaming-writer contract as the checkpoint
+    itself)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        publish_versioned_batch(batch_df, batch_id, path, mode)
 
     writer = (
         events.writeStream.foreachBatch(_apply)
