@@ -476,3 +476,63 @@ def test_audio_spectrogram_recovers_tone_frequency(spark):
 
     per_doc_want = want_frames.groupby(pdf["doc_id"]).first()
     assert got_frames.equals(per_doc_want.astype(got_frames.dtype))
+
+
+def test_recall_at_10_pinned_floors(spark):
+    """Measured retrieval quality of all three approximate paths vs
+    exact brute force, recall@10 at sf0.01 (20 queries, floors set
+    ~0.1 under the tools/recall_study.py measurement so noise can't
+    flake them; full sweep incl. sf0.1 in SCALE.md):
+
+    - hyperplane LSH (12 bands x 4 planes): measured 0.80 -> >= 0.6
+    - IVF nprobe=8/16 cells: measured 0.74 -> >= 0.55 (the synthetic
+      embeddings are ~uniform on the sphere — IVF's worst case, so
+      recall tracks the probed-mass fraction; nprobe=16 is exact,
+      pinned in test_ivf_recall_vs_bruteforce)
+    - PQ ADC m=32 x k=32: measured 0.73 -> >= 0.5 (raw codes;
+      the re-ranked sim_pq_topk stage is pinned >= 0.9 in
+      test_pq_adc_and_refined_recall)
+    """
+    from trendengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        l2_normalize,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+        random_hyperplane_ann,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).cache()
+    queries = unit.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(got_pd, exact_pd, k=10):
+        hits = tot = 0
+        for qid, grp in exact_pd.groupby("query_id"):
+            truth = set(grp.sort_values("rn")["vec_id"].head(k))
+            mine = set(got_pd[got_pd.query_id == qid]["vec_id"])
+            hits += len(truth & mine)
+            tot += len(truth)
+        return hits / tot
+
+    exact = cosine_topk(unit, queries, k=10).toPandas()
+
+    lsh = random_hyperplane_ann(unit, queries, k=10).toPandas()
+    r_lsh = recall(lsh, exact)
+    assert r_lsh >= 0.6, f"LSH recall@10 {r_lsh:.2f}"
+
+    ivf = ivf_topk(unit, queries, k=10, n_cells=16, nprobe=8).toPandas()
+    r_ivf = recall(ivf, exact)
+    assert r_ivf >= 0.55, f"IVF nprobe=8 recall@10 {r_ivf:.2f}"
+
+    books = pq_train_codebooks(unit, m_subspaces=32, k=32, iters=3, seed=7)
+    pq = pq_topk(pq_encode(unit, books), books, queries, k=10).toPandas()
+    r_pq = recall(pq, exact)
+    assert r_pq >= 0.5, f"PQ m=32 ADC recall@10 {r_pq:.2f}"
+    unit.unpersist()
