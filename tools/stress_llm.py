@@ -26,17 +26,31 @@ found exactly (no false pairs at threshold 0.5):
                finds exactly the planted 20k duplicate blocks
                (5k copied docs × 4 blocks).
 
-Round 7 (aggregate+join-back plan, 1M docs × 40 tokens):
-    paragraph_dedup 6.1s (163k docs/s), exact planted-dup counts.
+Round 7 (aggregate+join-back plan, 1M docs × 120 tokens ≈ 200× the
+sf0.1 documents table, ~0.9 GB of raw text):
+    quality_features   0.6s  (1.7M docs/s)
+    exact_dedup        6.9s  (145k docs/s; exact planted 50k dups)
+    paragraph_dedup    9.2s  (109k docs/s; exact planted 200k blocks)
+    minhash_lsh_pairs 29.2s  (34k docs/s; exact planted pairs)
+    curation_flagship  9.6s  (104k docs/s — quality gate → lang
+                       select → survivor election → 512-token packing
+                       over 64 shards, the flagship composition)
+    No resource cliff anywhere at 1M docs; the only known cliff
+    remains the carried-signature LSH variant's band-shuffle spill
+    (≥200k docs, documented above), which the registry posture avoids.
     Hot-block stress — ONE 32-token boilerplate block shared by all
-    1M docs (10^6 copies of one md5 key): agg plan 3.3s, old window
-    plan 3.3s. At this size the hot partition is ~50 MB so the
-    window's single task doesn't yet straggle; the reason the agg
-    plan is the registry posture is structural — GROUP BY partial-
-    aggregates the hot key map-side (final agg sees #partitions
-    rows), and the join-back's hot PROBE partition is AQE-splittable
-    (one-row build side), while a PARTITION BY h window can never be
-    split. tests/test_plans.py pins the agg shape.
+    1M docs (10^6 copies of one md5 key): agg plan 6.4s, old window
+    plan 4.7s (at 40-token docs: 3.3s both). At this size the hot
+    partition is ~50 MB so the window's single task doesn't yet
+    straggle and the agg plan's second pass over the blocks costs
+    more than the skew saves; the reason the agg plan is the registry
+    posture is structural — GROUP BY partial-aggregates the hot key
+    map-side (final agg sees #partitions rows), and the join-back's
+    hot PROBE partition is AQE-splittable (one-row build side), while
+    a PARTITION BY h window can never be split: at 10^7-10^8 copies
+    per key (100 TB boilerplate rates) the window pins a whole-corpus
+    hot key to one task and the agg plan does not.
+    tests/test_plans.py pins the agg shape.
 
 Usage: python tools/stress_llm.py [n_docs] [tokens_per_doc]
 """
@@ -143,6 +157,33 @@ def main() -> None:
             F.col("rnk") > 1
         )
 
+    def curation_flagship():
+        # the flagship_curation_pipeline composition at stress scale:
+        # quality gate -> lang selection -> exact-dedup survivor
+        # election -> GPT-style packing (same operators, synthetic
+        # lang column keyed off doc_id)
+        from trendengine_spark.operators.pipeline import pack_concat_chunks
+        from trendengine_spark.operators.text import token_count
+
+        langs = F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("de"), F.lit("fr")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        )
+        d = docs.withColumn("lang", langs)
+        filt = d.filter(
+            F.col("lang").isin("en", "zh", "de")
+            & (token_count(F.col("text")) >= 20)
+        )
+        norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        reps = (
+            filt.groupBy(norm.alias("_n"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        surv = filt.join(reps, "doc_id", "left_semi")
+        packed = pack_concat_chunks(surv, seq_len=512, n_shards=64)
+        return packed.join(surv.select("doc_id", "lang"), "doc_id")
+
     for name, fn in [
         ("quality_features", lambda: quality_features(docs)),
         ("exact_dedup", lambda: exact_dedup(docs)),
@@ -153,6 +194,7 @@ def main() -> None:
             # carried-signature variant spills its band shuffle at 200k)
             lambda: minhash_lsh_pairs(docs, threshold=0.5, carry_signatures=False),
         ),
+        ("curation_flagship", curation_flagship),
     ]:
         t0 = time.perf_counter()
         out = fn()
