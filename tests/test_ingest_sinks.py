@@ -568,3 +568,96 @@ def test_expectations_validates_rules(spark):
         expectations(df, {})
     with pytest.raises(ValueError, match="rule names"):
         expectations(df, {"bad'name": F.col("id") > 0})
+
+
+def test_versioned_head_hint_and_compaction(spark, tmp_path):
+    """current_version must answer correctly with a fresh, stale, or
+    missing head hint (the hint is advisory — manifests are truth);
+    compact_versioned must rewrite an append-grown file list into few
+    files with identical rows, keeping time travel intact."""
+    import os
+
+    from trendengine_spark.tablelog import (
+        compact_versioned,
+        current_version,
+        read_versioned,
+        vacuum_versioned,
+        write_versioned,
+        publish_versioned_batch,
+    )
+
+    path = str(tmp_path / "vt")
+    for b in range(6):
+        df = spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "k")
+        publish_versioned_batch(df, b, path, mode="append")
+    assert current_version(path) == 5
+    hint = os.path.join(path, "_manifests", "_head")
+    # stale hint: point back at v2 — forward probing must recover 5
+    with open(hint, "w") as fh:
+        fh.write("2")
+    assert current_version(path) == 5
+    # missing hint: listdir fallback
+    os.remove(hint)
+    assert current_version(path) == 5
+    # corrupt hint
+    with open(hint, "w") as fh:
+        fh.write("not-a-number")
+    assert current_version(path) == 5
+
+    from trendengine_spark.tablelog import _read_manifest
+
+    n_files_before = len(_read_manifest(path, 5)["files"])
+    assert n_files_before >= 6  # append folded every batch's files
+    before = sorted(r["k"] for r in read_versioned(spark, path).collect())
+
+    v = compact_versioned(spark, path)
+    assert v == 6
+    assert len(_read_manifest(path, v)["files"]) < n_files_before
+    after = sorted(r["k"] for r in read_versioned(spark, path).collect())
+    assert after == before
+    # time travel to the pre-compaction version still works
+    assert read_versioned(spark, path, version=5).count() == 60
+    # vacuum keeps the compacted head readable
+    vacuum_versioned(path, keep_last=1)
+    assert sorted(
+        r["k"] for r in read_versioned(spark, path).collect()
+    ) == before
+
+
+def test_versioned_concurrent_commit_storm(tmp_path):
+    """8 threads x 20 racing retry-mode commits: every commit lands,
+    versions are distinct, nothing is lost (the optimistic os.link
+    protocol under real contention)."""
+    import os
+    import threading
+
+    from trendengine_spark.tablelog import (
+        _commit_manifest,
+        _read_manifest,
+        current_version,
+    )
+
+    path = str(tmp_path / "vt")
+    os.makedirs(os.path.join(path, "_manifests"))
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def worker(tid):
+        mine = [
+            _commit_manifest(path, [f"w{tid}_{i}.parquet"])
+            for i in range(20)
+        ]
+        with lock:
+            got.extend(mine)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(got) == 160 and len(set(got)) == 160
+    assert current_version(path) == 159
+    names = set()
+    for v in range(160):
+        names.update(_read_manifest(path, v)["files"])
+    assert len(names) == 160  # no commit's file list was lost
