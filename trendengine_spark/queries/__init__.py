@@ -23,6 +23,7 @@ Submodules group the surface:
 from __future__ import annotations
 
 from trendengine_spark.queries import (  # noqa: F401
+    analytics,
     llm,
     llm2,
     relational,
@@ -90,6 +91,11 @@ _SPINE_FIRST = [
     # verify the rewrites under the driver's own canonicalizer
     "dedup_paragraph_global",  # r7: window → aggregate+join-back
     "pipeline_epoch_shuffle",  # r7: single-plan E-epoch generalization
+    # NEW in r7 — first driver rows: forecast backtest, robust
+    # outliers, integer PageRank, bucketed pure-range join, rarity
+    "forecast_seasonal_naive_mae", "profile_mad_outliers",
+    "graph_pagerank_micro", "join_time_window_counts",
+    "text_rarity_profile",
     # ---- ~50-row budget line (everything below is r5/r6-green or
     # covered by golden/property tests) ----
     "pipeline_pack_sequences", "profile_key_skew",

@@ -1,0 +1,331 @@
+"""Round-7 analytics batch: forecasting backtest, robust outliers,
+iterative graph ranking, and the pure-range-join scale pattern.
+
+Four shapes a production analytics engine gets asked for that the
+registry did not yet cover, each expressed scale-first:
+
+- **seasonal-naive forecast backtest** — the baseline every forecast
+  evaluation starts from (predict this week = last week), scored by
+  MAE per series. Pure lag windows over integer daily counts; exact
+  in both engines by construction.
+- **MAD outliers** — median/median-absolute-deviation robust
+  anomaly flags (complements the z-score profile: MAD ignores the
+  outliers themselves, so one 1000× spike doesn't mask the next).
+- **integer fixed-point PageRank** — two unrolled power iterations
+  over the co-purchase graph in micro-units (rank·10⁶ as BIGINT,
+  integer division): float summation order can flip a hash compare,
+  integer arithmetic cannot, so the oracle match is exact — and the
+  per-iteration plan (ranks ⋈ edges on src, partial+final sum on
+  dst) is the scale shape iterative graph algorithms keep.
+- **time-window co-activity counts** — a LARGE × LARGE pure range
+  join (no equi key) done the scale-safe way: quantize time into
+  tolerance-width buckets, explode each probe row into its 3
+  adjacent buckets, equi-join on the bucket, then apply the exact
+  |Δt| residual. Candidate volume is Σ per-bucket products, never
+  |L|·|R|; the oracle states the same join as the naive theta join
+  DuckDB's IEJoin handles at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
+
+
+@query(
+    "forecast_seasonal_naive_mae",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, d, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(pred) AS BIGINT) AS n_scored_days,
+           CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_sum,
+           round(CAST(sum(abs(n - pred)) AS BIGINT)
+                 / CAST(count(pred) AS DOUBLE), 6) AS mae
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def forecast_seasonal_naive_mae(spark, sf_dir):
+    """Seasonal-naive backtest (predict day d = observed d−7), MAE
+    per series — the canonical forecast baseline and the shape every
+    model backtest shares (score = window lag + aggregate). Daily
+    counts partial-aggregate map-side; the lag window partitions by
+    series (bounded state: one 7-row buffer per series); MAE is a
+    ratio of exact integers rounded at the end, so the oracle hash
+    is engine-stable. Gaps in the calendar make lag(7) "7 observed
+    days back", identical in both engines (same window semantics)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(1) AS n
+          FROM events GROUP BY 1, 2
+        ), scored AS (
+          SELECT event_type, d, n,
+                 lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+          FROM daily
+        )
+        SELECT event_type,
+               CAST(count(pred) AS BIGINT) AS n_scored_days,
+               CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_sum,
+               round(CAST(sum(abs(n - pred)) AS BIGINT)
+                     / CAST(count(pred) AS DOUBLE), 6) AS mae
+        FROM scored
+        GROUP BY event_type
+        """,
+        ("events",),
+    )
+
+
+@query(
+    "profile_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           round(a.med, 6) AS med,
+           round(a.mad, 6) AS mad,
+           CAST(count_if(abs(e.value - a.med) > 3 * a.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events e JOIN mad a ON e.event_type = a.event_type
+    GROUP BY e.event_type, a.med, a.mad
+    """,
+)
+def profile_mad_outliers(spark, sf_dir):
+    """Robust outlier profile: median + median-absolute-deviation per
+    series, rows flagged where |v − med| > 3·MAD. The robust
+    complement to profile_user_zscore_outliers — mean/stddev move
+    with the outliers they are supposed to find (one 1000× spike
+    inflates σ and masks the next), median/MAD have a 50% breakdown
+    point. Plan: two grouped exact medians (each one shuffle on the
+    series key) + a broadcast-back of the per-series (med, mad) pair
+    for the flagging pass; medians interpolate identically in both
+    engines (the median_exact precedent)."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH med AS (
+          SELECT event_type, median(value) AS med
+          FROM events GROUP BY event_type
+        ), mad AS (
+          SELECT e.event_type, m.med,
+                 median(abs(e.value - m.med)) AS mad
+          FROM events e JOIN med m ON e.event_type = m.event_type
+          GROUP BY e.event_type, m.med
+        )
+        SELECT e.event_type,
+               round(a.med, 6) AS med,
+               round(a.mad, 6) AS mad,
+               CAST(count_if(abs(e.value - a.med) > 3 * a.mad) AS BIGINT)
+                 AS n_outliers,
+               CAST(count(1) AS BIGINT) AS n_rows
+        FROM events e JOIN mad a ON e.event_type = a.event_type
+        GROUP BY e.event_type, a.med, a.mad
+        """,
+        ("events",),
+    )
+
+
+_PR_EDGES_SQL = """
+    edges AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ), deg AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a
+    ), nodes AS (
+      SELECT DISTINCT a AS k FROM edges
+    )"""
+
+
+def _pagerank_sql(div: str, count1: str) -> str:
+    """Two unrolled micro-unit power iterations; ``div`` is the
+    integer-division operator spelling (`//` DuckDB, `div` Spark)."""
+    edges = _PR_EDGES_SQL.replace("count(*)", count1)
+    it = """
+    , c{i} AS (
+      SELECT e.b, CAST(sum(r.rank {div} dg.d) AS BIGINT) AS s
+      FROM edges e JOIN deg dg ON e.a = dg.a JOIN r{p} r ON e.a = r.k
+      GROUP BY e.b
+    ), r{i} AS (
+      SELECT n.k,
+             CAST(150000 + (85 * COALESCE(c.s, 0)) {div} 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.k = c.b
+    )"""
+    body = "".join(
+        it.format(i=i, p=i - 1, div=div) for i in (1, 2)
+    )
+    return f"""
+    WITH {edges}
+    , r0 AS (SELECT k, CAST(1000000 AS BIGINT) AS rank FROM nodes)
+    {body}
+    SELECT k AS partkey, rank AS pagerank_micro FROM r2
+    """
+
+
+@query("graph_pagerank_micro", sql=_pagerank_sql("//", "count(*)"))
+def graph_pagerank_micro(spark, sf_dir):
+    """PageRank, two power iterations, in INTEGER micro-units — the
+    iterative-graph-algorithm shape (CC's sibling) with an exact
+    oracle: rank starts at 10⁶, each iteration distributes
+    rank÷out-degree (integer division) along co-purchase edges and
+    applies damping as 0.15·10⁶ + (85·Σ)÷100, all in BIGINT. Float
+    PageRank sums in nondeterministic order and can flip a value
+    hash in the last ulp; integer arithmetic is order-free, so
+    Spark and DuckDB agree bit-for-bit while the PLAN stays the real
+    one — per iteration: ranks ⋈ edges on the source key (one
+    shuffle), contributions partial+final-summed on the destination
+    key (second shuffle), degrees joined once. At 100 TB the loop
+    runs K such rounds with the rank table checkpointed per round
+    (the CC pointer-jumping recipe, `operators/graph.py`); edge
+    fan-out is bounded by lines-per-order, never N²."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        _pagerank_sql("div", "count(1)"),
+        ("lineitem",),
+    )
+
+
+@query(
+    "join_time_window_counts",
+    sql="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+      WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id AS u2, epoch_ms(ts) AS ms2 FROM events
+    )
+    SELECT p.event_id,
+           CAST(count(e.u2) AS BIGINT) AS n_nearby
+    FROM p LEFT JOIN e
+      ON e.u2 <> p.user_id AND abs(p.ms - e.ms2) <= 60000
+    GROUP BY p.event_id
+    """,
+)
+def join_time_window_counts(spark, sf_dir):
+    """Co-activity: for every purchase, how many events by OTHER
+    users landed within ±60 s — a pure range join (no equi key),
+    which naively is |L|·|R| and is exactly what a cartesian sweep
+    must refuse at scale. The scale-safe plan quantizes time into
+    tolerance-width buckets: each probe row explodes into its 3
+    adjacent buckets (a generator, not a join), the corpus side
+    carries its single home bucket, and the join is an EQUI-join on
+    the bucket with the exact |Δms| ≤ 60000 residual behind it.
+    Every true pair shares one of the 3 probe buckets (|Δt| ≤ width
+    ⟹ bucket distance ≤ 1) and each pair meets at most once (the
+    right row has one bucket), so no distinct pass is needed.
+    Candidate volume is Σ_bucket |probes|·|events| — activity
+    density, not table product. The left join keeps zero-neighbor
+    purchases (count(u2) ignores the null padding). Millisecond
+    integers end-to-end: no float time arithmetic to drift."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ms")
+    )
+    e = ev.select(
+        F.col("user_id").alias("u2"),
+        F.unix_millis("ts").alias("ms2"),
+        (F.unix_millis("ts") / F.lit(60000)).cast("long").alias("bkt"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.explode(
+            F.array(
+                (F.col("ms") / 60000).cast("long") - 1,
+                (F.col("ms") / 60000).cast("long"),
+                (F.col("ms") / 60000).cast("long") + 1,
+            )
+        ).alias("bkt"),
+    )
+    matched = probes.join(e, "bkt").filter(
+        (F.col("u2") != F.col("user_id"))
+        & (F.abs(F.col("ms") - F.col("ms2")) <= 60000)
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby")
+    )
+    return (
+        p.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_nearby", F.lit(0)).cast("long").alias("n_nearby"),
+        )
+    )
+
+
+@query(
+    "text_rarity_profile",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), gf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count_if(g.n <= 2) AS BIGINT) AS n_rare,
+           round(CAST(sum(g.n) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_term_df
+    FROM tok t JOIN gf g ON t.term = g.term
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_profile(spark, sf_dir):
+    """Per-document rarity signals against the corpus itself: token
+    count, number of rare tokens (corpus frequency ≤ 2 — hapax/dis
+    legomena, the misspelling/garbage detector), and mean corpus
+    term frequency (low = jargon-heavy or noisy, high = boilerplate
+    vocabulary). This is the integer-exact rendering of the
+    unigram-LM perplexity curation signal: log p sums drift across
+    engines in the last ulp, while counts and one final
+    integer-ratio round cannot. Plan: one explode, one term-keyed
+    global count (partial+final), one term-keyed join back (the
+    TF-IDF df-join shape), one doc-keyed aggregate."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 explode(filter(split(trim(text), '\\s+'), x -> x != ''))
+                   AS term
+          FROM documents
+        ), gf AS (
+          SELECT term, CAST(count(1) AS BIGINT) AS n FROM tok GROUP BY term
+        )
+        SELECT t.doc_id,
+               CAST(count(1) AS BIGINT) AS n_tokens,
+               CAST(count_if(g.n <= 2) AS BIGINT) AS n_rare,
+               round(CAST(sum(g.n) AS BIGINT) / CAST(count(1) AS DOUBLE), 6)
+                 AS mean_term_df
+        FROM tok t JOIN gf g ON t.term = g.term
+        GROUP BY t.doc_id
+        """,
+        ("documents",),
+    )
