@@ -518,3 +518,55 @@ def test_stream_stream_left_outer_interval_join(spark, events_dir):
     ).collect()[0]
     assert got["n"] == want_n
     assert got["n_null"] == want_nulls
+
+
+def test_tws_running_stats_gate_and_processor_math(spark):
+    """transformWithStateInPandas needs google.protobuf (its state
+    protocol); this container cannot install it, so running_user_stats
+    must refuse with a clear NotImplementedError rather than die in
+    the streaming runner. The processor's per-batch math is unit-
+    tested against the batch twin's SQL semantics with a fake state
+    handle (integer cents, ROUND-half-away-from-zero)."""
+    import pandas as pd
+    import pytest
+
+    from trendengine_spark.streaming import stateful2
+
+    if stateful2.tws_available():  # pragma: no cover - full-dist env
+        pytest.skip("protobuf present: covered by the live TWS test")
+    ev = spark.createDataFrame(
+        [(1, 1.005)], "user_id long, value double"
+    )
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stateful2.running_user_stats(ev)
+
+    # drive the processor directly with a fake ValueState
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    proc = stateful2._make_processor()
+    proc.init(FakeHandle())
+    # 0.125 -> 12.5 cents: SQL round gives 13, pandas .round() would
+    # give 12 (half-to-even) — the processor must match SQL
+    b1 = pd.DataFrame({"value": [0.125, 1.0]})
+    b2 = pd.DataFrame({"value": [-0.125, 2.5]})
+    rows = list(proc.handleInputRows((7,), iter([b1]), None))
+    rows += list(proc.handleInputRows((7,), iter([b2]), None))
+    last = rows[-1].iloc[0]
+    assert last["n_events"] == 4
+    assert last["value_cents"] == 13 + 100 - 13 + 250
+    assert last["max_value"] == 2.5

@@ -96,6 +96,7 @@ _SPINE_FIRST = [
     "forecast_seasonal_naive_mae", "profile_mad_outliers",
     "graph_pagerank_micro", "join_time_window_counts",
     "text_rarity_profile",
+    "stream_user_running_stats",  # NEW r7: TWS (state API v2) twin
     # ---- ~50-row budget line (everything below is r5/r6-green or
     # covered by golden/property tests) ----
     "pipeline_pack_sequences", "profile_key_skew",

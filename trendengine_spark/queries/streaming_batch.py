@@ -541,3 +541,44 @@ def temporal_scd2_lookup(spark, sf_dir):
     return j.groupBy(F.col("state").alias("state_before_purchase")).agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
+
+
+@query(
+    "stream_user_running_stats",
+    sql="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_running_stats(spark, sf_dir):
+    """Batch twin of the transformWithStateInPandas running-stats
+    processor (`streaming/stateful2.py` — Spark 4 stateful API v2:
+    named typed state variables per key). Per user: event count,
+    exact money in integer cents, max value. The streaming processor
+    accumulates the SAME integer cents (SQL ROUND semantics inside
+    the Arrow batch), so its final Update-mode row per key equals
+    this aggregate bit-for-bit regardless of microbatch boundaries —
+    the incremental≡one-shot contract all the streaming twins in
+    this module share. The TWS runtime needs google.protobuf (its
+    state protocol), which this container cannot install, so the
+    live-stream equivalence test skips with that reason and this
+    oracle-checked twin carries the correctness evidence."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id,
+               CAST(count(1) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+        ("events",),
+    )
