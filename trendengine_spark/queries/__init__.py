@@ -97,6 +97,7 @@ _SPINE_FIRST = [
     "graph_pagerank_micro", "join_time_window_counts",
     "text_rarity_profile",
     "stream_user_running_stats",  # NEW r7: TWS (state API v2) twin
+    "recursive_cte_reachability",  # NEW r7: join-driven native recursion
     # ---- ~50-row budget line (everything below is r5/r6-green or
     # covered by golden/property tests) ----
     "pipeline_pack_sequences", "profile_key_skew",

@@ -329,3 +329,53 @@ def text_rarity_profile(spark, sf_dir):
         """,
         ("documents",),
     )
+
+
+_REACH_SQL = """
+    WITH RECURSIVE {edges},
+    reach(k, hop) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#1'
+      UNION ALL
+      SELECT DISTINCT e.b, r.hop + 1
+      FROM reach r JOIN edges e ON e.a = r.k
+      WHERE r.hop < 2
+    )
+    SELECT k AS partkey, CAST(min(hop) AS INT) AS hop
+    FROM reach GROUP BY k
+    """
+
+
+@query(
+    "recursive_cte_reachability",
+    sql=_REACH_SQL.format(edges=_PR_EDGES_SQL.strip().rstrip(")") + ")"),
+)
+def recursive_cte_reachability(spark, sf_dir):
+    """JOIN-DRIVEN recursion — the second recursion class after the
+    scalar-counter spine (recursive_cte_month_spine): BFS closure
+    over the co-purchase graph, seeds at hop 0, each recursive step a
+    JOIN of the working set against the edge table, min-hop dedup in
+    the final aggregate. Declared per-engine as the SAME `WITH
+    RECURSIVE ... UNION ALL` text (Spark 4 and DuckDB both run it
+    natively — dialect parity on the newest Spark SQL feature). The
+    recursive step SELECTs DISTINCT, so each level is bounded by the
+    node count instead of Σ path-count (the raw UNION ALL fan-out
+    tripped Spark's 10⁶ recursion-row guard already at sf0.01 —
+    seeds·deg² paths; per-level dedup is how a declarative BFS stays
+    scale-safe, and min(hop) is unchanged by it). The operator
+    rendering of the same traversal
+    (`operators/graph.khop_frontiers`, used by graph_copurchase_2hop)
+    anti-joins each frontier against the seen set instead — the
+    shape to prefer when fan-out revisits nodes heavily; this query
+    pins the declarative twin."""
+    # Spark shares the DuckDB text modulo count(*) spelling
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        _REACH_SQL.format(
+            edges=_PR_EDGES_SQL.replace("count(*)", "count(1)")
+            .strip()
+            .rstrip(")")
+            + ")"
+        ),
+        ("lineitem", "part"),
+    )
