@@ -84,22 +84,25 @@ _SPINE_FIRST = [
     "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_tumbling_window", "stream_interval_join",
-    "a1_annual_composite_max", "a2b_fill_missing_months",
-    "a2c_interpolate_gaps", "window_range_frame", "window_percent_rank",
-    "scalar_lambda_fns",
+    "a1_annual_composite_max",
     # Re-planned in r7 (skew-proofed / generalized) — fresh rows
     # verify the rewrites under the driver's own canonicalizer
     "dedup_paragraph_global",  # r7: window → aggregate+join-back
     "pipeline_epoch_shuffle",  # r7: single-plan E-epoch generalization
     # NEW in r7 — first driver rows: forecast backtest, robust
-    # outliers, integer PageRank, bucketed pure-range join, rarity
+    # outliers, integer PageRank, bucketed pure-range join, rarity,
+    # TWS batch twin, join-driven native recursion
     "forecast_seasonal_naive_mae", "profile_mad_outliers",
     "graph_pagerank_micro", "join_time_window_counts",
     "text_rarity_profile",
-    "stream_user_running_stats",  # NEW r7: TWS (state API v2) twin
-    "recursive_cte_reachability",  # NEW r7: join-driven native recursion
-    # ---- ~50-row budget line (everything below is r5/r6-green or
-    # covered by golden/property tests) ----
+    "stream_user_running_stats",
+    "recursive_cte_reachability",
+    # ---- 50-row budget line (40 stale + 2 re-planned + 8 new;
+    # everything below is r5/r6-green or covered by golden/property
+    # tests — the remaining r4/r5 stragglers lead in case the budget
+    # runs long) ----
+    "a2b_fill_missing_months", "a2c_interpolate_gaps",
+    "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",
     "sim_embedding_l2norm", "sim_embedding_quantize_int8",
     "sim_embedding_near_dup", "sim_ann_hyperplane",
