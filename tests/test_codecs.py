@@ -289,3 +289,52 @@ def test_avi_rejects_non_avi():
     assert not is_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         avi_parse(b"\x89PNG not an avi")
+
+
+def test_gif_lzw_roundtrip_and_cross_encoder():
+    """LZW: dictionary encoder round trip on data forcing several
+    code-width bumps and a 4096-entry reset; the independent
+    literal-code encoder (uncompressed-GIF technique) cross-validates
+    the decoder's bit unpacking and clear handling against a second
+    spec-conformant producer."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+        _lzw_encode_literal,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, 30000, dtype=np.uint8).tobytes(),  # dict reset
+        bytes(4000),  # runs -> KwKwK codes
+        bytes(range(256)) * 50,  # cyclic
+        (np.arange(20000) % 251).astype(np.uint8).tobytes(),
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+        assert _lzw_decode(_lzw_encode_literal(data[:2000], 8), 8) == data[:2000]
+    small = bytes([int(x) for x in rng.randint(0, 4, 3000)])
+    assert _lzw_decode(_lzw_encode(small, 2), 2) == small
+
+
+def test_gif_container_roundtrip():
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import gif_decode, gif_encode, is_gif
+
+    yy, xx = np.indices((19, 23))
+    frames = [
+        ((3 * xx + 5 * yy + f * 7) % 256).astype(np.uint8) for f in range(4)
+    ]
+    data = gif_encode(frames, delay_cs=4)
+    assert is_gif(data)
+    out = gif_decode(data)
+    assert (out["width"], out["height"]) == (23, 19)
+    assert out["delays_cs"] == [4, 4, 4, 4]
+    assert len(out["frames"]) == 4
+    for a, b in zip(frames, out["frames"]):
+        assert (a == b).all()
+    # grayscale identity palette
+    assert (out["palette"][:, 0] == np.arange(256)).all()

@@ -872,3 +872,103 @@ def image_tile_means(
             )
 
     return fan_out(df.select(id_col, "media")).mapInPandas(gen, out_schema)
+
+
+def attach_animated_gif(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL animated-GIF media column: ``n_frames`` grayscale gradient
+    frames per row, pixel(f, y, x) = (3x + 5y + id + 7f) % 256 at
+    w = 16 + id % 9, h = 16 + id % 7, encoded through the pure-python
+    GIF89a/LZW codec (:mod:`.codecs`) with a real Graphic Control
+    delay per frame — closed-form pixel math, so a full
+    encode→decode round trip is DuckDB-oracle-checkable exactly."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import gif_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w = 16 + int(i) % 9
+                h = 16 + int(i) % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((3 * xx + 5 * yy + int(i) + 7 * f) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(gif_encode(frames, delay_cs=4))
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+
+
+def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode an animated-GIF media column and emit one row per frame
+    with its dimensions, delay and mean pixel — the video-lite twin
+    of the MJPEG/AVI frame sampler, exercising a second real
+    container+entropy-coding path (LZW vs Huffman/DCT). Decode is
+    partition-local ``mapInPandas``; payloads never shuffle."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import gif_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("delay_cs", T.IntegerType(), True),
+            T.StructField("mean_pixel", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "frame_idx", "n_frames", "width", "height",
+                "delay_cs", "mean_pixel",
+            )}
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["media"]):
+                g = gif_decode(bytes(b))
+                n = len(g["frames"])
+                for fi, (fr, dl) in enumerate(
+                    zip(g["frames"], g["delays_cs"])
+                ):
+                    rows[id_col].append(int(i))
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(n)
+                    rows["width"].append(g["width"])
+                    rows["height"].append(g["height"])
+                    rows["delay_cs"].append(dl)
+                    rows["mean_pixel"].append(
+                        float(np.asarray(fr, dtype=np.float64).mean())
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows[id_col], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "delay_cs": pd.Series(rows["delay_cs"], dtype="int32"),
+                    "mean_pixel": pd.Series(
+                        rows["mean_pixel"], dtype="float64"
+                    ),
+                }
+            )
+
+    return fan_out(df.select(id_col, "media")).mapInPandas(gen, out_schema)
