@@ -45,6 +45,11 @@ QUERIES = [
     "tpch_q21_waiting_supplier",
     "join_inner_3way",
     "window_topk_per_group",
+    # r7: iterative graph shapes — the edge self-join fans out 10×
+    # with the fact tables, so this probes the join/agg-per-iteration
+    # plan at ~2M distinct edges
+    "graph_pagerank_micro",
+    "recursive_cte_reachability",
 ]
 
 ORACLE_TABLES = FACTS + DIMS

@@ -198,12 +198,46 @@ def graph_pagerank_micro(spark, sf_dir):
     key (second shuffle), degrees joined once. At 100 TB the loop
     runs K such rounds with the rank table checkpointed per round
     (the CC pointer-jumping recipe, `operators/graph.py`); edge
-    fan-out is bounded by lines-per-order, never N²."""
-    return sql_over_tables(
-        spark,
-        sf_dir,
-        _pagerank_sql("div", "count(1)"),
-        ("lineitem",),
+    fan-out is bounded by lines-per-order, never N².
+
+    The Spark plan builds in DataFrame form with the EDGE TABLE
+    CACHED once (`owned_cache`): Spark inlines deterministic CTEs
+    into every reference, so the SQL rendering re-executes the
+    lineitem self-join + distinct four times (deg, nodes, two
+    contribution passes) — measured 6.3 s vs 2.5 s for DuckDB (which
+    materializes the CTE) at synthetic sf1. Caching the edges is the
+    loop-invariant hoisting every iterative graph algorithm needs;
+    the per-iteration math is identical to the oracle SQL."""
+    from trendengine_spark.operators.util import owned_cache
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnRenamed("l_partkey", "b")
+    edges = owned_cache(
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("b"))
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct(),
+        key=f"pagerank_edges:{sf_dir}",
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("a").alias("k")).distinct()
+    r = nodes.withColumn("rank", F.lit(1000000).cast("long"))
+    for _ in range(2):
+        contrib = (
+            edges.join(deg, "a")
+            .join(r, edges.a == r.k)
+            .groupBy("b")
+            .agg(F.expr("CAST(sum(rank div d) AS BIGINT)").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.k == contrib.b, "left").select(
+            "k",
+            (
+                F.lit(150000)
+                + F.expr("(85 * COALESCE(s, 0)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return r.select(
+        F.col("k").alias("partkey"), F.col("rank").alias("pagerank_micro")
     )
 
 
