@@ -661,3 +661,48 @@ def test_versioned_concurrent_commit_storm(tmp_path):
     for v in range(160):
         names.update(_read_manifest(path, v)["files"])
     assert len(names) == 160  # no commit's file list was lost
+
+
+def test_join_view_incremental_equals_recompute(spark, tmp_path):
+    """maintain_join_view over two delta rounds (ΔA only, then ΔA+ΔB)
+    must equal the full recompute of the final A ⋈ B, and a replayed
+    batch id must be a no-op (versioned-append exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import init_join_view, maintain_join_view
+    from trendengine_spark.tablelog import read_versioned
+
+    def mk(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    a0 = mk([(1, "a1"), (2, "a2")], "k long, av string")
+    b0 = mk([(1, "b1"), (2, "b2"), (3, "b3")], "k long, bv string")
+    view = str(tmp_path / "jview")
+    init_join_view(spark, view, a0, b0, ["k"])
+
+    da1 = mk([(3, "a3")], "k long, av string")
+    assert maintain_join_view(
+        spark, view, a0, da1, b0, None, ["k"], batch_id=1
+    )
+    a1 = a0.unionByName(da1)
+
+    da2 = mk([(4, "a4")], "k long, av string")
+    db2 = mk([(2, "B2x"), (4, "b4")], "k long, bv string")
+    assert maintain_join_view(
+        spark, view, a1, da2, b0, db2, ["k"], batch_id=2
+    )
+    # replay of batch 2: no-op
+    assert not maintain_join_view(
+        spark, view, a1, da2, b0, db2, ["k"], batch_id=2
+    )
+
+    a2 = a1.unionByName(da2)
+    b2 = b0.unionByName(db2)
+    want = sorted(
+        (r.k, r.av, r.bv) for r in a2.join(b2, ["k"]).collect()
+    )
+    got = sorted(
+        (r.k, r.av, r.bv)
+        for r in read_versioned(spark, view).collect()
+    )
+    assert got == want

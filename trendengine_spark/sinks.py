@@ -470,3 +470,59 @@ def merge_upsert_partitioned(
         return {"touched_partitions": touched, "applied": applied}
     finally:
         updates.unpersist()
+
+
+def init_join_view(spark, view_path: str, a: DataFrame, b: DataFrame,
+                   on: list[str]) -> int:
+    """Materialize the initial state of an incrementally-maintained
+    inner-join view A ⋈ B as version 0 of a manifest-versioned table
+    (:mod:`trendengine_spark.tablelog`). See :func:`maintain_join_view`."""
+    from trendengine_spark.tablelog import write_versioned
+
+    return write_versioned(spark, a.join(b, on), view_path)
+
+
+def maintain_join_view(
+    spark,
+    view_path: str,
+    a_old: DataFrame,
+    delta_a: DataFrame | None,
+    b_old: DataFrame,
+    delta_b: DataFrame | None,
+    on: list[str],
+    batch_id: int = 0,
+) -> bool:
+    """Incremental view maintenance for an INNER JOIN over append-only
+    sources — the join sibling of :func:`maintain_rollup`: when new
+    rows ΔA and/or ΔB arrive, the view grows by exactly
+
+        ΔV  =  ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    (the cross term ΔA ⋈ ΔB appears once, inside the first leg), so
+    maintenance cost scales with |Δ| · matched-fan-in, never with
+    |A| · |B| — the reason warehouses maintain join views at all.
+    Deletions/updates are out of scope by contract (append-only
+    sources; for updating sources compose with SCD2 history so
+    updates become appends).
+
+    ΔV commits as the next APPEND version of the manifest-versioned
+    view (file-list fold, no data rewrite), carrying ``batch_id`` so
+    a retried microbatch is a no-op — this composes directly with a
+    streaming ``foreachBatch``. Readers pinned to any version see a
+    consistent prefix of batches. Returns True when a version was
+    committed (False: empty delta or replayed batch id).
+    """
+    from trendengine_spark.tablelog import publish_versioned_batch
+
+    legs = []
+    if delta_a is not None:
+        b_new = b_old if delta_b is None else b_old.unionByName(delta_b)
+        legs.append(delta_a.join(b_new, on))
+    if delta_b is not None:
+        legs.append(a_old.join(delta_b, on))
+    if not legs:
+        return False
+    dv = legs[0]
+    for leg in legs[1:]:
+        dv = dv.unionByName(leg)
+    return publish_versioned_batch(dv, batch_id, view_path, mode="append")
