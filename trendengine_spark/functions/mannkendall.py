@@ -1,0 +1,134 @@
+"""Mann–Kendall trend test + Sen's slope (pure numpy).
+
+The standard non-parametric trend toolkit of the reference's domain
+(vegetation-index time series — the PolyTrend/DBEST literature uses
+MK/Sen as the baseline comparison): S = Σ_{i<j} sign(y_j − y_i),
+tie-corrected variance, normal approximation with continuity
+correction, and Sen's slope = median of all pairwise slopes. Series
+are per-group and short (tens to hundreds of points), so the O(n²)
+pairwise computation is a trivially vectorized numpy triangle inside
+``applyInPandas`` — the same per-group execution envelope as
+PolyTrend (SURVEY §2.4).
+
+Correctness evidence: the integer-exact pieces (S, the ×18 variance
+numerator, Sen's slope over integer series) are ALSO expressible as a
+relational pairwise self-join, which the oracle-checked
+``trend_mann_kendall_stats`` query states in DuckDB SQL — the numpy
+UDF is cross-checked against an independent relational formulation of
+the same math. The normal-approximation z/p (rows-only) is pinned by
+golden/property tests (monotone → significant, constant → S=0/p=1,
+hand-computed tie case).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _erfc(x: float) -> float:
+    """Abramowitz–Stegun 7.1.26 complementary error function
+    (|err| < 1.5e-7) — own implementation, no scipy."""
+    ax = abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    v = poly * math.exp(-ax * ax)
+    return v if x >= 0 else 2.0 - v
+
+
+def mann_kendall(y: np.ndarray) -> dict:
+    """Full MK test on a time-ordered series. Returns s (int),
+    var_s18 (int — 18·Var(S), exact), var_s, z (continuity-corrected
+    normal score), p_value (two-sided), trend ∈ {-1, 0, 1} at
+    α = 0.05."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 2:
+        return {
+            "n": n, "s": 0, "var_s18": 0, "var_s": 0.0,
+            "z": 0.0, "p_value": 1.0, "trend": 0,
+        }
+    diffs = np.sign(y[None, :] - y[:, None])
+    s = int(np.triu(diffs, 1).sum())
+    # tie correction: Σ t(t−1)(2t+5) over tie groups
+    _, counts = np.unique(y, return_counts=True)
+    tie_term = int(sum(t * (t - 1) * (2 * t + 5) for t in counts))
+    var_s18 = n * (n - 1) * (2 * n + 5) - tie_term
+    var_s = var_s18 / 18.0
+    if var_s <= 0:
+        z = 0.0
+    elif s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    p = _erfc(abs(z) / math.sqrt(2.0))
+    trend = int(np.sign(s)) if p < 0.05 else 0
+    return {
+        "n": n, "s": s, "var_s18": int(var_s18), "var_s": var_s,
+        "z": z, "p_value": p, "trend": trend,
+    }
+
+
+def sens_slope(y: np.ndarray, x: np.ndarray | None = None) -> float:
+    """Sen's slope: median of (y_j − y_i)/(x_j − x_i) over all i<j.
+    Robust to outliers (breakdown ~29%); exact slope on a noiseless
+    linear series."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 2:
+        return 0.0
+    x = np.arange(n, dtype=np.float64) if x is None else np.asarray(x, float)
+    iu, ju = np.triu_indices(n, 1)
+    return float(np.median((y[ju] - y[iu]) / (x[ju] - x[iu])))
+
+
+MK_SCHEMA_FULL = T.StructType(
+    [
+        T.StructField("n", T.IntegerType(), True),
+        T.StructField("s_stat", T.LongType(), True),
+        T.StructField("var_s18", T.LongType(), True),
+        T.StructField("z", T.DoubleType(), True),
+        T.StructField("p_value", T.DoubleType(), True),
+        T.StructField("trend", T.IntegerType(), True),
+        T.StructField("sens_slope", T.DoubleType(), True),
+    ]
+)
+
+
+def mann_kendall_groups(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group MK + Sen via ``applyInPandas`` — one Arrow batch per
+    group, explicit in-group time sort (never positional, SURVEY
+    §4.4.2). Group state is the series itself (short by construction:
+    composited series, not raw events)."""
+    key_fields = [df.schema[k] for k in keys]
+    schema = T.StructType(list(key_fields) + list(MK_SCHEMA_FULL.fields))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        r = mann_kendall(y)
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(
+            {
+                "n": r["n"], "s_stat": r["s"], "var_s18": r["var_s18"],
+                "z": r["z"], "p_value": r["p_value"], "trend": r["trend"],
+                "sens_slope": sens_slope(y),
+            }
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(fit, schema)

@@ -413,3 +413,104 @@ def recursive_cte_reachability(spark, sf_dir):
         ),
         ("lineitem", "part"),
     )
+
+
+@query(
+    "trend_mann_kendall_stats",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(sign(b.v - a.v) AS BIGINT) AS sg,
+             (b.v - a.v) / CAST(b.i - a.i AS DOUBLE) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+    ), agg AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+             round(median(slope), 6) AS sens_slope
+      FROM pairs GROUP BY event_type
+    ), nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily
+      GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2) g
+      GROUP BY event_type
+    )
+    SELECT nn.event_type, CAST(nn.n AS INT) AS n, agg.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                AS BIGINT) AS var_s18,
+           agg.sens_slope
+    FROM nn JOIN agg ON nn.event_type = agg.event_type
+            JOIN ties ON nn.event_type = ties.event_type
+    """,
+)
+def trend_mann_kendall_stats(spark, sf_dir):
+    """Mann–Kendall S statistic, tie-corrected variance numerator
+    (18·Var(S) — kept as an exact BIGINT so no float division enters
+    the hash) and Sen's slope per daily event-count series — the
+    non-parametric trend baseline of the reference's own literature
+    (MK/Sen is what PolyTrend-class methods are benchmarked against).
+
+    CROSS-PARADIGM oracle: Spark runs the numpy ``applyInPandas``
+    implementation (`functions/mannkendall.py` — vectorized pairwise
+    triangle per group); DuckDB states the same math as a relational
+    pairwise self-join over the day-indexed series. Two independent
+    formulations of S, the tie term and the pairwise-slope median
+    must agree exactly (integer series ⇒ identical rationals ⇒
+    identical doubles). Series are daily composites, so the O(n²)
+    pair set is ~66k rows per group — bounded by the calendar, not
+    the event volume."""
+    from trendengine_spark.functions.mannkendall import mann_kendall_groups
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    mk = mann_kendall_groups(
+        daily, ["event_type"], time_col="d", value_col="v"
+    )
+    return mk.select(
+        "event_type", "n", "s_stat", "var_s18",
+        F.round("sens_slope", 6).alias("sens_slope"),
+    )
+
+
+@query(
+    "u6_mann_kendall_events",
+    sql=None,
+    doc="Full Mann-Kendall test per event-type daily series: "
+    "continuity-corrected normal z, two-sided p (own erfc), trend "
+    "verdict at alpha=0.05, Sen's slope. The integer-exact core "
+    "(S, 18*Var(S), Sen) is oracle-checked in "
+    "trend_mann_kendall_stats; z/p pinned by golden/property tests.",
+)
+def u6_mann_kendall_events(spark, sf_dir):
+    """The decision-ready MK output (adds z / p_value / trend to the
+    oracle-checked integer core): what a TrendEngine user actually
+    reads off a trend test. Same per-group numpy path."""
+    from trendengine_spark.functions.mannkendall import mann_kendall_groups
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    mk = mann_kendall_groups(
+        daily, ["event_type"], time_col="d", value_col="v"
+    )
+    return mk.select(
+        "event_type", "n", "s_stat",
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+        "trend",
+        F.round("sens_slope", 6).alias("sens_slope"),
+    )
