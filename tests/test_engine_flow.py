@@ -239,3 +239,33 @@ def test_expectations_report_and_quarantine_agree(spark):
     assert rep == {"v_nonneg": (2, 2), "cat_known": (2, 2)}
     q = {r["id"]: r["_failed_rules"] for r in quarantine.collect()}
     assert q == {2: "v_nonneg", 3: "cat_known", 4: "v_nonneg,cat_known"}
+
+
+def test_mann_kendall_flow_detects_planted_trend(spark):
+    """The MK flow over the engine's acquisition spine: a synthetic
+    pixel with a clean upward annual trend must come back trend=+1
+    with Sen's slope ~ the planted slope; a flat pixel must not."""
+    import pandas as pd
+
+    from trendengine_spark.engine import TrendEngine
+
+    rows = []
+    for yr in range(2000, 2020):
+        for m in (3, 9):  # two obs per year -> annual composite
+            rows.append((10.0, 50.0, pd.Timestamp(f"{yr}-{m:02d}-15"),
+                         0.2 + 0.01 * (yr - 2000)))
+            rows.append((11.0, 51.0, pd.Timestamp(f"{yr}-{m:02d}-15"),
+                         0.5))
+    obs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["longitude", "latitude", "time", "value"])
+    )
+    eng = TrendEngine(spark, obs)
+    out = {
+        (r["longitude"], r["latitude"]): r
+        for r in eng.mann_kendall(2000, 2019).collect()
+    }
+    up = out[(10.0, 50.0)]
+    assert up["trend"] == 1 and up["p_value"] < 0.001
+    assert abs(up["sens_slope"] - 0.01) < 1e-9
+    flat = out[(11.0, 51.0)]
+    assert flat["trend"] == 0 and flat["s_stat"] == 0

@@ -200,6 +200,36 @@ def dbest(
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
+def mann_kendall(
+    obs: DataFrame,
+    year_from: int,
+    year_to: int,
+    bbox: tuple[float, float, float, float] | None = None,
+    point: tuple[float, float] | None = None,
+    composite: str = "mean",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann–Kendall + Sen's slope flow (r7): the non-parametric trend
+    baseline the PolyTrend/DBEST literature benchmarks against, run
+    through the SAME acquisition spine as the reference flows —
+    filter → annual composite → per-series test. No reference analog
+    (the reference offers only the two R algorithms); output per
+    series: n, S, tie-corrected variance, z, two-sided p, trend
+    verdict at α=0.05, Sen's slope (`functions/mannkendall.py`)."""
+    from trendengine_spark.functions.mannkendall import mann_kendall_groups
+
+    series_cols = series_cols or PIXEL
+    df = filter_years(obs, year_from, year_to)
+    if bbox is not None:
+        df = filter_bbox(df, *bbox)
+    if point is not None:
+        df = filter_point(df, *point)
+    annual = annual_composite(df, series_cols, how=composite)
+    return mann_kendall_groups(
+        annual, series_cols, time_col="yr", value_col="value"
+    )
+
+
 class TrendEngine:
     """Facade binding a SparkSession + observation table to the full
     flow surface — the one-object migration target for a reference
@@ -235,3 +265,6 @@ class TrendEngine:
 
     def dbest(self, year_from: int, year_to: int, **kw) -> DataFrame:
         return dbest(self.obs, year_from, year_to, **kw)
+
+    def mann_kendall(self, year_from: int, year_to: int, **kw) -> DataFrame:
+        return mann_kendall(self.obs, year_from, year_to, **kw)
