@@ -28,6 +28,8 @@ registry did not yet cover, each expressed scale-first:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from trendengine_spark.queries.base import query, t
@@ -513,4 +515,70 @@ def u6_mann_kendall_events(spark, sf_dir):
         F.round("p_value", 6).alias("p_value"),
         "trend",
         F.round("sens_slope", 6).alias("sens_slope"),
+    )
+
+
+@query(
+    "agg_trimmed_mean_pandas",
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_used,
+           round(CAST(sum(cents) AS BIGINT) / (100.0 * count(*)), 6)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean_pandas(spark, sf_dir):
+    """10% trimmed mean per series through a GROUPED_AGG pandas UDF —
+    the Arrow-vectorized custom-aggregate API surface (a series-in,
+    scalar-out numpy reduction registered as an aggregate function),
+    exercised here with math that stays hash-exact: values become
+    integer cents (SQL ROUND semantics), the trim drops ⌊n/10⌋ from
+    each end of the SORTED cents, and the mean is one double division
+    of exact integers. The oracle states the identical trim as a
+    rank-window filter — two formulations, one multiset (ties at the
+    cut interchange equal values only).
+
+    Scale note: a grouped-agg pandas UDF materializes each GROUP in
+    executor memory (no partial aggregation) — right for bounded
+    category groups like this; for unbounded keys use the window
+    rendering (shuffle-partitioned) or an approx-percentile trim."""
+
+    @F.pandas_udf("long")
+    def trimmed_sum_cents(v: pd.Series) -> int:
+        x = v.to_numpy(dtype=np.float64)
+        c = np.sort(
+            (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype(np.int64)
+        )
+        k = len(c) // 10
+        return int(c[k : len(c) - k].sum())
+
+    @F.pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        n = len(v)
+        return int(n - 2 * (n // 10))
+
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        trimmed_sum_cents(F.col("value")).alias("s"),
+        trimmed_count(F.col("value")).alias("n_used"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_used").cast("long").alias("n_used"),
+        F.round(F.col("s") / (100.0 * F.col("n_used")), 6).alias(
+            "trimmed_mean"
+        ),
     )
