@@ -202,6 +202,12 @@ def main() -> None:
         "flagship_curation_pipeline",
         "sim_range_search",
         "dedup_paragraph_global",
+        # r7 additions: iterative graph, real-GIF round trip, MK/Sen
+        # UDF, bucketed pure-range join
+        "graph_pagerank_micro",
+        "multimodal_gif_animation",
+        "trend_mann_kendall_stats",
+        "join_time_window_counts",
     ):
         fn = qs[name]
         try:
