@@ -939,3 +939,197 @@ def pq_topk(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------- IVFPQ
+def ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """IVF + residual PQ — the composed index architecture
+    billion-vector systems actually deploy (Jégou et al. 2011, §IV:
+    coarse-quantize, then product-quantize the RESIDUAL x − c(x),
+    which is far lower-variance than x and quantizes better at the
+    same bit budget).
+
+    Build: (1) :func:`ivf_index` Lloyd pass → (id, vec, cell) +
+    centroids; (2) one ``mapInPandas`` residual pass (centroids
+    broadcast, no shuffle); (3) :func:`pq_train_codebooks` on the
+    residual frame; (4) one encode pass carrying ``cell`` through, so
+    the stored index row is (id, cell, m codes) — 20-40 bytes per
+    vector regardless of dimension. Everything distributed except the
+    bounded centroid/codebook state (n_cells·D + m·k·D/m driver-side
+    floats).
+
+    Returns (codes_df(id, cell, codes), centroids, books)."""
+    asg, centroids = ivf_index(
+        corpus, n_cells=n_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sc = corpus.sparkSession.sparkContext
+    bc_cent = sc.broadcast(centroids)
+    res_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def residual(batches):
+        cent = bc_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cells = pdf["cell"].to_numpy()
+            res = mat - cent[cells]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cells, vec_col: list(res)}
+            )
+
+    residuals = owned_cache(
+        asg.mapInPandas(residual, res_schema),
+        f"sim.ivfpq.res.{n_cells}.{m_subspaces}.{k_codes}.{seed}",
+    )
+    books = pq_train_codebooks(
+        residuals, m_subspaces=m_subspaces, k=k_codes, iters=iters,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    bc_books = sc.broadcast(books)
+    m, _, d_sub = books.shape
+    code_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def enc(batches):
+        bks = bc_books.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                block = mat[:, s * d_sub : (s + 1) * d_sub]
+                scores = 2.0 * block @ bks[s].T - (bks[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return residuals.mapInPandas(enc, code_schema), centroids, books
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC search over the composed index: per query, probe the
+    ``nprobe`` max-cosine cells; a candidate's score decomposes as
+    q·x ≈ q·c(cell) + q·r, where q·c is ONE precomputed scalar per
+    (query, cell) and q·r is m lookup-table gathers over the residual
+    codebooks — no vector reconstruction. Candidates come from an
+    equi-join of the code table against the broadcast (query, cell)
+    probe fan-out (the :func:`ivf_topk` pruning shape: N·nprobe/
+    n_cells rows scored, never N·Q); per-batch partial top-k caps the
+    final window at k·Q·partitions rows."""
+    sc = codes.sparkSession.sparkContext
+    spark = codes.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rn int"
+        )
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    m, _, d_sub = books.shape
+    tables = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_ids), m, d_sub), books
+    )
+    # probe fan-out: nprobe max-cosine cells per query + the exact
+    # q·centroid scalar for the score decomposition
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    qn = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+    cell_cos = qn @ cn.T  # (Q, C) for probing
+    cell_dot = q_mat @ centroids.T  # (Q, C) exact q·c for scoring
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        for cell in np.argsort(-cell_cos[qi])[:nprobe]:
+            probe_rows.append(
+                (qid, int(cell), float(cell_dot[qi, cell]), qi)
+            )
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, f"_qid long, cell int, _qc double, _qidx int"
+        )
+    )
+    cands = codes.join(probes, "cell")
+    bc = sc.broadcast(tables)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField(id_col, codes.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        tabs = bc.value
+        subs = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for qidx, grp in pdf.groupby("_qidx"):
+                cd = np.asarray(list(grp["codes"]), dtype=np.int64)
+                s = tabs[qidx][subs, cd].sum(axis=1) + grp["_qc"].to_numpy()
+                ids = grp[id_col].to_numpy()
+                qid = grp["_qid"].iloc[0]
+                cand = np.flatnonzero(ids != qid)
+                top = cand[np.argsort(-s[cand])[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {"_qid": qid, id_col: ids[top], "score": s[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    scored = cands.mapInPandas(score, out_schema)
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.round("score", 4).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -748,3 +748,41 @@ def multimodal_gif_animation(spark, sf_dir):
         "doc_id", "frame_idx", "n_frames", "width", "height", "delay_cs",
         F.round("mean_pixel", 6).alias("mean_pixel"),
     )
+
+
+@query(
+    "sim_ivfpq_topk",
+    sql=None,
+    doc="IVF + residual-PQ composed index (the deployed billion-"
+    "vector architecture): coarse cells prune the corpus to nprobe/"
+    "n_cells, residual codes score by ADC table gathers, no vector "
+    "reconstruction. Rows-only (seeded k-means + hash init have no "
+    "DuckDB twin); recall@10 vs brute force pinned in "
+    "tests/test_llm_ops.py.",
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """Top-5 neighbors for 10 queries through the composed IVFPQ
+    index: q·x ≈ q·c(cell) + q·residual, one scalar + m table
+    lookups per candidate. Candidate volume is N·nprobe/n_cells via
+    the broadcast (query, cell) probe join — the same pruning
+    contract as sim_ivf_topk with 12.8× less candidate payload (codes
+    not vectors)."""
+    from trendengine_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        l2_normalize,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    )
+    codes, centroids, books = ivfpq_index(
+        unit, n_cells=16, m_subspaces=32, k_codes=32, iters=2, seed=7
+    )
+    queries = unit.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        codes, centroids, books, queries, k=5, nprobe=8
+    )
