@@ -582,3 +582,45 @@ def agg_trimmed_mean_pandas(spark, sf_dir):
             "trimmed_mean"
         ),
     )
+
+
+@query(
+    "window_conditional_running",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS purchases_so_far,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS errors_so_far
+    FROM events
+    """,
+)
+def window_conditional_running(spark, sf_dir):
+    """Conditional running aggregates — per-user lifetime counters
+    ("how many purchases had this user made at the time of each
+    event"), the feature-engineering staple for event models. A
+    CASE-gated windowed sum with a deterministic (ts, event_id)
+    order; integer counters, user-partitioned window state, ROWS
+    frame = one running accumulator per partition (no buffering).
+    Two counters share one window spec → one sort, one WindowExec."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id, user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS purchases_so_far,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS errors_so_far
+        FROM events
+        """,
+        ("events",),
+    )
