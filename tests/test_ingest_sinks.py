@@ -706,3 +706,28 @@ def test_join_view_incremental_equals_recompute(spark, tmp_path):
         for r in read_versioned(spark, view).collect()
     )
     assert got == want
+
+
+def test_diff_versions_reports_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.tablelog import diff_versions, write_versioned
+
+    path = str(tmp_path / "vt")
+    v0_df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("x").alias("a"),
+        F.lit(1.0).alias("b"),
+    )
+    v0 = write_versioned(spark, v0_df, path)
+    v1_df = spark.range(25).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.lit("y")).alias("a"),
+        F.lit("new").alias("c"),
+    )
+    v1 = write_versioned(spark, v1_df, path)
+    d = diff_versions(spark, path, v0, v1)
+    assert d["added_columns"] == ["c"]
+    assert d["removed_columns"] == ["b"]
+    assert d["type_changes"] == {}
+    assert (d["rows_old"], d["rows_new"]) == (10, 25)
+    assert d["null_frac_drift"]["a"] == (0.0, 0.2)

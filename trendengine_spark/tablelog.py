@@ -366,3 +366,52 @@ def publish_stream_versioned(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def diff_versions(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> dict:
+    """Change report between two committed versions — the audit a
+    versioned table owes its consumers: schema drift (added/removed
+    columns, type changes), row-count delta, and per-shared-column
+    null-fraction drift. One aggregate pass per version (all counters
+    partial-combined); no row-level diff (that is a join the caller
+    can run on the two snapshots if the report warrants it).
+
+    Returns {added_columns, removed_columns, type_changes,
+    rows_old, rows_new, null_frac_drift: {col: (old, new)}}."""
+    from pyspark.sql import functions as F
+
+    old = read_versioned(spark, path, version=v_old)
+    new = read_versioned(spark, path, version=v_new)
+    ot = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    nt = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    shared = sorted(set(ot) & set(nt))
+
+    def profile(df, cols):
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+            for c in cols
+        ]
+        r = df.agg(*aggs).collect()[0]
+        n = r["_n"]
+        return n, {
+            c: (r[f"_null_{c}"] / n if n else 0.0) for c in cols
+        }
+
+    n_old, nulls_old = profile(old, shared)
+    n_new, nulls_new = profile(new, shared)
+    return {
+        "added_columns": sorted(set(nt) - set(ot)),
+        "removed_columns": sorted(set(ot) - set(nt)),
+        "type_changes": {
+            c: (ot[c], nt[c]) for c in shared if ot[c] != nt[c]
+        },
+        "rows_old": n_old,
+        "rows_new": n_new,
+        "null_frac_drift": {
+            c: (round(nulls_old[c], 6), round(nulls_new[c], 6))
+            for c in shared
+            if nulls_old[c] != nulls_new[c]
+        },
+    }
