@@ -583,3 +583,52 @@ def test_ivfpq_recall_and_contract(spark):
     )
     assert h2 >= hits
     unit.unpersist()
+
+
+def test_incremental_minhash_index_catches_cross_batch_dups(spark, tmp_path):
+    """Production incremental dedup: write the corpus LSH index once,
+    then probe an ingest batch against it — planted near-copies of
+    indexed docs must surface as (new_id, index_id) pairs with high
+    estimated Jaccard; genuinely new docs must not. The corpus is
+    never re-signatured at probe time (the probe plan reads the
+    stored band/signature parquet)."""
+    from trendengine_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx_path = str(tmp_path / "mh_index")
+    meta = write_minhash_index(docs, idx_path)
+    assert meta["n_docs"] == docs.count()
+
+    # ingest batch: 5 exact copies of indexed docs (shifted ids) + 5
+    # fresh token-soup docs that match nothing
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = spark.range(5).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"zq{j}x"), F.col("id").cast("string"))
+              for j in range(30)],
+        ).alias("text"),
+    )
+    batch = copies.unionByName(fresh)
+    hits = incremental_minhash_dedup(batch, idx_path, threshold=0.5)
+    got = hits.toPandas()
+    # every planted copy found against its source doc with est ~1.0
+    planted = got[got.new_id >= 1_000_000]
+    planted = planted[planted.new_id < 2_000_000]
+    found = {(r.new_id, r.index_id) for r in planted.itertuples()}
+    for i in range(5):
+        assert (1_000_000 + i, i) in found
+        assert (
+            got[(got.new_id == 1_000_000 + i) & (got.index_id == i)][
+                "est_jaccard"
+            ].iloc[0]
+            >= 0.99
+        )
+    # fresh docs match nothing
+    assert (got.new_id >= 2_000_000).sum() == 0

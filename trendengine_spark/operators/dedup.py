@@ -512,3 +512,120 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _band_structs_sql(num_perm: int, bands: int) -> str:
+    r = num_perm // bands
+    return ", ".join(
+        "named_struct('band', {bi}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+            bi=bi,
+            parts=", ".join(
+                f"CAST(element_at(signature, {bi * r + j + 1}) AS STRING)"
+                for j in range(r)
+            ),
+        )
+        for bi in range(bands)
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> dict:
+    """Persist the corpus's LSH index for INCREMENTAL dedup: the
+    (id, signature) table and the thin (id, band, bucket) band table
+    as parquet, plus a params manifest — so tomorrow's ingest batch
+    can be checked against today's corpus WITHOUT re-signaturing the
+    corpus (the production posture: the index is written once per
+    corpus snapshot and probed per batch). Band-table layout is the
+    probe-side join key order (band, bucket), so at scale it can be
+    written bucketed on those keys for an exchange-free probe join."""
+    import json as _json
+    import os
+
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into bands")
+    spark = df.sparkSession
+    sig = minhash_signatures(df, num_perm, id_col, text_col, n)
+    view = f"_te_mh_index_{num_perm}_{bands}"
+    sig.createOrReplaceTempView(view)
+    os.makedirs(path, exist_ok=True)
+    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    spark.sql(
+        f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
+        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"bt AS bh"
+    ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    meta = {"num_perm": num_perm, "bands": bands, "n": n}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    n_docs = spark.read.parquet(os.path.join(path, "signatures")).count()
+    return {**meta, "n_docs": n_docs}
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Check an INGEST BATCH against a stored corpus index
+    (:func:`write_minhash_index`): signature only the new documents,
+    equi-join their band buckets against the persisted band table
+    (new × stored — never corpus × corpus, and the corpus is never
+    re-processed), then verify candidates with the estimated Jaccard
+    from the two signature tables. Returns
+    (new_id, index_id, est_jaccard ≥ threshold) — the rows a
+    curation pipeline drops (or routes to exact verification) before
+    admitting the batch. Index params are read from the manifest, so
+    probe and index can never silently disagree on the hash family."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    spark = new_docs.sparkSession
+    sig_new = owned_cache(
+        minhash_signatures(new_docs, num_perm, id_col, text_col, n),
+        f"dedup.mh.incr.{num_perm}.{bands}",
+    )
+    nview = f"_te_mh_new_{num_perm}_{bands}"
+    sig_new.createOrReplaceTempView(nview)
+    spark.read.parquet(os.path.join(index_path, "bands")).createOrReplaceTempView(
+        f"{nview}_stored_bands"
+    )
+    spark.read.parquet(
+        os.path.join(index_path, "signatures")
+    ).createOrReplaceTempView(f"{nview}_stored_sig")
+    banded_new = (
+        f"(SELECT id, bh.band AS band, bh.bucket AS bucket FROM {nview} "
+        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"bt AS bh)"
+    )
+    est = (
+        "size(filter(zip_with(sa.signature, sb.signature,"
+        " (x, y) -> CAST(x = y AS INT)), v -> v = 1))"
+        f" / CAST({num_perm} AS DOUBLE)"
+    )
+    return spark.sql(
+        f"""
+        SELECT new_id, index_id, round(est_jaccard, 6) AS est_jaccard
+        FROM (
+          SELECT new_id, index_id, {est} AS est_jaccard
+          FROM (
+            SELECT DISTINCT a.id AS new_id, b.id AS index_id
+            FROM {banded_new} a JOIN {nview}_stored_bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+          ) cands
+          JOIN {nview} sa ON sa.id = new_id
+          JOIN {nview}_stored_sig sb ON sb.id = index_id
+        ) WHERE est_jaccard >= {threshold!r}
+        """
+    )
