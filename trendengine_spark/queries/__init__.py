@@ -108,6 +108,8 @@ _SPINE_FIRST = [
     "agg_trimmed_mean_pandas",  # NEW r7: GROUPED_AGG pandas UDF surface
     "sim_ivfpq_topk",  # NEW r7: composed IVF + residual-PQ index
     "window_conditional_running",  # NEW r7: lifetime-counter features
+    "dedup_incremental_batch",  # NEW r7: persisted-index batch dedup
+    "pipeline_bernoulli_sample",  # NEW r7: engine-portable sampling
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",

@@ -786,3 +786,70 @@ def sim_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(
         codes, centroids, books, queries, k=5, nprobe=8
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    sql=None,
+    doc="Incremental cross-batch dedup: even-id docs build the "
+    "persisted MinHash band/signature index (write once per corpus "
+    "snapshot), odd-id docs probe it as the 'ingest batch'. "
+    "new x stored bucket join only — the corpus is never "
+    "re-signatured at probe time. Rows-only (xxhash64 family); the "
+    "planted cross-batch recall contract is pinned in "
+    "tests/test_llm_ops.py.",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """The production shape of corpus dedup: today's corpus snapshot
+    is indexed ONCE (band + signature parquet with a params
+    manifest); every ingest batch is checked against the stored
+    index before admission. Here even-doc_ids play the corpus, odd
+    the batch — near-dup (new_id, index_id, est_jaccard) pairs out."""
+    import os
+    import tempfile
+
+    from trendengine_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"te_mh_index_{abs(hash(sf_dir)) % 10**8}",
+    )
+    write_minhash_index(corpus, idx)
+    return incremental_minhash_dedup(batch, idx, threshold=0.5)
+
+
+@query(
+    "pipeline_bernoulli_sample",
+    sql="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def pipeline_bernoulli_sample(spark, sf_dir):
+    """Engine-portable deterministic Bernoulli sampling at p = 4/16:
+    keep a document iff the first hex digit of md5(doc_id) falls in a
+    fixed prefix set. Unlike TABLESAMPLE / rand(seed) — whose
+    sampling sequences are ENGINE- and PARTITIONING-specific — the
+    md5 draw gives the same sample on Spark, DuckDB, or a shell
+    one-liner, and survives repartitioning, retries and engine
+    migrations: the reproducibility contract a training-data
+    pipeline actually needs. Pure filter — pushes to the scan, no
+    shuffle, no RNG state."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1)
+              IN ('0','1','2','3')
+        """,
+        ("documents",),
+    )
