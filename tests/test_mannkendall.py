@@ -90,3 +90,30 @@ def test_mk_groups_matches_direct(spark):
         assert out[g]["var_s18"] == want["var_s18"]
         assert abs(out[g]["p_value"] - want["p_value"]) < 1e-12
         assert abs(out[g]["sens_slope"] - sens_slope(np.array(series))) < 1e-12
+
+
+def test_seasonal_mk_removes_cycle_finds_trend():
+    """A pure annual cycle must test as NO trend seasonally; cycle +
+    monotone drift must test positive with Sen ~ the drift per year."""
+    import numpy as np
+
+    from trendengine_spark.functions.mannkendall import (
+        seasonal_mann_kendall,
+    )
+
+    months = np.tile(np.arange(12), 10)  # 10 years monthly
+    cycle = np.sin(2 * np.pi * months / 12) * 5.0
+    r0 = seasonal_mann_kendall(cycle, months)
+    assert r0["s_total"] == 0 and r0["trend"] == 0
+    # build series ordered (month, year) as the groups wrapper sorts:
+    # each month's across-year series gains +1/year drift on the cycle
+    y = np.concatenate(
+        [cycle[months == m][:10] + np.arange(10) * 1.0 for m in range(12)]
+    )
+    s = np.concatenate([[m] * 10 for m in range(12)])
+    r1 = seasonal_mann_kendall(y, s)
+    assert r1["trend"] == 1 and r1["p_value"] < 1e-6
+    assert abs(r1["seasonal_sen"] - 1.0) < 1e-9
+    # combined variance equals sum of per-month variances: 12 months
+    # of an n=10 untied series
+    assert r1["var_s18_total"] == 12 * (10 * 9 * 25)

@@ -132,3 +132,88 @@ def mann_kendall_groups(
         return pd.DataFrame([row])
 
     return df.groupBy(*keys).applyInPandas(fit, schema)
+
+
+def seasonal_mann_kendall(
+    y: np.ndarray, seasons: np.ndarray
+) -> dict:
+    """Seasonal (Hirsch–Slack) Mann–Kendall: run MK WITHIN each
+    season's across-year series and combine — S_total = Σ_m S_m,
+    Var_total = Σ_m Var_m (seasons are independent under H0), normal
+    approximation on the combined statistic. The standard test for
+    series with strong annual cycles (NDVI!), where plain MK reads
+    the seasonal swing as spurious trend/noise. ``seasons`` labels
+    each observation (e.g. month-of-year); within a season the
+    observations must already be time-ordered. Seasonal Sen slope =
+    median of all WITHIN-season pairwise slopes (x = within-season
+    rank index)."""
+    y = np.asarray(y, dtype=np.float64)
+    seasons = np.asarray(seasons)
+    s_total = 0
+    var18_total = 0
+    slopes: list[np.ndarray] = []
+    for m in np.unique(seasons):
+        ym = y[seasons == m]
+        r = mann_kendall(ym)
+        s_total += r["s"]
+        var18_total += r["var_s18"]
+        if len(ym) >= 2:
+            iu, ju = np.triu_indices(len(ym), 1)
+            slopes.append((ym[ju] - ym[iu]) / (ju - iu))
+    var_s = var18_total / 18.0
+    if var_s <= 0:
+        z = 0.0
+    elif s_total > 0:
+        z = (s_total - 1) / math.sqrt(var_s)
+    elif s_total < 0:
+        z = (s_total + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    p = _erfc(abs(z) / math.sqrt(2.0))
+    return {
+        "s_total": int(s_total),
+        "var_s18_total": int(var18_total),
+        "z": z,
+        "p_value": p,
+        "trend": int(np.sign(s_total)) if p < 0.05 else 0,
+        "seasonal_sen": float(np.median(np.concatenate(slopes)))
+        if slopes
+        else 0.0,
+    }
+
+
+SMK_SCHEMA = T.StructType(
+    [
+        T.StructField("s_total", T.LongType(), True),
+        T.StructField("var_s18_total", T.LongType(), True),
+        T.StructField("z", T.DoubleType(), True),
+        T.StructField("p_value", T.DoubleType(), True),
+        T.StructField("trend", T.IntegerType(), True),
+        T.StructField("seasonal_sen", T.DoubleType(), True),
+    ]
+)
+
+
+def seasonal_mann_kendall_groups(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str = "time",
+    season_col: str = "season",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group seasonal MK via ``applyInPandas`` (explicit
+    (season, time) in-group sort)."""
+    key_fields = [df.schema[k] for k in keys]
+    schema = T.StructType(list(key_fields) + list(SMK_SCHEMA.fields))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([season_col, time_col])
+        r = seasonal_mann_kendall(
+            pdf[value_col].to_numpy(dtype=np.float64),
+            pdf[season_col].to_numpy(),
+        )
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(r)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(fit, schema)

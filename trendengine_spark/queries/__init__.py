@@ -110,6 +110,7 @@ _SPINE_FIRST = [
     "window_conditional_running",  # NEW r7: lifetime-counter features
     "dedup_incremental_batch",  # NEW r7: persisted-index batch dedup
     "pipeline_bernoulli_sample",  # NEW r7: engine-portable sampling
+    "trend_seasonal_mann_kendall",  # NEW r7: Hirsch-Slack seasonal MK
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",

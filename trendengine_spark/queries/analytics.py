@@ -649,3 +649,80 @@ def window_conditional_running(spark, sf_dir):
         """,
         ("events",),
     )
+
+
+@query(
+    "trend_seasonal_mann_kendall",
+    sql="""
+    WITH monthly AS (
+      SELECT event_type, year(ts) AS yy, month(ts) AS mm,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), idx AS (
+      SELECT event_type, mm, v,
+             row_number() OVER (PARTITION BY event_type, mm ORDER BY yy)
+               AS i
+      FROM monthly
+    ), pairs AS (
+      SELECT a.event_type, CAST(sign(b.v - a.v) AS BIGINT) AS sg,
+             (b.v - a.v) / CAST(b.i - a.i AS DOUBLE) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.mm = b.mm AND b.i > a.i
+    ), agg AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_total,
+             round(median(slope), 6) AS seasonal_sen
+      FROM pairs GROUP BY 1
+    ), counts AS (
+      SELECT event_type, mm, CAST(count(*) AS BIGINT) AS n
+      FROM monthly GROUP BY 1, 2
+    ), ties AS (
+      SELECT event_type, mm,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, mm, v, CAST(count(*) AS BIGINT) AS t
+            FROM monthly GROUP BY 1, 2, 3) g
+      GROUP BY 1, 2
+    ), var18 AS (
+      SELECT c.event_type,
+             CAST(sum(c.n * (c.n - 1) * (2 * c.n + 5) - t.tie_term)
+                  AS BIGINT) AS var_s18_total
+      FROM counts c JOIN ties t
+        ON c.event_type = t.event_type AND c.mm = t.mm
+      GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(COALESCE(a.s_total, 0) AS BIGINT) AS s_total,
+           v.var_s18_total,
+           COALESCE(a.seasonal_sen, 0.0) AS seasonal_sen
+    FROM var18 v LEFT JOIN agg a ON v.event_type = a.event_type
+    """,
+)
+def trend_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal (Hirsch–Slack) Mann–Kendall over monthly event-count
+    series — the trend test the reference's DOMAIN actually calls
+    for: NDVI-class series carry a hard annual cycle, and plain MK
+    reads the cycle as noise (or worse, trend). The seasonal variant
+    tests each month-of-year's across-year series and combines
+    S/Var; the seasonal Sen slope pools within-month pairwise
+    slopes. Same cross-paradigm oracle as trend_mann_kendall_stats:
+    Spark runs the numpy `seasonal_mann_kendall_groups` UDF, DuckDB
+    states the combination relationally (month-partitioned pairwise
+    self-join + per-month tie terms) — integer-exact S and variance
+    numerator, median of identical rationals."""
+    from trendengine_spark.functions.mannkendall import (
+        seasonal_mann_kendall_groups,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type",
+        F.year("ts").alias("yy"),
+        F.month("ts").alias("mm"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    smk = seasonal_mann_kendall_groups(
+        monthly, ["event_type"], time_col="yy", season_col="mm",
+        value_col="v",
+    )
+    return smk.select(
+        "event_type", "s_total", "var_s18_total",
+        F.round("seasonal_sen", 6).alias("seasonal_sen"),
+    )
