@@ -269,3 +269,34 @@ def test_mann_kendall_flow_detects_planted_trend(spark):
     assert abs(up["sens_slope"] - 0.01) < 1e-9
     flat = out[(11.0, 51.0)]
     assert flat["trend"] == 0 and flat["s_stat"] == 0
+
+
+def test_seasonal_mann_kendall_flow(spark):
+    """Seasonal MK through the monthly-composite spine: a pixel with
+    a pure annual cycle must test trend=0; cycle + drift trend=+1."""
+    import math
+
+    import pandas as pd
+
+    from trendengine_spark.engine import TrendEngine
+
+    rows = []
+    for yr in range(2000, 2012):
+        for m in range(1, 13):
+            cyc = 0.3 * math.sin(2 * math.pi * m / 12)
+            rows.append((10.0, 50.0, pd.Timestamp(f"{yr}-{m:02d}-15"),
+                         0.5 + cyc))
+            rows.append((11.0, 51.0, pd.Timestamp(f"{yr}-{m:02d}-15"),
+                         0.5 + cyc + 0.02 * (yr - 2000)))
+    obs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["longitude", "latitude", "time", "value"])
+    )
+    eng = TrendEngine(spark, obs)
+    out = {
+        (r["longitude"], r["latitude"]): r
+        for r in eng.seasonal_mann_kendall(2000, 2011).collect()
+    }
+    assert out[(10.0, 50.0)]["trend"] == 0
+    up = out[(11.0, 51.0)]
+    assert up["trend"] == 1 and up["p_value"] < 1e-6
+    assert abs(up["seasonal_sen"] - 0.02) < 1e-9

@@ -230,6 +230,39 @@ def mann_kendall(
     )
 
 
+def seasonal_mann_kendall(
+    obs: DataFrame,
+    year_from: int,
+    year_to: int,
+    bbox: tuple[float, float, float, float] | None = None,
+    point: tuple[float, float] | None = None,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """Seasonal (Hirsch–Slack) Mann–Kendall flow (r7): MONTHLY
+    composite → per-series seasonal MK (month-of-year as the season
+    label). The right trend test for NDVI-class series, whose annual
+    cycle plain MK reads as noise; combines per-month S/Var and pools
+    within-month Sen slopes (`functions/mannkendall.py`)."""
+    from trendengine_spark.functions.mannkendall import (
+        seasonal_mann_kendall_groups,
+    )
+
+    series_cols = series_cols or PIXEL
+    df = filter_years(obs, year_from, year_to)
+    if bbox is not None:
+        df = filter_bbox(df, *bbox)
+    if point is not None:
+        df = filter_point(df, *point)
+    monthly = monthly_composite(df, series_cols)
+    monthly = monthly.withColumn(
+        "season", F.month("period_start")
+    ).withColumn("yy", F.year("period_start"))
+    return seasonal_mann_kendall_groups(
+        monthly, series_cols, time_col="yy", season_col="season",
+        value_col="value",
+    )
+
+
 class TrendEngine:
     """Facade binding a SparkSession + observation table to the full
     flow surface — the one-object migration target for a reference
@@ -268,3 +301,8 @@ class TrendEngine:
 
     def mann_kendall(self, year_from: int, year_to: int, **kw) -> DataFrame:
         return mann_kendall(self.obs, year_from, year_to, **kw)
+
+    def seasonal_mann_kendall(
+        self, year_from: int, year_to: int, **kw
+    ) -> DataFrame:
+        return seasonal_mann_kendall(self.obs, year_from, year_to, **kw)
