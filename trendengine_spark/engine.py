@@ -263,6 +263,37 @@ def seasonal_mann_kendall(
     )
 
 
+def bfast_monitor(
+    obs: DataFrame,
+    year_from: int,
+    year_to: int,
+    bbox: tuple[float, float, float, float] | None = None,
+    point: tuple[float, float] | None = None,
+    series_cols: list[str] | None = None,
+    freq: float = 12.0,
+    h_frac: float = 0.25,
+    lam: float = 4.0,
+) -> DataFrame:
+    """BFAST-monitor-lite flow (r7): monthly composite → per-series
+    MOSUM monitoring against the stable-history harmonic+trend fit —
+    near-real-time disturbance detection, the monitoring complement
+    to the offline dbest() change detection
+    (`functions/bfast.py`; golden-tested planted-shift contract)."""
+    from trendengine_spark.functions.bfast import bfast_monitor_groups
+
+    series_cols = series_cols or PIXEL
+    df = filter_years(obs, year_from, year_to)
+    if bbox is not None:
+        df = filter_bbox(df, *bbox)
+    if point is not None:
+        df = filter_point(df, *point)
+    monthly = monthly_composite(df, series_cols)
+    return bfast_monitor_groups(
+        monthly, series_cols, time_col="period_start",
+        value_col="value", freq=freq, h_frac=h_frac, lam=lam,
+    )
+
+
 class TrendEngine:
     """Facade binding a SparkSession + observation table to the full
     flow surface — the one-object migration target for a reference
@@ -306,3 +337,6 @@ class TrendEngine:
         self, year_from: int, year_to: int, **kw
     ) -> DataFrame:
         return seasonal_mann_kendall(self.obs, year_from, year_to, **kw)
+
+    def bfast_monitor(self, year_from: int, year_to: int, **kw) -> DataFrame:
+        return bfast_monitor(self.obs, year_from, year_to, **kw)

@@ -111,6 +111,7 @@ _SPINE_FIRST = [
     "dedup_incremental_batch",  # NEW r7: persisted-index batch dedup
     "pipeline_bernoulli_sample",  # NEW r7: engine-portable sampling
     "trend_seasonal_mann_kendall",  # NEW r7: Hirsch-Slack seasonal MK
+    "u7_bfast_monitor_events",  # NEW r7: MOSUM disturbance monitoring
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",

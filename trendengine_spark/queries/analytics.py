@@ -726,3 +726,38 @@ def trend_seasonal_mann_kendall(spark, sf_dir):
         "event_type", "s_total", "var_s18_total",
         F.round("seasonal_sen", 6).alias("seasonal_sen"),
     )
+
+
+@query(
+    "u7_bfast_monitor_events",
+    sql=None,
+    doc="BFAST-monitor-lite MOSUM disturbance detection per event-type "
+    "daily series: harmonic+trend fit on the stable history (first "
+    "60%), moving sums of scaled residuals over the monitoring "
+    "period, alarm on boundary crossing with break date + magnitude. "
+    "Rows-only (OLS/MOSUM has no DuckDB twin); the detection contract "
+    "is pinned by golden tests (tests/test_bfast.py: planted shifts "
+    "found within one window, stable/seasonal/trending series do not "
+    "alarm).",
+)
+def u7_bfast_monitor_events(spark, sf_dir):
+    """Near-real-time disturbance monitoring (the streaming-adjacent
+    complement to DBEST's offline change detection, re-derived from
+    the published BFAST-Monitor method): per series, is the NEWEST
+    data still behaving like the stable history? Daily counts per
+    event_type with weekly seasonality (freq=7)."""
+    from trendengine_spark.functions.bfast import bfast_monitor_groups
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    out = bfast_monitor_groups(
+        daily, ["event_type"], time_col="d", value_col="v", freq=7.0
+    )
+    return out.select(
+        "event_type", "break_detected", "break_idx",
+        F.round("magnitude", 6).alias("magnitude"),
+        F.round("mosum_max", 6).alias("mosum_max"),
+        "n_history", "n_monitor",
+    )
