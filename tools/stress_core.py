@@ -6,8 +6,22 @@ measures the two applyInPandas fitting stages end-to-end. This is
 the scale-out evidence for SURVEY §4.3: per-series work is bounded,
 so throughput is linear in cores and series count.
 
-Observed on local[32] (round 2): 2.4M rows → DBEST ~1.5k series/s,
-PolyTrend ~3.2k series/s.
+Observed on local[32], 2.4M rows (10k series × 240 months):
+
+    r2: DBEST ~1.5k series/s, PolyTrend ~3.2k series/s
+    r7 (pre-fix): DBEST had regressed to ~212 series/s — two causes
+        found and fixed this round: (a) the STL LOESS smoother ran a
+        per-evaluation-point Python loop (~98% of the fit; now
+        vectorized across evaluation points, bit-identical — 87 →
+        27 ms/series), and (b) AQE's BYTE-based partition coalescing
+        starved the CPU-dense fitting shuffle down to 8 tasks on 32
+        cores (now pinned via util.fit_partitioned on every
+        applyInPandas fitting wrapper).
+    r7 (post-fix): DBEST 537 series/s, PolyTrend 2.7k, Mann-Kendall
+        3.1k, seasonal MK 2.5k, BFAST-monitor 4.0k series/s.
+        (BFAST alarms ≈ 0 here BY DESIGN: the planted shift at month
+        120 falls inside the 144-month history window, so the 4
+        alarms measure the λ=4 false-positive rate — 0.04%.)
 
 Usage: python tools/stress_core.py [n_series] [n_months]
 """
@@ -61,6 +75,47 @@ def main() -> None:
     npt = polytrend_groups(obs, ["sid"], time_col="period_start").count()
     dt = time.perf_counter() - t0
     print(f"polytrend: {npt} series in {dt:.1f}s -> {npt / dt:.0f} series/s")
+
+    # r7 additions: MK (O(n²) pairwise triangle per series), seasonal
+    # MK (12 within-month triangles), BFAST-monitor (OLS + MOSUM)
+    from trendengine_spark.functions.bfast import bfast_monitor_groups
+    from trendengine_spark.functions.mannkendall import (
+        mann_kendall_groups,
+        seasonal_mann_kendall_groups,
+    )
+
+    t0 = time.perf_counter()
+    nmk = mann_kendall_groups(
+        obs, ["sid"], time_col="period_start", value_col="value"
+    ).count()
+    dt = time.perf_counter() - t0
+    print(f"mann_kendall: {nmk} series in {dt:.1f}s -> {nmk / dt:.0f} series/s")
+
+    smk_in = obs.withColumn("season", F.month("period_start")).withColumn(
+        "yy", F.year("period_start")
+    )
+    t0 = time.perf_counter()
+    nsmk = seasonal_mann_kendall_groups(
+        smk_in, ["sid"], time_col="yy", season_col="season",
+        value_col="value",
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"seasonal_mk: {nsmk} series in {dt:.1f}s -> {nsmk / dt:.0f} series/s"
+    )
+
+    t0 = time.perf_counter()
+    bf = bfast_monitor_groups(
+        obs, ["sid"], time_col="period_start", value_col="value"
+    )
+    n_alarm = bf.filter("break_detected").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"bfast_monitor: {n_series} series in {dt:.1f}s -> "
+        f"{n_series / dt:.0f} series/s; {n_alarm} alarms "
+        f"(the planted month-120 shift sits INSIDE the history "
+        f"window, so alarms here measure the false-positive rate)"
+    )
 
 
 if __name__ == "__main__":

@@ -152,4 +152,6 @@ def bfast_monitor_groups(
         )
         return pd.DataFrame([row])
 
-    return df.groupBy(*keys).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(df, keys).groupBy(*keys).applyInPandas(fit, schema)

@@ -375,7 +375,9 @@ def dbest_changes(
         ]
         return pd.DataFrame(rows, columns=out_cols)
 
-    return obs.groupBy(*series_cols).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(obs, series_cols).groupBy(*series_cols).applyInPandas(fit, schema)
 
 
 def dbest_decomposition(
@@ -416,7 +418,9 @@ def dbest_decomposition(
                 row[k] = res[k]
         return pd.DataFrame([row], columns=out_cols)
 
-    return obs.groupBy(*series_cols).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(obs, series_cols).groupBy(*series_cols).applyInPandas(fit, schema)
 
 
 def dbest_generalize(
@@ -457,4 +461,6 @@ def dbest_generalize(
                 row[k] = res[k]
         return pd.DataFrame([row], columns=out_cols)
 
-    return obs.groupBy(*series_cols).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(obs, series_cols).groupBy(*series_cols).applyInPandas(fit, schema)

@@ -131,7 +131,9 @@ def mann_kendall_groups(
         )
         return pd.DataFrame([row])
 
-    return df.groupBy(*keys).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(df, keys).groupBy(*keys).applyInPandas(fit, schema)
 
 
 def seasonal_mann_kendall(
@@ -216,4 +218,6 @@ def seasonal_mann_kendall_groups(
         row.update(r)
         return pd.DataFrame([row])
 
-    return df.groupBy(*keys).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(df, keys).groupBy(*keys).applyInPandas(fit, schema)

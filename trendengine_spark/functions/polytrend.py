@@ -178,4 +178,6 @@ def polytrend_groups(
             row["ts"] = y.tolist()
         return pd.DataFrame([row], columns=out_cols)
 
-    return obs.groupBy(*series_cols).applyInPandas(fit, schema)
+    from trendengine_spark.operators.util import fit_partitioned
+
+    return fit_partitioned(obs, series_cols).groupBy(*series_cols).applyInPandas(fit, schema)

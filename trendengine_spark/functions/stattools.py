@@ -197,28 +197,32 @@ def _loess(
     n = x.size
     if xeval is None:
         xeval = x
-    out = np.empty(xeval.size)
+    xeval = np.asarray(xeval, dtype=np.float64)
     r = np.ones(n) if rho is None else np.asarray(rho, dtype=np.float64)
     q_eff = min(q, n)
-    for i, x0 in enumerate(xeval):
-        d = np.abs(x - x0)
-        # bandwidth: distance to the q-th nearest, inflated when q > n
-        lam = np.partition(d, q_eff - 1)[q_eff - 1]
-        if q > n:
-            lam += (q - n) / 2.0
-        if lam <= 0:
-            lam = 1.0
-        w = np.clip(1.0 - (d / lam) ** 3, 0.0, None) ** 3 * r
-        sw = w.sum()
-        if sw <= 0:
-            out[i] = y.mean()
-            continue
-        xm = (w * x).sum() / sw
-        ym = (w * y).sum() / sw
-        denom = (w * (x - xm) ** 2).sum()
-        slope = 0.0 if denom <= 0 else (w * (x - xm) * (y - ym)).sum() / denom
-        out[i] = ym + slope * (x0 - xm)
-    return out
+    # vectorized across evaluation points (r7: the per-point Python
+    # loop dominated DBEST at ~85 ms/series — 98% of the fit). All
+    # reductions are elementwise-multiply + sum(axis=1), the same
+    # pairwise summation over the same operand order as the scalar
+    # loop's 1-D sums, so results are bit-identical; memory is the
+    # (E, n) weight matrix — E, n ≤ series length, trivial for
+    # composited series.
+    d = np.abs(x[None, :] - xeval[:, None])  # (E, n)
+    lam = np.partition(d, q_eff - 1, axis=1)[:, q_eff - 1]
+    if q > n:
+        lam = lam + (q - n) / 2.0
+    lam = np.where(lam <= 0.0, 1.0, lam)
+    w = np.clip(1.0 - (d / lam[:, None]) ** 3, 0.0, None) ** 3 * r[None, :]
+    sw = w.sum(axis=1)
+    safe_sw = np.where(sw <= 0.0, 1.0, sw)
+    xm = (w * x[None, :]).sum(axis=1) / safe_sw
+    ym = (w * y[None, :]).sum(axis=1) / safe_sw
+    dx = x[None, :] - xm[:, None]
+    denom = (w * dx**2).sum(axis=1)
+    num = (w * dx * (y[None, :] - ym[:, None])).sum(axis=1)
+    slope = np.where(denom <= 0.0, 0.0, num / np.where(denom <= 0.0, 1.0, denom))
+    out = ym + slope * (xeval - xm)
+    return np.where(sw <= 0.0, y.mean() if n else 0.0, out)
 
 
 def _ma(a: np.ndarray, m: int) -> np.ndarray:

@@ -150,3 +150,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     if est_splits < target:
         return df.repartition(target)
     return df
+
+
+def fit_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Pin the parallelism of a CPU-dense, byte-light grouped fitting
+    stage (r7). AQE's coalescing is BYTE-based: a 2,000-series
+    fitting input is a few MB, so the post-shuffle stage coalesces to
+    a handful of tasks — starving an ``applyInPandas`` stage whose
+    cost is CPU per GROUP, not bytes (measured: the DBEST fit ran 8
+    tasks on a 32-core box, 4× under-parallel). An EXPLICIT
+    ``repartition(n, keys)`` is exempt from AQE coalescing, and the
+    downstream ``groupBy(keys)`` reuses its hash partitioning (no
+    second exchange), so the fit runs at the session's configured
+    shuffle width exactly. At 100 TB the same pin simply honors the
+    user's shuffle sizing — byte-heavy inputs were never coalesced
+    in the first place."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
