@@ -1083,9 +1083,14 @@ def ivfpq_topk(
             probe_rows.append(
                 (qid, int(cell), float(cell_dot[qi, cell]), qi)
             )
+    if not all(isinstance(q, (int, np.integer)) for q in q_ids):
+        raise ValueError(
+            "ivfpq_topk requires integer query ids (the probe fan-out "
+            "frame is typed long)"
+        )
     probes = F.broadcast(
         spark.createDataFrame(
-            probe_rows, f"_qid long, cell int, _qc double, _qidx int"
+            probe_rows, "_qid long, cell int, _qc double, _qidx int"
         )
     )
     cands = codes.join(probes, "cell")
