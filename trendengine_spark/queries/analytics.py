@@ -761,3 +761,61 @@ def u7_bfast_monitor_events(spark, sf_dir):
         F.round("mosum_max", 6).alias("mosum_max"),
         "n_history", "n_monitor",
     )
+
+
+@query(
+    "hier_share_of_parent",
+    sql="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+      FROM nat GROUP BY region
+    )
+    SELECT nat.region, nat.nation, nat.cents,
+           round(nat.cents / CAST(reg.region_cents AS DOUBLE), 6)
+             AS share_of_region
+    FROM nat JOIN reg ON nat.region = reg.region
+    """,
+)
+def hier_share_of_parent(spark, sf_dir):
+    """Share-of-parent over the geography hierarchy (nation revenue /
+    its region's revenue) — the drill-down ratio every BI layer
+    computes. Plan: ONE grouped aggregate at the leaf level (money in
+    integer cents — partial+final exact), then the parent level is
+    re-aggregated FROM THE LEAF ROWS (a ≤#nations-row frame), not
+    from a second fact scan, and joined back broadcast-small. The
+    window alternative (`sum() OVER (PARTITION BY region)`) computes
+    the same thing but re-shuffles every leaf row; aggregating the
+    aggregate touches #groups rows instead."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        WITH nat AS (
+          SELECT r.r_name AS region, n.n_name AS nation,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          JOIN region r   ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2
+        ), reg AS (
+          SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+          FROM nat GROUP BY region
+        )
+        SELECT nat.region, nat.nation, nat.cents,
+               round(nat.cents / CAST(reg.region_cents AS DOUBLE), 6)
+                 AS share_of_region
+        FROM nat JOIN reg ON nat.region = reg.region
+        """,
+        ("orders", "customer", "nation", "region"),
+    )
