@@ -113,6 +113,7 @@ _SPINE_FIRST = [
     "trend_seasonal_mann_kendall",  # NEW r7: Hirsch-Slack seasonal MK
     "u7_bfast_monitor_events",  # NEW r7: MOSUM disturbance monitoring
     "hier_share_of_parent",  # NEW r7: drill-down ratio (agg-of-agg)
+    "rollup_grouping_id",  # NEW r7: GROUPING()/grouping-id parity
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",

@@ -819,3 +819,44 @@ def hier_share_of_parent(spark, sf_dir):
         """,
         ("orders", "customer", "nation", "region"),
     )
+
+
+@query(
+    "rollup_grouping_id",
+    sql="""
+    SELECT
+      CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+           ELSE o_orderpriority END AS priority,
+      CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+           ELSE o_orderstatus END AS status,
+      CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+           AS INT) AS gid,
+      CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_grouping_id(spark, sf_dir):
+    """GROUPING()/grouping-id dialect parity: subtotal rows in a
+    ROLLUP are distinguished from genuine NULL group values by the
+    GROUPING() flag (the only correct way — a NULL-check misreads
+    data nulls as subtotals), folded here into a composite grouping
+    id and a labeled drill path. One expand + one aggregate; the
+    flags are plan metadata, free at any scale."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        """
+        SELECT
+          CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+               ELSE o_orderpriority END AS priority,
+          CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+               ELSE o_orderstatus END AS status,
+          CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+               AS INT) AS gid,
+          CAST(count(1) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        ("orders",),
+    )
