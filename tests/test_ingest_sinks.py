@@ -731,3 +731,76 @@ def test_diff_versions_reports_drift(spark, tmp_path):
     assert d["type_changes"] == {}
     assert (d["rows_old"], d["rows_new"]) == (10, 25)
     assert d["null_frac_drift"]["a"] == (0.0, 0.2)
+
+
+def test_compact_carries_batch_id_and_rebases_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 (medium): compaction is a FOLDED commit — it must
+    (a) carry the newest manifest's streaming batch_id into the
+    compacted manifest so a replayed microbatch after maintenance is
+    still a no-op, and (b) commit pinned to its snapshot slot and
+    REBASE a concurrent append (its files appended onto the compacted
+    set) instead of silently dropping it via a stale-list retry."""
+    import trendengine_spark.tablelog as tl
+
+    path = str(tmp_path / "vt")
+    for b in range(3):
+        df = spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "k")
+        tl.publish_versioned_batch(df, b, path, mode="append")
+    assert tl.last_batch_id(path) == 2
+
+    # no-race compaction: batch_id survives maintenance
+    v = tl.compact_versioned(spark, path)
+    assert tl.last_batch_id(path) == 2
+    assert tl.read_versioned(spark, path).count() == 30
+    replay = spark.range(0, 10).withColumnRenamed("id", "k")
+    assert tl.publish_versioned_batch(replay, 2, path, mode="append") is False
+
+    # raced compaction: a concurrent append lands between compaction's
+    # snapshot read and its commit (injected via the staging hook)
+    real_stage = tl._stage_files
+    state = {"raced": False}
+
+    def stage_and_race(df, p):
+        files = real_stage(df, p)
+        if not state["raced"]:
+            state["raced"] = True
+            extra = spark.range(100, 110).withColumnRenamed("id", "k")
+            tl.publish_versioned_batch(extra, 99, p, mode="append")
+        return files
+
+    monkeypatch.setattr(tl, "_stage_files", stage_and_race)
+    tl.compact_versioned(spark, path)
+    monkeypatch.setattr(tl, "_stage_files", real_stage)
+    got = sorted(r["k"] for r in tl.read_versioned(spark, path).collect())
+    assert got == sorted(list(range(30)) + list(range(100, 110)))
+    # the rebase adopted the winner's batch marker
+    assert tl.last_batch_id(path) == 99
+    assert (
+        tl.publish_versioned_batch(replay, 99, path, mode="append") is False
+    )
+
+
+def test_commit_manifest_base_version_pins_slot(tmp_path):
+    """base_version pins a folded commit to snapshot+1: a taken slot
+    raises instead of drifting to a later slot with a stale list; the
+    retry mode refuses the pin (it would spin on one slot)."""
+    import os
+
+    import pytest
+
+    import trendengine_spark.tablelog as tl
+
+    path = str(tmp_path / "vt")
+    os.makedirs(os.path.join(path, "_manifests"))
+    os.makedirs(os.path.join(path, "data"))
+    v0 = tl._commit_manifest(path, ["a.parquet"])
+    assert v0 == 0
+    with pytest.raises(FileExistsError):
+        tl._commit_manifest(
+            path, ["b.parquet"], on_conflict="raise", base_version=-1
+        )
+    with pytest.raises(ValueError, match="rebase"):
+        tl._commit_manifest(path, ["b.parquet"], base_version=0)
+    assert tl.current_version(path) == 0  # nothing drifted

@@ -632,3 +632,38 @@ def test_incremental_minhash_index_catches_cross_batch_dups(spark, tmp_path):
         )
     # fresh docs match nothing
     assert (got.new_id >= 2_000_000).sum() == 0
+
+
+def test_ivfpq_partial_topk_tie_break_deterministic(spark):
+    """ADVICE r7: the per-batch partial top-k must break exact score
+    ties by id ASC (matching the final window's score DESC, id ASC),
+    otherwise duplicate vectors make results partitioning-dependent.
+    40 identical vectors: top-k must be the k smallest ids regardless
+    of how the code table is partitioned."""
+    from trendengine_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        l2_normalize,
+    )
+
+    vec = [1.0] + [0.0] * 31
+    rows = [(i, vec) for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") == 39).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes, cent, books = ivfpq_index(
+        corpus, n_cells=2, m_subspaces=4, k_codes=4, iters=1, seed=3
+    )
+    want = list(range(10))  # all scores tie -> smallest ids win
+    for nparts in (1, 7):
+        got = (
+            ivfpq_topk(
+                codes.repartition(nparts), cent, books, queries, k=10, nprobe=2
+            )
+            .orderBy("rn")
+            .toPandas()
+        )
+        assert list(got["vec_id"]) == want, f"nparts={nparts}"

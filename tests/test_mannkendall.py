@@ -117,3 +117,31 @@ def test_seasonal_mk_removes_cycle_finds_trend():
     # combined variance equals sum of per-month variances: 12 months
     # of an n=10 untied series
     assert r1["var_s18_total"] == 12 * (10 * 9 * 25)
+
+
+def test_mk_nan_inputs_dropped_not_crash():
+    """Nulls arriving through a DataFrame become NaN; MK/Sen must drop
+    them (a missing observation contributes no pairs) instead of
+    raising 'cannot convert float NaN to integer' inside the worker
+    (ADVICE r7 fix). Results must equal the NaN-free series."""
+    clean = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    dirty = np.array([1.0, np.nan, 2.0, 3.0, np.nan, 4.0, 5.0])
+    rc, rd = mann_kendall(clean), mann_kendall(dirty)
+    assert rd["s"] == rc["s"] and rd["var_s18"] == rc["var_s18"]
+    assert rd["n"] == 5
+    # Sen drops the same points and keeps the ORIGINAL x positions of
+    # the survivors (default index), so slopes use real spacing
+    assert sens_slope(dirty) == sens_slope(
+        clean, np.array([0.0, 2.0, 3.0, 5.0, 6.0])
+    )
+    # all-NaN and single-survivor series degrade to the n<2 result
+    assert mann_kendall(np.array([np.nan, np.nan]))["s"] == 0
+    assert sens_slope(np.array([np.nan, 7.0])) == 0.0
+    # seasonal wrapper: NaN in one season must not poison S or Sen
+    from trendengine_spark.functions.mannkendall import seasonal_mann_kendall
+
+    y = np.array([1.0, 2.0, 3.0, np.nan, 2.0, 4.0, 6.0, 8.0])
+    s = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    r = seasonal_mann_kendall(y, s)
+    assert r["s_total"] == 3 + 6  # month0 n=3 full-S, month1 n=4
+    assert not math.isnan(r["seasonal_sen"])

@@ -635,3 +635,50 @@ def test_chained_stateful_dedup_then_window(spark, tmp_path):
     # so the streamed result is the closed-window prefix of the batch
     assert len(got) >= 2  # the first two hours must have closed
     assert got == want[: len(got)]
+
+
+def test_direct_maintain_preserves_stream_marker(spark, tmp_path):
+    """ADVICE r7: a direct (non-streaming) maintain_rollup call on a
+    stream-maintained rollup must PRESERVE the _applied_batch
+    watermark through its swap — erasing it would let a later replayed
+    microbatch double-fold. A pre-r7 sidecar marker must both guard
+    the fold and migrate into the directory on the next fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.sinks import maintain_rollup
+    from trendengine_spark.streaming.cdc import fold_rollup_batch
+
+    target = str(tmp_path / "roll")
+    spec = {"n": ("count", "value"), "sv": ("sum", "value")}
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "event_type string, value double"
+    )
+    assert fold_rollup_batch(ev, 7, target, ["event_type"], spec) is True
+    marker = os.path.join(target, "_applied_batch")
+    assert int(open(marker).read()) == 7
+
+    # direct maintenance call WITHOUT a batch id: marker must survive
+    extra = spark.createDataFrame([("b", 4.0)], "event_type string, value double")
+    maintain_rollup(spark, target, extra, ["event_type"], spec)
+    assert os.path.exists(marker) and int(open(marker).read()) == 7
+    # ... so a replay of batch 7 is still a no-op
+    before = {
+        r["event_type"]: r["n"] for r in spark.read.parquet(target).collect()
+    }
+    assert fold_rollup_batch(ev, 7, target, ["event_type"], spec) is False
+    after = {
+        r["event_type"]: r["n"] for r in spark.read.parquet(target).collect()
+    }
+    assert after == before == {"a": 2, "b": 2}
+
+    # legacy layout: only a sidecar marker exists (pre-r7 upgrade)
+    os.remove(marker)
+    sidecar = target.rstrip("/") + "._applied_batch"
+    with open(sidecar, "w") as fh:
+        fh.write("7")
+    assert fold_rollup_batch(ev, 7, target, ["event_type"], spec) is False
+    # a direct maintenance pass migrates the sidecar into the dir
+    maintain_rollup(spark, target, extra.limit(0), ["event_type"], spec)
+    assert int(open(marker).read()) == 7

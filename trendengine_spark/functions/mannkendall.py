@@ -49,6 +49,11 @@ def mann_kendall(y: np.ndarray) -> dict:
     normal score), p_value (two-sided), trend ∈ {-1, 0, 1} at
     α = 0.05."""
     y = np.asarray(y, dtype=np.float64)
+    # nulls arriving through a DataFrame become NaN; np.sign(NaN) is
+    # NaN and int(NaN) raises inside the worker — drop them up front
+    # (MK is rank-based; a missing observation simply contributes no
+    # pairs, the standard treatment)
+    y = y[~np.isnan(y)]
     n = len(y)
     if n < 2:
         return {
@@ -83,10 +88,15 @@ def sens_slope(y: np.ndarray, x: np.ndarray | None = None) -> float:
     Robust to outliers (breakdown ~29%); exact slope on a noiseless
     linear series."""
     y = np.asarray(y, dtype=np.float64)
+    if x is None:
+        x = np.arange(len(y), dtype=np.float64)
+    else:
+        x = np.asarray(x, float)
+    keep = ~np.isnan(y)
+    y, x = y[keep], x[keep]
     n = len(y)
     if n < 2:
         return 0.0
-    x = np.arange(n, dtype=np.float64) if x is None else np.asarray(x, float)
     iu, ju = np.triu_indices(n, 1)
     return float(np.median((y[ju] - y[iu]) / (x[ju] - x[iu])))
 
@@ -156,6 +166,7 @@ def seasonal_mann_kendall(
     slopes: list[np.ndarray] = []
     for m in np.unique(seasons):
         ym = y[seasons == m]
+        ym = ym[~np.isnan(ym)]  # same missing-data treatment as mann_kendall
         r = mann_kendall(ym)
         s_total += r["s"]
         var18_total += r["var_s18"]

@@ -1117,7 +1117,12 @@ def ivfpq_topk(
                 ids = grp[id_col].to_numpy()
                 qid = grp["_qid"].iloc[0]
                 cand = np.flatnonzero(ids != qid)
-                top = cand[np.argsort(-s[cand])[:k]]
+                # tie-break by id ASC to match the final window's
+                # (score DESC, id ASC) order — argsort(-s) alone breaks
+                # exact-score ties arbitrarily, so a tied candidate the
+                # global order keeps could be pruned per-partition,
+                # making results partitioning-dependent (ADVICE r7 fix)
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
                 out.append(
                     pd.DataFrame(
                         {"_qid": qid, id_col: ids[top], "score": s[top]}

@@ -473,11 +473,12 @@ def recursive_cte_reachability(spark, sf_dir):
             FROM daily GROUP BY 1, 2) g
       GROUP BY event_type
     )
-    SELECT nn.event_type, CAST(nn.n AS INT) AS n, agg.s_stat,
+    SELECT nn.event_type, CAST(nn.n AS INT) AS n,
+           COALESCE(agg.s_stat, 0) AS s_stat,
            CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
                 AS BIGINT) AS var_s18,
-           agg.sens_slope
-    FROM nn JOIN agg ON nn.event_type = agg.event_type
+           COALESCE(agg.sens_slope, 0.0) AS sens_slope
+    FROM nn LEFT JOIN agg ON nn.event_type = agg.event_type
             JOIN ties ON nn.event_type = ties.event_type
     """,
 )

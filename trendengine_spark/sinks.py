@@ -318,10 +318,35 @@ def maintain_rollup(
     """
     import os
 
+    def _existing_marker() -> str | None:
+        # in-directory marker (current layout), else a pre-r7 sidecar
+        # (target + '._applied_batch') left by an upgraded table
+        for p in (
+            os.path.join(target_path, "_applied_batch"),
+            target_path.rstrip("/") + "._applied_batch",
+        ):
+            try:
+                with open(p) as fh:
+                    return fh.read().strip()
+            except OSError:
+                continue
+        return None
+
     def _mark(d: str) -> None:
-        if applied_batch_id is not None:
+        # A direct (non-streaming) maintain_rollup call on a
+        # stream-maintained rollup must PRESERVE the exactly-once
+        # watermark: swapping in a marker-less directory would erase
+        # it and let a later replayed microbatch double-fold
+        # (ADVICE r7 fix). Legacy sidecar markers migrate into the
+        # directory on the first fold after upgrade.
+        value = (
+            str(applied_batch_id)
+            if applied_batch_id is not None
+            else _existing_marker()
+        )
+        if value is not None:
             with open(os.path.join(d, "_applied_batch"), "w") as fh:
-                fh.write(str(applied_batch_id))
+                fh.write(value)
 
     partial = delta.groupBy(*keys).agg(*_rollup_state_aggs(agg_spec))
     if os.path.exists(target_path):

@@ -118,7 +118,9 @@ class VersionedWriter(DataSourceWriter):
             if prev >= 0:
                 files = _read_manifest(self.path, prev)["files"] + new_files
             try:
-                _commit_manifest(self.path, files, on_conflict="raise")
+                _commit_manifest(
+                    self.path, files, on_conflict="raise", base_version=prev
+                )
                 return
             except FileExistsError:
                 continue

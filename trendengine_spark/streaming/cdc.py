@@ -102,11 +102,17 @@ def fold_rollup_batch(
 
     from trendengine_spark.sinks import maintain_rollup
 
-    marker = os.path.join(target_path, "_applied_batch")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if batch_id <= int(fh.read().strip() or -1):
-                return False  # retry of an already-folded batch
+    # in-dir marker, else a pre-r7 sidecar on an upgraded table
+    # (maintain_rollup migrates the sidecar into the dir on next fold)
+    for marker in (
+        os.path.join(target_path, "_applied_batch"),
+        target_path.rstrip("/") + "._applied_batch",
+    ):
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip() or -1):
+                    return False  # retry of an already-folded batch
+            break
     if batch_df.isEmpty():
         return True
     maintain_rollup(

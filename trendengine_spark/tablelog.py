@@ -148,6 +148,7 @@ def _commit_manifest(
     files: list[str],
     batch_id: int | None = None,
     on_conflict: str = "retry",
+    base_version: int | None = None,
 ) -> int:
     """Publish ``files`` as the next version — THE commit point; a
     crash before it leaves only invisible stragglers.
@@ -170,11 +171,32 @@ def _commit_manifest(
 
     ``batch_id``, when given, is recorded in the manifest — the
     idempotence marker streaming commits use to make retried
-    microbatches no-ops (see :func:`publish_stream_versioned`)."""
+    microbatches no-ops (see :func:`publish_stream_versioned`).
+
+    ``base_version`` (r8) PINS a folded commit to the slot directly
+    above the version its file list was built from: the commit goes to
+    exactly ``base_version + 1`` and conflicts (handled per
+    ``on_conflict``) if that slot is taken. Without the pin there is a
+    TOCTOU hole even under ``on_conflict='raise'``: a writer landing
+    between the caller's snapshot read and this function's own
+    ``current_version()`` re-read moves the fold to a LATER slot with
+    no link conflict at all — publishing the stale list and silently
+    dropping the interleaved writer's files. Folded callers
+    (:func:`publish_versioned_batch`, :func:`compact_versioned`,
+    :class:`VersionedWriter` append) must pass it."""
     if on_conflict not in ("retry", "raise"):
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
+    if base_version is not None and on_conflict != "raise":
+        raise ValueError(
+            "base_version pins one slot; retrying it would spin — "
+            "folded commits must use on_conflict='raise' and rebase"
+        )
     while True:
-        version = current_version(path) + 1
+        version = (
+            base_version + 1
+            if base_version is not None
+            else current_version(path) + 1
+        )
         final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
         tmp = final + f".tmp{uuid.uuid4().hex}"
         body = {"version": version, "files": files}
@@ -267,23 +289,55 @@ def compact_versioned(
     the maintenance pair every table format ships (Iceberg
     rewrite_data_files + expire_snapshots). Returns the new version.
 
-    Single-writer contract like all folded commits: a concurrent
-    append racing the compaction commit wins or loses the version
-    slot atomically (os.link), and the loser here rebases by
-    re-reading — but rows appended between this function's READ and
-    its COMMIT would be dropped from the new lineage, so pause
-    writers (or fence at a catalog) for the compaction window."""
+    Folded-commit safety (r8, ADVICE fix): the compacted manifest is a
+    FOLD of the snapshot read at the top — committing it with the
+    default ``on_conflict='retry'`` would let a concurrent append
+    racing the compaction win the version slot and then be silently
+    dropped when the retry publishes the stale compacted list one slot
+    later (the exact stale-list hazard ``on_conflict='raise'`` exists
+    to prevent). The commit therefore raises on conflict and REBASES:
+    files the winner added on top of our snapshot (new head's list
+    minus the snapshot's list) are appended, uncompacted, onto the
+    compacted set — they get folded by the next maintenance run. A
+    winner that REPLACED the lineage (snapshot-mode commit: its list
+    is not a superset of ours) cannot be rebased; that aborts with a
+    clear error rather than resurrecting replaced data. The newest
+    manifest's ``batch_id`` is carried into the compacted manifest so
+    :func:`last_batch_id` keeps answering after maintenance and a
+    replayed streaming microbatch stays a no-op."""
     df = read_versioned(spark, path)
     data_dir = os.path.join(path, _DATA_DIR)
     v = current_version(path)
-    files = _read_manifest(path, v)["files"]
+    snap = _read_manifest(path, v)
+    files = snap["files"]
     total = sum(
         os.path.getsize(os.path.join(data_dir, f))
         for f in files
         if os.path.exists(os.path.join(data_dir, f))
     )
     n_out = max(1, -(-total // target_bytes))  # ceil
-    return _commit_manifest(path, _stage_files(df.coalesce(n_out), path))
+    compacted = _stage_files(df.coalesce(n_out), path)
+    snapshot_set = set(files)
+    while True:
+        head = current_version(path)
+        head_m = snap if head == v else _read_manifest(path, head)
+        head_files = head_m["files"]
+        if head != v and not snapshot_set.issubset(head_files):
+            raise RuntimeError(
+                f"compact_versioned: version {head} replaced the lineage "
+                f"compacted from version {v}; aborting (re-run compaction)"
+            )
+        delta = [f for f in head_files if f not in snapshot_set]
+        try:
+            return _commit_manifest(
+                path,
+                compacted + delta,
+                batch_id=head_m.get("batch_id"),
+                on_conflict="raise",
+                base_version=head,
+            )
+        except FileExistsError:
+            continue  # rebase onto the new winner's manifest
 
 
 def publish_versioned_batch(
@@ -317,6 +371,7 @@ def publish_versioned_batch(
                 old_files + new_files,
                 batch_id=batch_id,
                 on_conflict="raise",
+                base_version=prev,
             )
             return True
         except FileExistsError:
