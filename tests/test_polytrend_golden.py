@@ -64,3 +64,40 @@ def test_slope_recovers_generating_coefficient():
     f, _ = RECIPES["linear_up"]
     slopes = [polytrend_classify(make_series(f, seed=s))["slope"] for s in range(20)]
     assert abs(float(np.mean(slopes)) - 0.008) < 0.002
+
+
+def test_polyfit_relational_twin_matches_ols_poly(spark):
+    """trend_polyfit_coeffs (exact-integer Cramer, oracle-checked)
+    must agree with stattools.ols_poly — the production U1/U4 numpy
+    fitting path — to float precision on the same daily series: the
+    oracle hash therefore transitively checks the UDF math (VERDICT
+    r7 task 2)."""
+    import duckdb
+    import numpy as np
+
+    from trendengine_spark.functions.stattools import ols_poly
+    from trendengine_spark.queries.base import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["trend_polyfit_coeffs"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    series = con.sql(
+        f"""SELECT event_type, list(y ORDER BY d) FROM (
+              SELECT event_type, CAST(ts AS DATE) d, count(*) y
+              FROM '{sf}/events.parquet' GROUP BY 1, 2) GROUP BY 1"""
+    ).fetchall()
+    assert len(series) == len(got) > 0
+    for etype, ys in series:
+        y = np.asarray(ys, dtype=np.float64)
+        c2, *_ = ols_poly(y, 2)
+        c1, *_ = ols_poly(y, 1)
+        r = got[etype]
+        assert abs(r["b0"] - c2[0]) < 1e-8 * max(1, abs(c2[0]))
+        assert abs(r["b1"] - c2[1]) < 1e-8 * max(1, abs(c2[1]))
+        assert abs(r["b2"] - c2[2]) < 1e-8 * max(1, abs(c2[2]))
+        assert abs(r["slope_lin"] - c1[1]) < 1e-8 * max(1, abs(c1[1]))
+        assert abs(r["intercept_lin"] - c1[0]) < 1e-8 * max(1, abs(c1[0]))
+        assert r["n"] == len(y)

@@ -52,74 +52,76 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: budget still holds. The r5-green LLM/join/window/set/grouped
 #: families rotate below the line; their fresh green history stands.
 _SPINE_FIRST = [
-    # Round-7 rotation (VERDICT r6 task 1): the driver's ~50-row budget
-    # goes to the STALEST registry rows this round — the r2-era scalar
-    # families, the r3-era multimodal plumbing, and the r4-era SURVEY
-    # §2 spine have not had a fresh driver verdict in 3-5 rounds. The
-    # entire r6 new-query block (45 green rows in CORRECTNESS_r06)
-    # rotates below the line; its fresh green history stands.
+    # Round-8 rotation (VERDICT r7 task 1): the driver's ~50-row
+    # budget goes to the 32 registry rows that have NEVER received a
+    # driver verdict in any round (union of CORRECTNESS_r01..r07 vs
+    # queries() — mostly the r6-batch-2 and r7 additions), plus the
+    # queries NEW or re-planned in r8. Everything below the line has
+    # fresh r6/r7 driver green (48 rows in CORRECTNESS_r07 alone);
+    # that history stands. Target: cumulative driver coverage
+    # >= 194/198.
     #
-    # Stalest oracle rows (r2): scalar function families + distinct
-    # twins
+    # Never-driver-sampled (r7 additions, judge-verified green in r7)
+    "trend_mann_kendall_stats", "u6_mann_kendall_events",
+    "trend_seasonal_mann_kendall", "u7_bfast_monitor_events",
+    "agg_trimmed_mean_pandas", "sim_ivfpq_topk",
+    "window_conditional_running", "dedup_incremental_batch",
+    "pipeline_bernoulli_sample",
+    "hier_share_of_parent", "rollup_grouping_id",
+    # Never-driver-sampled (r6-batch-2 additions)
+    "flagship_curation_pipeline", "retention_cohorts",
+    "window_locf_fill", "dedup_ngram_containment",
+    "text_shingle_novelty", "daily_value_percentiles",
+    "pipeline_interleave_sources", "dq_expectations_events",
+    "graph_copurchase_2hop", "scalar_agg_predicates",
+    "stream_interval_left_join", "scalar_bitwise_aggs",
+    "scalar_array_setops", "temporal_scd2_lookup",
+    "profile_user_zscore_outliers", "events_dow_hour_heatmap",
+    "multimodal_image_tiles", "text_zipf_head",
+    "scalar_try_fns", "unpivot_user_stats", "variant_json_shred",
+    # NEW in r8: U1/U5 relational-oracle twins (VERDICT r7 task 2) —
+    # exact-integer normal equations / x7-scaled classical
+    # decomposition, no rounding anywhere
+    "trend_polyfit_coeffs", "u5_decomposition_relational",
+    # Re-planned in r8: iterative-operator routing (VERDICT task 4)
+    "recursive_cte_reachability",
+    # r8 cap fix (VERDICT task 5): containment dedup max_df
+    # Known-green controls: one row per major family so a harness
+    # regression shows up against fresh history
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "a1_annual_composite", "f1_temporal_filter",
+    "d1_period_pairing", "stream_session_window",
+    "dedup_paragraph_global", "pipeline_epoch_shuffle",
+    "sim_range_search", "text_rarity_profile",
+    "multimodal_gif_animation", "join_time_window_counts",
+    "forecast_seasonal_naive_mae", "graph_pagerank_micro",
+    "stream_user_running_stats",
+    # ---- ~50-row budget line (32 never-sampled + 3 new/replanned +
+    # 15 controls; everything below has r5-r7 driver green or
+    # golden/property coverage) ----
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
     "scalar_array_fns", "scalar_json_fns",
     "set_distinct_pairs",
     "exact_distinct_twin", "approx_vs_exact_distinct",
-    # Stale multimodal plumbing (r3); frame_sample is a REAL AVI/MJPEG
-    # decode path as of r6
     "multimodal_feature_extract", "multimodal_resize",
     "multimodal_frame_sample",
-    # SURVEY §2 spine, last rows r4 — the reference's own operator
-    # surface deserves current driver evidence
-    "f1_temporal_filter", "f2_bbox_filter", "f3_projection",
+    "f2_bbox_filter", "f3_projection",
     "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels",
-    "a1_annual_composite", "a2_monthly_composite", "a3_count_distinct",
+    "a2_monthly_composite", "a3_count_distinct",
     "a4_a5_category_counts", "a6_sum", "a7_count_rows",
-    "d1_period_pairing", "d2_explode_tokens",
+    "d2_explode_tokens",
     "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
-    "stream_session_window",
-    # r4/r5-era relational stragglers never refreshed since
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max",
-    # Re-planned in r7 (skew-proofed / generalized) — fresh rows
-    # verify the rewrites under the driver's own canonicalizer
-    "dedup_paragraph_global",  # r7: window → aggregate+join-back
-    "pipeline_epoch_shuffle",  # r7: single-plan E-epoch generalization
-    # NEW in r7 — first driver rows: forecast backtest, robust
-    # outliers, integer PageRank, bucketed pure-range join, rarity,
-    # TWS batch twin, join-driven native recursion
-    "forecast_seasonal_naive_mae", "profile_mad_outliers",
-    "graph_pagerank_micro", "join_time_window_counts",
-    "text_rarity_profile",
-    "stream_user_running_stats",
-    "recursive_cte_reachability",
-    # ---- 50-row budget line (40 stale + 2 re-planned + 8 new;
-    # everything below is r5/r6-green or covered by golden/property
-    # tests — the NEW r7 queries not fitting the budget lead, so a
-    # long budget gives them first rows; the judge's full sweep
-    # covers them either way) ----
-    "multimodal_gif_animation",  # NEW r7: real LZW/GIF89a round trip
-    "trend_mann_kendall_stats",  # NEW r7: MK/Sen cross-paradigm oracle
-    "u6_mann_kendall_events",  # NEW r7: full MK test (rows-only)
-    "agg_trimmed_mean_pandas",  # NEW r7: GROUPED_AGG pandas UDF surface
-    "sim_ivfpq_topk",  # NEW r7: composed IVF + residual-PQ index
-    "window_conditional_running",  # NEW r7: lifetime-counter features
-    "dedup_incremental_batch",  # NEW r7: persisted-index batch dedup
-    "pipeline_bernoulli_sample",  # NEW r7: engine-portable sampling
-    "trend_seasonal_mann_kendall",  # NEW r7: Hirsch-Slack seasonal MK
-    "u7_bfast_monitor_events",  # NEW r7: MOSUM disturbance monitoring
-    "hier_share_of_parent",  # NEW r7: drill-down ratio (agg-of-agg)
-    "rollup_grouping_id",  # NEW r7: GROUPING()/grouping-id parity
+    "profile_mad_outliers",
     "a2b_fill_missing_months", "a2c_interpolate_gaps",
     "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
     "pipeline_pack_sequences", "profile_key_skew",
     "sim_embedding_l2norm", "sim_embedding_quantize_int8",
     "sim_embedding_near_dup", "sim_ann_hyperplane",
-    "sim_range_search",
     "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping", "tpch_q10_returned_items",
     "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
@@ -146,25 +148,6 @@ _SPINE_FIRST = [
     "join_asof_forward_tolerance",
     "multimodal_audio_spectrogram",
     "multimodal_resize_real",
-    "flagship_curation_pipeline",
-    "retention_cohorts",
-    "window_locf_fill",
-    "dedup_ngram_containment",
-    "text_shingle_novelty",
-    "daily_value_percentiles",
-    "pipeline_interleave_sources",
-    "dq_expectations_events",
-    "graph_copurchase_2hop",
-    "scalar_agg_predicates",
-    "stream_interval_left_join",
-    "scalar_bitwise_aggs", "scalar_array_setops",
-    "temporal_scd2_lookup",
-    "profile_user_zscore_outliers",
-    "events_dow_hour_heatmap",
-    "multimodal_image_tiles",
-    "text_zipf_head",
-    "scalar_try_fns", "unpivot_user_stats",
-    "variant_json_shred",
     "stream_sliding_window", "stream_late_data_policy",
     "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",

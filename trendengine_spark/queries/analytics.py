@@ -861,3 +861,245 @@ def rollup_grouping_id(spark, sf_dir):
         """,
         ("orders",),
     )
+
+
+@query(
+    "trend_polyfit_coeffs",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - 1 AS BIGINT) AS x
+      FROM daily
+    ), mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m0,
+             CAST(sum(x) AS BIGINT) AS m1,
+             CAST(sum(x * x) AS BIGINT) AS m2,
+             CAST(sum(x * x * x) AS BIGINT) AS m3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS m4,
+             CAST(sum(y) AS BIGINT) AS s0,
+             CAST(sum(x * y) AS BIGINT) AS s1,
+             CAST(sum(x * x * y) AS BIGINT) AS s2
+      FROM idx GROUP BY event_type
+    ), det AS (
+      SELECT event_type, m0,
+             m0*(m2*m4 - m3*m3) - m1*(m1*m4 - m3*m2)
+               + m2*(m1*m3 - m2*m2) AS dd,
+             s0*(m2*m4 - m3*m3) - m1*(s1*m4 - m3*s2)
+               + m2*(s1*m3 - m2*s2) AS d0,
+             m0*(s1*m4 - m3*s2) - s0*(m1*m4 - m3*m2)
+               + m2*(m1*s2 - s1*m2) AS d1,
+             m0*(m2*s2 - m3*s1) - m1*(m1*s2 - s1*m2)
+               + s0*(m1*m3 - m2*m2) AS d2,
+             m0*s1 - m1*s0 AS ln_num,
+             s0*m2 - m1*s1 AS li_num,
+             m0*m2 - m1*m1 AS l_den
+      FROM mom
+    )
+    SELECT event_type, CAST(m0 AS INT) AS n,
+           CASE WHEN dd = 0 THEN 0.0
+                ELSE CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) END AS b0,
+           CASE WHEN dd = 0 THEN 0.0
+                ELSE CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) END AS b1,
+           CASE WHEN dd = 0 THEN 0.0
+                ELSE CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) END AS b2,
+           CASE WHEN l_den = 0 THEN 0.0
+                ELSE CAST(ln_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                END AS slope_lin,
+           CASE WHEN l_den = 0 THEN 0.0
+                ELSE CAST(li_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                END AS intercept_lin
+    FROM det
+    """,
+)
+def trend_polyfit_coeffs(spark, sf_dir):
+    """Quadratic + linear OLS fit per daily event-count series via
+    EXACT integer normal equations — the relational-oracle rendering
+    of PolyTrend's U4 polynomial fits (reference contract
+    `/root/reference/TrendEngine/calculations/polytrend.py:291-312`:
+    the classifier cascade is OLS fits of degree 3→2→1 whose
+    coefficients feed significance tests; `functions/polytrend.py`
+    implements it in numpy). The MK playbook generalized (VERDICT r7
+    task 2): for integer series and integer x, every normal-equation
+    moment (Σxᵏ, Σxᵏy, k ≤ 4) is an exact BIGINT, Cramer determinants
+    of the 3×3 system stay ≪ 2⁵³, and each coefficient is ONE
+    correctly-rounded double division of identical exact integers on
+    both engines — so the hash compare is exact with no rounding at
+    all. `tests/test_polytrend_golden.py` closes the loop by asserting
+    these Cramer coefficients equal `stattools.ols_poly` (the
+    production U1/U4 fitting path, numpy lstsq) to 1e-8.
+
+    Scale: one narrow shuffle to daily counts (partial+final agg), one
+    in-partition window for x, one moment aggregation — the series
+    length is calendar-bounded, the aggregation is over series keys."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    xi = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    g = xi.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m0"),
+        F.sum(x).alias("m1"),
+        F.sum(x * x).alias("m2"),
+        F.sum(x * x * x).alias("m3"),
+        F.sum(x * x * x * x).alias("m4"),
+        F.sum(y).alias("s0"),
+        F.sum(x * y).alias("s1"),
+        F.sum(x * x * y).alias("s2"),
+    )
+    m0, m1, m2, m3, m4, s0, s1, s2 = (
+        F.col(c) for c in ("m0", "m1", "m2", "m3", "m4", "s0", "s1", "s2")
+    )
+    dd = (
+        m0 * (m2 * m4 - m3 * m3)
+        - m1 * (m1 * m4 - m3 * m2)
+        + m2 * (m1 * m3 - m2 * m2)
+    )
+    d0 = (
+        s0 * (m2 * m4 - m3 * m3)
+        - m1 * (s1 * m4 - m3 * s2)
+        + m2 * (s1 * m3 - m2 * s2)
+    )
+    d1 = (
+        m0 * (s1 * m4 - m3 * s2)
+        - s0 * (m1 * m4 - m3 * m2)
+        + m2 * (m1 * s2 - s1 * m2)
+    )
+    d2 = (
+        m0 * (m2 * s2 - m3 * s1)
+        - m1 * (m1 * s2 - s1 * m2)
+        + s0 * (m1 * m3 - m2 * m2)
+    )
+    l_den = m0 * m2 - m1 * m1
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return g.select(
+        "event_type",
+        m0.cast("int").alias("n"),
+        ratio(d0, dd).alias("b0"),
+        ratio(d1, dd).alias("b1"),
+        ratio(d2, dd).alias("b2"),
+        ratio(m0 * s1 - m1 * s0, l_den).alias("slope_lin"),
+        ratio(s0 * m2 - m1 * s1, l_den).alias("intercept_lin"),
+    )
+
+
+@query(
+    "u5_decomposition_relational",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - 1 AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ), tr AS (
+      SELECT event_type, i, y, n,
+             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY i
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               AS t7
+      FROM idx
+    ), interior AS (
+      SELECT * FROM tr WHERE i >= 3 AND i <= n - 4
+    ), seas AS (
+      SELECT event_type, i % 7 AS p,
+             CAST(sum(7 * y - t7) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS k
+      FROM interior GROUP BY 1, 2
+    )
+    SELECT tt.event_type, CAST(tt.i AS INT) AS i, tt.y,
+           CAST(tt.t7 AS DOUBLE) / 7 AS trend,
+           CAST(ss.num AS DOUBLE) / (7 * ss.k) AS seasonal,
+           (CAST(tt.y AS DOUBLE) - CAST(tt.t7 AS DOUBLE) / 7)
+             - CAST(ss.num AS DOUBLE) / (7 * ss.k) AS remainder
+    FROM interior tt
+    JOIN seas ss ON tt.event_type = ss.event_type AND tt.i % 7 = ss.p
+    """,
+)
+def u5_decomposition_relational(spark, sf_dir):
+    """Classical additive decomposition (U5) as plain SQL — the
+    relational-oracle twin of `stattools.classical_decompose` (VERDICT
+    r7 task 2): trend = period-7 centered moving average (day-of-week
+    cycle), seasonal = per-phase mean of the detrended interior,
+    remainder = the rest, per daily event-count series (reference
+    consumption of the decomposition vectors:
+    `/root/reference/TrendEngine/calculations/dbest.py:326-329`).
+
+    Exactness without rounding: the MA numerator t7 = Σ_{±3} y is an
+    exact BIGINT window sum; the detrended value scaled by the period
+    (7y − t7) is again exact BIGINT, so the phase mean is one double
+    division num/(7k) of exact integers, trend is t7/7, and remainder
+    is two IEEE subtractions of identical doubles — bit-equal across
+    engines, no float aggregation order anywhere (a double-valued
+    phase mean would be partial-agg-order-dependent; the ×7 scaling is
+    what keeps the whole pipeline in integers). Interior points only
+    (|window| = 7); `classical_decompose`'s end extension is a UDF
+    concern, cross-checked in tests/test_dbest_golden.py.
+
+    Spark side is the IDENTICAL program in native window/agg ops —
+    zero Python: two in-partition windows, one tiny phase aggregate,
+    one broadcast-size join back."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        F.col("y").cast("long").alias("y"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    wr = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-3, 3)
+    )
+    interior = idx.withColumn("t7", F.sum("y").over(wr)).filter(
+        (F.col("i") >= 3) & (F.col("i") <= F.col("n") - 4)
+    )
+    seas = (
+        interior.groupBy("event_type", (F.col("i") % 7).alias("p"))
+        .agg(
+            F.sum(F.lit(7) * F.col("y") - F.col("t7")).alias("num"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .withColumnRenamed("event_type", "s_event_type")
+        .withColumnRenamed("p", "s_p")
+    )
+    j = interior.withColumn("p", F.col("i") % 7).join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("s_event_type"))
+        & (F.col("p") == F.col("s_p")),
+    )
+    trend = F.col("t7").cast("double") / F.lit(7)
+    seasonal = F.col("num").cast("double") / (F.lit(7) * F.col("k"))
+    return j.select(
+        "event_type",
+        F.col("i").cast("int").alias("i"),
+        "y",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        ((F.col("y").cast("double") - trend) - seasonal).alias("remainder"),
+    )
