@@ -338,3 +338,50 @@ def test_gif_container_roundtrip():
         assert (a == b).all()
     # grayscale identity palette
     assert (out["palette"][:, 0] == np.arange(256)).all()
+
+
+def test_lzw_vectorized_bit_identical_to_scalar():
+    """r8 (VERDICT r7 task 3): the production LZW encode (int-keyed
+    table + one vectorized bit-pack) and decode (schedule-driven
+    vectorized unpack + list-table expansion) must be BYTE-identical
+    to the retained scalar reference implementations on gradients,
+    randoms, KwKwK runs, table-reset-length data, low code sizes and
+    truncated streams."""
+    import random
+
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_decode_scalar,
+        _lzw_encode,
+        _lzw_encode_literal,
+        _lzw_encode_scalar,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:22, 0:24]
+    cases = [
+        ((3 * xx + 5 * yy + 17) % 256).astype(np.uint8).tobytes(),
+        b"",
+        b"\x05",
+        b"\x00" * 4000,  # KwKwK chains
+        rng.integers(0, 256, 25000, dtype=np.uint8).tobytes(),  # reset
+        bytes(range(256)) * 32,
+        rng.integers(0, 2, 30000, dtype=np.uint8).tobytes(),
+    ]
+    random.seed(3)
+    for mcs in (2, 4, 8):
+        for d in cases:
+            if mcs < 8:
+                d = bytes(b % (1 << mcs) for b in d)
+            e = _lzw_encode(d, mcs)
+            assert e == _lzw_encode_scalar(d, mcs)
+            assert _lzw_decode(e, mcs) == d
+            # second producer: the literal-code encoder
+            lit = _lzw_encode_literal(d[:300], mcs)
+            assert _lzw_decode(lit, mcs) == d[:300]
+            # truncated streams degrade identically (treat-as-end)
+            for cut in (0, 1, len(e) // 3, len(e) - 1):
+                t = e[:cut]
+                assert _lzw_decode(t, mcs) == _lzw_decode_scalar(t, mcs)
