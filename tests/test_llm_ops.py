@@ -667,3 +667,28 @@ def test_ivfpq_partial_topk_tie_break_deterministic(spark):
             .toPandas()
         )
         assert list(got["vec_id"]) == want, f"nparts={nparts}"
+
+
+def test_containment_max_df_caps_hot_shingles(spark):
+    """r8 (ADVICE/VERDICT task 5): ngram_containment_pairs must mirror
+    the Jaccard twin's max_df cap — a boilerplate shingle in every doc
+    must stop generating df^2 candidates under the cap while
+    planted-copy pairs (shingle df = 2) survive with containment 1."""
+    from trendengine_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "all rights reserved by example authority "
+    rows = [(i, boiler + f"unique tail {i} alpha beta{i} gamma{i}")
+            for i in range(30)]
+    rows.append((100, rows[0][1]))  # exact copy of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_containment_pairs(
+        docs, threshold=0.5, n=3, max_df=2
+    ).toPandas()
+    got = {(r.id_a, r.id_b) for r in capped.itertuples()}
+    assert got == {(0, 100), (100, 0)}
+    assert (capped["containment"] == 1.0).all()
+    # uncapped: the boilerplate shingles alone pair everything with
+    # everything at a low threshold — the df^2 blow-up the cap exists
+    # to stop
+    unc = ngram_containment_pairs(docs, threshold=0.05, n=3).count()
+    assert unc == 31 * 30

@@ -250,3 +250,143 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def containment_hot_shingle_stress(spark) -> None:
+    """r8 (VERDICT r7 task 5): boilerplate-heavy corpus — every doc
+    shares one license-style sentence, so one shingle has document
+    frequency = corpus size and the uncapped inverted index owes df²
+    directed candidate pairs from that shingle alone. Shows the
+    ``max_df`` cap bounding candidate volume: uncapped measured on a
+    small corpus (the df² slope makes 10⁴ uncapped infeasible by
+    construction), capped measured on the full 10⁴."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.dedup import ngram_containment_pairs
+
+    def corpus(n_docs: int, planted: int = 0):
+        # last `planted` docs are content copies of earlier docs: their
+        # unique-shingle df is 2, so they MUST survive any cap >= 2
+        boiler = "all rights reserved by the example corpus authority"
+        src = F.when(
+            F.col("id") >= n_docs - planted, F.col("id") - (n_docs - planted)
+        ).otherwise(F.col("id"))
+        return (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit(boiler + " "),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(40)),
+                            lambda j: F.concat(
+                                F.lit("u"),
+                                F.pmod(
+                                    F.xxhash64(src, j), F.lit(50_000)
+                                ).cast("string"),
+                            ),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            .repartition(32)
+            .cache()
+        )
+
+    small, big, planted = 2_000, 10_000, 50
+    c_small, c_big = corpus(small), corpus(big, planted=planted)
+    c_small.count(), c_big.count()
+    t0 = time.perf_counter()
+    n_unc = ngram_containment_pairs(c_small, threshold=0.1, n=3).count()
+    dt_unc = time.perf_counter() - t0
+    print(
+        f"containment uncapped @{small} docs: {n_unc} pairs in "
+        f"{dt_unc:.1f}s (hot shingle df={small} -> df^2 candidates)"
+    )
+    for cap in (100,):
+        t0 = time.perf_counter()
+        got = ngram_containment_pairs(
+            c_big, threshold=0.5, n=3, max_df=cap
+        ).count()
+        dt_cap = time.perf_counter() - t0
+        print(
+            f"containment max_df={cap} @{big} docs: {got} pairs "
+            f"(want {2 * planted} planted-copy directed pairs) in "
+            f"{dt_cap:.1f}s ({big / dt_cap:.0f} docs/s)"
+        )
+        assert got == 2 * planted, got
+
+
+def incremental_index_growth_stress(spark, n_batches: int = 10,
+                                    batch_docs: int = 10_000) -> None:
+    """r8 (VERDICT r7 task 7): the incremental-dedup loop run
+    batch-over-batch — probe batch k against an index holding batches
+    0..k-1, then fold it in (append_minhash_index). Records the probe
+    cost curve as the corpus grows 1x..Nx: the claim 'the corpus is
+    never re-signatured' predicts near-flat probe time (the stored
+    side contributes one parquet scan + bucket equi-join, no shingle/
+    hash work). Each batch plants copies of batch-0 docs, which must
+    keep surfacing at every index size."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.dedup import (
+        append_minhash_index,
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    planted = 20
+
+    def batch(k: int):
+        # doc ids are globally unique per batch; `planted` docs of
+        # every batch k>0 are exact copies of batch-0 docs
+        src = F.when(
+            F.col("id") % batch_docs < planted, F.col("id") % batch_docs
+        ).otherwise(F.col("id"))
+        return (
+            spark.range(k * batch_docs, (k + 1) * batch_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(60)),
+                        lambda j: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64(src, j), F.lit(80_000)).cast(
+                                "string"
+                            ),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            .repartition(32)
+        )
+
+    root = tempfile.mkdtemp(prefix="te_incr_idx_")
+    try:
+        idx = f"{root}/index"
+        write_minhash_index(batch(0), idx, num_perm=64, bands=16)
+        for k in range(1, n_batches):
+            b = batch(k)
+            t0 = time.perf_counter()
+            hits = incremental_minhash_dedup(b, idx, threshold=0.9)
+            n_hit_docs = hits.select("new_id").distinct().count()
+            dt = time.perf_counter() - t0
+            print(
+                f"batch {k}: probe vs {k * batch_docs}-doc index: "
+                f"{dt:.2f}s, {n_hit_docs} planted dup docs "
+                f"(want {planted})"
+            )
+            assert n_hit_docs == planted, n_hit_docs
+            append_minhash_index(b, idx)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
