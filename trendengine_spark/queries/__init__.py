@@ -83,6 +83,10 @@ _SPINE_FIRST = [
     # exact-integer normal equations / x7-scaled classical
     # decomposition, no rounding anywhere
     "trend_polyfit_coeffs", "u5_decomposition_relational",
+    # NEW in r8: binary-quantized Hamming ANN (hash-exact oracle) and
+    # distributed BPE tokenizer training (pair-count step oracle'd,
+    # greedy loop golden-tested)
+    "sim_hamming_topk", "text_bpe_pair_counts", "text_bpe_train_micro",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
@@ -94,11 +98,11 @@ _SPINE_FIRST = [
     "dedup_paragraph_global", "pipeline_epoch_shuffle",
     "sim_range_search", "text_rarity_profile",
     "multimodal_gif_animation", "join_time_window_counts",
+    # ---- ~50-row budget line (32 never-sampled + 6 new/replanned +
+    # 12 controls; everything below has r5-r7 driver green or
+    # golden/property coverage) ----
     "forecast_seasonal_naive_mae", "graph_pagerank_micro",
     "stream_user_running_stats",
-    # ---- ~50-row budget line (32 never-sampled + 3 new/replanned +
-    # 15 controls; everything below has r5-r7 driver green or
-    # golden/property coverage) ----
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
     "scalar_array_fns", "scalar_json_fns",
     "set_distinct_pairs",

@@ -853,3 +853,161 @@ def pipeline_bernoulli_sample(spark, sf_dir):
         """,
         ("documents",),
     )
+
+
+@query(
+    "sim_hamming_topk",
+    sql="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0
+                              WHEN i = 63 THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << i) END))
+                  AS BIGINT) AS code
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 10
+    ), d AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(q.qc, c.code)) AS INT) AS hamming
+      FROM q JOIN codes c ON c.vec_id != q.query_id
+    ), r AS (
+      SELECT query_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM d
+    )
+    SELECT query_id, vec_id, hamming, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def sim_hamming_topk(spark, sf_dir):
+    """Binary-quantized ANN, entirely JVM-side: sign-quantize each
+    64-d embedding into ONE BIGINT (bit i = embedding[i] > 0 — the
+    standard binary quantization embedding stores ship for 32×
+    compression), then rank neighbors by Hamming distance
+    ``bit_count(a XOR b)``. Zero Python anywhere: the bit-pack is a
+    64-term codegen CASE sum built once per scan, distance is two
+    integer instructions per candidate — the cheapest possible
+    rerank-stage-1 over a packed code column (the float-cosine twin
+    is sim_cosine_topk; IVFPQ is the recall/cost midpoint, measured
+    in tools/recall_study.py). Exact integer arithmetic end-to-end ⇒
+    hash-exact oracle, unusual for an ANN family. Scale: codes are
+    8 bytes/vector; the probe is a broadcast of 10 query codes
+    against a map-side scan — no shuffle until the k·Q-row top-k
+    window."""
+    from functools import reduce
+    from operator import add
+
+    emb = t(spark, sf_dir, "embeddings")
+    # bit 63 is the sign bit: its set-value is Long.MIN_VALUE (1<<63
+    # overflows signed 64-bit on both engines)
+    bits = reduce(
+        add,
+        [
+            F.when(
+                F.col("embedding")[i] > 0,
+                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+    )
+    codes = emb.select("vec_id", bits.alias("code"))
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    d = codes.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.bit_count(F.col("qc").bitwiseXOR(F.col("code")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "hamming", "rn")
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    sql=r"""
+    WITH words AS (
+      SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != '')) AS t(w)
+      GROUP BY 1
+    ), syms AS (
+      SELECT freq,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)),
+                         '</w>') AS s
+      FROM words
+    )
+    SELECT s[i] AS left_sym, s[i + 1] AS right_sym,
+           CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM syms, unnest(range(1, len(s))) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """Iteration 0 of distributed BPE tokenizer training
+    (`operators/bpe.py`): weighted adjacent-symbol-pair counts over
+    the corpus word vocabulary (chars + '</w>' end marker, Sennrich
+    2016) — the aggregation every merge step of the training loop
+    repeats, oracle-checked end-to-end from raw documents. Plan: one
+    corpus pass to (word, freq), then pair explode + partial+final
+    sum over the Heaps-bounded vocab — per-iteration cost is
+    O(vocab), not O(corpus), which is what makes learned-tokenizer
+    training viable at 100 TB. The full greedy loop (argmax merge,
+    vectorized re-symbolization, repeat) is `text_bpe_train_micro` /
+    `bpe_train`."""
+    from trendengine_spark.operators.bpe import (
+        _with_symbols,
+        pair_counts,
+        word_vocab,
+    )
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return pair_counts(_with_symbols(word_vocab(docs)))
+
+
+@query(
+    "text_bpe_train_micro",
+    sql=None,
+    doc="Full greedy BPE training loop (20 merges) over documents: "
+    "per-iteration pair-count aggregation + argmax (1-row collect) + "
+    "Arrow-vectorized merge application. Rows-only (iterative, "
+    "driver-steered); the learned merge sequence is golden-tested "
+    "against an independent reference implementation in "
+    "tests/test_bpe.py, and iteration 0's aggregation is "
+    "oracle-checked by text_bpe_pair_counts.",
+)
+def text_bpe_train_micro(spark, sf_dir):
+    """Learned merge table for a 20-merge BPE vocabulary: (rank,
+    left_sym, right_sym, merged, pair_freq) in learned order —
+    deterministic by the (freq DESC, pair ASC) tie-break, so the
+    result is stable across partitionings (property-tested)."""
+    from trendengine_spark.operators.bpe import bpe_train
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, n_merges=20)
+    vocab.unpersist(blocking=False)
+    rows = [
+        (k + 1, a, b, a + b, f) for k, (a, b, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left_sym string, right_sym string, "
+        "merged string, pair_freq long",
+    )
