@@ -52,11 +52,20 @@ def test_clear_warm_cache_restores_raw_scans(spark):
     from trendengine_spark.operators.util import fan_out
 
     warm_cache(spark, SF_DIR, names=("nation",))
-    # fan_out's skip is scoped to cache-backed plans, not the session:
-    # the warmed table is left alone while an un-warmed single-file
-    # scan in the same session still gets the parallelism fix
+    # r8 semantics: a cache-backed plan is skipped by DEFAULT (the
+    # byte-sized cache partitioning is right for codegen/BLAS stages;
+    # widening it costs a payload shuffle) but widened when the caller
+    # declares a per-byte-Python stage (cpu_dense=True — the codec
+    # paths); an un-warmed single-file scan still gets the
+    # parallelism fix unconditionally
     warmed = load_table(spark, SF_DIR, "nation")
+    from trendengine_spark.operators.util import _plan_num_partitions
+
+    target = spark.sparkContext.defaultParallelism
     assert fan_out(warmed) is warmed
+    assert _plan_num_partitions(
+        fan_out(warmed, cpu_dense=True)
+    ) >= min(target, 4)
     unwarmed = load_table(spark, SF_DIR, "documents")
     assert fan_out(unwarmed) is not unwarmed
     clear_warm_cache(spark, SF_DIR)
@@ -90,3 +99,37 @@ def test_minhash_twice_same_session_same_result(spark):
     r1 = _rows(qs["dedup_minhash_lsh"](spark, SF_DIR))
     r2 = _rows(qs["dedup_minhash_lsh"](spark, SF_DIR))
     assert r1 == r2
+
+
+def test_fan_out_restores_parallelism_of_cache_derived_plans(spark):
+    """r8: under cpu_dense=True, fan_out must widen (a) a cached
+    input whose cache was built at byte-sized partitioning, and (b) a
+    plan DERIVED from such a cache (select/filter — reports no input
+    files); both previously passed through at 2-3 partitions and
+    starved codec stages downstream (measured 4.1s vs 0.9s on the GIF
+    stage in the bench session). Without the flag both are skipped
+    (the extra payload shuffle measurably hurts vectorized stages:
+    sim_cosine_topk 0.22s -> 0.40s)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.util import (
+        _plan_num_partitions as nparts,
+        fan_out,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+
+    base = spark.range(10_000).repartition(2).cache()
+    try:
+        base.count()
+        assert fan_out(base) is base  # default: cached skip holds
+        assert nparts(fan_out(base, cpu_dense=True)) >= min(target, 4)
+        derived = base.select((F.col("id") * 2).alias("x"))
+        assert derived.inputFiles() == []
+        assert fan_out(derived) is derived
+        assert nparts(fan_out(derived, cpu_dense=True)) >= min(target, 4)
+        # an already-wide plan is left alone (no pointless shuffle)
+        wide = spark.range(10_000).repartition(target)
+        assert fan_out(wide, cpu_dense=True) is wide
+    finally:
+        base.unpersist(blocking=False)

@@ -115,7 +115,7 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -153,7 +153,7 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -185,7 +185,7 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav_encode(8000, wavef))
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
@@ -241,7 +241,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(df.select("doc_id", "media")).mapInPandas(gen, out_schema)
+    return fan_out(df.select("doc_id", "media"), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def attach_fake_video(
@@ -350,7 +350,7 @@ def extract_media_features(
         FEATURE_SCHEMA.fields
         + [df.schema[c] for c in keep]
     )
-    return fan_out(df.select("doc_id", "media", *keep)).mapInPandas(gen, schema)
+    return fan_out(df.select("doc_id", "media", *keep), cpu_dense=True).mapInPandas(gen, schema)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -459,7 +459,7 @@ def resize_images(
         F.col("media_meta.height").alias("height"),
         "media",
     )
-    return fan_out(narrowed).mapInPandas(gen, RESIZE_SCHEMA)
+    return fan_out(narrowed, cpu_dense=True).mapInPandas(gen, RESIZE_SCHEMA)
 
 
 def attach_mjpeg_video(
@@ -620,7 +620,7 @@ def sample_frames(
         )
     else:
         narrowed = df.select("doc_id", "media")
-    return fan_out(narrowed).mapInPandas(gen, FRAME_SCHEMA)
+    return fan_out(narrowed, cpu_dense=True).mapInPandas(gen, FRAME_SCHEMA)
 
 
 def media_content_stats(df: DataFrame) -> DataFrame:
@@ -708,7 +708,7 @@ def attach_tone_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(wav_encode(8000, wavef))
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def audio_spectrogram(
@@ -771,7 +771,7 @@ def audio_spectrogram(
                 }
             )
 
-    return fan_out(df).mapInPandas(gen, out_schema)
+    return fan_out(df, cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def attach_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -821,7 +821,7 @@ def attach_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: ids, "media": payloads, "media_meta": metas}
             )
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def image_tile_means(
@@ -871,7 +871,7 @@ def image_tile_means(
                 }
             )
 
-    return fan_out(df.select(id_col, "media")).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def attach_animated_gif(
@@ -911,7 +911,7 @@ def attach_animated_gif(
                 payloads.append(gif_encode(frames, delay_cs=4))
             yield pd.DataFrame({id_col: ids, "media": payloads})
 
-    return fan_out(df.select(id_col)).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
 
 
 def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -971,4 +971,4 @@ def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return fan_out(df.select(id_col, "media")).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)

@@ -81,7 +81,19 @@ def owned_cache(df: DataFrame, key: str) -> DataFrame:
     return out
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def _plan_num_partitions(df: DataFrame) -> int:
+    """Partition count of a plan from physical planning only (no job,
+    no Python-RDD conversion). Under AQE the wrapper reports
+    UnknownPartitioning(0) until execution — unwrap to the initial
+    plan, whose partitioning is what the first stage actually runs
+    with."""
+    pe = df._jdf.queryExecution().executedPlan()
+    if pe.getClass().getName().endswith("AdaptiveSparkPlanExec"):
+        pe = pe.initialPlan()
+    return pe.outputPartitioning().numPartitions()
+
+
+def fan_out(df: DataFrame, cpu_dense: bool = False) -> DataFrame:
     """Undo degenerate input parallelism before CPU-heavy per-row work.
 
     A single-row-group parquet file scans as ONE partition, so an
@@ -112,6 +124,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     # degenerate scan, and read a memoized withCachedData that could
     # be stale). lookupCachedData is live state and scopes the probe
     # to exactly "the input fan_out was handed is itself cached".
+    target = spark.sparkContext.defaultParallelism
     try:
         if (
             spark._jsparkSession.sharedState()
@@ -119,15 +132,44 @@ def fan_out(df: DataFrame) -> DataFrame:
             .lookupCachedData(df._jdf)
             .isDefined()
         ):
-            return df
+            # r8: a cached input is healthy for BYTE-cheap stages but
+            # not for per-byte-Python ones — the warm cache partitions
+            # by bytes (~400 KB/partition), so a small table caches at
+            # 2-3 partitions and a codec stage downstream runs 2-3
+            # tasks on a 32-core box (measured: multimodal_gif 4.1 s
+            # vs 0.9 s in the bench session). Callers declare intent:
+            # cpu_dense=True (the codec/decode paths) widens a narrow
+            # cached plan; the default keeps the skip, because for
+            # vectorized-BLAS/codegen stages the extra shuffle of the
+            # payload costs more than the width buys (measured:
+            # sim_cosine_topk 0.22 s -> 0.40 s when force-widened).
+            if not cpu_dense:
+                return df
+            n = _plan_num_partitions(df)
+            return df if n >= target else df.repartition(target)
     except Exception:
         pass
-    target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # non-file source (rare) — assume healthy
         return df
     if not files:
+        # plans DERIVED from a cached table (a select/filter over the
+        # warm cache) report no input files, but inherit the cache's
+        # byte-sized partitioning (2-3 partitions for a small table) —
+        # the exact starvation the cached branch above fixes, one plan
+        # wrapper deeper (r8; measured 4.1 s vs 0.9 s on the GIF codec
+        # stage in the bench session). Probe the physical plan's
+        # actual partition count; 0/unknown means a real non-file
+        # source — leave those alone. Same intent gate as above.
+        if not cpu_dense:
+            return df
+        try:
+            n = _plan_num_partitions(df)
+        except Exception:
+            return df
+        if 0 < n < target:
+            return df.repartition(target)
         return df
     if len(files) >= target:
         return df
