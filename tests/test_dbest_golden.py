@@ -213,3 +213,54 @@ def test_u5_relational_twin_matches_classical_decompose(spark):
         assert (
             np.corrcoef(got_seas - got_seas.mean(), ref_seas)[0, 1] > 0.3
         )
+
+
+def test_dbest_non_cyclical_detects_planted_step():
+    """The reference's non-cyclical path is broken (unbound `df`
+    NameError at /root/reference/TrendEngine/calculations/
+    dbest.py:94-95,148-149 — SURVEY §4.4.6); the engine implements it
+    properly: no seasonal adjustment, change detection directly on
+    the series. A planted level shift on a trend-free noisy series
+    must be found with seasonal/remainder exactly zero."""
+    import numpy as np
+
+    from trendengine_spark.functions.dbest import dbest_change_detection
+
+    rng = np.random.default_rng(5)
+    n = 120
+    y = 0.4 + rng.normal(0, 0.004, n)
+    y[60:] += 0.25  # sustained step at index 60
+    r = dbest_change_detection(
+        y, data_type="non-cyclical", breakpoints_no=3, duration=24
+    )
+    assert r["seasonal"] == [0.0] * n
+    assert r["remainder"] == [0.0] * n
+    assert r["trend"] == y.tolist()  # series passes through untouched
+    # the largest change's segment boundary lands at the step (1-based
+    # starts/ends; the break should be within a couple of samples)
+    top_start, top_end = r["start"][0], r["end"][0]
+    assert any(abs(b - 61) <= 3 for b in (top_start, top_end)), r
+    assert abs(r["change"][0]) > 0.2
+    assert r["change_type"][0] == 1  # sustained level shift
+    # same series through the CYCLICAL path: the decomposition MA
+    # smears the step into a ramp split across segments, so assert
+    # the TOTAL reported change, not the single largest segment's
+    rc = dbest_change_detection(y, data_type="cyclical", duration=24)
+    assert sum(abs(c) for c in rc["change"]) > 0.2
+
+
+def test_dbest_non_cyclical_generalization():
+    import numpy as np
+
+    from trendengine_spark.functions.dbest import dbest_generalization
+
+    n = 100
+    xs = np.arange(n, dtype=float)
+    # piecewise-linear: up then down — 2 segments, tiny noise
+    y = np.where(xs < 50, 0.2 + 0.01 * xs, 0.7 - 0.008 * (xs - 50))
+    r = dbest_generalization(
+        y, data_type="non-cyclical", distance_threshold=0.05
+    )
+    assert 2 <= r["segment_no"] <= 3
+    assert r["rmse"] < 0.02
+    assert r["f_local"] == y.tolist()

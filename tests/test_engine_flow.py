@@ -300,3 +300,25 @@ def test_seasonal_mann_kendall_flow(spark):
     up = out[(11.0, 51.0)]
     assert up["trend"] == 1 and up["p_value"] < 1e-6
     assert abs(up["seasonal_sen"] - 0.02) < 1e-9
+
+
+def test_engine_dbest_non_cyclical_flow(spark):
+    """The data_type knob reaches the fit through the engine facade:
+    non-cyclical runs change detection WITHOUT seasonal adjustment
+    (the path the reference crashes on — SURVEY §4.4.6) and still
+    returns the typed per-change rows."""
+    from trendengine_spark.engine import dbest
+
+    out = dbest(
+        obs_frame(spark),
+        1990,
+        2005,
+        algorithm="changedetection",  # reference form string, canonicalized
+        data_type="non-cyclical",
+        largest_only=True,
+    ).collect()
+    assert len(out) > 0
+    ok = [r for r in out if r["status"] == "ok"]
+    assert ok, "no qualified series"
+    for r in ok:
+        assert r["change"] is not None
