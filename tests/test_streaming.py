@@ -682,3 +682,172 @@ def test_direct_maintain_preserves_stream_marker(spark, tmp_path):
     # a direct maintenance pass migrates the sidecar into the dir
     maintain_rollup(spark, target, extra.limit(0), ["event_type"], spec)
     assert int(open(marker).read()) == 7
+
+
+def test_streaming_dedup_pipeline_folds_probes_and_replays(spark, tmp_path):
+    """r8 streaming-dedup composition: probe → drop → three ordered
+    idempotent versioned commits. Checks (a) cross-batch near-dups
+    dropped, within-batch exact dups collapsed keep-first, (b) replay
+    of a folded batch is a no-op, (c) the crash window 'corpus+sigs
+    committed, bands not' replays to the SAME final state with no
+    self-hit false dups (candidates anchor on the band table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.streaming.dedup_pipeline import (
+        BANDS,
+        CORPUS,
+        SIGS,
+        dedup_fold_batch,
+        init_dedup_root,
+    )
+    from trendengine_spark.tablelog import (
+        current_version,
+        publish_versioned_batch,
+        read_versioned,
+    )
+
+    root = str(tmp_path / "dedup_root")
+    init_dedup_root(root, num_perm=32, bands=8, n=2)
+
+    def doc(i, text):
+        return (i, text)
+
+    b0 = spark.createDataFrame(
+        [
+            doc(0, "the quick brown fox jumps over the lazy dog today"),
+            doc(1, "completely different text about spark partitions here"),
+            doc(2, "THE quick  brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )  # doc 2 = exact dup of 0 after normalization (keep-first)
+    r0 = dedup_fold_batch(b0, 0, root, threshold=0.8)
+    assert r0["admitted"] == 2 and r0["dropped"] == 1
+    corpus = read_versioned(spark, os.path.join(root, CORPUS))
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 1]
+
+    b1 = spark.createDataFrame(
+        [
+            doc(10, "the quick brown fox jumps over the lazy dog today"),
+            doc(11, "a genuinely novel document about window functions"),
+        ],
+        "doc_id long, text string",
+    )  # doc 10 near-dups indexed doc 0
+    r1 = dedup_fold_batch(b1, 1, root, threshold=0.8)
+    assert r1["admitted"] == 1 and r1["dropped"] == 1
+    got = sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    )
+    assert got == [0, 1, 11]
+
+    # replay of batch 1: full no-op (band-table marker gate)
+    r1b = dedup_fold_batch(b1, 1, root, threshold=0.8)
+    assert r1b["skipped"] is True
+    assert current_version(os.path.join(root, CORPUS)) == 1
+    assert sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    ) == [0, 1, 11]
+
+    # crash window: simulate batch 2 committing corpus + sigs but NOT
+    # bands, then the retry running the full fold
+    b2 = spark.createDataFrame(
+        [doc(20, "yet another brand new document about broadcast joins")],
+        "doc_id long, text string",
+    )
+    from trendengine_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+    )
+
+    sig2 = minhash_signatures(b2, 32, "doc_id", "text", 2)
+    publish_versioned_batch(b2, 2, os.path.join(root, CORPUS), mode="append")
+    publish_versioned_batch(sig2, 2, os.path.join(root, SIGS), mode="append")
+    # retry (as the stream would): must not see doc 20 as a dup of
+    # itself, and must converge to exactly one copy everywhere
+    r2 = dedup_fold_batch(b2, 2, root, threshold=0.8)
+    assert r2["dropped"] == 0
+    final = sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    )
+    assert final == [0, 1, 11, 20]
+    sigs_ids = [
+        r["id"]
+        for r in read_versioned(spark, os.path.join(root, SIGS)).collect()
+    ]
+    assert sorted(sigs_ids) == [0, 1, 11, 20]  # no double-appended sigs
+    bands_df = read_versioned(spark, os.path.join(root, BANDS))
+    assert bands_df.select("id").distinct().count() == 4
+
+    # batch 3 must treat 20 as indexed now (bands committed by retry)
+    b3 = spark.createDataFrame(
+        [doc(30, "yet another brand new document about broadcast joins")],
+        "doc_id long, text string",
+    )
+    r3 = dedup_fold_batch(b3, 3, root, threshold=0.8)
+    assert r3["admitted"] == 0 and r3["dropped"] == 1
+
+
+def test_streaming_dedup_pipeline_end_to_end_with_restart(spark, tmp_path):
+    """run_dedup_stream over a file source: first run folds the
+    available file; a restart on the same checkpoint with one MORE
+    file folds only the new one (the committed microbatch is not
+    re-applied), and cross-file dups are dropped."""
+    import os
+
+    from trendengine_spark.streaming.dedup_pipeline import (
+        CORPUS,
+        init_dedup_root,
+        run_dedup_stream,
+    )
+    from trendengine_spark.tablelog import read_versioned
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    init_dedup_root(root, num_perm=32, bands=8, n=2)
+    os.makedirs(src)
+
+    first = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    first.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = run_dedup_stream(
+        spark.readStream.schema(schema).parquet(src),
+        root,
+        threshold=0.8,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    ) == [0, 1]
+
+    second = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (11, "brand new eleventh document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    second.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_dedup_stream(
+        spark.readStream.schema(schema).parquet(src),
+        root,
+        threshold=0.8,
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination(180)
+    assert sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    ) == [0, 1, 11]

@@ -616,14 +616,34 @@ def incremental_minhash_dedup(
         minhash_signatures(new_docs, num_perm, id_col, text_col, n),
         f"dedup.mh.incr.{num_perm}.{bands}",
     )
+    return probe_minhash_index(
+        sig_new,
+        spark.read.parquet(os.path.join(index_path, "bands")),
+        spark.read.parquet(os.path.join(index_path, "signatures")),
+        num_perm,
+        bands,
+        threshold,
+    )
+
+
+def probe_minhash_index(
+    sig_new: DataFrame,
+    stored_bands: DataFrame,
+    stored_sig: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """The probe core shared by the parquet-path incremental dedup and
+    the versioned/streaming pipeline (r8): band the NEW signatures,
+    bucket-equi-join against the stored band table (new × stored,
+    never corpus × corpus), verify candidates with the estimated
+    Jaccard from the two signature tables."""
+    spark = sig_new.sparkSession
     nview = f"_te_mh_new_{num_perm}_{bands}"
     sig_new.createOrReplaceTempView(nview)
-    spark.read.parquet(os.path.join(index_path, "bands")).createOrReplaceTempView(
-        f"{nview}_stored_bands"
-    )
-    spark.read.parquet(
-        os.path.join(index_path, "signatures")
-    ).createOrReplaceTempView(f"{nview}_stored_sig")
+    stored_bands.createOrReplaceTempView(f"{nview}_stored_bands")
+    stored_sig.createOrReplaceTempView(f"{nview}_stored_sig")
     banded_new = (
         f"(SELECT id, bh.band AS band, bh.bucket AS bucket FROM {nview} "
         f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
@@ -685,3 +705,16 @@ def append_minhash_index(
         f"bt AS bh"
     ).write.mode("append").parquet(os.path.join(path, "bands"))
     return meta
+
+
+def band_table(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows for a signature table — the thin probe
+    side of the LSH index (used by both the parquet index writer and
+    the versioned/streaming pipeline)."""
+    view = f"_te_mh_bandtab_{num_perm}_{bands}"
+    sig.createOrReplaceTempView(view)
+    return sig.sparkSession.sql(
+        f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
+        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"bt AS bh"
+    )

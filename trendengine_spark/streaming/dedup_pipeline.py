@@ -1,0 +1,178 @@
+"""Streaming corpus dedup: foreachBatch glue composing the
+incremental MinHash index (:mod:`trendengine_spark.operators.dedup`)
+with the versioned-table layer (:mod:`trendengine_spark.tablelog`) —
+the production "curate as it lands" loop:
+
+    batch k arrives → probe against the index of batches 0..k-1 →
+    drop near-dup hits (and within-batch exact dups) → publish the
+    survivors to the admitted-corpus table → fold their signatures
+    and band rows into the index → next batch sees them.
+
+Exactly-once BY COMPOSITION, not by a new mechanism: the corpus,
+signature and band tables are each manifest-versioned with the
+streaming ``batch_id`` recorded at commit
+(:func:`~trendengine_spark.tablelog.publish_versioned_batch`), so a
+replayed microbatch is a per-table no-op. The batch's three commits
+are ordered corpus → signatures → bands, and the replay guard reads
+the BAND table's marker (the last commit): a crash between commits
+replays the batch, the already-committed tables skip themselves, and
+the probe stays correct in every intermediate state — in particular,
+with signatures committed but bands not, the batch cannot candidate
+against ITSELF because candidates come only from the band table
+(self-hits were the failure mode of a naive "append then mark"
+design). Within-batch duplicate texts are collapsed keep-first
+(min id) before probing.
+
+State crossing the network per batch: the batch itself, its
+signatures (num_perm longs/doc) and band keys — never the corpus;
+probe cost vs corpus size is measured FLAT in
+``tools/stress_llm.py`` (SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trendengine_spark.operators.dedup import (
+    band_table,
+    minhash_signatures,
+    normalize_text,
+    probe_minhash_index,
+)
+from trendengine_spark.tablelog import (
+    current_version,
+    last_batch_id,
+    publish_versioned_batch,
+    read_versioned,
+)
+
+CORPUS, SIGS, BANDS = "corpus", "signatures", "bands"
+
+
+def init_dedup_root(
+    root: str, num_perm: int = 64, bands: int = 16, n: int = 3
+) -> dict:
+    """Create an empty streaming-dedup root: the hash-family manifest
+    plus three (initially empty) versioned tables. Probe and fold can
+    then never disagree on the family."""
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into bands")
+    os.makedirs(root, exist_ok=True)
+    meta = {"num_perm": num_perm, "bands": bands, "n": n}
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _meta(root: str) -> dict:
+    with open(os.path.join(root, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def dedup_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Probe-then-fold one microbatch (module-level so the retry /
+    crash-window contract is directly testable). Returns
+    {"skipped": bool, "admitted": n, "dropped": n}."""
+    bands_path = os.path.join(root, BANDS)
+    applied = last_batch_id(bands_path)
+    if applied is not None and batch_id <= applied:
+        return {"skipped": True, "admitted": 0, "dropped": 0}
+    meta = _meta(root)
+    num_perm, n_bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    spark = batch_df.sparkSession
+
+    # within-batch exact dedup, keep-first by id (cheap, deterministic)
+    norm = normalize_text(F.col(text_col)).alias("_norm")
+    keep_first = (
+        batch_df.select(F.col(id_col), norm)
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    batch = batch_df.join(keep_first, id_col, "left_semi")
+
+    sig = minhash_signatures(
+        batch, num_perm, id_col, text_col, n
+    ).localCheckpoint()
+    # candidates require the BAND table — which is committed LAST, so
+    # every readable band row has its signature row too. In the
+    # crash window "sigs committed, bands not", the batch cannot
+    # candidate against itself: the probe anchors on bands.
+    hits = None
+    if current_version(bands_path) >= 0:
+        hits = probe_minhash_index(
+            sig,
+            read_versioned(spark, bands_path),
+            read_versioned(spark, os.path.join(root, SIGS)),
+            num_perm,
+            n_bands,
+            threshold,
+        )
+    if hits is not None:
+        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = batch.join(dup_ids, id_col, "left_anti")
+        sig_kept = sig.join(
+            dup_ids.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+    else:
+        survivors = batch
+        sig_kept = sig
+    n_batch = batch_df.count()
+    # ordered idempotent commits; BANDS last = the replay gate
+    publish_versioned_batch(
+        survivors, batch_id, os.path.join(root, CORPUS), mode="append"
+    )
+    publish_versioned_batch(
+        sig_kept, batch_id, os.path.join(root, SIGS), mode="append"
+    )
+    admitted = publish_versioned_batch(
+        band_table(sig_kept, num_perm, n_bands),
+        batch_id,
+        bands_path,
+        mode="append",
+    )
+    n_kept = sig_kept.count()
+    return {
+        "skipped": not admitted and n_kept > 0,
+        "admitted": n_kept,
+        "dropped": n_batch - n_kept,
+    }
+
+
+def run_dedup_stream(
+    docs: DataFrame,
+    root: str,
+    threshold: float = 0.9,
+    checkpoint: str | None = None,
+    query_name: str = "dedup_pipeline",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Attach the fold to a streaming document source. One microbatch
+    = one probe + three idempotent versioned commits; restart resumes
+    from the checkpoint and replays are no-ops."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda bdf, bid: dedup_fold_batch(
+                bdf, bid, root, threshold, id_col, text_col
+            )
+        )
+        .queryName(query_name)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(root, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
