@@ -804,3 +804,96 @@ def test_commit_manifest_base_version_pins_slot(tmp_path):
     with pytest.raises(ValueError, match="rebase"):
         tl._commit_manifest(path, ["b.parquet"], base_version=0)
     assert tl.current_version(path) == 0  # nothing drifted
+
+
+def test_versioned_manifest_stats_prune_files(spark, tmp_path):
+    """r8 data skipping: commits record per-file min/max footer stats
+    in the manifest; read_versioned(predicate=...) excludes files
+    whose range cannot match WITHOUT opening them — conservatively
+    (stat-less columns never skip), with identical results to the
+    full scan + filter, surviving folds and compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import trendengine_spark.tablelog as tl
+
+    path = str(tmp_path / "vt")
+    # 4 appended batches with disjoint k ranges and a string column
+    for b in range(4):
+        df = (
+            spark.range(b * 100, b * 100 + 100)
+            .withColumnRenamed("id", "k")
+            .withColumn("name", F.concat(F.lit(f"u{b}_"), F.col("k")))
+            .coalesce(1)
+        )
+        tl.publish_versioned_batch(df, b, path, mode="append")
+    m = tl._read_manifest(path, tl.current_version(path))
+    assert len(m["files"]) == 4
+    assert all(f in m["stats"] for f in m["files"])
+    assert all("k" in m["stats"][f]["cols"] for f in m["files"])
+
+    # numeric predicate: only the one matching file scans
+    pruned = tl.read_versioned(spark, path, predicate={"k": (150, 180)})
+    assert len(pruned.inputFiles()) == 1
+    want = sorted(range(150, 181))
+    assert sorted(
+        r["k"] for r in pruned.filter("k between 150 and 180").collect()
+    ) == want
+    # half-open interval
+    assert (
+        len(
+            tl.read_versioned(
+                spark, path, predicate={"k": (300, None)}
+            ).inputFiles()
+        )
+        == 1
+    )
+    # string predicate
+    assert (
+        len(
+            tl.read_versioned(
+                spark, path, predicate={"name": ("u2_", "u2_~")}
+            ).inputFiles()
+        )
+        == 1
+    )
+    # everything pruned: empty frame, schema intact
+    none = tl.read_versioned(spark, path, predicate={"k": (10_000, 10_001)})
+    assert none.count() == 0 and none.columns == ["k", "name"]
+    # unknown column: conservative, full file list
+    assert (
+        len(
+            tl.read_versioned(
+                spark, path, predicate={"nope": (0, 1)}
+            ).inputFiles()
+        )
+        == 4
+    )
+
+    # compaction rewrites files -> fresh stats; pruning still correct
+    tl.compact_versioned(spark, path, target_bytes=10_000_000_000)
+    m2 = tl._read_manifest(path, tl.current_version(path))
+    assert all(f in m2["stats"] for f in m2["files"])
+    got = sorted(
+        r["k"]
+        for r in tl.read_versioned(spark, path, predicate={"k": (150, 180)})
+        .filter("k between 150 and 180")
+        .collect()
+    )
+    assert got == want
+
+    # pre-stats manifests (no "stats" key) read fine and never skip
+    v = tl.current_version(path)
+    mf = os.path.join(path, "_manifests", f"v{v:06d}.json")
+    import json as _json
+
+    with open(mf) as fh:
+        legacy = _json.load(fh)
+    legacy.pop("stats")
+    with open(mf, "w") as fh:
+        _json.dump(legacy, fh)
+    assert (
+        tl.read_versioned(spark, path, predicate={"k": (150, 180)}).count()
+        == 400
+    )

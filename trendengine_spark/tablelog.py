@@ -134,6 +134,52 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _file_stats(path: str, name: str) -> dict:
+    """Per-file column statistics from the parquet footer (r8): row
+    count + min/max per primitive column, folded across row groups —
+    the data-skipping metadata every log-structured format records at
+    commit (Iceberg manifests, Delta add-file stats). One local footer
+    read per NEW file per commit; JSON-safe types only (int/float/
+    str/bool — timestamps and binary are skipped, which is always
+    safe: a column absent from stats is never pruned on)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(path, _DATA_DIR, name))
+    cols: dict[str, list] = {}
+    rows = pf.metadata.num_rows
+    for rg in range(pf.metadata.num_row_groups):
+        g = pf.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                cols[c.path_in_schema] = None  # some group lacks stats
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    cols[c.path_in_schema] = None
+                    continue
+            if not isinstance(mn, (int, float, str, bool)) or isinstance(
+                mn, bool
+            ) != isinstance(mx, bool):
+                cols[c.path_in_schema] = None
+                continue
+            cur = cols.get(c.path_in_schema)
+            if cur is None and c.path_in_schema in cols:
+                continue  # already invalidated
+            if cur is None:
+                cols[c.path_in_schema] = [mn, mx]
+            else:
+                cols[c.path_in_schema] = [min(cur[0], mn), max(cur[1], mx)]
+    return {
+        "rows": rows,
+        "cols": {k: v for k, v in cols.items() if v is not None},
+    }
+
+
 def last_batch_id(path: str) -> int | None:
     """Streaming batch id recorded by the newest manifest (None for
     an empty table or a manifest from a non-streaming commit)."""
@@ -191,6 +237,24 @@ def _commit_manifest(
             "base_version pins one slot; retrying it would spin — "
             "folded commits must use on_conflict='raise' and rebase"
         )
+    # file stats (r8): inherit stats for files already in the head
+    # manifest (folded commits re-list them), read footers only for
+    # NEW files — commit cost stays O(new files). Failure to stat a
+    # file records no entry, which pruning treats as "never skip".
+    stats: dict[str, dict] = {}
+    head_v = current_version(path)
+    if head_v >= 0:
+        try:
+            stats.update(_read_manifest(path, head_v).get("stats", {}))
+        except OSError:
+            pass
+    for f in files:
+        if f not in stats:
+            try:
+                stats[f] = _file_stats(path, f)
+            except Exception:
+                pass
+    stats = {f: s for f, s in stats.items() if f in set(files)}
     while True:
         version = (
             base_version + 1
@@ -199,7 +263,7 @@ def _commit_manifest(
         )
         final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
         tmp = final + f".tmp{uuid.uuid4().hex}"
-        body = {"version": version, "files": files}
+        body = {"version": version, "files": files, "stats": stats}
         if batch_id is not None:
             body["batch_id"] = batch_id
         with open(tmp, "w") as fh:
@@ -226,15 +290,54 @@ def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Scan exactly one committed version (newest by default) — a
-    pinned snapshot, immune to later writes until vacuumed."""
+    pinned snapshot, immune to later writes until vacuumed.
+
+    ``predicate`` (r8): {column: (lo, hi)} closed intervals used for
+    MANIFEST-LEVEL file skipping — a file whose recorded [min, max]
+    cannot intersect every interval is excluded from the scan without
+    being opened (the Iceberg/Delta data-skipping step that runs
+    BEFORE parquet row-group pruning; at 10⁶-file scale this is the
+    difference between planning against a manifest and touching
+    storage). CONSERVATIVE by contract: files without stats for a
+    predicated column are always kept, pass None for lo/hi to leave a
+    side unbounded, and callers still apply the exact filter — the
+    predicate only shrinks the file list, never the semantics."""
     v = current_version(path) if version is None else version
     manifest = os.path.join(path, _MANIFEST_DIR, f"v{v:06d}.json")
     with open(manifest) as fh:
-        files = json.load(fh)["files"]
+        m = json.load(fh)
+    files = m["files"]
+    if predicate:
+        stats = m.get("stats", {})
+        kept = []
+        for f in files:
+            cols = stats.get(f, {}).get("cols", {})
+            keep = True
+            for col, (lo, hi) in predicate.items():
+                rng = cols.get(col)
+                if rng is None:
+                    continue  # no stats: cannot skip
+                mn, mx = rng
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        files = kept
     if not files:
+        if predicate and m["files"]:
+            # everything pruned: an empty frame with the right schema
+            return spark.read.parquet(
+                os.path.join(path, _DATA_DIR, m["files"][0])
+            ).limit(0)
         raise ValueError(f"version {v} of {path} is empty")
     return spark.read.parquet(
         *[os.path.join(path, _DATA_DIR, f) for f in files]
