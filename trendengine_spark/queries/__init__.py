@@ -87,6 +87,9 @@ _SPINE_FIRST = [
     # distributed BPE tokenizer training (pair-count step oracle'd,
     # greedy loop golden-tested)
     "sim_hamming_topk", "text_bpe_pair_counts", "text_bpe_train_micro",
+    # NEW in r8: rolling 14-day OLS slope (exact integer window
+    # moments, no rounding — the per-row twin of trend_polyfit_coeffs)
+    "window_rolling_slope",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1112,3 +1112,84 @@ def u5_decomposition_relational(spark, sf_dir):
         seasonal.alias("seasonal"),
         ((F.col("y").cast("double") - trend) - seasonal).alias("remainder"),
     )
+
+
+@query(
+    "window_rolling_slope",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - 1 AS BIGINT) AS x
+      FROM daily
+    ), w AS (
+      SELECT event_type, x, y,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(sum(y) OVER win AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+      FROM idx
+      WINDOW win AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(x AS INT) AS i, y, CAST(n AS INT) AS n_window,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+    FROM w
+    """,
+)
+def window_rolling_slope(spark, sf_dir):
+    """Rolling 14-day OLS slope per daily event-count series — the
+    trend-feature window every forecasting/monitoring pipeline
+    computes, rendered EXACTLY: the regression inputs are five
+    integer window sums (n, Σx, Σx², Σy, Σxy over ROWS 13 PRECEDING),
+    and the slope is one double division of two exact BIGINTs
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the same no-rounding hash
+    contract as trend_polyfit_coeffs, now per-row under a moving
+    frame. One shuffle to daily counts, one in-partition window pass,
+    zero Python. Degenerate frames (n=1, zero variance) emit 0."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w0 = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        (F.row_number().over(w0) - 1).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("x").rowsBetween(-13, 0)
+    )
+    x, y = F.col("x"), F.col("y")
+    g = idx.select(
+        "event_type",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(x).over(win).alias("sx"),
+        F.sum(x * x).over(win).alias("sxx"),
+        F.sum(y).over(win).alias("sy"),
+        F.sum(x * y).over(win).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy")
+    )
+    den = n * sxx - sx * sx
+    return g.select(
+        "event_type",
+        x.cast("int").alias("i"),
+        "y",
+        n.cast("int").alias("n_window"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise((n * sxy - sx * sy).cast("double") / den.cast("double"))
+        .alias("slope"),
+    )
