@@ -58,6 +58,13 @@ def test_no_cartesian_products_anywhere(spark):
         # three 1-row global aggregates cross-joined into the final
         # funnel row — every side is a single row by construction
         "funnel_view_click_purchase",
+        # r8: 10 packed query codes broadcast against the code scan —
+        # the brute-force-over-8-byte-codes probe shape (same class
+        # as the query-vector broadcasts above)
+        "sim_hamming_topk",
+        # r8: 5 kilobyte HLL sketches broadcast into a theta pair
+        # join — the build side is one sketch row per segment
+        "approx_user_overlap_pairs",
     }
     offenders = []
     for name in sorted(REGISTRY):

@@ -255,3 +255,41 @@ def test_native_recursive_join_class_matches_khop(spark):
     } | {(1, 0)}
     assert native == loop
     assert (2, 1) in native and (4, 3) in native and (7, 2) in native
+
+
+def test_hll_overlap_estimates_track_exact(spark):
+    """approx_user_overlap_pairs: inclusion-exclusion on HLL sketches
+    must track the exact pairwise intersection within compounded
+    sketch error on the driver data, and the union estimate must be
+    >= each side's estimate (monotonicity of register-max merge)."""
+    import duckdb
+
+    from trendengine_spark.queries.base import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["approx_user_overlap_pairs"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        (a, b): n
+        for a, b, n in con.sql(
+            f"""
+            WITH u AS (SELECT DISTINCT event_type, user_id
+                       FROM '{sf}/events.parquet')
+            SELECT a.event_type, b.event_type, count(*)
+            FROM u a JOIN u b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        assert r["est_union"] >= max(r["est_a"], r["est_b"])
+        # three compounded ~2% estimates on |overlap| ~ |A| scale:
+        # allow 10% of the union as the error budget
+        assert abs(r["est_overlap"] - exact[k]) <= max(
+            0.1 * r["est_union"], 50
+        ), (k, r["est_overlap"], exact[k])

@@ -89,7 +89,10 @@ _SPINE_FIRST = [
     "sim_hamming_topk", "text_bpe_pair_counts", "text_bpe_train_micro",
     # NEW in r8: rolling 14-day OLS slope (exact integer window
     # moments, no rounding — the per-row twin of trend_polyfit_coeffs)
-    "window_rolling_slope",
+    # and Spearman rank correlation (doubled-rank exactness trick)
+    "window_rolling_slope", "stats_spearman_pairs",
+    # NEW in r8: HLL sketch-algebra audience overlap (rows-only)
+    "approx_user_overlap_pairs",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1193,3 +1193,146 @@ def window_rolling_slope(spark, sf_dir):
         .otherwise((n * sxy - sx * sy).cast("double") / den.cast("double"))
         .alias("slope"),
     )
+
+
+@query(
+    "stats_spearman_pairs",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.d,
+             a.y AS ya, b.y AS yb
+      FROM daily a JOIN daily b
+        ON a.d = b.d AND a.event_type < b.event_type
+    ), ranked AS (
+      SELECT ta, tb,
+             CAST(2 * rank() OVER (PARTITION BY ta, tb ORDER BY ya)
+                  + count(*) OVER (PARTITION BY ta, tb, ya) - 1
+                  AS BIGINT) AS r2a,
+             CAST(2 * rank() OVER (PARTITION BY ta, tb ORDER BY yb)
+                  + count(*) OVER (PARTITION BY ta, tb, yb) - 1
+                  AS BIGINT) AS r2b
+      FROM joined
+    ), agg AS (
+      SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((r2a - r2b) * (r2a - r2b)) AS BIGINT) AS s4
+      FROM ranked GROUP BY ta, tb
+    )
+    SELECT ta AS type_a, tb AS type_b, CAST(n AS INT) AS n_days,
+           CASE WHEN n < 2 THEN 0.0
+                ELSE 1.0 - CAST(6 * s4 AS DOUBLE)
+                           / CAST(4 * n * (n * n - 1) AS DOUBLE) END
+             AS spearman_rho
+    FROM agg
+    """,
+)
+def stats_spearman_pairs(spark, sf_dir):
+    """Spearman rank correlation between every pair of daily
+    event-count series (the robust complement to stats_aggregates'
+    Pearson corr — rank correlation ignores monotone distortions and
+    outliers). Hash-exact by the doubled-rank trick: the average rank
+    under ties is (2·rank + tie_count − 1)/2, so TWICE the rank is an
+    exact BIGINT, squared rank differences are exact 4·d², and rho =
+    1 − 6Σd²/(n(n²−1)) becomes one double division of exact integers
+    on both engines (the difference-formula rendering, identical on
+    each side). Plan: one shuffle to daily counts, one self-join on
+    the date (bounded by the calendar), two in-partition rank
+    windows, one aggregate — no Python."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    a = daily.select(
+        F.col("event_type").alias("ta"), "d", F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"), "d", F.col("y").alias("yb")
+    )
+    j = a.join(b, "d").filter(F.col("ta") < F.col("tb"))
+    wa = Window.partitionBy("ta", "tb").orderBy("ya")
+    wb = Window.partitionBy("ta", "tb").orderBy("yb")
+    ca = Window.partitionBy("ta", "tb", "ya")
+    cb = Window.partitionBy("ta", "tb", "yb")
+    ranked = j.select(
+        "ta",
+        "tb",
+        (
+            2 * F.rank().over(wa) + F.count(F.lit(1)).over(ca) - 1
+        ).cast("long").alias("r2a"),
+        (
+            2 * F.rank().over(wb) + F.count(F.lit(1)).over(cb) - 1
+        ).cast("long").alias("r2b"),
+    )
+    d = F.col("r2a") - F.col("r2b")
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d * d).alias("s4")
+    )
+    n, s4 = F.col("n"), F.col("s4")
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        n.cast("int").alias("n_days"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - (6 * s4).cast("double")
+            / (4 * n * (n * n - 1)).cast("double")
+        )
+        .alias("spearman_rho"),
+    )
+
+
+@query(
+    "approx_user_overlap_pairs",
+    sql=None,
+    doc="Audience-overlap estimation via HLL sketch algebra: distinct "
+    "users per event-type pair estimated as |A| + |B| - |A union B| "
+    "with hll_union on the stored sketches - the mergeable-state "
+    "pattern that answers any-pair overlap from per-segment sketches "
+    "without re-scanning facts. Approximate (no DuckDB twin); "
+    "accuracy pinned vs exact intersections in tests.",
+)
+def approx_user_overlap_pairs(spark, sf_dir):
+    """Pairwise audience overlap from ONE pass over the facts: build
+    a user-set HLL sketch per event type (mergeable binary state —
+    the same register-max algebra the incremental rollup uses), then
+    estimate every pair's intersection by inclusion-exclusion
+    |A∩B| = |A| + |B| − |A∪B|, where the union is `hll_union` of two
+    stored sketches. At 100 TB this is the whole point of sketch
+    columns: any-segment-pair overlap becomes a join of kilobyte
+    blobs instead of a fact-table self-join; per-pair error
+    compounds (two estimates + a union), pinned in tests."""
+    ev = t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("nd"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("nd").alias("nd_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("nd").alias("nd_b"),
+    )
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate(F.col("sk_a"))
+    est_b = F.hll_sketch_estimate(F.col("sk_b"))
+    est_u = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        est_a.cast("long").alias("est_a"),
+        est_b.cast("long").alias("est_b"),
+        est_u.cast("long").alias("est_union"),
+        (est_a + est_b - est_u).cast("long").alias("est_overlap"),
+    )
