@@ -92,7 +92,8 @@ _SPINE_FIRST = [
     # and Spearman rank correlation (doubled-rank exactness trick)
     "window_rolling_slope", "stats_spearman_pairs",
     # NEW in r8: HLL sketch-algebra audience overlap (rows-only)
-    "approx_user_overlap_pairs",
+    # and exact per-node triangle counts (oriented wedge closure)
+    "approx_user_overlap_pairs", "graph_triangle_counts",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1336,3 +1336,77 @@ def approx_user_overlap_pairs(spark, sf_dir):
         est_u.cast("long").alias("est_union"),
         (est_a + est_b - est_u).cast("long").alias("est_overlap"),
     )
+
+
+_TRI_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )"""
+
+
+@query(
+    "graph_triangle_counts",
+    sql=f"""
+    WITH {_TRI_EDGES_SQL},
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), member AS (
+      SELECT a AS k FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT k AS partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY k
+    """,
+)
+def graph_triangle_counts(spark, sf_dir):
+    """Exact per-node triangle counts over the co-purchase graph —
+    the classic distributed-graph kernel (clustering-coefficient
+    numerator, community-density signal). Orientation trick: edges
+    are stored ONCE as a < b, and a triangle a<b<c is found by
+    joining (a,b)⋈(b,c) on the middle node and closing with (a,c) —
+    each triangle discovered exactly once, candidate volume
+    Σ_b deg⁺(b)·deg⁻(b) under the ordering, never Σ deg² (at scale
+    order by DEGREE instead of id to cap the heavy node's quadratic
+    term at O(m^1.5) — the id ordering keeps the oracle twin
+    byte-identical here). Wedge build and closure are plain
+    equi-joins (partial+final aggregation on the membership explode);
+    DuckDB runs the identical relational text. Integer-exact ⇒
+    hash-exact."""
+    from trendengine_spark.operators.util import owned_cache
+    from trendengine_spark.queries.base import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnRenamed("l_partkey", "b")
+    pairs = owned_cache(
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b"))
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct(),
+        key=f"tri_pairs:{sf_dir}",
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("k"))
+        .unionAll(tri.select(F.col("b").alias("k")))
+        .unionAll(tri.select(F.col("c").alias("k")))
+    )
+    return member.groupBy(F.col("k").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
