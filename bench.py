@@ -208,6 +208,12 @@ def main() -> None:
         "multimodal_gif_animation",
         "trend_mann_kendall_stats",
         "join_time_window_counts",
+        # r8 additions: packed-code Hamming ANN, BPE pair-count pass,
+        # exact rolling OLS, oriented triangle counting
+        "sim_hamming_topk",
+        "text_bpe_pair_counts",
+        "window_rolling_slope",
+        "graph_triangle_counts",
     ):
         fn = qs[name]
         try:

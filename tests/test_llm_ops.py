@@ -692,3 +692,46 @@ def test_containment_max_df_caps_hot_shingles(spark):
     # to stop
     unc = ngram_containment_pairs(docs, threshold=0.05, n=3).count()
     assert unc == 31 * 30
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES weighted sampling: identical results across partitionings
+    and reruns (pure function of seed/id/weight); heavier rows must be
+    overrepresented (probability ~ w/(sum w) for the top draw); zero
+    or negative weights excluded; stratified form keeps k per group."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 1.0 if i % 10 else 100.0, f"s{i % 2}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double, grp string")
+    a = sorted(
+        r["doc_id"] for r in weighted_sample(df, 50, "w").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(17), 50, "w").collect()
+    )
+    assert a == b and len(a) == 50
+    # 100 heavy rows hold ~99% of the mass: they must dominate the
+    # sample (expected ~48.7 of 50; loose floor well above chance)
+    heavy = sum(1 for i in a if i % 10 == 0)
+    assert heavy >= 35, heavy
+    # a different seed gives a different (but still deterministic) set
+    c = sorted(
+        r["doc_id"] for r in weighted_sample(df, 50, "w", seed=7).collect()
+    )
+    assert c != a
+    # zero/negative weights never sampled
+    dz = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id long, w double"
+    )
+    assert [
+        r["doc_id"] for r in weighted_sample(dz, 3, "w").collect()
+    ] == [3]
+    # stratified: k per stratum
+    s = weighted_sample(df, 10, "w", strata_col="grp").groupBy("grp").count()
+    assert {r["grp"]: r["count"] for r in s.collect()} == {
+        "s0": 10,
+        "s1": 10,
+    }

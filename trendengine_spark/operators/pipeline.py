@@ -90,3 +90,62 @@ def pack_concat_chunks(
         .otherwise(start_seq)
         .alias("end_seq"),
     )
+
+
+def weighted_sample(
+    df,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: int = 0,
+):
+    """Weighted random sampling WITHOUT replacement, coordination-free
+    (Efraimidis–Spirakis A-ES): each row draws a deterministic uniform
+    u from md5(seed, id) and scores key = u^(1/w); the k largest keys
+    ARE a weighted sample without replacement — exactly, not
+    approximately (ES 2006, Thm 1). The hash-uniform makes the sample
+    a pure function of (seed, ids, weights): reproducible across
+    engines, partitionings and reruns, no RNG state — the same
+    portability contract as the md5 Bernoulli sampler.
+
+    Scale: one narrow projection computes the keys; global top-k is a
+    TakeOrdered (per-partition heads + driver merge of k rows), and
+    the stratified form is a partitioned rank window — no global sort
+    either way. Rows with weight <= 0 are excluded (their key is
+    undefined); u is floored away from 0 so pow never returns an
+    exact 0 tie-block."""
+    from pyspark.sql import Window, functions as F
+
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13) + 2.0)
+    scored = df.filter(w > 0).withColumn(
+        "_es_key", F.pow(u, F.lit(1.0) / w)
+    )
+    if strata_col is None:
+        return scored.orderBy(
+            F.desc("_es_key"), F.col(id_col)
+        ).limit(k).drop("_es_key")
+    win = Window.partitionBy(strata_col).orderBy(
+        F.desc("_es_key"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )

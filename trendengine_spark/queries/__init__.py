@@ -94,6 +94,8 @@ _SPINE_FIRST = [
     # NEW in r8: HLL sketch-algebra audience overlap (rows-only)
     # and exact per-node triangle counts (oriented wedge closure)
     "approx_user_overlap_pairs", "graph_triangle_counts",
+    # NEW in r8: A-ES weighted sampling (hash-uniform, oracle-backed)
+    "pipeline_weighted_sample",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1011,3 +1011,40 @@ def text_bpe_train_micro(spark, sf_dir):
         "rank int, left_sym string, right_sym string, "
         "merged string, pair_freq long",
     )
+
+
+@query(
+    "pipeline_weighted_sample",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             pow((('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)),
+                                  1, 13))::BIGINT + 1.0)
+                 / 4503599627370498.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM scored ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES), engine-portable: u = md5-derived uniform of (seed, id),
+    key = u^(1/weight), keep the k largest keys — an EXACT weighted
+    sample without replacement, reproducible on any engine because
+    the randomness is a hash, not RNG state (the portability contract
+    of pipeline_bernoulli_sample extended to weights — here weight =
+    document length, the standard length-proportional curation draw).
+    Both engines evaluate the identical (u+1)/(16¹³+2) and pow
+    expressions on identical inputs; top-k is a TakeOrdered, never a
+    global sort. Operator: `operators/pipeline.weighted_sample`
+    (+ stratified per-key variant), property-tested for determinism
+    across partitionings and weight sensitivity."""
+    from trendengine_spark.operators.pipeline import weighted_sample
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 100, "n_chars").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
