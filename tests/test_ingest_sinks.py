@@ -897,3 +897,37 @@ def test_versioned_manifest_stats_prune_files(spark, tmp_path):
         tl.read_versioned(spark, path, predicate={"k": (150, 180)}).count()
         == 400
     )
+
+
+def test_versioned_schema_evolution_merge(spark, tmp_path):
+    """r8: an appended batch with an ADDED column reads back with
+    merge_schema=True (absent values null); the default read keeps
+    working (single-footer schema); time travel to the pre-evolution
+    version is unaffected."""
+    from pyspark.sql import functions as F
+
+    import trendengine_spark.tablelog as tl
+
+    path = str(tmp_path / "vt")
+    v0 = spark.range(5).withColumnRenamed("id", "k")
+    tl.publish_versioned_batch(v0.coalesce(1), 0, path, mode="append")
+    v1 = (
+        spark.range(5, 10)
+        .withColumnRenamed("id", "k")
+        .withColumn("tag", F.lit("new"))
+    )
+    tl.publish_versioned_batch(v1.coalesce(1), 1, path, mode="append")
+
+    merged = tl.read_versioned(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"k", "tag"}
+    rows = {r["k"]: r["tag"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "new" and len(rows) == 10
+    # default read still answers (k present everywhere)
+    assert tl.read_versioned(spark, path).select("k").count() == 10
+    # pinned pre-evolution version: old schema only
+    assert tl.read_versioned(spark, path, version=0).columns == ["k"]
+    # predicate + merge_schema compose
+    pr = tl.read_versioned(
+        spark, path, predicate={"k": (6, 8)}, merge_schema=True
+    )
+    assert len(pr.inputFiles()) == 1 and set(pr.columns) == {"k", "tag"}

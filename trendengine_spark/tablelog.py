@@ -294,6 +294,7 @@ def read_versioned(
     path: str,
     version: int | None = None,
     predicate: dict[str, tuple] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan exactly one committed version (newest by default) — a
     pinned snapshot, immune to later writes until vacuumed.
@@ -332,14 +333,23 @@ def read_versioned(
             if keep:
                 kept.append(f)
         files = kept
+    reader = spark.read
+    if merge_schema:
+        # schema evolution (r8): an appended batch may carry ADDED
+        # columns; the default reader takes one file's footer as the
+        # schema and silently drops the others' extras. mergeSchema
+        # unions footers (absent columns read as null) — opt-in, as
+        # in every parquet engine, because footer-merging costs a
+        # planning pass over all files.
+        reader = reader.option("mergeSchema", "true")
     if not files:
         if predicate and m["files"]:
             # everything pruned: an empty frame with the right schema
-            return spark.read.parquet(
+            return reader.parquet(
                 os.path.join(path, _DATA_DIR, m["files"][0])
             ).limit(0)
         raise ValueError(f"version {v} of {path} is empty")
-    return spark.read.parquet(
+    return reader.parquet(
         *[os.path.join(path, _DATA_DIR, f) for f in files]
     )
 
