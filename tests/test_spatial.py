@@ -70,3 +70,46 @@ def test_cluster_by_curve_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_polygon_contains_matches_reference_ray_cast(spark):
+    """r8 polygon AOI: the codegen parity expression must agree with
+    a straightforward Python ray caster on a grid incl. concave
+    polygons; horizontal edges must not poison the result."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.spatial import polygon_contains
+
+    def ref_inside(px, py, poly):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if ((y1 > py) != (y2 > py)) and (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            ):
+                inside = not inside
+        return inside
+
+    # concave "arrowhead" with a horizontal edge
+    poly = [(0.0, 0.0), (10.0, 0.0), (5.0, 4.0), (10.0, 8.0), (0.0, 8.0)]
+    pts = [
+        (x / 2.0 + 0.01, y / 2.0 + 0.017)
+        for x in range(-2, 24)
+        for y in range(-2, 20)
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {
+        (r["x"], r["y"]): r["in_poly"]
+        for r in df.withColumn(
+            "in_poly", polygon_contains(F.col("x"), F.col("y"), poly)
+        ).collect()
+    }
+    for px, py in pts:
+        assert got[(px, py)] == ref_inside(px, py, poly), (px, py)
+    # degenerate polygon rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        polygon_contains(F.col("x"), F.col("y"), [(0, 0), (1, 1)])

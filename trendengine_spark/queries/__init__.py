@@ -95,7 +95,8 @@ _SPINE_FIRST = [
     # and exact per-node triangle counts (oriented wedge closure)
     "approx_user_overlap_pairs", "graph_triangle_counts",
     # NEW in r8: A-ES weighted sampling (hash-uniform, oracle-backed)
-    "pipeline_weighted_sample",
+    # and general polygon AOI (codegen ray-casting parity)
+    "pipeline_weighted_sample", "f2b_polygon_filter",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -662,3 +662,49 @@ def flagship_trend_pipeline(spark, sf_dir):
         "l_returnflag", "trend_type", "direction", "significance", "degree",
         "n_points", F.round("slope", 6).alias("slope_r"),
     )
+
+
+_PENTAGON = [(10.0, 2.0), (25.0, 1.0), (40.0, 3.0), (35.0, 8.0), (15.0, 9.0)]
+
+
+def _pentagon_sql() -> str:
+    from trendengine_spark.operators.spatial import polygon_contains_sql
+
+    return polygon_contains_sql(
+        "CAST(l_quantity AS DOUBLE)", "(l_discount * 100)", _PENTAGON
+    )
+
+
+@query(
+    "f2b_polygon_filter",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE {_pentagon_sql()}
+    """,
+)
+def f2b_polygon_filter(spark, sf_dir):
+    """F2 extended to a GENERAL polygon AOI — the case the reference
+    reserves in its form grammar but disables in the UI (draw control:
+    rectangle/marker only, `static/utils.js:104-110`; the coordinate
+    parser's >2-point branch builds an `ee.Geometry.Polygon`,
+    `polytrend.py:444-448`). Ray-casting parity as one codegen
+    boolean expression over the same synthetic coordinate plane F2
+    uses ((l_quantity, l_discount·100) as (x, y)): per-edge crossing
+    tests XOR-accumulated, no UDF, no join — so a polygon AOI costs
+    the same scan as a bbox, minus min/max row-group pruning (the
+    right layout pairs it with a Z-order cluster + the bbox of the
+    polygon as a pre-filter; the bbox pre-filter is deliberately
+    omitted here so the oracle exercises the raw parity expression).
+    DuckDB evaluates the identically-unrolled SQL text — same IEEE
+    arithmetic, hash-exact."""
+    from trendengine_spark.operators.spatial import polygon_contains
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        polygon_contains(
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount") * 100,
+            _PENTAGON,
+        )
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
