@@ -322,3 +322,47 @@ def test_engine_dbest_non_cyclical_flow(spark):
     assert ok, "no qualified series"
     for r in ok:
         assert r["change"] is not None
+
+
+def test_polytrend_flow_polygon_aoi(spark):
+    """r8: the polygon AOI path (the reference parses polygons but
+    its UI never emits one) — a triangle covering only part of the
+    synthetic grid must classify exactly the pixels inside it, and
+    results for those pixels must equal the bbox run's."""
+    from trendengine_spark.engine import filter_polygon
+
+    obs = obs_frame(spark)
+    # the synthetic grid: find its extent, then a triangle over part
+    ext = obs.select(
+        F.min("longitude"), F.max("longitude"),
+        F.min("latitude"), F.max("latitude"),
+    ).collect()[0]
+    lon0, lon1, lat0, lat1 = ext
+    midlon = (lon0 + lon1) / 2
+    tri = [
+        (lon0 - 0.01, lat0 - 0.01),
+        (midlon + 1e-6, lat0 - 0.01),
+        (lon0 - 0.01, lat1 + 0.01),
+    ]
+    inside_pixels = {
+        (r["longitude"], r["latitude"])
+        for r in filter_polygon(obs, tri)
+        .select("longitude", "latitude")
+        .distinct()
+        .collect()
+    }
+    all_pixels = {
+        (r["longitude"], r["latitude"])
+        for r in obs.select("longitude", "latitude").distinct().collect()
+    }
+    assert 0 < len(inside_pixels) < len(all_pixels)
+    res = engine.polytrend(obs, 1990, 2009, polygon=tri).toPandas()
+    assert {
+        (r.longitude, r.latitude) for r in res.itertuples()
+    } == inside_pixels
+    # agreement with the full run on the shared pixels
+    full = engine.polytrend(obs, 1990, 2009).toPandas()
+    merged = res.merge(
+        full, on=["longitude", "latitude"], suffixes=("_p", "_f")
+    )
+    assert (merged["trend_type_p"] == merged["trend_type_f"]).all()

@@ -89,6 +89,26 @@ def filter_point(obs: DataFrame, lon: float, lat: float) -> DataFrame:
     return obs.join(F.broadcast(nearest), PIXEL, "left_semi")
 
 
+def filter_polygon(
+    obs: DataFrame, vertices: list[tuple[float, float]]
+) -> DataFrame:
+    """General polygon AOI (r8) — the reference's coordinate parser
+    builds ``ee.Geometry.Polygon`` for >2 points
+    (``polytrend.py:444-448``) but its UI never emits one; here the
+    polygon case is real: a bbox PRE-FILTER from the vertex envelope
+    (range predicates — row-group prunable, and the part AQE/parquet
+    can use) followed by the exact ray-casting parity expression
+    (:func:`~trendengine_spark.operators.spatial.polygon_contains`,
+    codegen, no UDF)."""
+    from trendengine_spark.operators.spatial import polygon_contains
+
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    return filter_bbox(obs, min(xs), min(ys), max(xs), max(ys)).filter(
+        polygon_contains(F.col("longitude"), F.col("latitude"), vertices)
+    )
+
+
 def polytrend(
     obs: DataFrame,
     year_from: int,
@@ -97,6 +117,7 @@ def polytrend(
     threshold: float = 0.1,
     bbox: tuple[float, float, float, float] | None = None,
     point: tuple[float, float] | None = None,
+    polygon: list[tuple[float, float]] | None = None,
     composite: str = "mean",
     series_cols: list[str] | None = None,
     include_series: bool | None = None,
@@ -113,6 +134,8 @@ def polytrend(
     df = filter_years(obs, year_from, year_to)
     if bbox is not None:
         df = filter_bbox(df, *bbox)
+    if polygon is not None:
+        df = filter_polygon(df, polygon)
     if point is not None:
         df = filter_point(df, *point)
     annual = annual_composite(df, series_cols, how=composite)
@@ -168,6 +191,7 @@ def dbest(
     threshold: float | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     point: tuple[float, float] | None = None,
+    polygon: list[tuple[float, float]] | None = None,
     series_cols: list[str] | None = None,
     largest_only: bool = False,
     **knobs,
@@ -183,6 +207,8 @@ def dbest(
     df = filter_years(obs, year_from, year_to)
     if bbox is not None:
         df = filter_bbox(df, *bbox)
+    if polygon is not None:
+        df = filter_polygon(df, polygon)
     if point is not None:
         df = filter_point(df, *point)
     # densify to a regular monthly grid: the fitting UDFs index seasonal
