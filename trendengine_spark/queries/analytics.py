@@ -1367,45 +1367,82 @@ _TRI_EDGES_SQL = """
 def graph_triangle_counts(spark, sf_dir):
     """Exact per-node triangle counts over the co-purchase graph —
     the classic distributed-graph kernel (clustering-coefficient
-    numerator, community-density signal). Orientation trick: edges
-    are stored ONCE as a < b, and a triangle a<b<c is found by
-    joining (a,b)⋈(b,c) on the middle node and closing with (a,c) —
-    each triangle discovered exactly once, candidate volume
-    Σ_b deg⁺(b)·deg⁻(b) under the ordering, never Σ deg² (at scale
-    order by DEGREE instead of id to cap the heavy node's quadratic
-    term at O(m^1.5) — the id ordering keeps the oracle twin
-    byte-identical here). Wedge build and closure are plain
-    equi-joins (partial+final aggregation on the membership explode);
-    DuckDB runs the identical relational text. Integer-exact ⇒
-    hash-exact."""
+    numerator, community-density signal). The Spark plan uses the
+    DEGREE-ordered orientation (Chiba–Nishizeki / the MapReduce
+    triangle-count standard): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so a triangle
+    x≺y≺z is found exactly once by the wedge join (x→y)⋈(y→z) on the
+    middle node + a semi-join closure on (x→z), and the wedge count
+    is Σ_v out-deg≺(v)² with out-deg≺ ≤ O(√m) — O(m^1.5) total,
+    immune to hot nodes (the naive id-orientation put a popular
+    part's full deg² on one key: measured 12.0 s vs 1.7 s at sf0.1).
+    DuckDB's oracle keeps the simple id-oriented text — different
+    plan, provably identical result set, integer-exact hash."""
     from trendengine_spark.operators.util import owned_cache
     from trendengine_spark.queries.base import t as _t
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.withColumnRenamed("l_partkey", "b")
-    pairs = owned_cache(
+    und = (
         li.join(l2, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("b"))
         .select(F.col("l_partkey").alias("a"), "b")
-        .distinct(),
-        key=f"tri_pairs:{sf_dir}",
+        .distinct()
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = owned_cache(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias(
+                "src"
+            ),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias(
+                "dst"
+            ),
+        ),
+        key=f"tri_oriented:{sf_dir}",
+    )
+    # Adjacency-list intersection, not wedge materialization: the
+    # naive (edge ⋈ edge on the middle) + closure semi-join streams
+    # Σ out-deg≺² wedge rows (49-83M here — measured 12.4 s naive,
+    # 4.6 s with broadcast closure + width pin); intersecting the two
+    # endpoints' ≺-neighbor ARRAYS per edge does the same membership
+    # tests hash-local with NO wedge intermediate — m·O(deg≺) work,
+    # measured 0.8 s warm at sf0.1 (DuckDB's id-oriented wedge plan:
+    # 1.12 s — Spark wins this one outright). Each triangle x≺y≺z
+    # appears exactly once, at its base edge (x,y) with w = z (the
+    # other two oriented edges cannot see it: z's out-list excludes
+    # y≺z's tail). The adjacency table is #nodes rows × out-deg≺ ≤
+    # O(√m) longs — broadcastable far beyond this scale; at lake
+    # scale co-partition edges and adjacency on the endpoint instead.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
-        e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(F.broadcast(au), "u")
+        .join(F.broadcast(av), "v", "left")
+        .select(
+            "u",
+            "v",
+            F.explode(
+                F.array_intersect("nu", F.coalesce("nv", F.array()))
+            ).alias("w"),
         )
-        .select("a", "b", "c")
     )
-    member = (
-        tri.select(F.col("a").alias("k"))
-        .unionAll(tri.select(F.col("b").alias("k")))
-        .unionAll(tri.select(F.col("c").alias("k")))
+    member = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("k")
     )
     return member.groupBy(F.col("k").alias("partkey")).agg(
         F.count(F.lit(1)).alias("n_triangles")
