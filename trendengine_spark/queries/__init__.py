@@ -97,6 +97,8 @@ _SPINE_FIRST = [
     # NEW in r8: A-ES weighted sampling (hash-uniform, oracle-backed)
     # and general polygon AOI (codegen ray-casting parity)
     "pipeline_weighted_sample", "f2b_polygon_filter",
+    # NEW in r8: temperature-scaled mixture quotas (count^0.5 recipe)
+    "pipeline_temperature_mixture",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1048,3 +1048,80 @@ def pipeline_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, 100, "n_chars").select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "pipeline_temperature_mixture",
+    sql="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c
+    ), r AS (
+      SELECT lang, n, wt,
+             sum(wt) OVER (ORDER BY lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS running
+      FROM w
+    ), q AS (
+      SELECT lang, n,
+             CAST(floor((400.0 * wt)
+                  / (SELECT running FROM r ORDER BY lang DESC LIMIT 1))
+                  AS BIGINT) AS quota
+      FROM r
+    ), ranked AS (
+      SELECT d.doc_id, d.lang, q.quota,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rn
+      FROM documents d JOIN q ON d.lang = q.lang
+    )
+    SELECT doc_id, lang, quota FROM ranked WHERE rn <= quota
+    """,
+)
+def pipeline_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the Gopher/LLaMA data
+    recipe): per-language quotas ∝ count^α with α = 0.5, so the
+    dominant language is downsampled toward the tail ones without
+    flattening entirely, then a deterministic smallest-md5 draw fills
+    each quota — reproducible, coordination-free, engine-portable.
+
+    Determinism trick for the quota math: Σ√c over groups is a FLOAT
+    sum whose accumulation order Spark's aggregate does not fix, so
+    the total is taken from an ORDER BY lang RUNNING window sum (both
+    engines accumulate running frames sequentially in frame order ⇒
+    identical doubles), and each quota is floor((T·√c)/total) with
+    identical operand order. Plan: one count aggregate, a 5-row
+    window, a broadcast quota join, one per-lang rank window."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.withColumn("wt", F.sqrt(F.col("n").cast("double")))
+    run_w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = w.withColumn("running", F.sum("wt").over(run_w))
+    total = (
+        r.agg(F.max(F.struct("lang", "running")).alias("m"))
+        .select(F.col("m.running").alias("total"))
+    )
+    q = (
+        r.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.floor((F.lit(400.0) * F.col("wt")) / F.col("total"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )
