@@ -50,6 +50,9 @@ QUERIES = [
     # plan at ~2M distinct edges
     "graph_pagerank_micro",
     "recursive_cte_reachability",
+    # r8: adjacency-intersection triangles — Spark's third crossover
+    # (5.9 s vs DuckDB 12.3 s at sf3, measured separately in r8)
+    "graph_triangle_counts",
 ]
 
 ORACLE_TABLES = FACTS + DIMS
