@@ -735,3 +735,73 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
         "s0": 10,
         "s1": 10,
     }
+
+
+def test_heavy_hitters_mg_equals_exact_groupby(spark):
+    """Planted skew: MG candidates + verify must EQUAL the exact
+    GROUP BY/HAVING answer, independent of partitioning."""
+    from trendengine_spark.operators.profile import heavy_hitters_mg
+
+    # 3 hot keys (freq > 1/16) in a sea of 500 cold keys
+    rows = (
+        [("hot_a",)] * 400 + [("hot_b",)] * 300 + [("hot_c",)] * 150
+        + [(f"cold_{i % 500}",) for i in range(1000)]
+    )
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "k string").repartition(nparts)
+        got = heavy_hitters_mg(df, "k", denom=16, counters=64).collect()
+        n = len(rows)
+        exact = {
+            (r["k"], r["cnt"])
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            if r["cnt"] * 16 > n
+        }
+        assert {(r["k"], r["cnt"]) for r in got} == exact, nparts
+        assert exact == {("hot_a", 400), ("hot_b", 300), ("hot_c", 150)}
+
+
+def test_heavy_hitters_mg_empty_when_uniform(spark):
+    """Uniform keys below threshold -> empty result, no crash."""
+    from trendengine_spark.operators.profile import heavy_hitters_mg
+
+    df = spark.range(0, 2000).select((F.col("id") % 200).alias("k"))
+    assert heavy_hitters_mg(df, "k", denom=64, counters=256).count() == 0
+
+
+def test_heavy_hitters_mg_summary_is_bounded(spark):
+    """The phase-1 summary output stays <= counters rows per partition
+    even when the partition has far more distinct keys."""
+    from trendengine_spark.operators.profile import heavy_hitters_mg
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k")).coalesce(2)
+    # distinct=5000 >> counters=32: verify no blow-up and exact result
+    out = heavy_hitters_mg(df, "k", denom=8, counters=32)
+    assert out.count() == 0  # every key occurs once; none above N/8
+
+
+def test_redact_pii_golden(spark):
+    """Golden strings through the JVM redaction chain."""
+    from trendengine_spark.operators.text import pii_counts, redact_pii
+
+    cases = [
+        ("mail bob.smith+x@corp.example.com now", "mail <EMAIL> now", 1, 0, 0),
+        ("call 555-123-4567 twice 555-000-1111", "call <PHONE> twice <PHONE>", 0, 2, 0),
+        ("host 192.168.0.1 up", "host <IP> up", 0, 0, 1),
+        # email domain must win over the IPv4 rule
+        ("ping a@10.0.0.1x.com end", "ping <EMAIL> end", 1, 0, 0),
+        ("clean text only", "clean text only", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "s string")
+    c = pii_counts(F.col("s"))
+    got = df.select(
+        "s",
+        redact_pii(F.col("s")).alias("r"),
+        c["n_emails"].alias("e"),
+        c["n_phones"].alias("p"),
+        c["n_ips"].alias("i"),
+    ).collect()
+    by_s = {r["s"]: r for r in got}
+    for s, want, e, p, i in cases:
+        r = by_s[s]
+        assert r["r"] == want, s
+        assert (r["e"], r["p"], r["i"]) == (e, p, i), s

@@ -68,6 +68,9 @@ def test_no_cartesian_products_anywhere(spark):
         # r8: 1-row running-sum total broadcast into the quota calc
         # (same shape as the funnel's global aggregates)
         "pipeline_temperature_mixture",
+        # r8: 1-row exact-total broadcast into the verify filter of
+        # the Misra-Gries heavy-hitter pass
+        "profile_heavy_hitters",
     }
     offenders = []
     for name in sorted(REGISTRY):

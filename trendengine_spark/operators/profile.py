@@ -128,3 +128,104 @@ def numeric_histogram(
             "n_rows",
         )
     )
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    key_col: str,
+    denom: int = 128,
+    counters: int | None = None,
+) -> DataFrame:
+    """Frequent-key detection with BOUNDED state: Misra-Gries candidate
+    generation + an exact verification pass. Returns exactly the keys
+    whose count satisfies ``count * denom > N`` (N = total rows), i.e.
+    frequency strictly above ``1/denom`` — identical to the exact
+    ``GROUP BY key HAVING count(*)*denom > N`` answer, but without ever
+    shuffling the full key cardinality.
+
+    Plan (three phases, all distributed):
+
+    1. **Per-partition summaries** (``mapInPandas``): each partition
+       folds its rows into a Misra-Gries summary of at most
+       ``counters`` weighted keys. Per Arrow batch the update is
+       vectorized pandas (``value_counts`` + mergeable-summaries
+       compression: subtract the (k+1)-th largest weight, keep
+       strictly positive) — no per-row Python.
+    2. **Summary merge**: the <= P*counters summary rows (a few KB per
+       partition regardless of input size) shuffle into ONE group and
+       merge under the same rule -> <= counters candidate keys.
+    3. **Exact verify**: a broadcast semi-join prunes the table to
+       candidate keys, an exact count plus a 1-row total broadcast
+       keep precisely the keys with ``cnt * denom > n_total``.
+
+    Exactness: merged Misra-Gries undercounts any key by at most
+    N/(counters+1) (mergeable-summaries bound, preserved under
+    arbitrary merge trees). With ``counters >= denom`` (default
+    ``8*denom``), every key with true count > N/denom therefore keeps
+    a positive merged weight and reaches the verify pass, so the
+    verified output EQUALS the exact answer — which is what the DuckDB
+    oracle checks. At 100 TB with a high-cardinality key domain this
+    replaces a full-cardinality shuffle with a fixed-size summary per
+    partition plus one exact pass over <= ``counters`` candidate keys.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if counters is None:
+        counters = 8 * denom
+    if counters < denom:  # pragma: no cover - authoring guard
+        raise ValueError("counters must be >= denom for the exactness bound")
+    k = counters
+
+    def _compress(acc: "pd.Series") -> "pd.Series":
+        if len(acc) <= k:
+            return acc
+        vals = acc.to_numpy()
+        # (k+1)-th largest weight; subtracting it keeps <= k positive
+        cut = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+        acc = acc - cut
+        return acc[acc > 0]
+
+    def mg_partition(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["mg_key"].value_counts(), fill_value=0)
+            acc = _compress(acc)
+        if len(acc):
+            yield pd.DataFrame(
+                {"mg_key": acc.index.astype(str), "mg_w": acc.to_numpy().astype("int64")}
+            )
+
+    def mg_merge(pdf):
+        acc = _compress(pdf.groupby("mg_key")["mg_w"].sum())
+        return pd.DataFrame(
+            {"mg_key": acc.index.astype(str), "mg_w": acc.to_numpy().astype("int64")}
+        )
+
+    slim = df.select(F.col(key_col).cast("string").alias("mg_key"))
+    summaries = slim.mapInPandas(mg_partition, "mg_key string, mg_w long")
+
+    def mg_merge_all(batches):
+        parts = list(batches)
+        if parts:
+            yield mg_merge(pd.concat(parts, ignore_index=True))
+
+    # <= P*counters rows funnel into one task for the final merge —
+    # bounded by construction, not by data volume
+    merged = summaries.repartition(1).mapInPandas(
+        mg_merge_all, "mg_key string, mg_w long"
+    )
+    candidates = merged.select("mg_key")
+    pruned = df.join(
+        F.broadcast(candidates),
+        df[key_col].cast("string") == F.col("mg_key"),
+        "leftsemi",
+    )
+    counts = pruned.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * denom > F.col("n_total"))
+        .select(key_col, "cnt")
+        .orderBy(key_col)
+    )

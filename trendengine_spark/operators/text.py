@@ -182,3 +182,41 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in sorted(scores):
         out = out.withColumn(f"score_{lang}", scores[lang])
     return out.withColumn("lang_pred", best_lang)
+
+
+#: PII patterns — RE2-safe (no lookaround, no backreferences) so the
+#: DuckDB oracle can run the IDENTICAL regex; ASCII corpus keeps Java
+#: and RE2 word-boundary semantics aligned.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: Replacement order is load-bearing: emails first (their domains can
+#: contain dotted digit runs the IPv4 pattern would otherwise bite),
+#: then phones, then bare IPv4s.
+PII_RULES: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / phone numbers / IPv4s to typed placeholders —
+    pure JVM ``regexp_replace`` chain (codegen, no UDF): at 100 TB PII
+    scrubbing is an embarrassingly parallel scan whose cost is the
+    regex automaton, so the patterns above are all DFA-friendly."""
+    out = text
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (pre-redaction), one codegen
+    ``regexp_count`` per class."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    }

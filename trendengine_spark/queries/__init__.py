@@ -99,6 +99,9 @@ _SPINE_FIRST = [
     "pipeline_weighted_sample", "f2b_polygon_filter",
     # NEW in r8: temperature-scaled mixture quotas (count^0.5 recipe)
     "pipeline_temperature_mixture",
+    # NEW in r8: PII scrubbing (codegen regex chain) and bounded-state
+    # Misra-Gries heavy hitters with exact verification
+    "text_pii_redact", "profile_heavy_hitters",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1125,3 +1125,116 @@ def pipeline_temperature_mixture(spark, sf_dir):
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang", "quota")
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: Deterministic PII enrichment: the synthetic corpus contains no
+#: contact strings, so BOTH engines append the same derived contact
+#: line (email always; a cc-email for doc_id%5==0; a phone for
+#: doc_id%3==0; an IP always) and the redaction logic is what the
+#: hash actually checks.
+_PII_ENRICH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)"
+    " || '@ops.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' or 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+@query(
+    "text_pii_redact",
+    sql=f"""
+    WITH enriched AS (
+      SELECT doc_id, {_PII_ENRICH_SQL} AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(length(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_extract_all(s, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+    FROM enriched ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing as a pure codegen scan (no reference analog —
+    LLM-curation surface): emails / phone numbers / IPv4s are counted
+    (`regexp_count`) and replaced with typed placeholders
+    (`regexp_replace` chain, email->phone->IP order so dotted digit
+    runs inside addresses never leak to the IPv4 rule). The corpus is
+    deterministically enriched with derived contact lines on BOTH
+    engines — the oracle hash checks the redaction semantics, not the
+    synthetic data. Patterns are RE2-safe so Spark (Java regex) and
+    DuckDB (RE2) run the IDENTICAL automaton; at 100 TB this is an
+    embarrassingly parallel scan with zero shuffle. Operator:
+    `operators/text.redact_pii` / `pii_counts`."""
+    from trendengine_spark.operators.text import pii_counts, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.org"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" cc admin"), did.cast("string"), F.lit("@ops.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" or 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1"),
+    )
+    enriched = docs.select("doc_id", s.alias("s"))
+    counts = pii_counts(F.col("s"))
+    return enriched.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        F.md5(redact_pii(F.col("s"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "profile_heavy_hitters",
+    sql="""
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events e
+    CROSS JOIN (SELECT count(*) AS n_total FROM events) t
+    GROUP BY e.user_id, t.n_total
+    HAVING count(*) * 128 > t.n_total
+    ORDER BY e.user_id
+    """,
+)
+def profile_heavy_hitters(spark, sf_dir):
+    """Bounded-state frequent-key detection: Misra-Gries summaries per
+    partition (vectorized pandas, <= 1024 weighted keys each), one
+    tiny summary merge, then an EXACT verify pass over the <= 1024
+    candidates (broadcast semi-join + 1-row total broadcast). The
+    mergeable-summaries undercount bound (N/(counters+1) with
+    counters=8*denom) guarantees every key above the 1/128 frequency
+    threshold reaches the verify pass, so the output EQUALS the exact
+    GROUP BY ... HAVING answer the oracle computes — while phases 1-2
+    move only O(partitions*counters) rows instead of the full key
+    cardinality. At 100 TB with billions of distinct keys this is the
+    difference between a few-KB-per-partition summary shuffle and a
+    full-cardinality aggregation. Operator:
+    `operators/profile.heavy_hitters_mg`."""
+    from trendengine_spark.operators.profile import heavy_hitters_mg
+
+    events = t(spark, sf_dir, "events")
+    return heavy_hitters_mg(events, "user_id", denom=128)
