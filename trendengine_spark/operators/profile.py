@@ -164,9 +164,21 @@ def heavy_hitters_mg(
     ``8*denom``), every key with true count > N/denom therefore keeps
     a positive merged weight and reaches the verify pass, so the
     verified output EQUALS the exact answer — which is what the DuckDB
-    oracle checks. At 100 TB with a high-cardinality key domain this
-    replaces a full-cardinality shuffle with a fixed-size summary per
-    partition plus one exact pass over <= ``counters`` candidate keys.
+    oracle checks. The summaries run over ``xxhash64`` of the key (8
+    bytes/row through Arrow, vectorized int64 counts) — a hash
+    collision can only MERGE keys, so a true heavy hitter's hash
+    always clears the summary threshold too; collisions at worst add
+    candidates, and the verify pass is exact on the original keys.
+
+    Cost model (measured, tools/stress_heavy_hitters.py): on one box
+    the JVM hash aggregate wins — partial agg + local shuffle is
+    memcpy-cheap. The MG pass exists for the 1000-executor regime the
+    exact plan degrades in: its shuffle volume is O(partitions *
+    counters) rows (a few KB each) versus O(distinct keys) for the
+    exact plan — at 10^9+ distinct keys that is GBs of network and a
+    skew-prone reduce; MG's verify pass shuffles only the <= counters
+    candidates. Use the exact plan until key cardinality or reduce
+    skew becomes the bottleneck; the two answers are provably equal.
     """
     import numpy as np
     import pandas as pd
@@ -193,17 +205,18 @@ def heavy_hitters_mg(
             acc = _compress(acc)
         if len(acc):
             yield pd.DataFrame(
-                {"mg_key": acc.index.astype(str), "mg_w": acc.to_numpy().astype("int64")}
+                {"mg_key": acc.index.to_numpy(), "mg_w": acc.to_numpy().astype("int64")}
             )
 
     def mg_merge(pdf):
         acc = _compress(pdf.groupby("mg_key")["mg_w"].sum())
         return pd.DataFrame(
-            {"mg_key": acc.index.astype(str), "mg_w": acc.to_numpy().astype("int64")}
+            {"mg_key": acc.index.to_numpy(), "mg_w": acc.to_numpy().astype("int64")}
         )
 
-    slim = df.select(F.col(key_col).cast("string").alias("mg_key"))
-    summaries = slim.mapInPandas(mg_partition, "mg_key string, mg_w long")
+    key_hash = F.xxhash64(F.col(key_col).cast("string"))
+    slim = df.select(key_hash.alias("mg_key"))
+    summaries = slim.mapInPandas(mg_partition, "mg_key long, mg_w long")
 
     def mg_merge_all(batches):
         parts = list(batches)
@@ -213,12 +226,12 @@ def heavy_hitters_mg(
     # <= P*counters rows funnel into one task for the final merge —
     # bounded by construction, not by data volume
     merged = summaries.repartition(1).mapInPandas(
-        mg_merge_all, "mg_key string, mg_w long"
+        mg_merge_all, "mg_key long, mg_w long"
     )
     candidates = merged.select("mg_key")
     pruned = df.join(
         F.broadcast(candidates),
-        df[key_col].cast("string") == F.col("mg_key"),
+        key_hash == F.col("mg_key"),
         "leftsemi",
     )
     counts = pruned.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
