@@ -805,3 +805,35 @@ def test_redact_pii_golden(spark):
         r = by_s[s]
         assert r["r"] == want, s
         assert (r["e"], r["p"], r["i"]) == (e, p, i), s
+
+
+def test_winnow_arrow_matches_expression_path(spark):
+    """The Arrow winnowing path must be row-identical to the pure-JVM
+    expression path on edge-shaped inputs (short docs, < w grams,
+    repeated substrings, nulls, multi-space runs, mixed case)."""
+    from trendengine_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcd"),               # < k chars -> no rows
+        (3, "abcde"),              # exactly one gram (< w hashes)
+        (4, "abcdefg"),            # 3 grams (< w)
+        (5, "aaaaaaaaaaaaaaaa"),   # degenerate repeats -> 1 distinct
+        (6, None),                 # null text -> no rows
+        (7, "  The   QUICK  brown\tfox  "),  # normalization stress
+        (8, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, winnow_fingerprints(df, k=5, w=4, impl="arrow").collect())
+    )
+    e = sorted(
+        map(tuple, winnow_fingerprints(df, k=5, w=4, impl="expr").collect())
+    )
+    assert a == e
+    assert a, "expected non-empty fingerprints"
+    # docs 1 and 8 share full text -> identical fingerprint sets
+    fa = {fp for d, fp in a if d == 1}
+    fb = {fp for d, fp in a if d == 8}
+    assert fa == fb and fa
+    assert not any(d in (2, 6) for d, _ in a)

@@ -152,11 +152,15 @@ def test_frame_sample_prunes_payload_column(spark):
 
 
 def test_winnow_is_single_pass_no_shuffle(spark):
-    """Winnowing fingerprints are a pure projection (scan → project →
-    explode): any Exchange in the plan means an accidental shuffle of
-    the full text corpus."""
+    """Winnowing fingerprints are a single hashing pass: the only
+    Exchange allowed is fan_out's deliberate round-robin widening of
+    a degenerate (single-row-group) scan — any hash/range Exchange
+    means an accidental shuffle of the full text corpus."""
     p = plan_of(spark, "text_winnow_fingerprints")
-    assert "Exchange" not in p.replace("BroadcastExchange", "")
+    stripped = p.replace("BroadcastExchange", "")
+    for line in stripped.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_percent_rank_has_no_global_window(spark):
