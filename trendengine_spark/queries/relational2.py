@@ -761,20 +761,28 @@ def udtf_run_length_segments(spark, sf_dir):
     the classic gaps-and-islands lag/sum/group-by, so the whole
     UDTF path (registration, TABLE arg, PARTITION BY shuffle,
     in-group ORDER, Arrow row transport, terminate flush) is
-    hash-checked end-to-end. One shuffle keyed by user_id."""
+    hash-checked end-to-end. One shuffle keyed by user_id — PINNED at
+    the session shuffle width via fit_partitioned: UDTF eval is CPU
+    per ROW while AQE coalesces by BYTES, so the few-MB post-shuffle
+    stage collapsed to 2 tasks on a 32-core box (measured 10.6 s;
+    the explicit repartition(n, user_id) satisfies the PARTITION BY
+    distribution, the exchange is elided, 32 tasks, 1.8 s — the same
+    hazard/fix as the DBEST fitting stage, operators/util.py)."""
     from trendengine_spark.functions.udtfs import register_udtfs
-    from trendengine_spark.sqltext import sql_over_tables as _sot
+    from trendengine_spark.operators.util import fit_partitioned
+    from trendengine_spark.queries.base import t as _t
 
     register_udtfs(spark)
-    return _sot(
-        spark,
-        sf_dir,
+    fit_partitioned(
+        _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id"),
+        ["user_id"],
+    ).createOrReplaceTempView("_rl_events_pinned")
+    return spark.sql(
         """
         SELECT * FROM run_length_segments(
-          TABLE(SELECT user_id, event_type, ts, event_id FROM events)
+          TABLE(SELECT user_id, event_type, ts, event_id FROM _rl_events_pinned)
           PARTITION BY user_id ORDER BY (ts, event_id))
-        """,
-        ("events",),
+        """
     )
 
 
