@@ -851,3 +851,62 @@ def test_streaming_dedup_pipeline_end_to_end_with_restart(spark, tmp_path):
         r["doc_id"]
         for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
     ) == [0, 1, 11]
+
+
+def test_streaming_heavy_hitters_superset_and_bounded_state(spark, tmp_path):
+    """Sharded MG over a 2-microbatch file stream: every key above the
+    N/(counters+1) threshold must survive in the final merged summary
+    (superset guarantee), summary weights never exceed true counts,
+    and total state stays <= shards*counters rows."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from trendengine_spark.streaming.heavy_hitters import (
+        latest_summaries,
+        streaming_heavy_hitters,
+    )
+
+    src_dir = str(tmp_path / "hh_src")
+    # batch 0: hot_a x300 over cold noise; batch 1: hot_b x200 + more hot_a
+    b0 = [("hot_a",)] * 300 + [(f"c{i}",) for i in range(700)]
+    b1 = [("hot_b",)] * 200 + [("hot_a",)] * 100 + [(f"d{i}",) for i in range(700)]
+    spark.createDataFrame(b0, "k string").coalesce(1).write.mode("overwrite").parquet(
+        src_dir
+    )
+    spark.createDataFrame(b1, "k string").coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_heavy_hitters(src, key_col="k", counters=64, shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM hh_test")
+    summary = {r["mg_key"]: r["mg_w"] for r in latest_summaries(emitted).collect()}
+    assert len(summary) <= 4 * 64
+
+    n_total = 2000
+    truth = {"hot_a": 400, "hot_b": 200}
+    all_rows = spark.createDataFrame(b0 + b1, "k string")
+    hashes = {
+        r["k"]: r["h"]
+        for r in all_rows.select(
+            "k", F.xxhash64(F.col("k").cast("string")).alias("h")
+        ).distinct()
+        .collect()
+    }
+    bound = n_total // 65  # N/(counters+1)
+    for key, cnt in truth.items():
+        h = hashes[key]
+        assert h in summary, key  # superset guarantee
+        assert cnt - bound <= summary[h] <= cnt, (key, summary[h])
