@@ -837,3 +837,55 @@ def test_winnow_arrow_matches_expression_path(spark):
     fb = {fp for d, fp in a if d == 8}
     assert fa == fb and fa
     assert not any(d in (2, 6) for d, _ in a)
+
+
+def test_ivfpq_persisted_index_matches_inmemory(spark, tmp_path):
+    """Build-once/probe-forever IVFPQ: the persisted-index query path
+    must return EXACTLY the in-memory ivfpq_topk results (same seed →
+    same centroids/books; codes round-trip losslessly through
+    parquet), and the codes scan must be partition-pruned to the
+    probed cells."""
+    from trendengine_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_query_index,
+        ivfpq_topk,
+        ivfpq_write_index,
+    )
+    from trendengine_spark.queries.base import t as load_t
+
+    emb = load_t(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    params = dict(n_cells=8, m_subspaces=4, k_codes=8, iters=2, seed=11)
+    codes, cent, books = ivfpq_index(emb, **params)
+    r_mem = sorted(
+        map(tuple, ivfpq_topk(codes, cent, books, queries, k=5, nprobe=3).collect())
+    )
+    idx = str(tmp_path / "ivfpq_idx")
+    ivfpq_write_index(emb, idx, **params)
+    q2 = ivfpq_query_index(spark, idx, queries, k=5, nprobe=3)
+    r_disk = sorted(map(tuple, q2.collect()))
+    assert r_mem == r_disk and r_disk
+
+    plan = q2._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "codes" in l and "Scan" in l]
+    assert any("PartitionFilters" in l and "cell" in l for l in plan.splitlines()), (
+        "expected a partition-pruned codes scan"
+    )
+
+
+def test_ivfpq_persisted_empty_queries(spark, tmp_path):
+    from trendengine_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+    from trendengine_spark.queries.base import t as load_t
+
+    emb = load_t(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx0")
+    ivfpq_write_index(emb, idx, n_cells=4, m_subspaces=4, k_codes=8)
+    empty_q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert ivfpq_query_index(spark, idx, empty_q, k=3).count() == 0

@@ -1143,3 +1143,101 @@ def ivfpq_topk(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a composed IVF+residual-PQ index as a parquet layout —
+    the offline half of the deployed ANN architecture (train once,
+    probe forever; the in-session :func:`ivfpq_index` re-trains per
+    call, which is a demo shape, not a production one).
+
+    Layout: ``path/codes`` holds (id, codes) PARTITIONED BY the IVF
+    ``cell`` — so a probe of ``nprobe`` cells is a STORAGE-level
+    partition prune (only those directories are ever opened, the
+    ~20-40 B/vector code table is never full-scanned); ``path/
+    centroids`` and ``path/books`` hold the bounded model state
+    (n_cells·D + m·k·D/m doubles) as one-file tables."""
+    codes, centroids, books = ivfpq_index(
+        corpus, n_cells=n_cells, m_subspaces=m_subspaces, k_codes=k_codes,
+        iters=iters, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    spark = corpus.sparkSession
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    cent_rows = [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/centroids")
+    m, k, _ = books.shape
+    book_rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(book_rows, "subspace int, code int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/books")
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVFPQ index (:func:`ivfpq_write_index`).
+
+    The probe cells are derived DRIVER-side from the bounded centroid
+    table (max-cosine, identical rule to :func:`ivfpq_topk`), then
+    applied as an explicit ``cell IN (...)`` filter BEFORE the scan —
+    static partition pruning, visible as ``PartitionFilters`` in the
+    plan: at a billion vectors the query touches nprobe·Q/n_cells of
+    the storage and nothing else. Scoring reuses :func:`ivfpq_topk`
+    (ADC gathers, per-batch partial top-k, window finish)."""
+    cent_rows = spark.read.parquet(path + "/centroids").collect()  # <= n_cells
+    n_cells = len(cent_rows)
+    dim = len(cent_rows[0]["centroid"])
+    centroids = np.zeros((n_cells, dim), dtype=np.float64)
+    for r in cent_rows:
+        centroids[r["cell"]] = r["centroid"]
+    book_rows = spark.read.parquet(path + "/books").collect()  # <= m*k
+    m = 1 + max(r["subspace"] for r in book_rows)
+    kk = 1 + max(r["code"] for r in book_rows)
+    d_sub = len(book_rows[0]["vec"])
+    books = np.zeros((m, kk, d_sub), dtype=np.float64)
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["vec"]
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # bounded query set
+    if q_rows:
+        q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+        cell_cos = qn @ cn.T
+        probe_cells = sorted(
+            {int(c) for qi in range(len(q_rows)) for c in np.argsort(-cell_cos[qi])[:nprobe]}
+        )
+    else:
+        probe_cells = []
+    codes = spark.read.parquet(path + "/codes").filter(
+        F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+    )
+    return ivfpq_topk(
+        codes, centroids, books, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

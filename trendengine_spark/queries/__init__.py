@@ -102,6 +102,9 @@ _SPINE_FIRST = [
     # NEW in r8: PII scrubbing (codegen regex chain) and bounded-state
     # Misra-Gries heavy hitters with exact verification
     "text_pii_redact", "profile_heavy_hitters",
+    # NEW in r8: persisted IVFPQ index (build-once/probe-forever,
+    # partition-pruned probe)
+    "sim_ivfpq_persisted",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1232,3 +1232,39 @@ def profile_heavy_hitters(spark, sf_dir):
 
     events = t(spark, sf_dir, "events")
     return heavy_hitters_mg(events, "user_id", denom=128)
+
+
+@query(
+    "sim_ivfpq_persisted",
+    sql=None,
+)
+def sim_ivfpq_persisted(spark, sf_dir):
+    """Build-once/probe-forever ANN — the production half of the IVFPQ
+    architecture: the index is TRAINED AND PERSISTED as a parquet
+    layout (codes partitioned by IVF cell, bounded centroid/codebook
+    tables), then probed through a fresh scan whose probe cells are
+    applied as an explicit partition filter — storage-level pruning,
+    only nprobe cell directories are ever opened (plan-asserted in
+    tests). Results are identical to the in-session `sim_ivfpq_topk`
+    by construction (same seed, lossless code round-trip — asserted
+    in tests); rows-only here because LSH/PQ ranking is not
+    SQL-expressible. Operators: `operators/similarity.
+    ivfpq_write_index` / `ivfpq_query_index`."""
+    import os
+    import tempfile
+
+    from trendengine_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"te_ivfpq_index_{abs(hash(sf_dir)) % 10**8}",
+    )
+    ivfpq_write_index(emb, idx, n_cells=16, m_subspaces=8, k_codes=16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_query_index(spark, idx, queries, k=5, nprobe=4)
