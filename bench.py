@@ -214,6 +214,11 @@ def main() -> None:
         "text_bpe_pair_counts",
         "window_rolling_slope",
         "graph_triangle_counts",
+        # late-r8 additions: codegen PII scrub, bounded-state MG heavy
+        # hitters, the AQE-pinned UDTF run-length pass
+        "text_pii_redact",
+        "profile_heavy_hitters",
+        "udtf_run_length_segments",
     ):
         fn = qs[name]
         try:

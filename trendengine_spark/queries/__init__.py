@@ -116,8 +116,9 @@ _SPINE_FIRST = [
     "dedup_paragraph_global", "pipeline_epoch_shuffle",
     "sim_range_search", "text_rarity_profile",
     "multimodal_gif_animation", "join_time_window_counts",
-    # ---- ~50-row budget line (32 never-sampled + 6 new/replanned +
-    # 12 controls; everything below has r5-r7 driver green or
+    # ---- ~50-row budget line (32 never-sampled + 15 new/replanned
+    # ahead of the controls — with a 50-row budget the first ~2
+    # controls still land; everything below has r5-r7 driver green or
     # golden/property coverage) ----
     "forecast_seasonal_naive_mae", "graph_pagerank_micro",
     "stream_user_running_stats",
