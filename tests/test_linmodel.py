@@ -1,0 +1,152 @@
+"""One-pass exact-Gram linear fitting (`operators/linmodel.py`).
+
+The distributed part (moment sums) is oracle-checked by
+`quality_gram_matrix`; these tests pin the driver-side solve and the
+exactness claims: planted integer data recovers planted weights,
+the Gram is bit-equal to numpy's and invariant to partitioning, and
+the codegen scorer equals the numpy dot product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from trendengine_spark.operators.linmodel import (
+    fit_linear,
+    gram_moments,
+    score_linear,
+    solve_normal,
+)
+
+
+def _planted(spark, n=500, parts=7):
+    """Integer features; y = 3*x1 - 2*x2 + 7 exactly."""
+    rng = np.random.RandomState(42)
+    x1 = rng.randint(0, 200, n)
+    x2 = rng.randint(0, 50, n)
+    y = 3 * x1 - 2 * x2 + 7
+    pdf = pd.DataFrame(
+        {"x1": x1, "x2": x2, "y": y, "grp": (x1 % 2).astype(int)}
+    )
+    return spark.createDataFrame(pdf).repartition(parts), pdf
+
+
+def test_exact_planted_recovery(spark):
+    df, _ = _planted(spark)
+    fit = fit_linear(df, ["x1", "x2"], "y")[()]
+    assert fit["weights"]["x1"] == pytest.approx(3.0, abs=1e-8)
+    assert fit["weights"]["x2"] == pytest.approx(-2.0, abs=1e-8)
+    assert fit["intercept"] == pytest.approx(7.0, abs=1e-6)
+    assert fit["sse"] == pytest.approx(0.0, abs=1e-4)
+    assert fit["r2"] == pytest.approx(1.0, abs=1e-10)
+    assert fit["n"] == 500
+
+
+def test_gram_equals_numpy_and_partition_invariant(spark):
+    df, pdf = _planted(spark, parts=13)
+    row = gram_moments(df, ["x1", "x2", "y"]).collect()[0].asDict()
+    z = pdf[["x1", "x2", "y"]].to_numpy(dtype=np.int64)
+    assert row["n_rows"] == len(pdf)
+    for i, a in enumerate(["x1", "x2", "y"]):
+        assert row[f"s_{a}"] == int(z[:, i].sum())
+        for j, b in enumerate(["x1", "x2", "y"]):
+            if i <= j:
+                assert row[f"g_{a}_{b}"] == int((z[:, i] * z[:, j]).sum())
+    # integer sums are associative: any partitioning, same bits
+    row1 = (
+        gram_moments(df.repartition(1), ["x1", "x2", "y"])
+        .collect()[0]
+        .asDict()
+    )
+    assert row1 == row
+
+
+def test_grouped_fit_and_scoring(spark):
+    # two groups with different planted models
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 100, 400)
+    g = np.arange(400) % 2
+    y = np.where(g == 0, 5 * x + 1, -4 * x + 9)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": x, "g": g.astype(int), "y": y})
+    )
+    fits = fit_linear(df, ["x"], "y", group_cols=["g"])
+    assert fits[(0,)]["weights"]["x"] == pytest.approx(5.0, abs=1e-8)
+    assert fits[(1,)]["weights"]["x"] == pytest.approx(-4.0, abs=1e-8)
+    assert fits[(0,)]["intercept"] == pytest.approx(1.0, abs=1e-6)
+    assert fits[(1,)]["intercept"] == pytest.approx(9.0, abs=1e-6)
+    # codegen scorer == numpy dot
+    scored = (
+        score_linear(
+            df.filter("g = 0"),
+            fits[(0,)]["weights"],
+            fits[(0,)]["intercept"],
+            "pred",
+        )
+        .orderBy("x")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        scored["pred"], 5.0 * scored["x"] + 1.0, atol=1e-9
+    )
+
+
+def test_ridge_and_collinear_degrade_gracefully(spark):
+    # x2 = 2*x1 exactly: λ=0 must not raise (lstsq minimum-norm);
+    # λ>0 solves and shrinks toward zero.
+    x1 = np.arange(1, 201)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x1": x1, "x2": 2 * x1, "y": 10 * x1 + 3})
+    )
+    fit0 = fit_linear(df, ["x1", "x2"], "y")[()]
+    # any (w1 + 2*w2 = 10) solution predicts exactly
+    assert fit0["weights"]["x1"] + 2 * fit0["weights"]["x2"] == pytest.approx(
+        10.0, abs=1e-6
+    )
+    assert fit0["sse"] == pytest.approx(0.0, abs=1e-3)
+    fit_l = fit_linear(df, ["x1", "x2"], "y", ridge=1e3)[()]
+    assert fit_l["sse"] >= fit0["sse"] - 1e-6  # ridge trades fit for norm
+    n0 = np.hypot(*fit0["weights"].values())
+    nl = np.hypot(*fit_l["weights"].values())
+    assert nl <= n0 + 1e-9
+
+
+def test_solve_normal_noise_matches_numpy_lstsq(spark):
+    rng = np.random.RandomState(3)
+    x1 = rng.randint(0, 100, 300)
+    x2 = rng.randint(0, 100, 300)
+    y = 2 * x1 + x2 + rng.randint(-5, 6, 300)  # integer noise
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "y": y}))
+    row = gram_moments(df, ["x1", "x2", "y"]).collect()[0].asDict()
+    fit = solve_normal(row, ["x1", "x2"], "y")
+    X = np.column_stack([x1, x2, np.ones_like(x1)]).astype(float)
+    w_np, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert fit["weights"]["x1"] == pytest.approx(w_np[0], abs=1e-7)
+    assert fit["weights"]["x2"] == pytest.approx(w_np[1], abs=1e-7)
+    assert fit["intercept"] == pytest.approx(w_np[2], abs=1e-5)
+    sse_np = float(((X @ w_np - y) ** 2).sum())
+    assert fit["sse"] == pytest.approx(sse_np, rel=1e-6)
+
+
+def test_declared_queries_smoke(spark):
+    from trendengine_spark.queries import REGISTRY
+
+    g = REGISTRY["quality_gram_matrix"].fn(spark, "/root/testdata/sf0.001")
+    rows = {r["lang"]: r for r in g.collect()}
+    assert rows and all(r["n_rows"] > 0 for r in rows.values())
+    for r in rows.values():  # Cauchy-Schwarz sanity on real moments
+        assert (
+            r["g_n_tok_n_uniq"] ** 2
+            <= r["g_n_tok_n_tok"] * r["g_n_uniq_n_uniq"]
+        )
+        assert r["s_repeats"] == r["s_n_tok"] - r["s_n_uniq"]
+    topk = REGISTRY["quality_linear_residual_topk"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    pdf = topk.toPandas()
+    assert len(pdf) == 20
+    # sorted by |residual| desc
+    absr = pdf["residual"].abs().to_numpy()
+    assert (absr[:-1] >= absr[1:] - 1e-9).all()

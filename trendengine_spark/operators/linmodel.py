@@ -1,0 +1,167 @@
+"""One-pass distributed linear-model fitting via exact Gram-matrix
+aggregation (normal equations) — the quality-model / heuristic-filter
+primitive of a training-data curation pipeline.
+
+The reference delegates all model fitting to per-series R routines
+(``/root/reference/TrendEngine/calculations/polytrend.py:291-312``
+fits per-pixel polynomials); a corpus-level quality model is the same
+math at the opposite grain — ONE regression over billions of rows.
+The classic scale-out formulation: for the design matrix X (n×d, plus
+intercept) and target y, the least-squares solution
+``w = (XᵀX)⁻¹ Xᵀy`` depends on the data only through the moment sums
+``Σ xᵢxⱼ``, ``Σ xᵢy``, ``Σ xᵢ``, ``Σ y``, ``n`` — each a plain
+``SUM(a*b)`` aggregate with a map-side partial combine. Fitting
+therefore costs ONE corpus pass that shuffles O(groups · d²) numbers
+regardless of row count, and the (d+1)×(d+1) solve happens
+driver-side on a bounded matrix. Nothing iterative, nothing
+collected but the Gram rows.
+
+With integer-valued features (token counts, char counts, flag sums)
+the moments are exact BIGINT sums: partition-order-invariant,
+hash-stable, and oracle-checkable against any engine — the property
+the repo's exact-arithmetic oracle discipline is built on
+(cf. ``trend_polyfit_coeffs``). Float features work too; the sums
+then carry the usual accumulation-order noise.
+
+Scoring is a pure-codegen projection: the fitted weights are folded
+into one literal dot-product expression — no UDF, no join, no
+broadcast; a whole-stage-codegen map over the scan.
+
+100 TB posture: the fit is a single partial+final aggregate (the
+cheapest distributed shape there is); Gram width grows as d², so keep
+d ≤ ~100 (a 100-feature model ships 5 k numbers per group — still
+nothing). Feature hashing into a fixed-d space composes upstream when
+the raw feature space is unbounded.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Mapping, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "gram_moments",
+    "solve_normal",
+    "fit_linear",
+    "score_expr",
+    "score_linear",
+]
+
+
+def gram_moments(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All second-order moments of ``cols`` in one aggregate pass.
+
+    Output columns: ``n_rows`` (count), ``s_<c>`` (``SUM(c)``) for
+    every column, and ``g_<a>_<b>`` (``SUM(a*b)``) for every ordered
+    pair a ≤ b in ``cols`` order — the sufficient statistics for any
+    least-squares fit over subsets of ``cols``. One row per group
+    (one row total when ``group_cols`` is empty), so the result is
+    always bounded and safe to collect.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [F.sum(F.col(c)).alias(f"s_{c}") for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}_{b}"))
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _g(m: Mapping, a: str, b: str):
+    """Moment lookup tolerant of pair order (only a ≤ b is stored)."""
+    key = f"g_{a}_{b}"
+    return m[key] if key in m else m[f"g_{b}_{a}"]
+
+
+def solve_normal(
+    moments: Mapping,
+    features: Sequence[str],
+    target: str,
+    ridge: float = 0.0,
+) -> dict:
+    """Solve the normal equations from one :func:`gram_moments` row.
+
+    Returns ``{"weights": {feature: w}, "intercept": w0, "n": n,
+    "sse": ..., "r2": ...}``. ``ridge`` adds λI to the feature block
+    (never the intercept). Uses ``lstsq`` when λ=0 so exactly
+    collinear features degrade to the minimum-norm solution instead
+    of raising.
+    """
+    d = len(features)
+    n = float(moments["n_rows"])
+    A = np.zeros((d + 1, d + 1))
+    b = np.zeros(d + 1)
+    for i, fi in enumerate(features):
+        for j, fj in enumerate(features):
+            A[i, j] = float(_g(moments, fi, fj))
+        A[i, d] = A[d, i] = float(moments[f"s_{fi}"])
+        b[i] = float(_g(moments, fi, target))
+    A[d, d] = n
+    b[d] = float(moments[f"s_{target}"])
+    if ridge:
+        A[:d, :d] += ridge * np.eye(d)
+        w = np.linalg.solve(A, b)
+    else:
+        w = np.linalg.lstsq(A, b, rcond=None)[0]
+    # SSE from moments alone: yᵀy − 2wᵀb + wᵀAw (exact identity;
+    # the ridge term is excluded so sse is the true data residual).
+    if ridge:
+        A[:d, :d] -= ridge * np.eye(d)
+    yty = float(_g(moments, target, target))
+    sse = yty - 2.0 * w @ b + w @ A @ w
+    sy = float(moments[f"s_{target}"])
+    sst = yty - sy * sy / n if n else 0.0
+    return {
+        "weights": dict(zip(features, w[:d].tolist())),
+        "intercept": float(w[d]),
+        "n": int(moments["n_rows"]),
+        "sse": float(sse),
+        "r2": float(1.0 - sse / sst) if sst > 0 else float("nan"),
+    }
+
+
+def fit_linear(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    group_cols: Sequence[str] = (),
+    ridge: float = 0.0,
+) -> dict:
+    """Fit one model per group in a single distributed pass.
+
+    Returns ``{group_value_tuple: solve_normal(...)}`` (key ``()``
+    when ungrouped). The only driver-side data is the Gram rows —
+    one per group.
+    """
+    rows = gram_moments(df, [*features, target], group_cols).collect()
+    out = {}
+    for r in rows:
+        m = r.asDict()
+        key = tuple(m[c] for c in group_cols)
+        out[key] = solve_normal(m, features, target, ridge)
+    return out
+
+
+def score_expr(weights: Mapping[str, float], intercept: float) -> Column:
+    """The fitted model as one codegen expression (literal weights)."""
+    terms = [F.col(c) * float(w) for c, w in weights.items()]
+    return reduce(lambda a, b: a + b, terms, F.lit(float(intercept)))
+
+
+def score_linear(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    intercept: float,
+    output_col: str = "score",
+) -> DataFrame:
+    """Append the model prediction as a column (pure projection)."""
+    return df.withColumn(output_col, score_expr(weights, intercept))

@@ -26,6 +26,7 @@ from trendengine_spark.queries import (  # noqa: F401
     analytics,
     llm,
     llm2,
+    ml,
     relational,
     relational2,
     streaming_batch,
@@ -105,6 +106,9 @@ _SPINE_FIRST = [
     # NEW in r8: persisted IVFPQ index (build-once/probe-forever,
     # partition-pruned probe)
     "sim_ivfpq_persisted",
+    # NEW in r8: one-pass exact-Gram linear quality model (fit =
+    # single aggregate, solve driver-side on bounded moments)
+    "quality_gram_matrix", "quality_linear_residual_topk",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
