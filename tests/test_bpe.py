@@ -149,3 +149,56 @@ def test_bpe_pair_counts_weighted(spark):
     assert pc[("a", END)] == 2  # 'aa' end marker twice
     assert pc[("a", "b")] == 1
     assert pc[("b", END)] == 1
+
+
+def test_bpe_encode_corpus_query_invariants(spark):
+    """The declared corpus-encode query: no token lost through the
+    vocab join, and the fertility ratio is a sane [1, max] value."""
+    from tests.conftest import SF_SMOKE
+    from trendengine_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_bpe_encode_corpus"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    # every corpus token must survive the (word -> n_sub) join
+    from trendengine_spark.operators.bpe import word_vocab
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    total_tokens = (
+        word_vocab(docs).agg({"freq": "sum"}).collect()[0][0]
+    )
+    assert sum(r["n_words"] for r in rows) == total_tokens
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]  # >=1 subword/word
+        assert 1.0 <= r["subwords_per_word"] <= 30.0
+
+
+def test_merge_scan_jvm_equals_arrow_reference(spark):
+    """_merge_pair_col (codegen fold) must be row-identical to the
+    scalar Arrow-UDF scan on the adversarial shapes: KwKwK overlap
+    runs, back-to-back hits, no-hit, and single-symbol arrays."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.bpe import (
+        _merge_pair_col,
+        _merge_pair_udf,
+    )
+
+    rows = [
+        (["a", "a", "a"],),                 # KwKwK: -> [aa, a]
+        (["a", "a", "a", "a"],),            # -> [aa, aa]
+        (["a", "a", "a", "a", "a"],),       # -> [aa, aa, a]
+        (["x", "a", "a", "y", "a", "a"],),  # interior + tail hits
+        (["a", "b", "a"],),                 # no adjacent (a,a)
+        (["a"],),                           # single symbol
+        (["b", "a"],),                      # pair present reversed
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    got = df.select(
+        _merge_pair_col("a", "a", "syms").alias("jvm"),
+        _merge_pair_udf("a", "a")(F.col("syms")).alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r["jvm"] == r["arrow"]
+    assert got[0]["jvm"] == ["aa", "a"]
+    assert got[2]["jvm"] == ["aa", "aa", "a"]

@@ -109,6 +109,9 @@ _SPINE_FIRST = [
     # NEW in r8: one-pass exact-Gram linear quality model (fit =
     # single aggregate, solve driver-side on bounded moments)
     "quality_gram_matrix", "quality_linear_residual_topk",
+    # NEW in r8: BPE inference over the corpus (encode = once per
+    # distinct word + broadcast join back)
+    "text_bpe_encode_corpus",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
     # r8 cap fix (VERDICT task 5): containment dedup max_df

@@ -1008,6 +1008,69 @@ def text_bpe_train_micro(spark, sf_dir):
 
 
 @query(
+    "text_bpe_encode_corpus",
+    sql=None,
+    doc="Tokenize the WHOLE corpus with a learned BPE merge table — "
+    "the inference half of the tokenizer loop. Rows-only (the merge "
+    "table comes from the iterative trainer); encode semantics are "
+    "golden-tested against learned merges incl. unseen words in "
+    "tests/test_bpe.py, and the compression-ratio invariants are "
+    "asserted in-test.",
+)
+def text_bpe_encode_corpus(spark, sf_dir):
+    """Per-language tokenizer compression stats from encoding every
+    document with a 16-merge BPE vocabulary learned on a 25% sample.
+    Scale shape:
+    the expensive greedy segmentation runs ONCE PER DISTINCT WORD
+    (Heaps-bounded vocab through the Arrow encoder), never per
+    corpus token; the corpus-scale pass is a broadcast hash join of
+    exploded tokens against the (word → n_subwords) table. Output:
+    (lang, n_docs, n_words, n_bpe_tokens, subwords_per_word) — the
+    tokens/word ratio is the fertility metric a tokenizer-training
+    pipeline tracks."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+        word_vocab,
+    )
+    from trendengine_spark.queries.base import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    # Train on a deterministic 25% hash-sample (the standard posture:
+    # tokenizers train on a corpus sample), encode the FULL corpus —
+    # bpe_encode_words segments unseen words fine (unmerged chars).
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    merges, vocab = bpe_train(sample, n_merges=16, vocab_partitions=1)
+    vocab.unpersist(blocking=False)
+    word_sub = bpe_encode_words(
+        word_vocab(docs).select("word"), merges
+    ).select("word", F.size("bpe").alias("n_sub"))
+    tok = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    exploded = docs.select("doc_id", "lang", tok.alias("word"))
+    return (
+        exploded.join(F.broadcast(word_sub), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "pipeline_weighted_sample",
     sql="""
     WITH scored AS (
