@@ -150,3 +150,56 @@ def test_declared_queries_smoke(spark):
     # sorted by |residual| desc
     absr = pdf["residual"].abs().to_numpy()
     assert (absr[:-1] >= absr[1:] - 1e-9).all()
+
+
+def test_online_fit_stream_equals_batch(spark, tmp_path):
+    """Streaming Gram accumulation must be BIT-EQUAL to the batch fit
+    over the same rows (integer moments are exactly mergeable), with
+    one model per group and at least two microbatches observed."""
+    import numpy as np
+    import pandas as pd
+
+    from trendengine_spark.streaming.online_model import online_fit
+
+    rng = np.random.RandomState(11)
+    x1 = rng.randint(0, 100, 600)
+    x2 = rng.randint(0, 40, 600)
+    g = (np.arange(600) % 2).astype(int)
+    y = np.where(g == 0, 4 * x1 + x2 + 2, -x1 + 3 * x2 - 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x1": x1, "x2": x2, "g": g, "y": y})
+    )
+    src = str(tmp_path / "rows")
+    df.repartition(3).write.parquet(src)  # 3 files → 3 microbatches
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, dict]] = []
+    q = online_fit(
+        stream,
+        ["x1", "x2"],
+        "y",
+        group_cols=["g"],
+        on_update=lambda bid, models: seen.append((bid, models)),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    assert len(seen) >= 2  # incremental, not one big batch
+    final = seen[-1][1]
+    batch = fit_linear(df, ["x1", "x2"], "y", group_cols=["g"])
+    for key in [(0,), (1,)]:
+        assert final[key]["n"] == batch[key]["n"]
+        for f in ["x1", "x2"]:
+            assert final[key]["weights"][f] == pytest.approx(
+                batch[key]["weights"][f], abs=1e-12
+            )
+        assert final[key]["intercept"] == pytest.approx(
+            batch[key]["intercept"], abs=1e-12
+        )
+    # planted models recovered through the stream
+    assert final[(0,)]["weights"]["x1"] == pytest.approx(4.0, abs=1e-8)
+    assert final[(1,)]["weights"]["x2"] == pytest.approx(3.0, abs=1e-8)
