@@ -106,14 +106,17 @@ _SPINE_FIRST = [
     # NEW in r8: persisted IVFPQ index (build-once/probe-forever,
     # partition-pruned probe)
     "sim_ivfpq_persisted",
+    # Re-planned in r8: iterative-operator routing (VERDICT task 4)
+    "recursive_cte_reachability",
     # NEW in r8: one-pass exact-Gram linear quality model (fit =
     # single aggregate, solve driver-side on bounded moments)
     "quality_gram_matrix", "quality_linear_residual_topk",
     # NEW in r8: BPE inference over the corpus (encode = once per
-    # distinct word + broadcast join back)
+    # distinct word + broadcast join back; ~position 51 — first to
+    # fall off a 50-row budget, and rows-only so the loss is least)
     "text_bpe_encode_corpus",
-    # Re-planned in r8: iterative-operator routing (VERDICT task 4)
-    "recursive_cte_reachability",
+    # NEW in r8: SemDeDup-style semantic dedup (cluster-then-pairwise)
+    "dedup_semantic_survivors",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
     # Known-green controls: one row per major family so a harness
     # regression shows up against fresh history

@@ -1331,3 +1331,48 @@ def sim_ivfpq_persisted(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_query_index(spark, idx, queries, k=5, nprobe=4)
+
+
+@query(
+    "dedup_semantic_survivors",
+    sql=None,
+    doc="SemDeDup-style semantic dedup over the embeddings table: "
+    "k-means cluster the space, score pairs only within a cluster "
+    "(candidate volume sum(|cell|^2), never n^2), drop the ~0.5% "
+    "most redundant vectors at an adaptive per-vector-max-similarity "
+    "cut. Rows-only (learned clustering + float cut); planted-copy "
+    "recall, survivor-count conservation, and block-path equality "
+    "are pinned in tests/test_semantic_dedup.py.",
+)
+def dedup_semantic_survivors(spark, sf_dir):
+    """Per-label survivor accounting from semantic dedup of the
+    embeddings corpus (adaptive cut — the synthetic corpus has no
+    true duplicates, so the threshold lands on its 99.5th redundancy
+    percentile). Output: (label, n_vectors, n_dropped, n_survivors).
+    Scale posture: within-cell BLAS in row blocks, ids only across
+    the shuffle, one bounded percentile collect."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.dedup import semantic_dedup
+    from trendengine_spark.queries.base import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _pairs, survivors = semantic_dedup(
+        emb, threshold=None, n_cells=8, drop_quantile=0.995
+    )
+    lab = emb.select("vec_id", "label")
+    surv = survivors.join(lab, "vec_id").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
+    tot = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        tot.join(surv, "label", "left")
+        .withColumn(
+            "n_survivors", F.coalesce(F.col("n_survivors"), F.lit(0))
+        )
+        .withColumn(
+            "n_dropped", F.col("n_vectors") - F.col("n_survivors")
+        )
+        .select("label", "n_vectors", "n_dropped", "n_survivors")
+        .orderBy("label")
+    )
