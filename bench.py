@@ -219,6 +219,10 @@ def main() -> None:
         "text_pii_redact",
         "profile_heavy_hitters",
         "udtf_run_length_segments",
+        # session-3 r8 additions: one-pass exact-Gram quality model,
+        # cluster-then-pairwise semantic dedup
+        "quality_gram_matrix",
+        "dedup_semantic_survivors",
     ):
         fn = qs[name]
         try:
