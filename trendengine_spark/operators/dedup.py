@@ -751,7 +751,8 @@ def semantic_dedup(
     have no true duplicates): the cut is the exact ``drop_quantile``
     of the per-vector max within-cell neighbor similarity — i.e.
     "drop the ~(1-q) most redundant vectors", computed by a bounded
-    1-row collect of a JVM percentile, never by collecting scores.
+    1-row collect of a JVM percentile sketch, never by collecting
+    scores.
 
     Returns ``(pairs, survivors)``: pairs is (id_a, id_b, cell,
     cos_sim) with id_a < id_b and cos_sim ≥ cut; survivors is the
@@ -849,8 +850,12 @@ def semantic_dedup(
             .groupBy("vid")
             .agg(F.max("cos_sim").alias("mx"))
         )
+        # percentile_approx, not percentile: the exact aggregate
+        # buffers every value in ONE aggregation buffer (O(n) driver
+        # of state) — the sketch keeps bounded state at any corpus
+        # size and is exact whenever distinct values < accuracy
         q = per_vec_max.agg(
-            F.expr(f"percentile(mx, {drop_quantile})").alias("c")
+            F.percentile_approx("mx", drop_quantile, 100_000).alias("c")
         ).collect()[0]["c"]
         # separate name: the UDF closure must keep seeing None so a
         # cache-miss recomputation emits the same unfiltered rows
