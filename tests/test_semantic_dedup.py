@@ -94,3 +94,18 @@ def test_declared_query_shape(spark):
         assert r["n_vectors"] == r["n_dropped"] + r["n_survivors"]
         assert r["n_dropped"] >= 0
     assert sum(r["n_dropped"] for r in rows) > 0  # adaptive cut bites
+
+
+def test_multiprobe_superset_and_boundary_recovery(spark):
+    """assign_cells=2 finds at least every single-assignment pair and
+    emits each pair once (deduped across shared cells)."""
+    df, _, n_copies = _corpus(spark)
+    kw = dict(threshold=0.99, n_cells=6, iters=2)
+    p1 = semantic_dedup(df, **kw)[0].toPandas()
+    p2 = semantic_dedup(df, assign_cells=2, **kw)[0].toPandas()
+    k1 = set(zip(p1.id_a, p1.id_b))
+    k2 = set(zip(p2.id_a, p2.id_b))
+    assert k1 <= k2
+    assert len(k2) == len(p2)  # no duplicate pair rows
+    # all planted pairs present under multi-probe
+    assert all((i, 1000 + i) in k2 for i in range(n_copies))

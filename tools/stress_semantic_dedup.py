@@ -27,13 +27,16 @@ cvec = F.expr(f"transform(sequence(0,{dim-1}), j -> (pmod(xxhash64(id - 1000000,
 copies = spark.range(1_000_000, 1_000_000 + n_copies).select(F.col("id").alias("vec_id"), cvec.alias("embedding"))
 corpus = base.unionAll(copies)
 
-t0 = time.time()
-pairs, survivors = semantic_dedup(corpus, threshold=0.995, n_cells=n_cells, iters=2)
-p = pairs.toPandas()
-n_surv = survivors.count()
-t = time.time() - t0
-planted = p[(p.id_b >= 1_000_000) & (p.id_a == p.id_b - 1_000_000)]
-print(f"n={n+n_copies:,} cells={n_cells} wall={t:.1f}s pairs={len(p)} "
-      f"planted_recall={len(planted)/n_copies:.3f} survivors={n_surv:,} "
-      f"dropped={n+n_copies-n_surv:,}")
+for m in (1, 2):
+    t0 = time.time()
+    pairs, survivors = semantic_dedup(
+        corpus, threshold=0.995, n_cells=n_cells, iters=2, assign_cells=m
+    )
+    p = pairs.toPandas()
+    n_surv = survivors.count()
+    t = time.time() - t0
+    planted = p[(p.id_b >= 1_000_000) & (p.id_a == p.id_b - 1_000_000)]
+    print(f"n={n+n_copies:,} cells={n_cells} assign={m} wall={t:.1f}s "
+          f"pairs={len(p)} planted_recall={len(planted)/n_copies:.3f} "
+          f"survivors={n_surv:,} dropped={n+n_copies-n_surv:,}")
 spark.stop()

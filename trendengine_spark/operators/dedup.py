@@ -730,6 +730,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     drop_quantile: float = 0.995,
     block_rows: int = 4096,
+    assign_cells: int = 1,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the embedding space, compare pairs ONLY within a
@@ -761,6 +762,14 @@ def semantic_dedup(
     variant is :func:`connected_components` over the pairs, same as
     the MinHash cluster path).
 
+    ``assign_cells=m`` over-assigns every vector to its m nearest
+    cells (multi-probe): a duplicate pair split by a cluster boundary
+    is recovered whenever ANY of the m cells is shared — the measured
+    boundary-miss mode of single assignment (recall 0.999 → 1.0 at
+    m=2 in tools/stress_semantic_dedup.py) — at ~m× candidate
+    volume. Pairs co-occurring in several shared cells are deduped
+    by one (id_a, id_b) aggregate before thresholding.
+
     Reference parity note: the reference has no embedding operators;
     this extends the dedup family per the brief's training-data
     pipeline requirements.
@@ -771,11 +780,48 @@ def semantic_dedup(
 
     from trendengine_spark.operators.similarity import ivf_index
 
-    asg, _cent = ivf_index(
+    asg, cent = ivf_index(
         corpus, n_cells=n_cells, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    asg = owned_cache(asg, f"dedup.sem.{n_cells}.{seed}")
+    if assign_cells > 1:
+        # top-m assignment pass (replaces the unexecuted lazy top-1)
+        m_probe = min(assign_cells, n_cells)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        bc = corpus.sparkSession.sparkContext.broadcast(cn)
+        schema = T.StructType(
+            [
+                T.StructField(id_col, corpus.schema[id_col].dataType),
+                T.StructField(vec_col, corpus.schema[vec_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        )
+
+        def gen(batches):
+            cmat = bc.value.T
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mx = np.asarray(
+                    [list(v) for v in pdf[vec_col]], dtype=np.float64
+                )
+                nrm = np.linalg.norm(mx, axis=1)
+                nrm[nrm == 0.0] = 1.0
+                sims = (mx / nrm[:, None]) @ cmat
+                top = np.argpartition(-sims, m_probe - 1, axis=1)[
+                    :, :m_probe
+                ]
+                idx = np.repeat(np.arange(len(pdf)), m_probe)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[idx],
+                        vec_col: pdf[vec_col].to_numpy()[idx],
+                        "cell": top.ravel().astype("int32"),
+                    }
+                )
+
+        asg = corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+    asg = owned_cache(asg, f"dedup.sem.{n_cells}.{seed}.{assign_cells}")
 
     out_schema = T.StructType(
         [
@@ -835,6 +881,12 @@ def semantic_dedup(
         return pd.concat(outs, ignore_index=True)
 
     all_pairs = asg.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
+    if assign_cells > 1:
+        # a pair sharing several of its m cells is emitted once per
+        # shared cell — collapse before thresholding
+        all_pairs = all_pairs.groupBy("id_a", "id_b").agg(
+            F.min("cell").alias("cell"), F.max("cos_sim").alias("cos_sim")
+        )
 
     if threshold is None:
         # candidate table feeds both the percentile and the filter —
