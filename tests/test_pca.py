@@ -1,0 +1,99 @@
+"""Distributed PCA (`operators/pca.py`): one-pass covariance, fit,
+projection — pinned against numpy on planted low-rank structure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from trendengine_spark.operators.pca import (
+    embedding_moments,
+    pca_fit,
+    pca_project,
+)
+
+
+def _lowrank(n=400, dim=12, rank=3, noise=1e-3, seed=9):
+    rng = np.random.RandomState(seed)
+    w = rng.normal(size=(rank, dim))
+    z = rng.normal(size=(n, rank))
+    x = z @ w + noise * rng.normal(size=(n, dim)) + rng.normal(size=dim)
+    return x
+
+
+def _df(spark, x, parts=6):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(x)), "embedding": list(map(list, x))}
+        )
+    ).repartition(parts)
+
+
+def test_moments_match_numpy(spark):
+    x = _lowrank()
+    rows = embedding_moments(_df(spark, x), x.shape[1]).collect()
+    got = {(r["i"], r["j"]): r["s"] for r in rows}
+    assert got[(-1, -1)] == len(x)
+    for i in range(x.shape[1]):
+        assert got[(i, -1)] == pytest.approx(x[:, i].sum(), rel=1e-12)
+        for j in range(i, x.shape[1]):
+            assert got[(i, j)] == pytest.approx(
+                (x[:, i] * x[:, j]).sum(), rel=1e-12
+            )
+
+
+def test_fit_recovers_planted_rank(spark):
+    x = _lowrank(noise=1e-4)
+    fit = pca_fit(_df(spark, x), x.shape[1])
+    assert fit["n"] == len(x)
+    # top-3 components carry essentially all variance
+    assert fit["explained"][:3].sum() > 0.999
+    # covariance eigendecomposition matches numpy on the same data
+    cov = np.cov(x, rowvar=False, bias=True)
+    w_np = np.linalg.eigh(cov)[0][::-1]
+    np.testing.assert_allclose(fit["eigvals"], np.maximum(w_np, 0),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(fit["mean"], x.mean(axis=0), rtol=1e-10)
+
+
+def test_projection_matches_numpy_and_preserves_geometry(spark):
+    x = _lowrank(noise=1e-4)
+    df = _df(spark, x)
+    fit = pca_fit(df, x.shape[1])
+    k = 3
+    proj = (
+        pca_project(df, fit["mean"], fit["components"], k)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    p = np.asarray([list(v) for v in proj["proj"]])
+    want = (x - fit["mean"]) @ fit["components"][:, :k]
+    np.testing.assert_allclose(p, want, rtol=1e-8, atol=1e-10)
+    # rank-3 data: pairwise distances survive the 12 -> 3 truncation
+    d_full = np.linalg.norm(x[:50, None] - x[None, :50], axis=2)
+    d_proj = np.linalg.norm(p[:50, None] - p[None, :50], axis=2)
+    np.testing.assert_allclose(d_proj, d_full, rtol=1e-2, atol=1e-2)
+
+
+def test_declared_pca_queries(spark):
+    from trendengine_spark.queries import REGISTRY
+
+    cov = (
+        REGISTRY["sim_embedding_covariance"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(cov) == 64 * 65 // 2
+    diag = {r["i"]: r["cov"] for r in cov if r["i"] == r["j"]}
+    assert all(v >= 0 for v in diag.values())  # variances
+    ev = (
+        REGISTRY["sim_pca_explained_variance"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(ev) == 8
+    assert all(
+        ev[k]["eigval"] >= ev[k + 1]["eigval"] for k in range(7)
+    )
+    assert 0 < ev[-1]["cum_explained"] <= 1.0

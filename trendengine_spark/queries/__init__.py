@@ -117,6 +117,9 @@ _SPINE_FIRST = [
     "text_bpe_encode_corpus",
     # NEW in r8: SemDeDup-style semantic dedup (cluster-then-pairwise)
     "dedup_semantic_survivors",
+    # NEW in r8: one-pass distributed PCA (partition-partial BLAS
+    # covariance — oracle-backed — + driver eigh)
+    "sim_embedding_covariance", "sim_pca_explained_variance",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
     # Known-green controls: one row per major family so a harness
     # regression shows up against fresh history

@@ -129,3 +129,105 @@ def quality_linear_residual_topk(spark, sf_dir):
             "pred", "residual",
         )
     )
+
+
+@query(
+    "sim_embedding_covariance",
+    sql="""
+    WITH pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), nn AS (SELECT count(*) AS n FROM embeddings),
+    m AS (SELECT i, sum(v) AS sv FROM pos GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sg
+      FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT g.i, g.j,
+           round(sg / nn.n - (ma.sv / nn.n) * (mb.sv / nn.n), 6) + 0.0 AS cov
+    FROM g, nn
+    JOIN m ma ON ma.i = g.i
+    JOIN m mb ON mb.i = g.j
+    """,
+)
+def sim_embedding_covariance(spark, sf_dir):
+    """The full covariance matrix of the 64-d embedding corpus
+    (upper triangle, 2,080 rows) from ONE distributed pass: each
+    partition folds its Arrow batches into a local d×d BLAS partial
+    (`operators/pca.embedding_moments`), so only O(partitions · d²)
+    numbers cross the shuffle — the corpus never does. This is the
+    sufficient statistic for PCA/whitening/OPQ rotation; the oracle
+    recomputes it relationally (position self-join + moment sums).
+    Rounded to 6 dp on both sides (float sums are order-noisy at
+    ~1e-13 relative; values are O(1e-2))."""
+    from trendengine_spark.operators.pca import embedding_moments
+    from trendengine_spark.operators.util import owned_cache
+
+    emb = t(spark, sf_dir, "embeddings")
+    # three consumers (n, means, products) — materialize the 2,145-row
+    # moment table once; without this each branch re-runs the corpus pass
+    mom = owned_cache(embedding_moments(emb, 64), "ml.cov.moments")
+    n = float(
+        mom.filter("i = -1 AND j = -1").collect()[0]["s"]
+    )  # bounded 1-row collect
+    means = mom.filter("j = -1 AND i >= 0").select(
+        F.col("i").alias("mi"), (F.col("s") / n).alias("mean_v")
+    )
+    g = mom.filter("j >= 0")
+    ma = means.select(F.col("mi").alias("i"), F.col("mean_v").alias("m_a"))
+    mb = means.select(F.col("mi").alias("j"), F.col("mean_v").alias("m_b"))
+    return (
+        g.join(ma, "i")
+        .join(mb, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("s") / n - F.col("m_a") * F.col("m_b"), 6
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (hash parity)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "sim_pca_explained_variance",
+    sql=None,
+    doc="Top-8 principal components of the embedding corpus: "
+    "eigenvalues and explained-variance ratios from the driver-side "
+    "eigh over the one-pass covariance (the distributed part is "
+    "oracle-checked by sim_embedding_covariance). Rows-only: "
+    "eigendecomposition is not SQL-expressible; recovery of planted "
+    "low-rank structure and numpy parity are pinned in "
+    "tests/test_pca.py.",
+)
+def sim_pca_explained_variance(spark, sf_dir):
+    """(component, eigval, explained, cum_explained) for the top 8
+    PCs, rounded to 6 dp. The whole fit touches the corpus once;
+    driver state is d²."""
+    from trendengine_spark.operators.pca import pca_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb, 64)
+    cum = 0.0
+    rows = []
+    for k in range(8):
+        cum += float(fit["explained"][k])
+        rows.append(
+            (
+                k,
+                round(float(fit["eigvals"][k]), 6),
+                round(float(fit["explained"][k]), 6),
+                round(cum, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigval double, explained double, "
+        "cum_explained double",
+    )
