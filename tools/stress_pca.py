@@ -87,7 +87,76 @@ def main() -> None:
         f"recall@10: pca-{rank}d={r_pca:.3f}  "
         f"naive-first-{rank}-coords={r_naive:.3f}"
     )
+
+    if "--pq" in sys.argv:
+        _pq_rotation_study(spark, x, fit, q_idx, k)
     spark.stop()
+
+
+def _pq_rotation_study(spark, x, fit, q_idx, k) -> None:
+    """Parametric-OPQ study (Ge et al. 2014, the Gaussian-assumption
+    variant): PQ recall under (a) no rotation, (b) naive PCA rotation
+    (variance piles into the first block — the known failure), (c)
+    PCA + greedy eigenvalue allocation balancing per-block variance
+    product. Pure rotations of L2-normalized vectors, so exact inner
+    products are IDENTICAL across variants — only the quantization
+    error moves."""
+    import pandas as pd
+
+    from trendengine_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    dim, m_sub = x.shape[1], 8
+    d_sub = dim // m_sub
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    truth = topk(xn, xn[q_idx], k)
+    v = fit["components"]  # orthogonal (d, d)
+    # greedy eigenvalue allocation: next-largest eigval to the block
+    # with the smallest log-variance product (and free capacity)
+    order = np.argsort(-fit["eigvals"])
+    blocks = [[] for _ in range(m_sub)]
+    load = np.zeros(m_sub)
+    for d_i in order:
+        free = [b for b in range(m_sub) if len(blocks[b]) < d_sub]
+        b = min(free, key=lambda bb: load[bb])
+        blocks[b].append(d_i)
+        load[b] += np.log(max(fit["eigvals"][d_i], 1e-12))
+    perm = np.concatenate(blocks)
+
+    variants = {
+        "raw": xn,
+        "pca-naive": xn @ v,
+        "pca-balanced": (xn @ v)[:, perm],
+    }
+    for name, z in variants.items():
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(len(z)), "embedding": z.tolist()}
+            ),
+            schema="vec_id long, embedding array<double>",
+        ).repartition(32)
+        books = pq_train_codebooks(df, m_subspaces=m_sub, k=16)
+        codes = pq_encode(df, books)
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": q_idx.tolist(),
+                 "embedding": z[q_idx].tolist()}
+            ),
+            schema="query_id long, embedding array<double>",
+        )
+        got = pq_topk(codes, books, qdf, k=k).toPandas()
+        rec = np.mean(
+            [
+                len(
+                    set(got[got.query_id == q]["vec_id"]) & set(t_)
+                ) / k
+                for q, t_ in zip(q_idx, truth)
+            ]
+        )
+        print(f"  PQ m={m_sub} k=16 [{name:13s}] recall@10={rec:.3f}")
 
 
 if __name__ == "__main__":
