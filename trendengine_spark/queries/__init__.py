@@ -120,6 +120,9 @@ _SPINE_FIRST = [
     # NEW in r8: one-pass distributed PCA (partition-partial BLAS
     # covariance — oracle-backed — + driver eigh)
     "sim_embedding_covariance", "sim_pca_explained_variance",
+    # NEW in r8: exact-integer Pearson correlation profile (Gram
+    # reuse; bit-identical floats cross-engine, no tolerance)
+    "profile_numeric_correlations",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
     # Known-green controls: one row per major family so a harness
     # regression shows up against fresh history

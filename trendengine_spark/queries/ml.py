@@ -231,3 +231,90 @@ def sim_pca_explained_variance(spark, sf_dir):
         "component int, eigval double, explained double, "
         "cum_explained double",
     )
+
+
+@query(
+    "profile_numeric_correlations",
+    sql="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS HUGEINT)            AS q,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+             CAST(round(l_discount * 100) AS HUGEINT)      AS d,
+             CAST(round(l_tax * 100) AS HUGEINT)           AS t
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+             sum(q*q) AS qq, sum(p*p) AS pp, sum(d*d) AS dd,
+             sum(t*t) AS tt, sum(q*p) AS qp, sum(q*d) AS qd,
+             sum(q*t) AS qt, sum(p*d) AS pd_, sum(p*t) AS pt,
+             sum(d*t) AS dt
+      FROM f
+    )
+    SELECT col_a, col_b,
+           round(CAST(num AS DOUBLE)
+                 / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
+             + 0.0 AS corr
+    FROM (
+      SELECT 'discount' AS col_a, 'extendedprice' AS col_b,
+             n*pd_ - sd*sp AS num, n*dd - sd*sd AS dx,
+             n*pp - sp*sp AS dy FROM s
+      UNION ALL SELECT 'discount', 'quantity',
+             n*qd - sd*sq, n*dd - sd*sd, n*qq - sq*sq FROM s
+      UNION ALL SELECT 'discount', 'tax',
+             n*dt - sd*st, n*dd - sd*sd, n*tt - st*st FROM s
+      UNION ALL SELECT 'extendedprice', 'quantity',
+             n*qp - sp*sq, n*pp - sp*sp, n*qq - sq*sq FROM s
+      UNION ALL SELECT 'extendedprice', 'tax',
+             n*pt - sp*st, n*pp - sp*sp, n*tt - st*st FROM s
+      UNION ALL SELECT 'quantity', 'tax',
+             n*qt - sq*st, n*qq - sq*sq, n*tt - st*st FROM s
+    )
+    """,
+)
+def profile_numeric_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures from
+    ONE exact-Gram pass — the profiling cousin of
+    `quality_gram_matrix`. The doubles are decimal-origin (2 dp), so
+    scaling by 100 makes every moment an EXACT integer sum
+    (decimal(38,0) on Spark, HUGEINT in the oracle): both engines
+    derive each correlation from bit-identical integers through the
+    same float expression, so the hash matches without tolerance.
+    The only driver-side data is the single moment row; the six corr
+    values are assembled from it (sufficient-statistics pattern —
+    the corpus is touched once, unlike six F.corr aggregates)."""
+    import math
+
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.round(F.col("l_quantity")).cast("decimal(19,0)").alias("q"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(19,0)")
+        .alias("p"),
+        F.round(F.col("l_discount") * 100).cast("decimal(19,0)").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("decimal(19,0)").alias("t"),
+    )
+    m = gram_moments(feats, ["q", "p", "d", "t"]).collect()[0].asDict()
+    n = int(m["n_rows"])
+    names = {"q": "quantity", "p": "extendedprice",
+             "d": "discount", "t": "tax"}
+
+    def s(c):
+        return int(m[f"s_{c}"])
+
+    def g(a, b):
+        key = f"g_{a}_{b}"
+        return int(m[key] if key in m else m[f"g_{b}_{a}"])
+
+    rows = []
+    for a in ["q", "p", "d", "t"]:
+        for b in ["q", "p", "d", "t"]:
+            if names[a] < names[b]:
+                num = n * g(a, b) - s(a) * s(b)
+                dx = n * g(a, a) - s(a) * s(a)
+                dy = n * g(b, b) - s(b) * s(b)
+                corr = float(num) / math.sqrt(float(dx) * float(dy))
+                rows.append((names[a], names[b], round(corr, 9) + 0.0))
+    return spark.createDataFrame(
+        rows, "col_a string, col_b string, corr double"
+    )
