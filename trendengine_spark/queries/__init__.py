@@ -64,7 +64,7 @@ _SPINE_FIRST = [
     #
     # Never-driver-sampled (r7 additions, judge-verified green in r7)
     "trend_mann_kendall_stats", "u6_mann_kendall_events",
-    "trend_seasonal_mann_kendall", "u7_bfast_monitor_events",
+    "trend_seasonal_mann_kendall",
     "agg_trimmed_mean_pandas", "sim_ivfpq_topk",
     "window_conditional_running", "dedup_incremental_batch",
     "pipeline_bernoulli_sample",
@@ -108,21 +108,27 @@ _SPINE_FIRST = [
     "sim_ivfpq_persisted",
     # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
-    # NEW in r8: one-pass exact-Gram linear quality model (fit =
-    # single aggregate, solve driver-side on bounded moments)
-    "quality_gram_matrix", "quality_linear_residual_topk",
+    # NEW in r8 session 3, ORACLE-BACKED first (a driver hash verdict
+    # is strongest where there is SQL to compare): exact-Gram quality
+    # model, one-pass PCA covariance, exact-integer correlations
+    "quality_gram_matrix",
+    "sim_embedding_covariance",
+    "profile_numeric_correlations",
+    # ---- ~50-row budget line falls around here (31 never-sampled +
+    # recursive + 15 earlier-r8 + the 3 oracle-backed session-3 rows
+    # = 50; the rows-only session-3 queries below lose least if the
+    # budget cuts them, and the judge harness covers them anyway) ----
+    # (u7_bfast demoted from the never-sampled block to make room for
+    # the oracle trio: rows-only, planted-shift goldens already pin it)
+    "u7_bfast_monitor_events",
+    "quality_linear_residual_topk",
     # NEW in r8: BPE inference over the corpus (encode = once per
-    # distinct word + broadcast join back; ~position 51 — first to
-    # fall off a 50-row budget, and rows-only so the loss is least)
+    # distinct word + broadcast join back)
     "text_bpe_encode_corpus",
     # NEW in r8: SemDeDup-style semantic dedup (cluster-then-pairwise)
     "dedup_semantic_survivors",
-    # NEW in r8: one-pass distributed PCA (partition-partial BLAS
-    # covariance — oracle-backed — + driver eigh)
-    "sim_embedding_covariance", "sim_pca_explained_variance",
-    # NEW in r8: exact-integer Pearson correlation profile (Gram
-    # reuse; bit-identical floats cross-engine, no tolerance)
-    "profile_numeric_correlations",
+    # NEW in r8: PCA spectrum (covariance above carries the oracle)
+    "sim_pca_explained_variance",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
     # Known-green controls: one row per major family so a harness
     # regression shows up against fresh history
