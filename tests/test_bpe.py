@@ -202,3 +202,32 @@ def test_merge_scan_jvm_equals_arrow_reference(spark):
         assert r["jvm"] == r["arrow"]
     assert got[0]["jvm"] == ["aa", "a"]
     assert got[2]["jvm"] == ["aa", "aa", "a"]
+
+
+def test_merge_scan_property_random_sequences(spark):
+    """Property sweep: the JVM fold equals the scalar scan on random
+    symbol sequences over a tiny alphabet (maximizes overlap runs)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.bpe import (
+        _merge_pair_col,
+        _merge_pair_udf,
+    )
+
+    rng = random.Random(1234)
+    rows = [
+        ([rng.choice("ab") for _ in range(rng.randint(1, 9))],)
+        for _ in range(300)
+    ] + [(list(p),) for k in (1, 2, 3, 4)
+         for p in itertools.product("ab", repeat=k)]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = df.select(
+            _merge_pair_col(a, b, "syms").alias("jvm"),
+            _merge_pair_udf(a, b)(F.col("syms")).alias("arrow"),
+        ).collect()
+        for r in got:
+            assert r["jvm"] == r["arrow"], (a, b, r)

@@ -97,3 +97,42 @@ def test_declared_pca_queries(spark):
         ev[k]["eigval"] >= ev[k + 1]["eigval"] for k in range(7)
     )
     assert 0 < ev[-1]["cum_explained"] <= 1.0
+
+
+def test_online_pca_stream_matches_batch(spark, tmp_path):
+    """Streaming moment accumulation + per-batch eigh equals the
+    batch fit over the same rows (multi-microbatch)."""
+    from trendengine_spark.streaming.online_model import online_pca
+
+    x = _lowrank(n=300, noise=1e-3)
+    df = _df(spark, x, parts=3)
+    src = str(tmp_path / "emb")
+    df.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen = []
+    q = online_pca(
+        stream,
+        x.shape[1],
+        on_update=lambda bid, fit: seen.append((bid, fit)),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    assert len(seen) >= 2
+    final = seen[-1][1]
+    batch = pca_fit(df, x.shape[1])
+    assert final["n"] == batch["n"] == len(x)
+    np.testing.assert_allclose(final["mean"], batch["mean"],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(final["eigvals"], batch["eigvals"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.abs(final["components"][:, :3]),
+        np.abs(batch["components"][:, :3]),
+        atol=1e-7,
+    )

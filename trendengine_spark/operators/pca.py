@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["embedding_moments", "pca_fit", "pca_project"]
+__all__ = ["embedding_moments", "pca_fit", "fit_from_moment_rows", "pca_project"]
 
 
 def embedding_moments(
@@ -96,6 +96,14 @@ def pca_fit(
     compute: d² — the corpus is touched exactly once.
     """
     rows = embedding_moments(df, dim, vec_col).collect()
+    return fit_from_moment_rows(rows, dim)
+
+
+def fit_from_moment_rows(rows, dim: int) -> dict:
+    """Driver-side PCA solve from collected moment rows — shared by
+    the batch fit and the streaming accumulator (the moments are
+    algebraic, so a streaming group-by maintains them and this solve
+    turns any snapshot into a model)."""
     g = np.zeros((dim, dim))
     m = np.zeros(dim)
     n = 0.0

@@ -66,3 +66,38 @@ def online_fit(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def online_pca(
+    stream: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    on_update: Callable[[int, dict], None] | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Always-fresh PCA over an embedding stream — same principle as
+    :func:`online_fit`: the second-moment sums are algebraic, so the
+    streaming group-by maintains them exactly (state = d² numbers
+    TOTAL), and each microbatch ends with the driver-side eigh over
+    the current snapshot. ``on_update(batch_id, fit_dict)`` receives
+    the same structure :func:`~..operators.pca.pca_fit` returns; the
+    stream total is bit-equal to a batch fit over the same rows
+    (integer-exact for the counts, float-sum associativity noise only
+    where a batch shuffle would have it too — asserted in tests at
+    1e-12)."""
+    from trendengine_spark.operators.pca import (
+        embedding_moments,
+        fit_from_moment_rows,
+    )
+
+    g = embedding_moments(stream, dim, vec_col)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        rows = df.collect()  # bounded: d(d+1)/2 + d + 1 rows
+        if on_update is not None and rows:
+            on_update(batch_id, fit_from_moment_rows(rows, dim))
+
+    w = g.writeStream.outputMode("complete").foreachBatch(_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
