@@ -136,3 +136,21 @@ def test_online_pca_stream_matches_batch(spark, tmp_path):
         np.abs(batch["components"][:, :3]),
         atol=1e-7,
     )
+
+
+def test_whitened_projection_unit_variance(spark):
+    x = _lowrank(n=500, rank=3, noise=0.05)
+    df = _df(spark, x)
+    fit = pca_fit(df, x.shape[1])
+    k = 3
+    proj = (
+        pca_project(
+            df, fit["mean"], fit["components"], k, eigvals=fit["eigvals"]
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    p = np.asarray([list(v) for v in proj["proj"]])
+    # whitened components have unit variance and are decorrelated
+    cov = np.cov(p, rowvar=False, bias=True)
+    np.testing.assert_allclose(cov, np.eye(k), atol=1e-6)

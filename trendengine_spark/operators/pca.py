@@ -146,12 +146,22 @@ def pca_project(
     k: int,
     vec_col: str = "embedding",
     out_col: str = "proj",
+    eigvals: np.ndarray | None = None,
 ) -> DataFrame:
     """Append the k-dim PCA projection (centered, rotated, truncated)
     as an ``array<double>`` column — one broadcast BLAS matmul per
-    Arrow batch, schema otherwise preserved."""
+    Arrow batch, schema otherwise preserved. Pass ``eigvals`` to
+    WHITEN (scale each component to unit variance — the
+    decorrelate-and-equalize preprocessing for Euclidean ANN and
+    Mahalanobis-style outlier scores); components with ~zero variance
+    are left unscaled rather than exploded."""
+    comp = np.asarray(components)[:, :k]
+    if eigvals is not None:
+        ev = np.asarray(eigvals)[:k].copy()
+        ev[ev < 1e-12] = 1.0  # degenerate directions: no rescale
+        comp = comp / np.sqrt(ev)[None, :]
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((np.asarray(mean), np.asarray(components)[:, :k]))
+    bc = sc.broadcast((np.asarray(mean), comp))
     fields = [f for f in df.schema.fields]
     schema = T.StructType(
         fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
