@@ -129,6 +129,9 @@ _SPINE_FIRST = [
     "dedup_semantic_survivors",
     # NEW in r8: PCA spectrum (covariance above carries the oracle)
     "sim_pca_explained_variance",
+    # NEW in r8: Holt-Winters backtest (rows-only; naive twin above
+    # carries the oracle shape)
+    "forecast_holt_winters_mae",
     # r8 cap fix (VERDICT task 5): containment dedup max_df
     # Known-green controls: one row per major family so a harness
     # regression shows up against fresh history
