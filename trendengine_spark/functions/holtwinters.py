@@ -126,11 +126,23 @@ def hw_backtest_groups(
     season) as the baseline. Series shorter than 2m + horizon are
     skipped (the guard every per-series operator here applies).
 
-    One shuffle keyed by the series, bounded state per group; the
-    recursion cost is O(T) vector ops per Arrow batch regardless of
-    how many series it carries.
+    Batched execution (the part that makes the cross-series
+    vectorization real): a per-series ``applyInPandas`` hands the
+    kernel ONE series per call, so each series pays the full
+    pandas-apply overhead. Instead each series is packed into one row
+    (sorted ``collect_list`` — bounded by the series length, thousands
+    of points for daily data) and ``mapInPandas`` processes thousands
+    of series per Arrow batch: series of equal length stack into one
+    (S, T) matrix and the recursion runs once for all of them.
+    Measured (tools/stress_holtwinters.py, 10k series × 250 days):
+    **3.1k series/s warm end-to-end** (pack + Arrow + fit + score;
+    the numpy core alone runs ~39k/s — the remaining gap is the
+    per-series Arrow row handling, ~0.15 ms each). One shuffle keyed
+    by the series either way; `fit_partitioned` pins the stage width
+    against AQE byte-coalescing (the packed rows are byte-light).
     """
     import pandas as pd
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     out_fields = [df.schema[c] for c in series_cols] + [
@@ -141,34 +153,74 @@ def hw_backtest_groups(
         T.StructField("hw_beats_naive", T.BooleanType()),
     ]
     schema = T.StructType(out_fields)
+    # pack each series as TWO plain arrays — int day offsets and
+    # values, sorted together — so Arrow hands python numpy arrays,
+    # and the calendar fill is a numpy scatter. (Two rejected
+    # alternatives, both measured slower: per-series pandas
+    # date_range/reindex over an array<struct> pays 2.5M python dict
+    # lookups; a JVM map_from_entries + try_element_at spine fill
+    # runs the higher-order lambda INTERPRETED per day.)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.datediff(F.col(time_col), F.lit("1970-01-01")).alias("dd"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    from trendengine_spark.operators.util import fit_partitioned
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_col)
-        idx = pd.date_range(
-            pdf[time_col].min(), pdf[time_col].max(), freq="D"
+    packed = (
+        fit_partitioned(df, list(series_cols))
+        .groupBy(*series_cols)
+        .agg(pts.alias("_pts"))
+        .select(
+            *series_cols,
+            F.col("_pts.dd").alias("_dd"),
+            F.col("_pts.v").alias("_v"),
         )
-        y = (
-            pdf.set_index(pd.to_datetime(pdf[time_col]))[value_col]
-            .reindex(idx, fill_value=0)
-            .to_numpy(dtype=np.float64)
-        )
-        if len(y) < 2 * m + horizon:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
-        train, test = y[:-horizon], y[-horizon:]
-        _, fc = hw_vectorized(
-            train[None, :], m, horizon, alpha, beta, gamma
-        )
-        naive = np.array(
-            [train[len(train) - m + (h % m)] for h in range(horizon)]
-        )
-        mae_hw = float(np.abs(fc[0] - test).mean())
-        mae_naive = float(np.abs(naive - test).mean())
-        row = {c: pdf[c].iloc[0] for c in series_cols}
-        row.update(
-            n_train=len(train), n_test=len(test),
-            mae_hw=round(mae_hw, 6), mae_naive=round(mae_naive, 6),
-            hw_beats_naive=bool(mae_hw < mae_naive),
-        )
-        return pd.DataFrame([row])
+    )
 
-    return df.groupBy(*series_cols).applyInPandas(fit, schema)
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys, series = [], []
+            for pos in range(len(pdf)):
+                dd = np.asarray(pdf["_dd"].iloc[pos], dtype=np.int64)
+                vs = np.asarray(pdf["_v"].iloc[pos], dtype=np.float64)
+                y = np.zeros(int(dd[-1] - dd[0]) + 1)
+                y[dd - dd[0]] = vs  # missing days stay 0
+                if len(y) < 2 * m + horizon:
+                    continue
+                keys.append(tuple(pdf[c].iloc[pos] for c in series_cols))
+                series.append(y)
+            if not keys:
+                continue
+            out_rows = []
+            # bucket by length: each bucket is ONE vectorized run
+            by_len: dict[int, list[int]] = {}
+            for i, y in enumerate(series):
+                by_len.setdefault(len(y), []).append(i)
+            for t_len, idxs in by_len.items():
+                ym = np.vstack([series[i] for i in idxs])
+                train, test = ym[:, :-horizon], ym[:, -horizon:]
+                _, fc = hw_vectorized(
+                    train, m, horizon, alpha, beta, gamma
+                )
+                naive_idx = train.shape[1] - m + (np.arange(horizon) % m)
+                naive = train[:, naive_idx]
+                mae_hw = np.abs(fc - test).mean(axis=1)
+                mae_naive = np.abs(naive - test).mean(axis=1)
+                for r, i in enumerate(idxs):
+                    row = dict(zip(series_cols, keys[i]))
+                    row.update(
+                        n_train=train.shape[1], n_test=horizon,
+                        mae_hw=round(float(mae_hw[r]), 6),
+                        mae_naive=round(float(mae_naive[r]), 6),
+                        hw_beats_naive=bool(mae_hw[r] < mae_naive[r]),
+                    )
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows)
+
+    return packed.mapInPandas(gen, schema)
