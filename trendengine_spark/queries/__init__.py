@@ -66,7 +66,7 @@ _SPINE_FIRST = [
     "trend_mann_kendall_stats", "u6_mann_kendall_events",
     "trend_seasonal_mann_kendall",
     "agg_trimmed_mean_pandas", "sim_ivfpq_topk",
-    "window_conditional_running", "dedup_incremental_batch",
+    "window_conditional_running",
     "pipeline_bernoulli_sample",
     "hier_share_of_parent", "rollup_grouping_id",
     # Never-driver-sampled (r6-batch-2 additions)
@@ -114,13 +114,15 @@ _SPINE_FIRST = [
     "quality_gram_matrix",
     "sim_embedding_covariance",
     "profile_numeric_correlations",
-    # ---- ~50-row budget line falls around here (31 never-sampled +
-    # recursive + 15 earlier-r8 + the 3 oracle-backed session-3 rows
+    "profile_higher_moments",
+    # ---- ~50-row budget line falls around here (30 never-sampled +
+    # recursive + 15 earlier-r8 + the 4 oracle-backed session-3 rows
     # = 50; the rows-only session-3 queries below lose least if the
     # budget cuts them, and the judge harness covers them anyway) ----
-    # (u7_bfast demoted from the never-sampled block to make room for
-    # the oracle trio: rows-only, planted-shift goldens already pin it)
-    "u7_bfast_monitor_events",
+    # (u7_bfast + incremental-dedup demoted from the never-sampled
+    # block to make room for the oracle quartet: both rows-only with
+    # planted-shift / planted-dup goldens already pinning them)
+    "u7_bfast_monitor_events", "dedup_incremental_batch",
     "quality_linear_residual_topk",
     # NEW in r8: BPE inference over the corpus (encode = once per
     # distinct word + broadcast join back)
@@ -141,10 +143,8 @@ _SPINE_FIRST = [
     "dedup_paragraph_global", "pipeline_epoch_shuffle",
     "sim_range_search", "text_rarity_profile",
     "multimodal_gif_animation", "join_time_window_counts",
-    # ---- ~50-row budget line (32 never-sampled + 15 new/replanned
-    # ahead of the controls — with a 50-row budget the first ~2
-    # controls still land; everything below has r5-r7 driver green or
-    # golden/property coverage) ----
+    # (controls above + everything below: r5-r7 driver green or
+    # golden/property coverage)
     "forecast_seasonal_naive_mae", "graph_pagerank_micro",
     "stream_user_running_stats",
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",

@@ -318,3 +318,96 @@ def profile_numeric_correlations(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col_a string, col_b string, corr double"
     )
+
+
+@query(
+    "profile_higher_moments",
+    sql="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS HUGEINT)       AS q,
+             CAST(round(l_discount * 100) AS HUGEINT) AS d,
+             CAST(round(l_tax * 100) AS HUGEINT)      AS t
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(q) AS q1, sum(q*q) AS q2, sum(q*q*q) AS q3,
+             sum(q*q*q*q) AS q4,
+             sum(d) AS d1, sum(d*d) AS d2, sum(d*d*d) AS d3,
+             sum(d*d*d*d) AS d4,
+             sum(t) AS t1, sum(t*t) AS t2, sum(t*t*t) AS t3,
+             sum(t*t*t*t) AS t4
+      FROM f
+    ), u AS (
+      SELECT 'discount' AS col, n, d1 AS m1, d2 AS m2, d3 AS m3,
+             d4 AS m4 FROM s
+      UNION ALL SELECT 'quantity', n, q1, q2, q3, q4 FROM s
+      UNION ALL SELECT 'tax', n, t1, t2, t3, t4 FROM s
+    ), c AS (
+      SELECT col, n,
+             n*m2 - m1*m1 AS c2,
+             n*n*m3 - 3*n*m1*m2 + 2*m1*m1*m1 AS c3,
+             n*n*n*m4 - 4*n*n*m3*m1 + 6*n*m2*m1*m1
+               - 3*m1*m1*m1*m1 AS c4
+      FROM u
+    )
+    SELECT col, CAST(n AS BIGINT) AS n,
+           round(sqrt(CAST(n AS DOUBLE)) * CAST(c3 AS DOUBLE)
+                 / (CAST(c2 AS DOUBLE) * sqrt(CAST(c2 AS DOUBLE))), 9)
+             + 0.0 AS skewness,
+           round(CAST(n AS DOUBLE) * CAST(c4 AS DOUBLE)
+                 / (CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)) - 3.0, 9)
+             + 0.0 AS kurtosis_excess
+    FROM c
+    """,
+)
+def profile_higher_moments(spark, sf_dir):
+    """Population skewness and excess kurtosis of the lineitem
+    measures from exact integer power sums — completing the
+    profiling moment ladder (mean/var/corr are `stats_aggregates` /
+    `profile_numeric_correlations`). The small-ranged measures
+    (quantity ≤ 50, discount/tax ≤ 10 after ×100 scaling) keep all
+    four power sums inside BIGINT at any driver SF, the central-sum
+    combinations (n·Σx²−(Σx)² etc.) run in arbitrary-precision
+    Python / HUGEINT exactly, and the float step is division and
+    SQRT only (both correctly rounded IEEE — pow() is deliberately
+    avoided because it is NOT) — so the cross-engine hash matches
+    with no tolerance. One aggregate pass; the only driver-side data
+    is the 13-number moment row."""
+    import math
+
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    x = {c: F.col(c) for c in "qdt"}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in "qdt":
+        aggs += [
+            F.sum(x[c]).alias(f"{c}1"),
+            F.sum(x[c] * x[c]).alias(f"{c}2"),
+            F.sum(x[c] * x[c] * x[c]).alias(f"{c}3"),
+            F.sum(x[c] * x[c] * x[c] * x[c]).alias(f"{c}4"),
+        ]
+    m = feats.agg(*aggs).collect()[0].asDict()
+    n = int(m["n"])
+    names = {"q": "quantity", "d": "discount", "t": "tax"}
+    rows = []
+    for c in "qdt":
+        m1, m2, m3, m4 = (int(m[f"{c}{k}"]) for k in (1, 2, 3, 4))
+        c2 = n * m2 - m1 * m1
+        c3 = n * n * m3 - 3 * n * m1 * m2 + 2 * m1**3
+        c4 = n**3 * m4 - 4 * n * n * m3 * m1 + 6 * n * m2 * m1 * m1 - 3 * m1**4
+        skew = (
+            math.sqrt(float(n)) * float(c3)
+            / (float(c2) * math.sqrt(float(c2)))
+        )
+        kurt = float(n) * float(c4) / (float(c2) * float(c2)) - 3.0
+        rows.append(
+            (names[c], n, round(skew, 9) + 0.0, round(kurt, 9) + 0.0)
+        )
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "col string, n long, skewness double, kurtosis_excess double"
+    )
