@@ -53,6 +53,10 @@ QUERIES = [
     # r8: adjacency-intersection triangles — Spark's third crossover
     # (5.9 s vs DuckDB 12.3 s at sf3, measured separately in r8)
     "graph_triangle_counts",
+    # r8 session 3: one-pass exact-Gram correlation profile — pure
+    # scan + partial-aggregate over the widest fact table, the shape
+    # the engine is built for
+    "profile_numeric_correlations",
 ]
 
 ORACLE_TABLES = FACTS + DIMS
