@@ -452,3 +452,25 @@ def test_epoch_shuffle_single_ranked_pass(spark):
     assert "Union" not in p
     # exactly one WindowExec, partitioned by the range bucket id
     assert p.count("Window") - p.count("WindowGroupLimit") == 1
+
+
+def test_gram_moments_partial_final_aggregate(spark):
+    """The exact-Gram fit must be ONE partial+final hash aggregate
+    (map-side combine absorbs the corpus; the shuffle carries only
+    O(groups * d^2) sums) — no window, no join, no second exchange."""
+    from trendengine_spark.operators.linmodel import gram_moments
+    from trendengine_spark.queries.base import t as _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, SF_SMOKE, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    plan = (
+        gram_moments(docs, ["x"], ["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan.lower() or "partial" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
