@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 
 from trendengine_spark.operators.linmodel import (
+    cv_linear,
     fit_linear,
     gram_moments,
     score_linear,
@@ -203,3 +204,32 @@ def test_online_fit_stream_equals_batch(spark, tmp_path):
     # planted models recovered through the stream
     assert final[(0,)]["weights"]["x1"] == pytest.approx(4.0, abs=1e-8)
     assert final[(1,)]["weights"]["x2"] == pytest.approx(3.0, abs=1e-8)
+
+
+def test_cv_linear_one_pass_matches_manual(spark):
+    """One-pass k-fold CV (Gram additivity) must equal the manual
+    fit-on-k-1/score-on-1 loop done in numpy on the same folds."""
+    rng = np.random.RandomState(21)
+    x1 = rng.randint(0, 100, 500)
+    x2 = rng.randint(0, 60, 500)
+    y = 2 * x1 - x2 + 5 + rng.randint(-4, 5, 500)
+    fold = np.arange(500) % 5
+    df = spark.createDataFrame(
+        pd.DataFrame({"x1": x1, "x2": x2, "y": y, "f": fold})
+    )
+    cv = cv_linear(df, ["x1", "x2"], "y", fold_col="f")
+    assert len(cv["folds"]) == 5
+    X = np.column_stack([x1, x2, np.ones(500)]).astype(float)
+    for rec in cv["folds"]:
+        fmask = fold == rec["fold"]
+        w, *_ = np.linalg.lstsq(X[~fmask], y[~fmask].astype(float),
+                                rcond=None)
+        rmse = np.sqrt(((X[fmask] @ w - y[fmask]) ** 2).mean())
+        assert rec["rmse"] == pytest.approx(rmse, rel=1e-9)
+        assert rec["n_train"] == int((~fmask).sum())
+        assert rec["n_test"] == int(fmask.sum())
+    # noise is U{-4..4} (std ~2.58); CV rmse must sit at noise level
+    assert 2.0 < cv["rmse_mean"] < 3.2
+    # hash-fold path runs end-to-end too
+    cv2 = cv_linear(df, ["x1", "x2"], "y", k=4, id_cols=["x1", "x2"])
+    assert len(cv2["folds"]) == 4

@@ -49,6 +49,7 @@ __all__ = [
     "fit_linear",
     "score_expr",
     "score_linear",
+    "cv_linear",
 ]
 
 
@@ -165,3 +166,74 @@ def score_linear(
 ) -> DataFrame:
     """Append the model prediction as a column (pure projection)."""
     return df.withColumn(output_col, score_expr(weights, intercept))
+
+
+def cv_linear(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    k: int = 5,
+    fold_col: str | None = None,
+    id_cols: Sequence[str] = (),
+    ridge: float = 0.0,
+) -> dict:
+    """k-fold cross-validation in ONE corpus pass.
+
+    The Gram moments are additive over disjoint row sets, so the
+    entire CV needs only the per-fold moment rows: the leave-fold-out
+    model is solved from (total − fold) moments, and the held-out
+    error is evaluated from the SAME fold moments via the exact
+    identity ``SSE_f = yᵀy_f − 2 wᵀb_f + wᵀA_f w`` — no second pass,
+    no per-fold scans, no scoring job. Folds are assigned by a
+    deterministic hash of ``id_cols`` (reproducible across runs and
+    partitionings) unless ``fold_col`` names an existing column.
+
+    Returns ``{"folds": [{fold, n_train, n_test, rmse}...],
+    "rmse_mean": ..., "rmse_std": ...}``. Driver-side data: k moment
+    rows.
+    """
+    if fold_col is None:
+        if not id_cols:
+            raise ValueError("pass fold_col or id_cols for hashing")
+        df = df.withColumn(
+            "_fold", F.pmod(F.xxhash64(*id_cols), F.lit(k)).cast("int")
+        )
+        fold_col = "_fold"
+    cols = [*features, target]
+    rows = [r.asDict() for r in gram_moments(df, cols, [fold_col]).collect()]
+    if len(rows) < 2:
+        raise ValueError(f"need >= 2 non-empty folds, got {len(rows)}")
+    num_keys = [m for m in rows[0] if m != fold_col]
+    total = {m: sum(r[m] for r in rows) for m in num_keys}
+    d = len(features)
+    out = []
+    for r in sorted(rows, key=lambda r: r[fold_col]):
+        train = {m: total[m] - r[m] for m in num_keys}
+        fit = solve_normal(train, features, target, ridge)
+        w = np.array([fit["weights"][f] for f in features] + [fit["intercept"]])
+        # held-out SSE from the fold's own moments
+        A = np.zeros((d + 1, d + 1))
+        b = np.zeros(d + 1)
+        for i, fi in enumerate(features):
+            for j, fj in enumerate(features):
+                A[i, j] = float(_g(r, fi, fj))
+            A[i, d] = A[d, i] = float(r[f"s_{fi}"])
+            b[i] = float(_g(r, fi, target))
+        A[d, d] = float(r["n_rows"])
+        b[d] = float(r[f"s_{target}"])
+        sse = float(_g(r, target, target)) - 2.0 * w @ b + w @ A @ w
+        n_test = int(r["n_rows"])
+        out.append(
+            {
+                "fold": r[fold_col],
+                "n_train": fit["n"],
+                "n_test": n_test,
+                "rmse": float(np.sqrt(max(sse, 0.0) / n_test)),
+            }
+        )
+    rmses = np.array([f["rmse"] for f in out])
+    return {
+        "folds": out,
+        "rmse_mean": float(rmses.mean()),
+        "rmse_std": float(rmses.std()),
+    }

@@ -123,7 +123,7 @@ _SPINE_FIRST = [
     # block to make room for the oracle quartet: both rows-only with
     # planted-shift / planted-dup goldens already pinning them)
     "u7_bfast_monitor_events", "dedup_incremental_batch",
-    "quality_linear_residual_topk",
+    "quality_linear_residual_topk", "quality_linear_cv",
     # NEW in r8: BPE inference over the corpus (encode = once per
     # distinct word + broadcast join back)
     "text_bpe_encode_corpus",

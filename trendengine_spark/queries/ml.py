@@ -411,3 +411,35 @@ def profile_higher_moments(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col string, n long, skewness double, kurtosis_excess double"
     )
+
+
+@query(
+    "quality_linear_cv",
+    sql=None,
+    doc="5-fold cross-validation of the document quality model in "
+    "ONE corpus pass: Gram moments are additive over disjoint folds, "
+    "so every leave-fold-out model AND its held-out RMSE derive from "
+    "the k per-fold moment rows (SSE_f = yty_f - 2 w'b_f + w'A_f w) "
+    "- no second scan, no scoring job. Rows-only; exact parity with "
+    "a manual numpy fit/score loop is pinned in tests/test_linmodel.py.",
+)
+def quality_linear_cv(spark, sf_dir):
+    """Per-fold generalization error of n_chars ~ n_tok + n_uniq over
+    documents, folds assigned by hash(doc_id) — deterministic across
+    partitionings. Output: (fold, n_train, n_test, rmse) + a summary
+    row (fold = -1) carrying mean/std."""
+    from trendengine_spark.operators.linmodel import cv_linear
+
+    feats = _doc_features(spark, sf_dir)
+    cv = cv_linear(
+        feats, ["n_tok", "n_uniq"], "n_chars", k=5, id_cols=["doc_id"]
+    )
+    rows = [
+        (f["fold"], f["n_train"], f["n_test"], round(f["rmse"], 6))
+        for f in cv["folds"]
+    ]
+    rows.append((-1, sum(f["n_train"] for f in cv["folds"]) // 4, 0,
+                 round(cv["rmse_mean"], 6)))
+    return spark.createDataFrame(
+        rows, "fold int, n_train long, n_test long, rmse double"
+    )
