@@ -101,6 +101,37 @@ def main() -> None:
                 "recall@10": round(recall_at(exact, pq, K), 3),
                 "s": round(time.perf_counter() - t0, 2),
             }
+
+        # 1-bit sign quantization + Hamming ranking (sim_hamming_topk's
+        # path, generalized to the study's 20 queries / k=10)
+        t0 = time.perf_counter()
+        pack = F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+            "CASE WHEN embedding[i] > 0 THEN shiftleft(1L, i) "
+            "ELSE 0L END)"
+        )
+        hcodes = unit.select("vec_id", pack.alias("code"))
+        hq = hcodes.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+        ham = (
+            hcodes.join(F.broadcast(hq), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                F.bit_count(F.col("qc").bitwiseXOR(F.col("code")))
+                .alias("hamming"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .toPandas()
+        )
+        rows["hamming_1bit"] = {
+            "recall@10": round(recall_at(exact, ham, K), 3),
+            "s": round(time.perf_counter() - t0, 2),
+        }
         print(json.dumps(rows))
         unit.unpersist()
 
