@@ -233,3 +233,49 @@ def test_cv_linear_one_pass_matches_manual(spark):
     # hash-fold path runs end-to-end too
     cv2 = cv_linear(df, ["x1", "x2"], "y", k=4, id_cols=["x1", "x2"])
     assert len(cv2["folds"]) == 4
+
+
+def test_huber_resists_planted_outliers(spark):
+    """10% of rows corrupted by +500: OLS is dragged far off the
+    planted weights; Huber recovers them. Each IRLS iteration is one
+    weighted aggregate (codegen omega), no scoring pass."""
+    from trendengine_spark.operators.linmodel import fit_huber
+
+    rng = np.random.RandomState(33)
+    x1 = rng.randint(0, 100, 1000)
+    x2 = rng.randint(0, 50, 1000)
+    y = (3 * x1 - 2 * x2 + 7).astype(float)
+    y += rng.normal(0, 1.0, 1000)
+    bad = rng.rand(1000) < 0.10
+    y[bad] += 500.0
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "y": y}))
+
+    ols = fit_linear(df, ["x1", "x2"], "y")[()]
+    hub = fit_huber(df, ["x1", "x2"], "y", iters=5)[()]
+    # OLS intercept absorbs ~50 of bias (10% x 500); Huber must not
+    assert abs(ols["intercept"] - 7.0) > 20.0
+    assert hub["weights"]["x1"] == pytest.approx(3.0, abs=0.05)
+    assert hub["weights"]["x2"] == pytest.approx(-2.0, abs=0.05)
+    assert hub["intercept"] == pytest.approx(7.0, abs=2.0)
+    assert hub["delta"] > 0
+
+
+def test_huber_equals_ols_on_clean_data(spark):
+    """No outliers: Huber converges to (approximately) the OLS fit."""
+    from trendengine_spark.operators.linmodel import fit_huber
+
+    rng = np.random.RandomState(8)
+    x = rng.randint(0, 100, 400)
+    g = (np.arange(400) % 2).astype(int)
+    y = np.where(g == 0, 5 * x + 1, -2 * x + 9).astype(float)
+    y += rng.normal(0, 0.5, 400)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "g": g, "y": y}))
+    ols = fit_linear(df, ["x"], "y", group_cols=["g"])
+    hub = fit_huber(df, ["x"], "y", group_cols=["g"], iters=4)
+    for key in [(0,), (1,)]:
+        assert hub[key]["weights"]["x"] == pytest.approx(
+            ols[key]["weights"]["x"], abs=0.02
+        )
+        assert hub[key]["intercept"] == pytest.approx(
+            ols[key]["intercept"], abs=1.0
+        )

@@ -50,6 +50,7 @@ __all__ = [
     "score_expr",
     "score_linear",
     "cv_linear",
+    "fit_huber",
 ]
 
 
@@ -57,21 +58,35 @@ def gram_moments(
     df: DataFrame,
     cols: Sequence[str],
     group_cols: Sequence[str] = (),
+    weight: Column | None = None,
 ) -> DataFrame:
     """All second-order moments of ``cols`` in one aggregate pass.
 
-    Output columns: ``n_rows`` (count), ``s_<c>`` (``SUM(c)``) for
-    every column, and ``g_<a>_<b>`` (``SUM(a*b)``) for every ordered
-    pair a ≤ b in ``cols`` order — the sufficient statistics for any
-    least-squares fit over subsets of ``cols``. One row per group
-    (one row total when ``group_cols`` is empty), so the result is
-    always bounded and safe to collect.
+    Output columns: ``n_rows`` (count — or Σω when ``weight`` is
+    given), ``s_<c>`` (``SUM(c)``) for every column, and ``g_<a>_<b>``
+    (``SUM(a*b)``) for every ordered pair a ≤ b in ``cols`` order —
+    the sufficient statistics for any least-squares fit over subsets
+    of ``cols``. With ``weight`` every sum is ω-weighted (the IRLS /
+    weighted-least-squares building block; ω is any codegen
+    expression, so a robustness reweight costs NO extra pass over the
+    data — the weight folds into the same whole-stage-codegen
+    aggregate). One row per group (one row total when ``group_cols``
+    is empty), so the result is always bounded and safe to collect.
     """
-    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
-    aggs += [F.sum(F.col(c)).alias(f"s_{c}") for c in cols]
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}_{b}"))
+    if weight is None:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+        aggs += [F.sum(F.col(c)).alias(f"s_{c}") for c in cols]
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}_{b}"))
+    else:
+        aggs = [F.sum(weight).alias("n_rows")]
+        aggs += [F.sum(weight * F.col(c)).alias(f"s_{c}") for c in cols]
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(
+                    F.sum(weight * F.col(a) * F.col(b)).alias(f"g_{a}_{b}")
+                )
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
@@ -237,3 +252,92 @@ def cv_linear(
         "rmse_mean": float(rmses.mean()),
         "rmse_std": float(rmses.std()),
     }
+
+
+def fit_huber(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    group_cols: Sequence[str] = (),
+    delta: float | None = None,
+    iters: int = 5,
+) -> dict:
+    """Huber-robust regression via IRLS — the quality model that the
+    garbage it exists to find cannot skew.
+
+    OLS minimizes squared error, so a 0.1% tail of corrupted rows
+    (spam docs, parser explosions) drags the fit arbitrarily far.
+    Huber's loss is quadratic near zero and linear beyond ``delta``,
+    which IRLS renders as iteratively-reweighted least squares with
+    ω = min(1, δ/|r|). Each iteration here is ONE weighted
+    :func:`gram_moments` aggregate where ω is a pure codegen
+    expression of the previous iteration's weights (the prediction is
+    a literal dot product, the residual and clamp are arithmetic) —
+    no UDF, no scoring job, no cached intermediate; ``iters`` passes
+    over the data total, each the same partial+final shape as the
+    plain fit.
+
+    ``delta=None`` re-estimates δ per group each iteration as
+    1.345 · 1.4826 · MAD of the current residuals — the classical
+    robust scale (a δ estimated from the contaminated fit's SSE stays
+    too loose: Huber-weighted SSE still carries δ·|r| per outlier, so
+    its fixpoint sits far above the clean σ — measured before
+    switching). Auto-scale mode costs one extra tiny aggregate
+    (grouped percentile sketch of |r|) per iteration. Returns the
+    same structure as :func:`fit_linear` plus ``"delta"`` (final).
+    """
+    fits = fit_linear(df, features, target, group_cols)
+    deltas = {key: delta for key in fits}
+
+    def _resid_expr(cur):
+        resid = None
+        for key, f in cur.items():
+            pred = score_expr(f["weights"], f["intercept"])
+            r = F.col(target) - pred
+            if not group_cols:
+                return r
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(c) == v for c, v in zip(group_cols, key)],
+            )
+            resid = F.when(cond, r) if resid is None else resid.when(cond, r)
+        return resid
+
+    for _ in range(iters):
+        resid = _resid_expr(fits)
+        if delta is None:  # classical robust scale: 1.345 * 1.4826 * MAD
+            mad_agg = F.percentile_approx(
+                F.abs(resid), F.lit(0.5), F.lit(10_000)
+            ).alias("_mad")
+            if group_cols:
+                for r_ in df.groupBy(*group_cols).agg(mad_agg).collect():
+                    key = tuple(r_[c] for c in group_cols)
+                    deltas[key] = 1.345 * 1.4826 * max(r_["_mad"], 1e-9)
+            else:
+                mad = df.agg(mad_agg).collect()[0]["_mad"]
+                deltas[()] = 1.345 * 1.4826 * max(mad, 1e-9)
+        dlt = None
+        for key in fits:
+            d_k = F.lit(deltas[key])
+            if not group_cols:
+                dlt = d_k
+                break
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(c) == v for c, v in zip(group_cols, key)],
+            )
+            dlt = F.when(cond, d_k) if dlt is None else dlt.when(cond, d_k)
+        omega = F.when(
+            F.abs(resid) <= dlt, F.lit(1.0)
+        ).otherwise(dlt / F.abs(resid))
+        rows = gram_moments(
+            df, [*features, target], group_cols, weight=omega
+        ).collect()
+        fits = {}
+        for r_ in rows:
+            m = r_.asDict()
+            key = tuple(m[c] for c in group_cols)
+            fits[key] = solve_normal(m, features, target)
+    for key in fits:
+        fits[key]["delta"] = deltas[key]
+    return fits
