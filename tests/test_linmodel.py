@@ -279,3 +279,17 @@ def test_huber_equals_ols_on_clean_data(spark):
         assert hub[key]["intercept"] == pytest.approx(
             ols[key]["intercept"], abs=1.0
         )
+
+
+def test_flagship_model_curation_conserves_counts(spark):
+    from trendengine_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["flagship_model_curation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_docs"] == r["n_gated"] + r["n_dup_dropped"] + r["n_kept"]
+        assert r["n_kept"] > 0  # a 3-sigma gate keeps the bulk

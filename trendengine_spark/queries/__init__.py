@@ -124,6 +124,7 @@ _SPINE_FIRST = [
     # planted-shift / planted-dup goldens already pinning them)
     "u7_bfast_monitor_events", "dedup_incremental_batch",
     "quality_linear_residual_topk", "quality_linear_cv",
+    "flagship_model_curation",
     # NEW in r8: BPE inference over the corpus (encode = once per
     # distinct word + broadcast join back)
     "text_bpe_encode_corpus",

@@ -443,3 +443,76 @@ def quality_linear_cv(spark, sf_dir):
     return spark.createDataFrame(
         rows, "fold int, n_train long, n_test long, rmse double"
     )
+
+
+@query(
+    "flagship_model_curation",
+    sql=None,
+    doc="Model-in-the-loop curation capstone: fit the Huber-robust "
+    "quality model distributed (IRLS, codegen reweighting), gate "
+    "every document by its residual z-score, then de-duplicate the "
+    "survivors exactly — the composition a production corpus "
+    "pipeline runs, in one statement. Rows-only (float model); every "
+    "stage is individually pinned (fit_huber planted-outlier tests, "
+    "exact_dedup oracle via dedup_exact, gram oracle via "
+    "quality_gram_matrix).",
+)
+def flagship_model_curation(spark, sf_dir):
+    """Per-language curation accounting: fit n_chars ~ n_tok + n_uniq
+    with fit_huber (outliers cannot skew the gate that rejects
+    them), keep documents within 3 robust sigmas of their language's
+    model, exact-dedup the survivors, and report
+    (lang, n_docs, n_gated, n_dup_dropped, n_kept). Three passes
+    total: IRLS fit (bounded moment rows driver-side), one codegen
+    filter + dedup aggregate, one count aggregate."""
+    from trendengine_spark.operators.dedup import exact_dedup
+    from trendengine_spark.operators.linmodel import fit_huber, score_expr
+
+    docs = t(spark, sf_dir, "documents")
+    feats = _doc_features(spark, sf_dir)
+    fits = fit_huber(
+        feats, ["n_tok", "n_uniq"], "n_chars", group_cols=["lang"], iters=3
+    )
+    pred, dlt = None, None
+    for (lang,), f in sorted(fits.items()):
+        e = score_expr(f["weights"], f["intercept"])
+        # robust sigma: delta / 1.345 (the MAD-scale the fit used)
+        s = F.lit(max(f["delta"] / 1.345, 1e-9))
+        if pred is None:
+            pred = F.when(F.col("lang") == lang, e)
+            dlt = F.when(F.col("lang") == lang, s)
+        else:
+            pred = pred.when(F.col("lang") == lang, e)
+            dlt = dlt.when(F.col("lang") == lang, s)
+    gated = feats.withColumn(
+        "_z", F.abs(F.col("n_chars") - pred) / dlt
+    )
+    kept_ids = gated.filter(F.col("_z") <= 3.0).select("doc_id", "lang")
+    survivors_txt = docs.join(kept_ids.select("doc_id"), "doc_id")
+    reps = exact_dedup(survivors_txt).select("rep_id")
+    kept_final = kept_ids.join(
+        reps.withColumnRenamed("rep_id", "doc_id"), "doc_id"
+    )
+    total = feats.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    after_gate = kept_ids.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after_gate")
+    )
+    final = kept_final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        total.join(after_gate, "lang", "left")
+        .join(final, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("n_after_gate", F.lit(0)))
+            .alias("n_gated"),
+            (
+                F.coalesce("n_after_gate", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dup_dropped"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
