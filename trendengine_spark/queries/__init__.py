@@ -117,11 +117,13 @@ _SPINE_FIRST = [
     "profile_higher_moments",
     # ---- ~50-row budget line falls around here (30 never-sampled +
     # recursive + 15 earlier-r8 + the 4 oracle-backed session-3 rows
-    # = 50; the rows-only session-3 queries below lose least if the
-    # budget cuts them, and the judge harness covers them anyway) ----
+    # = 50; the rows below lose least if the budget cuts them — the
+    # TWAP row is oracle-backed and first in line if it stretches,
+    # and the judge harness covers everything regardless) ----
+    "window_time_weighted_avg",
     # (u7_bfast + incremental-dedup demoted from the never-sampled
-    # block to make room for the oracle quartet: both rows-only with
-    # planted-shift / planted-dup goldens already pinning them)
+    # block to make room for the oracle-backed session-3 rows: both
+    # rows-only with planted-shift / planted-dup goldens pinning them)
     "u7_bfast_monitor_events", "dedup_incremental_batch",
     "quality_linear_residual_topk", "quality_linear_cv",
     "flagship_model_curation",

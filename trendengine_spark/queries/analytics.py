@@ -1489,3 +1489,77 @@ def forecast_holt_winters_mae(spark, sf_dir):
     return hw_backtest_groups(
         daily, ["event_type"], "d", "n", m=7, horizon=7
     ).orderBy("event_type")
+
+
+@query(
+    "window_time_weighted_avg",
+    sql="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), w AS (
+      SELECT user_id, d, v100, t_us,
+             lead(t_us) OVER (PARTITION BY user_id, d
+                              ORDER BY t_us, v100) AS nxt
+      FROM e
+    ), agg AS (
+      SELECT user_id, d,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(v100 * (nxt - t_us)) AS BIGINT) AS num,
+             CAST(sum(nxt - t_us) AS BIGINT) AS den
+      FROM w WHERE nxt IS NOT NULL
+      GROUP BY user_id, d
+    )
+    SELECT user_id, d, n_events,
+           CAST(num AS DOUBLE) / (100.0 * CAST(den AS DOUBLE)) AS twap
+    FROM agg WHERE den > 0
+    """,
+)
+def window_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per (user, day) over IRREGULARLY
+    sampled events — the sensor/finance aggregate a plain AVG gets
+    wrong (a reading that held for an hour must weigh 3600× one that
+    held a second). Each reading is weighted by its holding interval
+    (lead(ts) − ts within the user-day; the day's last reading has no
+    interval and drops out, the standard left-Riemann convention).
+
+    Exact-arithmetic oracle: values are 2-dp decimals → ×100 makes
+    them integers, timestamps are exact µs longs, so numerator and
+    denominator are exact BIGINTs on both engines and the single
+    float division is identical — hash matches with NO rounding.
+    Plan: one in-partition window (lead over the user-day key) + one
+    partial+final aggregate; the window's frame is one row of
+    lookahead, bounded state."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("t_us", "v100")
+    lead = e.withColumn("nxt", F.lead("t_us").over(w))
+    agg = (
+        lead.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.col("v100") * (F.col("nxt") - F.col("t_us"))
+            ).alias("num"),
+            F.sum(F.col("nxt") - F.col("t_us")).alias("den"),
+        )
+    )
+    return agg.filter(F.col("den") > 0).select(
+        "user_id",
+        "d",
+        "n_events",
+        (
+            F.col("num").cast("double")
+            / (F.lit(100.0) * F.col("den").cast("double"))
+        ).alias("twap"),
+    )
