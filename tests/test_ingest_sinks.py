@@ -931,3 +931,40 @@ def test_versioned_schema_evolution_merge(spark, tmp_path):
         spark, path, predicate={"k": (6, 8)}, merge_schema=True
     )
     assert len(pr.inputFiles()) == 1 and set(pr.columns) == {"k", "tag"}
+
+
+
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL front door: good lines parse to the declared schema,
+    broken lines land whole in quarantine, nothing is lost."""
+    import gzip
+    import json
+
+    from trendengine_spark.ingest import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"doc_id": i, "text": f"doc {i}", "lang": "en",
+                    "source": "web"})
+        for i in range(10)
+    ]
+    lines.insert(3, '{"doc_id": 99, "text": "truncated...')  # broken
+    lines.insert(7, "not json at all")
+    p.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "corpus2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(json.dumps({"doc_id": 100, "text": "gz doc",
+                            "lang": "de", "source": "web"}) + "\n")
+
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_jsonl_corpus(
+        spark, [str(p), str(gz)], quarantine=qdir
+    )
+    g = {r["doc_id"] for r in good.collect()}
+    assert g == set(range(10)) | {100}
+    assert good.columns == ["doc_id", "text", "lang", "source"]
+    b = [r["raw_line"] for r in bad.collect()]
+    assert len(b) == 2 and "not json at all" in b
+    # quarantine sink holds the same rows
+    q = spark.read.parquet(qdir)
+    assert q.count() == 2

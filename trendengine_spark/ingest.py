@@ -86,3 +86,55 @@ def normalize_observations(
         time_expr.cast("timestamp").alias("time"),
         F.col(value_col).cast("double").alias("value"),
     )
+
+
+def read_jsonl_corpus(
+    spark,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    quarantine: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines corpus ingest with malformed-record quarantine —
+    the front door for LLM training data (web corpora ship as
+    ``.jsonl`` / ``.jsonl.gz``; Spark's text-based JSON source reads
+    both and splits uncompressed files across executors).
+
+    PERMISSIVE parsing with an explicit schema (schema inference
+    would scan the corpus twice AND lock in whatever the first files
+    happen to contain): rows that fail to parse land whole in
+    ``_corrupt_record`` instead of killing the job — a 100 TB crawl
+    ALWAYS contains broken lines, and dropping them silently is how
+    corpora lose provenance. Returns ``(good, bad)``: ``good`` has
+    exactly the schema's columns; ``bad`` carries the raw offending
+    line for quarantine. ``quarantine`` optionally writes the bad
+    rows to a parquet sink as a side effect so the caller's lineage
+    keeps them.
+
+    Spark caveat handled here: since 2.3, filtering on
+    ``_corrupt_record`` alone from the same cached plan is disallowed
+    (the parser elides other columns and the column is unpopulated);
+    the documented workaround is applied — the corrupt column is
+    materialized together with the data columns before the split.
+    """
+    full = f"{schema}, _corrupt_record string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    from trendengine_spark.operators.util import owned_cache
+
+    # materialize corrupt+data together (the Spark caveat above);
+    # owned_cache, not bare cache() — pool-bounded across invocations
+    # (the r3 unbounded-leak lesson)
+    df = owned_cache(df, f"ingest.jsonl.{hash(str(path)) & 0xffff}")
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    if quarantine:
+        bad.write.mode("overwrite").parquet(quarantine)
+    return good, bad
