@@ -968,3 +968,58 @@ def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     # quarantine sink holds the same rows
     q = spark.read.parquet(qdir)
     assert q.count() == 2
+
+
+def test_jsonl_shard_export_round_trip(spark, tmp_path):
+    """Curated corpus -> size-targeted JSONL shards -> re-ingest:
+    nothing lost, shard count matches the manifest, membership is
+    deterministic across runs."""
+    import json
+    import os
+
+    from trendengine_spark.ingest import read_jsonl_corpus
+    from trendengine_spark.sinks import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web") for i in range(500)],
+        "doc_id long, text string, lang string, source string",
+    ).repartition(7)
+    out = str(tmp_path / "shards")
+    m1 = write_jsonl_shards(docs, out, rows_per_shard=100)
+    assert m1 == {"n_rows": 500, "n_shards": 5, "rows_per_shard": 100}
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("_shard=")
+    )
+    assert len(shard_dirs) == 5
+    # exactly one data file per shard directory
+    for d in shard_dirs:
+        parts = [
+            f for f in os.listdir(os.path.join(out, d))
+            if f.startswith("part-")
+        ]
+        assert len(parts) == 1, (d, parts)
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f) == m1
+
+    good, bad = read_jsonl_corpus(spark, out + "/_shard=*/part-*")
+    assert bad.count() == 0
+    assert {r["doc_id"] for r in good.collect()} == set(range(500))
+
+    # determinism: second export produces identical shard membership
+    out2 = str(tmp_path / "shards2")
+    write_jsonl_shards(docs.repartition(3), out2, rows_per_shard=100)
+
+    def membership(d):
+        import glob
+        import gzip
+
+        mem = {}
+        for fn in sorted(glob.glob(os.path.join(d, "_shard=*", "part-*"))):
+            with gzip.open(fn, "rt") as fh:
+                ids = frozenset(
+                    json.loads(line)["doc_id"] for line in fh
+                )
+            mem[ids] = mem.get(ids, 0) + 1
+        return mem
+
+    assert membership(out) == membership(out2)

@@ -293,3 +293,16 @@ def test_flagship_model_curation_conserves_counts(spark):
     for r in rows:
         assert r["n_docs"] == r["n_gated"] + r["n_dup_dropped"] + r["n_kept"]
         assert r["n_kept"] > 0  # a 3-sigma gate keeps the bulk
+
+
+def test_huber_constant_target_degenerate_scale(spark):
+    """All-identical target: MAD = 0 (guarded to 1e-9); the fit must
+    return the exact constant model without dividing by zero."""
+    from trendengine_spark.operators.linmodel import fit_huber
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": np.arange(50), "y": np.full(50, 7.0)})
+    )
+    fit = fit_huber(df, ["x"], "y", iters=3)[()]
+    assert fit["weights"]["x"] == pytest.approx(0.0, abs=1e-9)
+    assert fit["intercept"] == pytest.approx(7.0, abs=1e-9)

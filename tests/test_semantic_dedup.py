@@ -109,3 +109,22 @@ def test_multiprobe_superset_and_boundary_recovery(spark):
     assert len(k2) == len(p2)  # no duplicate pair rows
     # all planted pairs present under multi-probe
     assert all((i, 1000 + i) in k2 for i in range(n_copies))
+
+
+def test_tiny_corpus_no_crash(spark):
+    """3 vectors, more cells than points, no pairs above threshold:
+    every path (seeding, percentile-over-empty, survivors) stays
+    total."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2, 3],
+             "embedding": [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]}
+        )
+    )
+    pairs, surv = semantic_dedup(df, threshold=0.99, n_cells=8, iters=1)
+    assert pairs.count() == 0
+    assert surv.count() == 3
+    pairs2, surv2 = semantic_dedup(df, threshold=None, n_cells=8, iters=1)
+    assert surv2.count() >= 2  # adaptive on no-pair corpus drops nothing fatal

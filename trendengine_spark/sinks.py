@@ -551,3 +551,64 @@ def maintain_join_view(
     for leg in legs[1:]:
         dv = dv.unionByName(leg)
     return publish_versioned_batch(dv, batch_id, view_path, mode="append")
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    shard_key: str | None = None,
+    compression: str | None = "gzip",
+) -> dict:
+    """Export a curated corpus as size-targeted JSONL training shards
+    — the output half of the ingest→curate→export loop
+    (:func:`~trendengine_spark.ingest.read_jsonl_corpus` is the input
+    half). Training loaders want MANY similar-sized shards they can
+    assign to workers; a naive ``df.write.json`` emits whatever the
+    upstream partitioning happened to be (one giant file after a
+    coalesce, hundreds of tiny ones after a wide shuffle).
+
+    Sharding is deterministic: shard id = ``xxhash64(shard_key) mod
+    n_shards`` with ``n_shards = ceil(n / rows_per_shard)`` — every
+    run of the same data yields the same shard membership, so an
+    export can be resumed/verified. Each shard lands as ONE file in
+    its own ``_shard=<i>/`` directory: the write partitions BY the
+    shard column, so even when the pre-write repartition hashes two
+    shard ids into one task (hash collision — a flat layout silently
+    merges them) the dynamic-partition writer still separates them
+    exactly. Shard sizes are binomial around the target (hash
+    assignment); exactness of the TOTAL is manifest-checked. Returns
+    a manifest dict ``{"n_rows", "n_shards", "rows_per_shard"}`` and
+    writes it alongside the shards as ``_manifest.json``.
+
+    One extra shuffle over a plain write — the price of shard-size
+    control; rows are sorted by key within a shard so shard content
+    is byte-reproducible.
+    """
+    import json
+    import math
+    import os
+
+    key = shard_key or df.columns[0]
+    n = df.count()
+    n_shards = max(1, math.ceil(n / rows_per_shard))
+    bucketed = df.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int"),
+    )
+    (
+        bucketed.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", key)
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .options(**({"compression": compression} if compression else {}))
+        .json(path)
+    )
+    manifest = {
+        "n_rows": n,
+        "n_shards": n_shards,
+        "rows_per_shard": rows_per_shard,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
