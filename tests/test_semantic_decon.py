@@ -1,0 +1,66 @@
+"""Semantic decontamination (`operators/similarity.semantic_decontaminate`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from trendengine_spark.operators.similarity import semantic_decontaminate
+
+
+def _dfs(spark, n_train=80, n_eval=10, n_leak=6, dim=16):
+    rng = np.random.RandomState(13)
+    ev = rng.normal(size=(n_eval, dim))
+    tr = rng.normal(size=(n_train, dim))
+    # plant leaked eval items into train (paraphrase = tiny noise)
+    for i in range(n_leak):
+        tr[i] = ev[i] + 1e-4 * rng.normal(size=dim)
+    mk = lambda x, off: spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(x)) + off,
+             "embedding": [list(v) for v in x]}
+        )
+    )
+    return mk(tr, 0), mk(ev, 10_000), n_leak
+
+
+def test_planted_leaks_removed_clean_kept(spark):
+    train, eval_df, n_leak = _dfs(spark)
+    matches, survivors = semantic_decontaminate(
+        train, eval_df, threshold=0.99, dim=16
+    )
+    m = matches.toPandas()
+    surv = {r["vec_id"] for r in survivors.collect()}
+    # every planted leak matched its eval source and was dropped
+    for i in range(n_leak):
+        assert ((m.train_id == i) & (m.eval_id == 10_000 + i)).any()
+        assert i not in surv
+    # random gaussians are not near-dups: no clean row dropped
+    assert surv == set(range(n_leak, 80))
+
+
+def test_adaptive_cut_drops_most_similar_first(spark):
+    train, eval_df, n_leak = _dfs(spark)
+    _, survivors = semantic_decontaminate(
+        train, eval_df, threshold=None, dim=16, drop_quantile=0.95
+    )
+    surv = {r["vec_id"] for r in survivors.collect()}
+    # the adaptive cut lands inside the leak-similarity cluster
+    # (quantile interpolation): what it guarantees is PRECISION —
+    # everything dropped is a planted leak, and some leak is dropped
+    dropped = set(range(80)) - surv
+    assert dropped and dropped <= set(range(n_leak))
+
+
+def test_declared_query_conserves_counts(spark):
+    from trendengine_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["pipeline_semantic_decontaminate"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows and all(r["label"] != 0 for r in rows)
+    for r in rows:
+        assert r["n_train"] == r["n_contaminated"] + r["n_survivors"]
+    assert sum(r["n_contaminated"] for r in rows) > 0  # adaptive bites

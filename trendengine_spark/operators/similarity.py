@@ -1241,3 +1241,79 @@ def ivfpq_query_index(
         codes, centroids, books, queries, k=k, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float | None = 0.95,
+    planes_per_band: int = 10,
+    bands: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drop_quantile: float = 0.99,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic (embedding-level) decontamination: remove TRAINING
+    vectors whose embedding is near-duplicate to any EVALUATION
+    vector — the representation-space complement to n-gram
+    decontamination (``pipeline_decontaminate_ngrams`` catches
+    verbatim leakage; paraphrased or re-formatted benchmark items
+    share an embedding neighborhood, not n-grams).
+
+    Same banded-hyperplane LSH machinery as
+    :func:`embedding_near_dup_pairs`, crossed between two corpora:
+    both sides signature with the SAME plane family (shared seed —
+    without it bucket keys are incomparable), candidates are bucket
+    joins on (band, sig) only — never |train| × |eval| — and exact
+    cosine verifies each candidate. ``threshold=None`` switches to an
+    adaptive cut at ``drop_quantile`` of candidate similarities
+    (non-vacuous on corpora with no true leakage). The eval side is
+    typically tiny next to train, so its banded table broadcasts.
+
+    Returns ``(matches, survivors)``: matches = (train_id, eval_id,
+    cos_sim) above the cut; survivors = train rows minus contaminated
+    ids (anti-join).
+    """
+    planes = _planes(planes_per_band * bands, dim, seed)
+    t_sig = band_signatures(
+        fan_out(train), planes, planes_per_band, bands, id_col, vec_col
+    )
+    e_sig = band_signatures(
+        eval_df, planes, planes_per_band, bands, id_col, vec_col
+    )
+    t_band = t_sig.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("vec_t"),
+        F.posexplode("sigs").alias("band", "sig"),
+    )
+    e_band = e_sig.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("vec_e"),
+        F.posexplode("sigs").alias("band", "sig"),
+    )
+    cand = (
+        t_band.join(F.broadcast(e_band), ["band", "sig"])
+        .select("train_id", "eval_id", "vec_t", "vec_e")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    scored = cand.withColumn(
+        "cos_sim", cosine_arrow(F.col("vec_t"), F.col("vec_e"))
+    ).select("train_id", "eval_id", "cos_sim")
+    if threshold is None:
+        scored = owned_cache(
+            scored, f"sim.decon.{planes_per_band}.{bands}.{seed}"
+        )
+        q = scored.agg(
+            F.percentile_approx("cos_sim", drop_quantile, 100_000).alias("c")
+        ).collect()[0]["c"]
+        cut = float(q) if q is not None else 2.0
+    else:
+        cut = threshold
+    matches = scored.filter(F.col("cos_sim") >= cut)
+    contaminated = matches.select(
+        F.col("train_id").alias(id_col)
+    ).distinct()
+    survivors = train.join(contaminated, id_col, "left_anti")
+    return matches, survivors

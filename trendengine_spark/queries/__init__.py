@@ -132,6 +132,8 @@ _SPINE_FIRST = [
     "text_bpe_encode_corpus",
     # NEW in r8: SemDeDup-style semantic dedup (cluster-then-pairwise)
     "dedup_semantic_survivors",
+    # NEW in r8: embedding-level decontamination (LSH cross-corpus)
+    "pipeline_semantic_decontaminate",
     # NEW in r8: PCA spectrum (covariance above carries the oracle)
     "sim_pca_explained_variance",
     # NEW in r8: Holt-Winters backtest (rows-only; naive twin above

@@ -1376,3 +1376,53 @@ def dedup_semantic_survivors(spark, sf_dir):
         .select("label", "n_vectors", "n_dropped", "n_survivors")
         .orderBy("label")
     )
+
+
+@query(
+    "pipeline_semantic_decontaminate",
+    sql=None,
+    doc="Embedding-level decontamination: drop training vectors whose "
+    "embedding near-duplicates any eval vector (label 0 plays the "
+    "eval set) — catches the paraphrased/reformatted benchmark "
+    "leakage n-gram decontamination (pipeline_decontaminate_ngrams) "
+    "cannot see. LSH bucket cross-join (never |train| x |eval|), "
+    "exact cosine verify, adaptive 99th-percentile cut. Rows-only; "
+    "planted-leak recall and no-false-drop are pinned in "
+    "tests/test_semantic_decon.py.",
+)
+def pipeline_semantic_decontaminate(spark, sf_dir):
+    """Per-label survivor accounting after semantic decontamination
+    of the embeddings corpus against the label-0 'eval' slice.
+    Output: (label, n_train, n_contaminated, n_survivors). The eval
+    side broadcasts; candidates are bucket-bounded."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from trendengine_spark.queries.base import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+    train = emb.filter(F.col("label") != 0)
+    _m, survivors = semantic_decontaminate(
+        train.select("vec_id", "embedding"), eval_df, threshold=None
+    )
+    lab = train.select("vec_id", "label")
+    surv = survivors.join(lab, "vec_id").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
+    tot = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        tot.join(surv, "label", "left")
+        .select(
+            "label",
+            "n_train",
+            (
+                F.col("n_train")
+                - F.coalesce(F.col("n_survivors"), F.lit(0))
+            ).alias("n_contaminated"),
+            F.coalesce(F.col("n_survivors"), F.lit(0)).alias("n_survivors"),
+        )
+        .orderBy("label")
+    )
