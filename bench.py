@@ -220,9 +220,14 @@ def main() -> None:
         "profile_heavy_hitters",
         "udtf_run_length_segments",
         # session-3 r8 additions: one-pass exact-Gram quality model,
-        # cluster-then-pairwise semantic dedup
+        # cluster-then-pairwise semantic dedup, model-in-the-loop
+        # curation capstone, LSH cross-corpus decontamination,
+        # exact-integer TWAP window
         "quality_gram_matrix",
         "dedup_semantic_survivors",
+        "flagship_model_curation",
+        "pipeline_semantic_decontaminate",
+        "window_time_weighted_avg",
     ):
         fn = qs[name]
         try:
