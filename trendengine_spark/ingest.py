@@ -123,12 +123,16 @@ def read_jsonl_corpus(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+    import hashlib
+
     from trendengine_spark.operators.util import owned_cache
 
     # materialize corrupt+data together (the Spark caveat above);
     # owned_cache, not bare cache() — pool-bounded across invocations
-    # (the r3 unbounded-leak lesson)
-    df = owned_cache(df, f"ingest.jsonl.{hash(str(path)) & 0xffff}")
+    # (the r3 unbounded-leak lesson); md5 key, not hash() (salted
+    # per process — keys must be stable across sessions)
+    key = hashlib.md5(str(path).encode()).hexdigest()[:10]
+    df = owned_cache(df, f"ingest.jsonl.{key}")
     good = df.filter(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
     )

@@ -252,9 +252,10 @@ def sim_pca_explained_variance(spark, sf_dir):
       FROM f
     )
     SELECT col_a, col_b,
-           round(CAST(num AS DOUBLE)
-                 / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
-             + 0.0 AS corr
+           CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+                ELSE round(CAST(num AS DOUBLE)
+                      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
+                     + 0.0 END AS corr
     FROM (
       SELECT 'discount' AS col_a, 'extendedprice' AS col_b,
              n*pd_ - sd*sp AS num, n*dd - sd*sd AS dx,
@@ -313,8 +314,13 @@ def profile_numeric_correlations(spark, sf_dir):
                 num = n * g(a, b) - s(a) * s(b)
                 dx = n * g(a, a) - s(a) * s(a)
                 dy = n * g(b, b) - s(b) * s(b)
-                corr = float(num) / math.sqrt(float(dx) * float(dy))
-                rows.append((names[a], names[b], round(corr, 9) + 0.0))
+                if dx == 0 or dy == 0:  # degenerate column: match the
+                    corr = 0.0          # oracle's CASE, not a crash
+                else:
+                    corr = round(
+                        float(num) / math.sqrt(float(dx) * float(dy)), 9
+                    ) + 0.0
+                rows.append((names[a], names[b], corr))
     return spark.createDataFrame(
         rows, "col_a string, col_b string, corr double"
     )
@@ -351,12 +357,14 @@ def profile_numeric_correlations(spark, sf_dir):
       FROM u
     )
     SELECT col, CAST(n AS BIGINT) AS n,
-           round(sqrt(CAST(n AS DOUBLE)) * CAST(c3 AS DOUBLE)
-                 / (CAST(c2 AS DOUBLE) * sqrt(CAST(c2 AS DOUBLE))), 9)
-             + 0.0 AS skewness,
-           round(CAST(n AS DOUBLE) * CAST(c4 AS DOUBLE)
-                 / (CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)) - 3.0, 9)
-             + 0.0 AS kurtosis_excess
+           CASE WHEN c2 = 0 THEN 0.0
+                ELSE round(sqrt(CAST(n AS DOUBLE)) * CAST(c3 AS DOUBLE)
+                      / (CAST(c2 AS DOUBLE) * sqrt(CAST(c2 AS DOUBLE))), 9)
+                     + 0.0 END AS skewness,
+           CASE WHEN c2 = 0 THEN 0.0
+                ELSE round(CAST(n AS DOUBLE) * CAST(c4 AS DOUBLE)
+                      / (CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)) - 3.0, 9)
+                     + 0.0 END AS kurtosis_excess
     FROM c
     """,
 )
@@ -399,14 +407,17 @@ def profile_higher_moments(spark, sf_dir):
         c2 = n * m2 - m1 * m1
         c3 = n * n * m3 - 3 * n * m1 * m2 + 2 * m1**3
         c4 = n**3 * m4 - 4 * n * n * m3 * m1 + 6 * n * m2 * m1 * m1 - 3 * m1**4
-        skew = (
-            math.sqrt(float(n)) * float(c3)
-            / (float(c2) * math.sqrt(float(c2)))
-        )
-        kurt = float(n) * float(c4) / (float(c2) * float(c2)) - 3.0
-        rows.append(
-            (names[c], n, round(skew, 9) + 0.0, round(kurt, 9) + 0.0)
-        )
+        if c2 == 0:  # constant column: match the oracle's CASE
+            skew = kurt = 0.0
+        else:
+            skew = round(
+                math.sqrt(float(n)) * float(c3)
+                / (float(c2) * math.sqrt(float(c2))), 9
+            ) + 0.0
+            kurt = round(
+                float(n) * float(c4) / (float(c2) * float(c2)) - 3.0, 9
+            ) + 0.0
+        rows.append((names[c], n, skew, kurt))
     rows.sort()
     return spark.createDataFrame(
         rows, "col string, n long, skewness double, kurtosis_excess double"

@@ -587,7 +587,6 @@ def write_jsonl_shards(
     """
     import json
     import math
-    import os
 
     key = shard_key or df.columns[0]
     n = df.count()
@@ -609,6 +608,18 @@ def write_jsonl_shards(
         "n_shards": n_shards,
         "rows_per_shard": rows_per_shard,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    # Hadoop FS API, not open(): the export path is any scheme the
+    # session can write (s3a://, hdfs://, file:/) — a driver-local
+    # open() silently writes the manifest to the wrong filesystem
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    out_stream = fs.create(hpath, True)
+    try:
+        out_stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out_stream.close()
     return manifest
