@@ -286,6 +286,14 @@ def fit_huber(
     (grouped percentile sketch of |r|) per iteration. Returns the
     same structure as :func:`fit_linear` plus ``"delta"`` (final).
     """
+    from trendengine_spark.operators.util import owned_cache
+
+    # the IRLS loop scans df iters (+iters MAD) times — materialize
+    # once (pool-bounded; a key collision merely evicts, never
+    # returns another plan's data)
+    df = owned_cache(
+        df, f"linmodel.huber.{'-'.join(features)}.{target}"
+    )
     fits = fit_linear(df, features, target, group_cols)
     deltas = {key: delta for key in fits}
 

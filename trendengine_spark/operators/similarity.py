@@ -1301,10 +1301,13 @@ def semantic_decontaminate(
     scored = cand.withColumn(
         "cos_sim", cosine_arrow(F.col("vec_t"), F.col("vec_e"))
     ).select("train_id", "eval_id", "cos_sim")
+    # both returned frames (matches AND the survivors anti-join) read
+    # scored — materialize once in EITHER mode, or the LSH join +
+    # verify re-executes per consumer
+    scored = owned_cache(
+        scored, f"sim.decon.{planes_per_band}.{bands}.{seed}"
+    )
     if threshold is None:
-        scored = owned_cache(
-            scored, f"sim.decon.{planes_per_band}.{bands}.{seed}"
-        )
         q = scored.agg(
             F.percentile_approx("cos_sim", drop_quantile, 100_000).alias("c")
         ).collect()[0]["c"]

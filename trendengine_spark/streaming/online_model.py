@@ -48,7 +48,9 @@ def online_fit(
     and hands ``{group_tuple: solve_normal(...)}`` to ``on_update``
     with the batch id. Uses ``availableNow`` so callers drain a
     backlog and stop; pass a checkpoint for restartable production
-    use.
+    use. After a crash/restart, foreachBatch may re-fire with an
+    already-seen batch id — make the sink idempotent keyed by batch
+    id (the discipline every versioned writer here follows).
     """
     cols = [*features, target]
     g = gram_moments(stream, cols, group_cols)
