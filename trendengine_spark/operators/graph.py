@@ -77,3 +77,72 @@ def khop_frontiers(
         visited = visited.unionAll(nxt.select("_k"))
         frontier = nxt
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007 — public method, own implementation): every node
+    starts as its own label; each round a node adopts the MOST
+    FREQUENT label among its neighbors AND itself (the self-vote
+    breaks the classic synchronous-LPA 2-cycle — a bare edge pair
+    oscillates forever without it, found by test); ties → smallest
+    label, so the fixpoint is deterministic and
+    partitioning-independent.
+
+    The capability connected components cannot express: two dense
+    cliques joined by one bridge edge are ONE component but TWO
+    communities — majority vote never lets a single bridge overwhelm
+    a clique's internal consensus, while min-label CC floods through
+    it (tested with exactly that topology).
+
+    Scale shape per round: one join of the label table to the edge
+    list (shuffle keyed by node id — co-partitions across rounds),
+    one (node, label) count aggregate (partial+final: a hub's votes
+    partial-aggregate map-side), one per-node argmax via max(struct)
+    — NO window, so hot nodes stay AQE-splittable. Labels are
+    ``localCheckpoint``-ed per round (the iterative-loop lineage
+    discipline shared with CC/pagerank). Undirectedness is the
+    caller's contract: pass each edge once; both directions are
+    derived here.
+
+    Returns (node, community) — community = the converged label.
+    """
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    und = und.distinct()
+    nodes = und.select(F.col("a")).distinct()
+    # self-loops carry each node's own vote through the same join
+    und = und.union(
+        nodes.select(F.col("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        nodes.select(F.col("a").alias("node"))
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            )  # neighbor b's label votes for node a
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax(n) with smallest-label tie-break, windowless:
+        # max(struct(n, -label)) orders by n then by -label (so the
+        # larger struct has the SMALLER label on equal counts)
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w"))
+            .select("node", (-F.col("w.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

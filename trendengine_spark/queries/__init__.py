@@ -134,6 +134,8 @@ _SPINE_FIRST = [
     "dedup_semantic_survivors",
     # NEW in r8: embedding-level decontamination (LSH cross-corpus)
     "pipeline_semantic_decontaminate",
+    # NEW in r8: label-propagation communities (majority vote, not CC)
+    "graph_communities_lpa",
     # NEW in r8: PCA spectrum (covariance above carries the oracle)
     "sim_pca_explained_variance",
     # NEW in r8: Holt-Winters backtest (rows-only; naive twin above

@@ -1563,3 +1563,45 @@ def window_time_weighted_avg(spark, sf_dir):
             / (F.lit(100.0) * F.col("den").cast("double"))
         ).alias("twap"),
     )
+
+
+@query(
+    "graph_communities_lpa",
+    sql=None,
+    doc="Label-propagation communities over the co-purchase graph "
+    "(Raghavan 2007): majority-vote label adoption with self-vote "
+    "and deterministic min-label tie-break — the structure "
+    "connected components cannot see (a single bridge edge joins "
+    "components but never outvotes a community's internal "
+    "consensus; tested on bridged cliques). Rows-only (iterative "
+    "fixpoint); determinism and partitioning-invariance are "
+    "property-tested in tests/test_graph_ops.py.",
+)
+def graph_communities_lpa(spark, sf_dir):
+    """Top-20 communities by size after 5 synchronous LPA rounds on
+    the distinct co-purchase edge set (parts sharing an order).
+    Output: (community, n_members) ordered by size desc, community
+    asc. Per round: one edge join + one partial+final vote count +
+    a windowless max(struct) argmax — hub nodes partial-aggregate
+    map-side."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.graph import label_propagation
+    from trendengine_spark.queries.base import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=5)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
