@@ -44,3 +44,30 @@ def test_label_propagation_isolated_pairs(spark):
     }
     assert out[1] == out[2] and out[3] == out[4]
     assert out[1] != out[3]
+
+
+def test_modularity_scores_partitions(spark):
+    """Bridged cliques: the LPA 2-community partition scores high
+    modularity; the everything-in-one-community partition ~0; a
+    random-ish split scores lower than the true one."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(10 + i, 10 + j) for i in range(6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(5, 10)], "src long, dst long"
+    )
+    lpa = label_propagation(edges, iters=5)
+    q_lpa = modularity(edges, lpa)
+    assert 0.4 < q_lpa < 0.5  # 2 cliques + 1 bridge: Q ~ 0.467
+    one = lpa.select("node").withColumn("community", F.lit(0))
+    assert abs(modularity(edges, one)) < 1e-9
+    parity = lpa.select(
+        "node", (F.col("node") % 2).alias("community")
+    )
+    assert modularity(edges, parity) < q_lpa

@@ -146,3 +146,59 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> float:
+    """Newman modularity of a node partition: Q = Σ_c (e_c/m −
+    (d_c/2m)²) over communities c, where e_c = intra-community
+    edges, d_c = total degree inside c, m = edge count — THE
+    standard "is this community structure real" score (Q ≈ 0 for a
+    trivial one-community partition; ≳0.3 indicates genuine
+    structure). ``edges`` undirected-once (same contract as
+    :func:`label_propagation`); ``labels`` = (node, community).
+
+    Three bounded aggregates (m, per-community intra-edge counts,
+    per-community degree sums) — no per-node state on the driver
+    beyond one row per community.
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    m = e.count()
+    if m == 0:
+        return 0.0
+    la = labels.select(
+        F.col("node").alias("a"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("community").alias("cb")
+    )
+    intra = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    rows = deg.join(
+        intra.withColumnRenamed("ca", "community"), "community", "left"
+    ).collect()  # bounded: one row per community
+    q = 0.0
+    for r in rows:
+        e_c = r["e_c"] or 0
+        q += e_c / m - (r["d_c"] / (2.0 * m)) ** 2
+    return q

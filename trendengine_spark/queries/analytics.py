@@ -1605,10 +1605,19 @@ def graph_communities_lpa(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    labels = label_propagation(edges, iters=5)
+    from trendengine_spark.operators.util import owned_cache
+
+    edges = owned_cache(edges, "graph.lpa.edges")  # LPA + modularity
+    labels = owned_cache(
+        label_propagation(edges, iters=5), "graph.lpa.labels"
+    )
+    from trendengine_spark.operators.graph import modularity
+
+    q = modularity(edges, labels)
     return (
         labels.groupBy("community")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
+        .withColumn("modularity", F.round(F.lit(q), 4))
     )
