@@ -64,3 +64,59 @@ def test_declared_query_conserves_counts(spark):
     for r in rows:
         assert r["n_train"] == r["n_contaminated"] + r["n_survivors"]
     assert sum(r["n_contaminated"] for r in rows) > 0  # adaptive bites
+
+
+def test_streaming_decon_admits_only_clean_and_replays_safely(
+    spark, tmp_path
+):
+    """Microbatches of train vectors stream past a static eval set:
+    planted leaks never reach the admitted corpus, clean rows all do,
+    and restarting the drained stream admits nothing twice."""
+    import numpy as np
+    import pandas as pd
+
+    from trendengine_spark.streaming.decon_pipeline import decon_stream
+    from trendengine_spark.tablelog import read_versioned
+
+    rng = np.random.RandomState(44)
+    dim, n_eval, n_clean, n_leak = 16, 8, 40, 5
+    ev = rng.normal(size=(n_eval, dim))
+    tr = rng.normal(size=(n_clean + n_leak, dim))
+    for i in range(n_leak):
+        tr[i] = ev[i] + 1e-4 * rng.normal(size=dim)
+    eval_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n_eval) + 10_000,
+             "embedding": [list(v) for v in ev]}
+        )
+    )
+    src = str(tmp_path / "train_stream")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(tr)),
+             "embedding": [list(v) for v in tr]}
+        )
+    ).repartition(3).write.parquet(src)
+
+    corpus = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = decon_stream(
+            stream, eval_df, corpus, threshold=0.99, checkpoint=ckpt,
+            dim=16,
+        )
+        q.awaitTermination(180)
+
+    run()
+    admitted = {r["vec_id"] for r in read_versioned(spark, corpus).collect()}
+    assert admitted == set(range(n_leak, n_clean + n_leak))
+    # restart: checkpoint drained — nothing new admitted, no dup rows
+    run()
+    again = [r["vec_id"] for r in read_versioned(spark, corpus).collect()]
+    assert sorted(again) == sorted(admitted)
