@@ -86,3 +86,26 @@ def test_grouped_backtest_and_declared_query(spark):
     for r in q:
         assert r["mae_hw"] >= 0 and r["mae_naive"] >= 0
         assert r["n_test"] == 7
+
+
+def test_backtest_duplicate_days_sum(spark):
+    """Duplicate (series, day) rows accumulate instead of last-write-
+    wins (ADVICE r8): feeding each day twice at half value must give
+    the same backtest as the clean series."""
+    import datetime as dt
+
+    y = _seasonal_series()
+    d0 = dt.date(2023, 1, 1)
+    clean = [("s", d0 + dt.timedelta(days=i), float(v))
+             for i, v in enumerate(y)]
+    halved = [(s, d, v / 2.0) for s, d, v in clean]
+    dup = halved + halved  # two rows per day summing to the original
+    schema = "sid string, d date, n double"
+    a = hw_backtest_groups(
+        spark.createDataFrame(clean, schema), ["sid"], "d", "n"
+    ).collect()[0]
+    b = hw_backtest_groups(
+        spark.createDataFrame(dup, schema), ["sid"], "d", "n"
+    ).collect()[0]
+    assert a["mae_hw"] == b["mae_hw"]
+    assert a["mae_naive"] == b["mae_naive"]

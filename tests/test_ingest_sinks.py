@@ -1023,3 +1023,28 @@ def test_jsonl_shard_export_round_trip(spark, tmp_path):
         return mem
 
     assert membership(out) == membership(out2)
+
+
+def test_replay_guard_survives_interleaved_blind_commit(spark, tmp_path):
+    """An interleaved non-streaming commit (write_versioned — carries
+    no batch_id) must not reset the replay high-water mark: a
+    replayed microbatch after it is still a no-op (ADVICE r8 —
+    last_batch_id now scans back past blind manifests)."""
+    from trendengine_spark.tablelog import (
+        last_batch_id,
+        publish_versioned_batch,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert publish_versioned_batch(df, 3, path, mode="append") is True
+    # blind commit on top: head manifest has no batch_id
+    write_versioned(spark, spark.range(4).withColumnRenamed("id", "k"), path)
+    assert last_batch_id(path) == 3  # scan-back, not head-only
+    n = read_versioned(spark, path).count()
+    assert publish_versioned_batch(df, 3, path, mode="append") is False
+    assert read_versioned(spark, path).count() == n
+    assert publish_versioned_batch(df, 4, path, mode="append") is True
+    assert read_versioned(spark, path).count() == n + 10

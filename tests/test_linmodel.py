@@ -306,3 +306,42 @@ def test_huber_constant_target_degenerate_scale(spark):
     fit = fit_huber(df, ["x"], "y", iters=3)[()]
     assert fit["weights"]["x"] == pytest.approx(0.0, abs=1e-9)
     assert fit["intercept"] == pytest.approx(7.0, abs=1e-9)
+
+
+def test_fit_linear_group_cardinality_guard(spark):
+    """High-cardinality group_cols must raise, not collect O(groups)
+    rows onto the driver (VERDICT r8 finding 3)."""
+    df, _ = _planted(spark)
+    wide = df.withColumn("gid", df.x1 * 1000 + df.x2)  # ~unique per row
+    with pytest.raises(ValueError, match="fit_linear"):
+        fit_linear(wide, ["x1", "x2"], "y", ["gid"], max_groups=10)
+    # the same shape through the distributed solve works and matches
+    # the driver-side solve group-for-group
+    from trendengine_spark.operators.linmodel import fit_linear_df
+
+    got = {
+        r["grp"]: r
+        for r in fit_linear_df(df, ["x1", "x2"], "y", ["grp"]).collect()
+    }
+    want = fit_linear(df, ["x1", "x2"], "y", ["grp"])
+    assert set(got) == {k for (k,) in want}
+    for (k,), fit in want.items():
+        assert got[k]["weights"][0] == pytest.approx(
+            fit["weights"]["x1"], abs=1e-9
+        )
+        assert got[k]["weights"][1] == pytest.approx(
+            fit["weights"]["x2"], abs=1e-9
+        )
+        assert got[k]["intercept"] == pytest.approx(
+            fit["intercept"], abs=1e-9
+        )
+        assert got[k]["n_rows"] == fit["n"]
+
+
+def test_cv_linear_fold_col_cardinality_guard(spark):
+    df, _ = _planted(spark, n=3000)
+    wide = df.withColumn(
+        "f", df.x1 * 1_000_000 + df.x2 * 10_000 + df.y
+    )  # ~unique per row: far beyond any sane fold count
+    with pytest.raises(ValueError, match="cv_linear"):
+        cv_linear(wide, ["x1", "x2"], "y", fold_col="f")

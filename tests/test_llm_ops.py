@@ -889,3 +889,33 @@ def test_ivfpq_persisted_empty_queries(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert ivfpq_query_index(spark, idx, empty_q, k=3).count() == 0
+
+
+def test_append_minhash_index_batch_key_retry_noop(spark, tmp_path):
+    """ADVICE r8: a retried append with the same batch_key must not
+    duplicate signature/band rows (applied keys recorded in the
+    manifest after both writes)."""
+    from trendengine_spark.operators.dedup import (
+        append_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(docs.filter(F.col("doc_id") < 50), idx)
+    batch = docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 60)
+    )
+    append_minhash_index(batch, idx, batch_key="b1")
+    n_sig = spark.read.parquet(f"{idx}/signatures").count()
+    n_band = spark.read.parquet(f"{idx}/bands").count()
+    meta = append_minhash_index(batch, idx, batch_key="b1")  # retry
+    assert spark.read.parquet(f"{idx}/signatures").count() == n_sig
+    assert spark.read.parquet(f"{idx}/bands").count() == n_band
+    assert meta["applied"] == ["b1"]
+    # a new key still appends
+    batch2 = docs.filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 65)
+    )
+    append_minhash_index(batch2, idx, batch_key="b2")
+    assert spark.read.parquet(f"{idx}/signatures").count() == n_sig + 5

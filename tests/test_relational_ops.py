@@ -4,6 +4,7 @@ against hand-computed expectations."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from trendengine_spark.operators.relational import asof_join, topk_per_group
@@ -293,3 +294,40 @@ def test_hll_overlap_estimates_track_exact(spark):
         assert abs(r["est_overlap"] - exact[k]) <= max(
             0.1 * r["est_union"], 50
         ), (k, r["est_overlap"], exact[k])
+
+
+def test_spearman_matches_pearson_of_average_ranks(spark):
+    """ADVICE r8: under ties, spearman_rho must equal the
+    conventional Pearson-of-average-ranks (scipy's definition), not
+    the difference formula. Recompute independently with numpy over
+    the same parquet."""
+    import numpy as np
+
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["stats_spearman_pairs"].fn(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["event_type", "ts"]]
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    daily = (
+        ev.groupby(["event_type", "d"]).size().rename("y").reset_index()
+    )
+    types = sorted(daily["event_type"].unique())
+    n_ties = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a = daily[daily.event_type == ta].set_index("d")["y"]
+            b = daily[daily.event_type == tb].set_index("d")["y"]
+            common = a.index.intersection(b.index)
+            ya, yb = a[common], b[common]
+            ra = ya.rank(method="average").to_numpy()
+            rb = yb.rank(method="average").to_numpy()
+            n_ties += int(len(np.unique(ra)) < len(ra))
+            want = float(np.corrcoef(ra, rb)[0, 1])
+            assert got[(ta, tb)]["spearman_rho"] == pytest.approx(
+                want, abs=1e-12
+            ), (ta, tb)
+    assert n_ties > 0  # daily counts tie — the case the fix is about

@@ -190,7 +190,12 @@ def hw_backtest_groups(
                 dd = np.asarray(pdf["_dd"].iloc[pos], dtype=np.int64)
                 vs = np.asarray(pdf["_v"].iloc[pos], dtype=np.float64)
                 y = np.zeros(int(dd[-1] - dd[0]) + 1)
-                y[dd - dd[0]] = vs  # missing days stay 0
+                # missing days stay 0; duplicate (series, day) input
+                # rows SUM (np.add.at accumulates — a plain fancy-
+                # index assignment would silently keep only the last
+                # write, ADVICE r8), matching what a pre-aggregation
+                # groupBy(day).sum() would have produced
+                np.add.at(y, dd - dd[0], vs)
                 if len(y) < 2 * m + horizon:
                     continue
                 keys.append(tuple(pdf[c].iloc[pos] for c in series_cols))

@@ -676,6 +676,7 @@ def append_minhash_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_key: str | None = None,
 ) -> dict:
     """Fold an admitted ingest batch INTO the stored index
     (:func:`write_minhash_index` layout) — the second half of the
@@ -687,12 +688,31 @@ def append_minhash_index(
     (parquet append of two tables). Params come from the manifest —
     the appended rows use the exact hash family the index was built
     with. Measured curve (probe cost vs corpus size):
-    ``tools/stress_llm.py`` / SCALE.md."""
+    ``tools/stress_llm.py`` / SCALE.md.
+
+    Durability contract (ADVICE r8): the two parquet appends are NOT
+    one atomic commit. The write order makes a crash in the window
+    correctness-safe — signatures land first, and orphaned signature
+    rows are INVISIBLE to probes (candidates are anchored by the band
+    table, which lands second; bands-first would surface candidates
+    whose signature join then silently drops them). A crash between
+    the writes costs the batch's rows (re-append to recover); a blind
+    re-append after a SUCCESSFUL call would duplicate rows. Passing
+    ``batch_key`` closes that retry hole: applied keys are recorded
+    in the manifest (atomic ``os.replace``) AFTER both appends, so a
+    retried key is a no-op. The residual crash-between-writes window
+    is inherent to the plain-parquet layout; exactly-once admission
+    under crashes is the manifest-versioned streaming path's job
+    (:mod:`trendengine_spark.streaming.dedup_pipeline` — three
+    ordered idempotent versioned commits covering exactly this
+    window)."""
     import json as _json
     import os
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
+    if batch_key is not None and batch_key in meta.get("applied", []):
+        return meta  # retried batch: no-op
     num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
     spark = new_docs.sparkSession
     sig = minhash_signatures(new_docs, num_perm, id_col, text_col, n)
@@ -704,6 +724,13 @@ def append_minhash_index(
         f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
         f"bt AS bh"
     ).write.mode("append").parquet(os.path.join(path, "bands"))
+    if batch_key is not None:
+        meta = dict(meta)
+        meta["applied"] = [*meta.get("applied", []), batch_key]
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, os.path.join(path, "meta.json"))
     return meta
 
 

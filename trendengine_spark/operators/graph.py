@@ -136,13 +136,19 @@ def label_propagation(
             .groupBy(F.col("a").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # argmax(n) with smallest-label tie-break, windowless:
-        # max(struct(n, -label)) orders by n then by -label (so the
-        # larger struct has the SMALLER label on equal counts)
+        # argmax(n) with smallest-label tie-break, windowless and
+        # type-generic: min(struct(-n, label)) orders by -n (largest
+        # count first) then by label ascending — struct comparison is
+        # lexicographic, so the label component needs only to be
+        # orderable (string/date node ids work, not just numeric)
         labels = (
             votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w"))
-            .select("node", (-F.col("w.neg")).alias("label"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("neg_n"), F.col("label"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
@@ -162,9 +168,19 @@ def modularity(
     structure). ``edges`` undirected-once (same contract as
     :func:`label_propagation`); ``labels`` = (node, community).
 
-    Three bounded aggregates (m, per-community intra-edge counts,
-    per-community degree sums) — no per-node state on the driver
-    beyond one row per community.
+    Exact-integer identity (r9): Q = intra/m − Σ_c d_c²/(4m²)
+    = (4·m·intra − Σ_c d_c²) / (4m²), so the whole score is three
+    integer aggregates — total edges m, intra-community edge count
+    (a plain filtered count, no per-community grouping), and the sum
+    of squared community degree sums — each finishing as ONE row.
+    Nothing per-community ever reaches the driver (the r8 version
+    collected one row per community, which on a fragmented partition
+    — LPA pre-convergence, communities ≈ nodes — degenerated to an
+    O(nodes) collect); the per-community degree grouping now ends in
+    a final single-row SUM on the executors. The one float division
+    of two exact integers is correctly rounded and engine-portable
+    (the oracle-twin discipline: DuckDB computing the same integers
+    produces the bit-identical double).
     """
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -182,10 +198,13 @@ def modularity(
         e.join(la, "a")
         .join(lb, "b")
         .filter(F.col("ca") == F.col("cb"))
-        .groupBy("ca")
-        .agg(F.count(F.lit(1)).alias("e_c"))
+        .count()
     )
-    deg = (
+    # Σ_c d_c² as one row: per-community degree sums stay distributed,
+    # squared and re-summed executor-side (decimal sum: a community
+    # holding every endpoint gives d_c = 2m, d_c² = 4m² — past BIGINT
+    # at lake scale)
+    sum_d2 = int(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -193,12 +212,11 @@ def modularity(
         .join(labels, "node")
         .groupBy("community")
         .agg(F.sum("d").alias("d_c"))
+        .agg(
+            F.sum(
+                (F.col("d_c") * F.col("d_c")).cast("decimal(38,0)")
+            ).alias("s")
+        )
+        .collect()[0]["s"]  # bounded: exactly one row
     )
-    rows = deg.join(
-        intra.withColumnRenamed("ca", "community"), "community", "left"
-    ).collect()  # bounded: one row per community
-    q = 0.0
-    for r in rows:
-        e_c = r["e_c"] or 0
-        q += e_c / m - (r["d_c"] / (2.0 * m)) ** 2
-    return q
+    return float(4 * m * intra - sum_d2) / float(4 * m * m)

@@ -47,6 +47,7 @@ __all__ = [
     "gram_moments",
     "solve_normal",
     "fit_linear",
+    "fit_linear_df",
     "score_expr",
     "score_linear",
     "cv_linear",
@@ -151,20 +152,94 @@ def fit_linear(
     target: str,
     group_cols: Sequence[str] = (),
     ridge: float = 0.0,
+    max_groups: int = 4096,
 ) -> dict:
     """Fit one model per group in a single distributed pass.
 
     Returns ``{group_value_tuple: solve_normal(...)}`` (key ``()``
     when ungrouped). The only driver-side data is the Gram rows —
-    one per group.
+    one per group, and that bound is now ENFORCED (r9): the collect
+    is capped at ``max_groups`` rows via a pushed LIMIT, so a
+    high-cardinality ``group_cols`` raises instead of silently
+    pulling O(groups·d²) onto the driver. For genuinely unbounded
+    group counts use :func:`fit_linear_df` — the same moments, solved
+    executor-side, one result ROW per group.
     """
-    rows = gram_moments(df, [*features, target], group_cols).collect()
+    gm = gram_moments(df, [*features, target], group_cols)
+    if group_cols:
+        rows = gm.limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"fit_linear: > {max_groups} groups on {list(group_cols)};"
+                " the per-group dict contract is driver-bounded — use"
+                " fit_linear_df (distributed per-group solve) or raise"
+                " max_groups explicitly"
+            )
+    else:
+        rows = gm.collect()
     out = {}
     for r in rows:
         m = r.asDict()
         key = tuple(m[c] for c in group_cols)
         out[key] = solve_normal(m, features, target, ridge)
     return out
+
+
+def fit_linear_df(
+    df: DataFrame,
+    features: Sequence[str],
+    target: str,
+    group_cols: Sequence[str],
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Per-group least squares with UNBOUNDED group cardinality — the
+    distributed companion to :func:`fit_linear` (which returns a
+    driver-side dict and therefore caps groups).
+
+    Same single Gram pass; the (d+1)×(d+1) solves then run
+    executor-side over the moment rows (an Arrow-batched map — each
+    row is one independent solve, so the work is embarrassingly
+    parallel and the result is one row per group:
+    ``group_cols…, weights array<double> (features order), intercept,
+    n_rows, sse, r2``). Nothing is collected anywhere; millions of
+    groups cost a shuffle of O(groups·d²) numbers and nothing else.
+    """
+    mom = gram_moments(df, [*features, target], group_cols)
+    feats = list(features)
+    gtypes = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in mom.schema.fields
+        if f.name in group_cols
+    )
+    schema = (
+        f"{gtypes}, weights array<double>, intercept double,"
+        " n_rows long, sse double, r2 double"
+    )
+
+    def _solve(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                fit = solve_normal(r, feats, target, ridge)
+                out.append(
+                    tuple(r[c] for c in group_cols)
+                    + (
+                        [fit["weights"][f] for f in feats],
+                        fit["intercept"],
+                        fit["n"],
+                        fit["sse"],
+                        fit["r2"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[*group_cols, "weights", "intercept",
+                         "n_rows", "sse", "r2"],
+            )
+
+    return mom.mapInPandas(_solve, schema)
 
 
 def score_expr(weights: Mapping[str, float], intercept: float) -> Column:
@@ -215,7 +290,18 @@ def cv_linear(
         )
         fold_col = "_fold"
     cols = [*features, target]
-    rows = [r.asDict() for r in gram_moments(df, cols, [fold_col]).collect()]
+    # the per-fold moment collect is bounded by construction when we
+    # hash the folds ourselves; a caller-provided fold_col is capped
+    # the same way fit_linear caps groups (pushed LIMIT, then raise)
+    rows = [
+        r.asDict()
+        for r in gram_moments(df, cols, [fold_col]).limit(1025).collect()
+    ]
+    if len(rows) > 1024:
+        raise ValueError(
+            f"cv_linear: fold column {fold_col!r} has > 1024 distinct"
+            " values — not a fold assignment; pass k/id_cols instead"
+        )
     if len(rows) < 2:
         raise ValueError(f"need >= 2 non-empty folds, got {len(rows)}")
     num_keys = [m for m in rows[0] if m != fold_col]

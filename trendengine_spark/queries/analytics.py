@@ -1218,13 +1218,19 @@ def window_rolling_slope(spark, sf_dir):
       FROM joined
     ), agg AS (
       SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum((r2a - r2b) * (r2a - r2b)) AS BIGINT) AS s4
+             CAST(sum(r2a) AS BIGINT) AS sa,
+             CAST(sum(r2b) AS BIGINT) AS sb,
+             CAST(sum(r2a * r2a) AS BIGINT) AS saa,
+             CAST(sum(r2b * r2b) AS BIGINT) AS sbb,
+             CAST(sum(r2a * r2b) AS BIGINT) AS sab
       FROM ranked GROUP BY ta, tb
     )
     SELECT ta AS type_a, tb AS type_b, CAST(n AS INT) AS n_days,
-           CASE WHEN n < 2 THEN 0.0
-                ELSE 1.0 - CAST(6 * s4 AS DOUBLE)
-                           / CAST(4 * n * (n * n - 1) AS DOUBLE) END
+           CASE WHEN n < 2 OR n*saa - sa*sa = 0 OR n*sbb - sb*sb = 0
+                THEN 0.0
+                ELSE CAST(n*sab - sa*sb AS DOUBLE)
+                     / sqrt(CAST(n*saa - sa*sa AS DOUBLE)
+                            * CAST(n*sbb - sb*sb AS DOUBLE)) END
              AS spearman_rho
     FROM agg
     """,
@@ -1235,12 +1241,16 @@ def stats_spearman_pairs(spark, sf_dir):
     Pearson corr — rank correlation ignores monotone distortions and
     outliers). Hash-exact by the doubled-rank trick: the average rank
     under ties is (2·rank + tie_count − 1)/2, so TWICE the rank is an
-    exact BIGINT, squared rank differences are exact 4·d², and rho =
-    1 − 6Σd²/(n(n²−1)) becomes one double division of exact integers
-    on both engines (the difference-formula rendering, identical on
-    each side). Plan: one shuffle to daily counts, one self-join on
-    the date (bounded by the calendar), two in-partition rank
-    windows, one aggregate — no Python."""
+    exact BIGINT, and rho is computed as PEARSON OF THE DOUBLED RANKS
+    (affine-invariant, so identical to Pearson of average ranks) from
+    six exact integer moments — the conventional tie-correct Spearman
+    (scipy's definition; the r8 difference-formula rendering
+    1 − 6Σd²/(n(n²−1)) is biased under ties, ADVICE r8). The float
+    step is one division and one sqrt of exact integers — both
+    correctly-rounded IEEE, so the cross-engine hash stays exact.
+    Plan: one shuffle to daily counts, one self-join on the date
+    (bounded by the calendar), two in-partition rank windows, one
+    aggregate — no Python."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
@@ -1268,20 +1278,28 @@ def stats_spearman_pairs(spark, sf_dir):
             2 * F.rank().over(wb) + F.count(F.lit(1)).over(cb) - 1
         ).cast("long").alias("r2b"),
     )
-    d = F.col("r2a") - F.col("r2b")
+    ra, rb = F.col("r2a"), F.col("r2b")
     agg = ranked.groupBy("ta", "tb").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(d * d).alias("s4")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ra).alias("sa"),
+        F.sum(rb).alias("sb"),
+        F.sum(ra * ra).alias("saa"),
+        F.sum(rb * rb).alias("sbb"),
+        F.sum(ra * rb).alias("sab"),
     )
-    n, s4 = F.col("n"), F.col("s4")
+    n, sa, sb, saa, sbb, sab = (
+        F.col(c) for c in ("n", "sa", "sb", "saa", "sbb", "sab")
+    )
+    dx = n * saa - sa * sa
+    dy = n * sbb - sb * sb
     return agg.select(
         F.col("ta").alias("type_a"),
         F.col("tb").alias("type_b"),
         n.cast("int").alias("n_days"),
-        F.when(n < 2, F.lit(0.0))
+        F.when((n < 2) | (dx == 0) | (dy == 0), F.lit(0.0))
         .otherwise(
-            F.lit(1.0)
-            - (6 * s4).cast("double")
-            / (4 * n * (n * n - 1)).cast("double")
+            (n * sab - sa * sb).cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
         )
         .alias("spearman_rho"),
     )

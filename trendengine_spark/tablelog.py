@@ -181,12 +181,22 @@ def _file_stats(path: str, name: str) -> dict:
 
 
 def last_batch_id(path: str) -> int | None:
-    """Streaming batch id recorded by the newest manifest (None for
-    an empty table or a manifest from a non-streaming commit)."""
+    """Highest streaming batch id visible in the manifest chain —
+    the newest manifest that RECORDS one, not merely the head (r9,
+    ADVICE): a non-streaming commit interleaved after a microbatch
+    (``write_versioned`` carries no batch_id) must not reset the
+    replay high-water mark to None, or a replayed microbatch would
+    double-append. Scans back from the head and stops at the first
+    manifest carrying a batch_id; manifests are one small JSON read
+    each and streaming tables interleave few blind commits, so the
+    walk is short in practice (and bounded by the version count)."""
     v = current_version(path)
-    if v < 0:
-        return None
-    return _read_manifest(path, v).get("batch_id")
+    while v >= 0:
+        bid = _read_manifest(path, v).get("batch_id")
+        if bid is not None:
+            return bid
+        v -= 1
+    return None
 
 
 def _commit_manifest(
@@ -475,7 +485,10 @@ def publish_versioned_batch(
         if prev >= 0:
             m = _read_manifest(path, prev)
             old_files = m["files"]
-            prev_bid = m.get("batch_id")
+            # scan-back guard (not just the head manifest): a blind
+            # write_versioned commit between our stage and this read
+            # must not hide an already-applied batch_id
+            prev_bid = last_batch_id(path)
             if prev_bid is not None and batch_id <= prev_bid:
                 return False  # another attempt won while we staged
         try:
