@@ -345,3 +345,28 @@ def test_cv_linear_fold_col_cardinality_guard(spark):
     )  # ~unique per row: far beyond any sane fold count
     with pytest.raises(ValueError, match="cv_linear"):
         cv_linear(wide, ["x1", "x2"], "y", fold_col="f")
+
+
+def test_residual_topk_cramer_equals_lstsq(spark):
+    """The exact-Cramer weights behind quality_linear_residual_topk
+    (r9 oracle conversion) must agree with the production lstsq
+    solve to 1e-8 — same cross-check trend_polyfit_coeffs carries."""
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.queries.ml import _doc_features
+
+    sf = "/root/testdata/sf0.001"
+    feats = _doc_features(spark, sf)
+    fits = fit_linear(feats, ["n_tok", "n_uniq"], "n_chars", ["lang"])
+    rows = REGISTRY["quality_linear_residual_topk"].fn(spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        fit = fits[(r["lang"],)]
+        pred = (
+            fit["weights"]["n_tok"] * r["n_tok"]
+            + fit["weights"]["n_uniq"] * r["n_uniq"]
+            + fit["intercept"]
+        )
+        assert r["pred"] == pytest.approx(pred, abs=1e-6)
+        assert r["residual"] == pytest.approx(
+            r["n_chars"] - pred, abs=1e-6
+        )

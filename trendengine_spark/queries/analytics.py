@@ -1583,25 +1583,96 @@ def window_time_weighted_avg(spark, sf_dir):
     )
 
 
-@query(
-    "graph_communities_lpa",
-    sql=None,
-    doc="Label-propagation communities over the co-purchase graph "
-    "(Raghavan 2007): majority-vote label adoption with self-vote "
-    "and deterministic min-label tie-break — the structure "
-    "connected components cannot see (a single bridge edge joins "
-    "components but never outvotes a community's internal "
-    "consensus; tested on bridged cliques). Rows-only (iterative "
-    "fixpoint); determinism and partitioning-invariance are "
-    "property-tested in tests/test_graph_ops.py.",
-)
+def _lpa_sql(iters: int) -> str:
+    """Unrolled synchronous LPA rounds + exact-integer modularity —
+    the relational-oracle twin of ``operators/graph.py`` (the
+    ``graph_pagerank_micro`` playbook applied to community
+    detection). Each round is three CTEs: neighbor+self votes, the
+    per-node max count, and the argmax with min-label tie-break —
+    EXACTLY the operator's ``min(struct(-n, label))`` semantics.
+    Modularity uses the r9 identity Q = (4·m·intra − Σd_c²)/(4m²):
+    every term an exact integer, one correctly-rounded double
+    division at the end."""
+    rounds = "".join(
+        f"""
+    , v{i} AS MATERIALIZED (
+      SELECT u.a AS node, l.label, CAST(count(*) AS BIGINT) AS n
+      FROM und u JOIN l{i - 1} l ON u.b = l.node
+      GROUP BY u.a, l.label
+    ), m{i} AS MATERIALIZED (
+      SELECT node, max(n) AS mx FROM v{i} GROUP BY node
+    ), l{i} AS MATERIALIZED (
+      SELECT v.node, min(v.label) AS label
+      FROM v{i} v JOIN m{i} m ON v.node = m.node AND v.n = m.mx
+      GROUP BY v.node
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey < l2.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM raw GROUP BY src, dst HAVING count(*) >= 2
+    ), und0 AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION SELECT dst, src FROM e
+    ), nodes AS (SELECT DISTINCT a FROM und0
+    ), und AS MATERIALIZED (
+      SELECT a, b FROM und0 UNION SELECT a, a FROM nodes
+    ), l0 AS MATERIALIZED (SELECT a AS node, a AS label FROM nodes)
+    {rounds}
+    , comm AS (
+      SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+      FROM l{iters} GROUP BY label
+    ), mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e
+    ), intra AS (
+      SELECT CAST(count(*) AS HUGEINT) AS i_cnt
+      FROM e JOIN l{iters} x ON e.src = x.node
+             JOIN l{iters} y ON e.dst = y.node
+      WHERE x.label = y.label
+    ), degs AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ), d2 AS (
+      SELECT CAST(sum(CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT))
+                  AS HUGEINT) AS sd2
+      FROM (
+        SELECT x.label, CAST(sum(d) AS BIGINT) AS dc
+        FROM degs JOIN l{iters} x ON degs.node = x.node
+        GROUP BY x.label
+      )
+    )
+    SELECT c.community, c.n_members,
+           CAST(4 * mm.m * intra.i_cnt - d2.sd2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+    FROM comm c, mm, intra, d2
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+@query("graph_communities_lpa", sql=_lpa_sql(5))
 def graph_communities_lpa(spark, sf_dir):
     """Top-20 communities by size after 5 synchronous LPA rounds on
     the distinct co-purchase edge set (parts sharing an order).
-    Output: (community, n_members) ordered by size desc, community
-    asc. Per round: one edge join + one partial+final vote count +
-    a windowless max(struct) argmax — hub nodes partial-aggregate
-    map-side."""
+    Output: (community, n_members, modularity) ordered by size desc,
+    community asc. Per round: one edge join + one partial+final vote
+    count + a windowless min(struct) argmax — hub nodes
+    partial-aggregate map-side.
+
+    ORACLE-BACKED since r9 (was rows-only): LPA's synchronous rounds
+    with deterministic min-label tie-break unroll into per-round SQL
+    CTEs (the `graph_pagerank_micro` discipline — the oracle runs
+    the unrolled relational text while Spark runs the REAL iterative
+    operator with per-round localCheckpoint), and the modularity
+    column is exact on both engines through the integer identity
+    Q = (4·m·intra − Σd_c²)/(4m²) — vote counts, member counts, and
+    every modularity term are exact integers, so the cross-engine
+    hash has no tolerance anywhere."""
     from pyspark.sql import functions as F
 
     from trendengine_spark.operators.graph import label_propagation
@@ -1637,5 +1708,5 @@ def graph_communities_lpa(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
-        .withColumn("modularity", F.round(F.lit(q), 4))
+        .withColumn("modularity", F.lit(float(q)))
     )

@@ -21,11 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trendengine_spark.operators.linmodel import (
-    fit_linear,
-    gram_moments,
-    score_expr,
-)
+from trendengine_spark.operators.linmodel import gram_moments
 from trendengine_spark.operators.text import tokens_col
 from trendengine_spark.queries.base import query, t
 
@@ -91,15 +87,55 @@ def quality_gram_matrix(spark, sf_dir):
 
 @query(
     "quality_linear_residual_topk",
-    sql=None,
-    doc="Per-language linear quality model (predict n_chars from "
-    "token stats) fitted in one exact-Gram pass, then the 20 most "
-    "anomalous documents by |residual| — the model-based outlier "
-    "gate of a curation pipeline. Rows-only (float weights); the "
-    "fit math is pinned by exact planted-weight recovery, numpy "
-    "Gram equality, and partition-invariance tests "
-    "(tests/test_linmodel.py), and the distributed aggregation "
-    "underneath is oracle-checked by quality_gram_matrix.",
+    sql=rf"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_uniq,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_tok) AS HUGEINT) AS s1,
+             CAST(sum(n_uniq) AS HUGEINT) AS s2,
+             CAST(sum(n_chars) AS HUGEINT) AS sy,
+             CAST(sum(n_tok * n_tok) AS HUGEINT) AS g11,
+             CAST(sum(n_tok * n_uniq) AS HUGEINT) AS g12,
+             CAST(sum(n_uniq * n_uniq) AS HUGEINT) AS g22,
+             CAST(sum(n_tok * n_chars) AS HUGEINT) AS b1,
+             CAST(sum(n_uniq * n_chars) AS HUGEINT) AS b2
+      FROM f GROUP BY lang
+    ), det AS (
+      SELECT lang,
+        g11*(g22*n - s2*s2) - g12*(g12*n - s2*s1)
+          + s1*(g12*s2 - g22*s1) AS dd,
+        b1*(g22*n - s2*s2) - g12*(b2*n - s2*sy)
+          + s1*(b2*s2 - g22*sy) AS d1,
+        g11*(b2*n - s2*sy) - b1*(g12*n - s2*s1)
+          + s1*(g12*sy - b2*s1) AS d2,
+        g11*(g22*sy - b2*s2) - g12*(g12*sy - b2*s1)
+          + b1*(g12*s2 - g22*s1) AS d0
+      FROM m
+    ), w AS (
+      SELECT lang,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w1,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w2,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w0
+      FROM det
+    )
+    SELECT f.doc_id, f.lang, f.n_tok, f.n_uniq, f.n_chars,
+           w.w1 * f.n_tok + w.w2 * f.n_uniq + w.w0 AS pred,
+           CAST(f.n_chars AS DOUBLE)
+             - (w.w1 * f.n_tok + w.w2 * f.n_uniq + w.w0) AS residual
+    FROM f JOIN w ON f.lang = w.lang
+    ORDER BY abs(CAST(f.n_chars AS DOUBLE)
+             - (w.w1 * f.n_tok + w.w2 * f.n_uniq + w.w0)) DESC, f.doc_id
+    LIMIT 20
+    """,
 )
 def quality_linear_residual_topk(spark, sf_dir):
     """Fit per-lang n_chars ~ n_tok + n_uniq (one aggregate pass +
@@ -107,19 +143,75 @@ def quality_linear_residual_topk(spark, sf_dir):
     weights as ONE chained-CASE codegen projection (no join, no
     UDF), and return the top 20 by absolute residual (ties broken by
     doc_id). Scales as scan + aggregate + scan: nothing driver-side
-    but the per-language Gram rows."""
+    but the per-language Gram rows.
+
+    Oracle-backed since r9 (the `trend_polyfit_coeffs` discipline
+    extended to a MULTIVARIATE fit): the features are exact BIGINTs,
+    so the per-language normal-equation moments are exact integer
+    sums, the 3×3 Cramer determinants are computed in arbitrary
+    precision (Python int here, HUGEINT in DuckDB — they exceed
+    int64 at scale), and each weight is ONE correctly-rounded double
+    division of identical integers. The projection then evaluates
+    the same literal-weight expression in the same association order
+    on both engines, so pred/residual are bit-identical and the
+    top-k selection (|residual| DESC, doc_id) agrees with no
+    tolerance anywhere. The Cramer solve is asserted against the
+    production lstsq path (`fit_linear`) to 1e-8 in
+    tests/test_linmodel.py."""
     feats = _doc_features(spark, sf_dir)
-    fits = fit_linear(feats, ["n_tok", "n_uniq"], "n_chars", ["lang"])
+    moments = gram_moments(
+        feats, ["n_tok", "n_uniq", "n_chars"], ["lang"]
+    ).collect()  # bounded: one row per language
     pred = None
-    for (lang,), fit in sorted(fits.items()):
-        expr = score_expr(fit["weights"], fit["intercept"])
-        pred = (
-            F.when(F.col("lang") == lang, expr)
-            if pred is None
-            else pred.when(F.col("lang") == lang, expr)
+    for r in sorted(moments, key=lambda r: r["lang"]):
+        n = int(r["n_rows"])
+        s1, s2, sy = (
+            int(r["s_n_tok"]), int(r["s_n_uniq"]), int(r["s_n_chars"])
         )
-    scored = feats.withColumn("pred", F.round(pred, 3)).withColumn(
-        "residual", F.round(F.col("n_chars") - F.col("pred"), 3)
+        g11, g12, g22 = (
+            int(r["g_n_tok_n_tok"]),
+            int(r["g_n_tok_n_uniq"]),
+            int(r["g_n_uniq_n_uniq"]),
+        )
+        b1, b2 = int(r["g_n_tok_n_chars"]), int(r["g_n_uniq_n_chars"])
+        dd = (
+            g11 * (g22 * n - s2 * s2)
+            - g12 * (g12 * n - s2 * s1)
+            + s1 * (g12 * s2 - g22 * s1)
+        )
+        d1 = (
+            b1 * (g22 * n - s2 * s2)
+            - g12 * (b2 * n - s2 * sy)
+            + s1 * (b2 * s2 - g22 * sy)
+        )
+        d2 = (
+            g11 * (b2 * n - s2 * sy)
+            - b1 * (g12 * n - s2 * s1)
+            + s1 * (g12 * sy - b2 * s1)
+        )
+        d0 = (
+            g11 * (g22 * sy - b2 * s2)
+            - g12 * (g12 * sy - b2 * s1)
+            + b1 * (g12 * s2 - g22 * s1)
+        )
+        if dd == 0:
+            w1 = w2 = w0 = 0.0
+        else:
+            w1 = float(d1) / float(dd)
+            w2 = float(d2) / float(dd)
+            w0 = float(d0) / float(dd)
+        expr = (
+            F.lit(w1) * F.col("n_tok")
+            + F.lit(w2) * F.col("n_uniq")
+            + F.lit(w0)
+        )
+        pred = (
+            F.when(F.col("lang") == r["lang"], expr)
+            if pred is None
+            else pred.when(F.col("lang") == r["lang"], expr)
+        )
+    scored = feats.withColumn("pred", pred).withColumn(
+        "residual", F.col("n_chars").cast("double") - F.col("pred")
     )
     return (
         scored.orderBy(F.abs(F.col("residual")).desc(), "doc_id")
