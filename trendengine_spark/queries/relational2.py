@@ -763,11 +763,19 @@ def udtf_run_length_segments(spark, sf_dir):
     in-group ORDER, Arrow row transport, terminate flush) is
     hash-checked end-to-end. One shuffle keyed by user_id — PINNED at
     the session shuffle width via fit_partitioned: UDTF eval is CPU
-    per ROW while AQE coalesces by BYTES, so the few-MB post-shuffle
-    stage collapsed to 2 tasks on a 32-core box (measured 10.6 s;
-    the explicit repartition(n, user_id) satisfies the PARTITION BY
-    distribution, the exchange is elided, 32 tasks, 1.8 s — the same
-    hazard/fix as the DBEST fitting stage, operators/util.py)."""
+    per ROW while AQE coalesces by BYTES, so under AQE the few-MB
+    post-shuffle stage collapsed to 2 tasks on a 32-core box
+    (measured 10.6 s; the explicit repartition(n, user_id) satisfies
+    the PARTITION BY distribution, the exchange is elided — the same
+    hazard/fix as the DBEST fitting stage, operators/util.py).
+
+    r9 bench settlement: with parallelism fixed, the remaining cost
+    was per-row DISPATCH, not task width (8 vs 32 vs 64 partitions
+    all measured ~2.6 s at 100k events). Rewriting eval generator-
+    free with positional row access (functions/udtfs.py) took the
+    bench-conf time 2.57 → 0.66 s (~150k rows/s/core) — the honest
+    per-row Python UDTF floor; the gaps-and-islands SQL twin of this
+    exact query runs 0.15 s for calibration."""
     from trendengine_spark.functions.udtfs import register_udtfs
     from trendengine_spark.operators.util import fit_partitioned
     from trendengine_spark.queries.base import t as _t
