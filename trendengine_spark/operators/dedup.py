@@ -198,6 +198,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     mount: int = 0,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Fixed-size MinHash signature per document.
 
@@ -230,7 +231,25 @@ def minhash_signatures(
     view = f"_te_minhash_in_{mount}"
     fan_out(df).createOrReplaceTempView(view)
     sql_pat = r"\\G(?=((?:\\S+ ){%d}\\S+))\\S+ ?" % (n - 1)
-    mins = ", ".join(f"min(xxhash64(_h, {i}))" for i in range(num_perm))
+    if family == "md5":
+        # Engine-portable permutation family (r9): permutation i is
+        # the LEXICOGRAPHIC order of md5('<i>:' || shingle) hex
+        # strings — any engine with md5() computes the identical
+        # signature (the DuckDB oracle of dedup_incremental_batch
+        # does). ~64 variable-length md5's per shingle vs one
+        # xxhash64 + 64 fixed-width re-hashes: keep xxhash64 as the
+        # 100 TB default; md5 is the cross-engine-reproducibility
+        # contract (same spirit as pipeline_bernoulli_sample's md5
+        # draw).
+        mins = ", ".join(
+            f"min(md5(concat('{i}:', shingle)))" for i in range(num_perm)
+        )
+        inner = f"SELECT id, shingle FROM sh WHERE shingle != ''"
+    elif family == "xxhash64":
+        mins = ", ".join(f"min(xxhash64(_h, {i}))" for i in range(num_perm))
+        inner = f"SELECT id, xxhash64(shingle) AS _h FROM sh WHERE shingle != ''"
+    else:  # pragma: no cover - authoring guard
+        raise ValueError(f"unknown minhash family: {family!r}")
     return spark.sql(
         f"""
         WITH sh AS (
@@ -242,7 +261,7 @@ def minhash_signatures(
           FROM {view}
         )
         SELECT id, array({mins}) AS signature
-        FROM (SELECT id, xxhash64(shingle) AS _h FROM sh WHERE shingle != '')
+        FROM ({inner})
         GROUP BY id
         """
     )
@@ -534,11 +553,19 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     )
 
 
-def _band_structs_sql(num_perm: int, bands: int) -> str:
+def _band_structs_sql(
+    num_perm: int, bands: int, family: str = "xxhash64"
+) -> str:
     r = num_perm // bands
+    # bucket hash follows the signature family so the whole index is
+    # engine-portable when family='md5' (bucket is then an md5 hex
+    # string both engines derive identically from identical
+    # signature strings)
+    bucket_fn = "md5" if family == "md5" else "xxhash64"
     return ", ".join(
-        "named_struct('band', {bi}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+        "named_struct('band', {bi}, 'bucket', {fn}(concat_ws(',', {parts})))".format(
             bi=bi,
+            fn=bucket_fn,
             parts=", ".join(
                 f"CAST(element_at(signature, {bi * r + j + 1}) AS STRING)"
                 for j in range(r)
@@ -556,6 +583,7 @@ def write_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    family: str = "xxhash64",
 ) -> dict:
     """Persist the corpus's LSH index for INCREMENTAL dedup: the
     (id, signature) table and the thin (id, band, bucket) band table
@@ -571,17 +599,18 @@ def write_minhash_index(
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     spark = df.sparkSession
-    sig = minhash_signatures(df, num_perm, id_col, text_col, n)
+    sig = minhash_signatures(df, num_perm, id_col, text_col, n, family=family)
     view = f"_te_mh_index_{num_perm}_{bands}"
     sig.createOrReplaceTempView(view)
     os.makedirs(path, exist_ok=True)
     sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
     spark.sql(
         f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
-        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"LATERAL VIEW explode(array("
+        f"{_band_structs_sql(num_perm, bands, family)})) "
         f"bt AS bh"
     ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    meta = {"num_perm": num_perm, "bands": bands, "n": n}
+    meta = {"num_perm": num_perm, "bands": bands, "n": n, "family": family}
     with open(os.path.join(path, "meta.json"), "w") as fh:
         _json.dump(meta, fh)
     n_docs = spark.read.parquet(os.path.join(path, "signatures")).count()
@@ -611,10 +640,13 @@ def incremental_minhash_dedup(
     with open(os.path.join(index_path, "meta.json")) as fh:
         meta = _json.load(fh)
     num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    family = meta.get("family", "xxhash64")
     spark = new_docs.sparkSession
     sig_new = owned_cache(
-        minhash_signatures(new_docs, num_perm, id_col, text_col, n),
-        f"dedup.mh.incr.{num_perm}.{bands}",
+        minhash_signatures(
+            new_docs, num_perm, id_col, text_col, n, family=family
+        ),
+        f"dedup.mh.incr.{num_perm}.{bands}.{family}",
     )
     return probe_minhash_index(
         sig_new,
@@ -623,6 +655,7 @@ def incremental_minhash_dedup(
         num_perm,
         bands,
         threshold,
+        family=family,
     )
 
 
@@ -633,6 +666,7 @@ def probe_minhash_index(
     num_perm: int,
     bands: int,
     threshold: float,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """The probe core shared by the parquet-path incremental dedup and
     the versioned/streaming pipeline (r8): band the NEW signatures,
@@ -646,7 +680,8 @@ def probe_minhash_index(
     stored_sig.createOrReplaceTempView(f"{nview}_stored_sig")
     banded_new = (
         f"(SELECT id, bh.band AS band, bh.bucket AS bucket FROM {nview} "
-        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"LATERAL VIEW explode(array("
+        f"{_band_structs_sql(num_perm, bands, family)})) "
         f"bt AS bh)"
     )
     est = (

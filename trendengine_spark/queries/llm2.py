@@ -790,21 +790,64 @@ def sim_ivfpq_topk(spark, sf_dir):
 
 @query(
     "dedup_incremental_batch",
-    sql=None,
-    doc="Incremental cross-batch dedup: even-id docs build the "
-    "persisted MinHash band/signature index (write once per corpus "
-    "snapshot), odd-id docs probe it as the 'ingest batch'. "
-    "new x stored bucket join only — the corpus is never "
-    "re-signatured at probe time. Rows-only (xxhash64 family); the "
-    "planted cross-batch recall contract is pinned in "
-    "tests/test_llm_ops.py.",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    sig AS (
+      SELECT id, p, min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, unnest(generate_series(0, 63)) AS pp(p)
+      GROUP BY id, p
+    ),
+    band AS (
+      SELECT id, CAST(p // 4 AS INT) AS band,
+             md5(string_agg(mh, ',' ORDER BY p)) AS bucket
+      FROM sig GROUP BY id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS index_id
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.id % 2 = 1 AND b.id % 2 = 0
+    ),
+    est AS (
+      SELECT new_id, index_id,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0
+               AS est_jaccard
+      FROM cand
+      JOIN sig sa ON sa.id = new_id
+      JOIN sig sb ON sb.id = index_id AND sb.p = sa.p
+      GROUP BY new_id, index_id
+    )
+    SELECT new_id, index_id, round(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """,
 )
 def dedup_incremental_batch(spark, sf_dir):
     """The production shape of corpus dedup: today's corpus snapshot
     is indexed ONCE (band + signature parquet with a params
     manifest); every ingest batch is checked against the stored
     index before admission. Here even-doc_ids play the corpus, odd
-    the batch — near-dup (new_id, index_id, est_jaccard) pairs out."""
+    the batch — near-dup (new_id, index_id, est_jaccard) pairs out.
+    new × stored bucket join only; the corpus is never re-signatured
+    at probe time.
+
+    ORACLE-BACKED since r9 (was rows-only): the index is built with
+    the engine-portable md5 permutation family (permutation i =
+    lexicographic min of md5('<i>:' || shingle); band bucket =
+    md5 of the band's 4 signature strings — operators/dedup.py
+    ``family='md5'``), so DuckDB recomputes the IDENTICAL signatures,
+    buckets, candidates and est_jaccard relationally in one query
+    while Spark exercises the REAL persisted-index path
+    (write_minhash_index → parquet manifest → incremental probe).
+    est_jaccard = k/64 is exactly representable in binary, so the
+    hash compare carries no float tolerance. xxhash64 remains the
+    100 TB default family (one long re-hash per permutation vs 64
+    string md5s); the md5 family is the cross-engine
+    reproducibility contract, same spirit as
+    pipeline_bernoulli_sample's md5 draw."""
     import os
     import tempfile
 
@@ -820,7 +863,7 @@ def dedup_incremental_batch(spark, sf_dir):
         tempfile.gettempdir(),
         f"te_mh_index_{abs(hash(sf_dir)) % 10**8}",
     )
-    write_minhash_index(corpus, idx)
+    write_minhash_index(corpus, idx, family="md5")
     return incremental_minhash_dedup(batch, idx, threshold=0.5)
 
 
