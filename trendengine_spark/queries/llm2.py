@@ -1469,3 +1469,113 @@ def pipeline_semantic_decontaminate(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "dedup_image_phash",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 36 ELSE 72 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 64 END AS h,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id - 1 END AS base,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bright,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS s
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(x * 9 // w AS INT) AS cx, CAST(y * 8 // h AS INT) AS cy,
+             ((x // s + 1) * (y // s + 2) * (base % 97 + 3)
+              + 31 * (x // s) + 57 * (y // s) + base + bright) % 256 AS p
+      FROM d,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    ), cells AS (
+      SELECT doc_id, cy, cx,
+             CAST(sum(p) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id, cy, cx
+    ), bits AS (
+      SELECT a.doc_id, a.cy * 8 + a.cx AS j
+      FROM cells a JOIN cells b
+        ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 8 AND b.sm * a.n > a.sm * b.n
+    ), hashes AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(sum(CASE WHEN j < 63 THEN (1::BIGINT << j)
+                                    ELSE -9223372036854775808 END), 0)
+                  AS BIGINT) AS dhash
+      FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ), blocks AS (
+      SELECT doc_id, dhash, k,
+             CAST((CAST(dhash AS HUGEINT)
+                   + CASE WHEN dhash < 0
+                          THEN CAST('18446744073709551616' AS HUGEINT)
+                          ELSE 0 END)
+                  // (CASE k WHEN 0 THEN 1 WHEN 1 THEN 256
+                             WHEN 2 THEN 65536 WHEN 3 THEN 16777216
+                             WHEN 4 THEN 4294967296
+                             WHEN 5 THEN 1099511627776
+                             WHEN 6 THEN 281474976710656
+                             ELSE 72057594037927936 END) % 256 AS INT) AS bv
+      FROM hashes, unnest(generate_series(0, 7)) AS kk(k)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )
+    SELECT index_id, new_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+    """,
+)
+def dedup_image_phash(spark, sf_dir):
+    """Image near-duplicate detection by perceptual hash — the
+    multimodal twin of MinHash text dedup and the one LLM-pipeline ×
+    multimodal intersection r8 left open: REAL PNG encode → REAL
+    decode → 64-bit dHash (integer-exact 9×8 difference hash,
+    operators/multimodal.py:image_dhash) → Hamming-bucketed candidate
+    join → exact bit_count verify. Even doc_ids are originals; each
+    odd id is a planted REALISTIC near-dup of id−1 (2× nearest-
+    neighbor upscale, +1 brightness, re-encoded — attach_textured_png),
+    so recall is measurable: planted Hamming ≤ 6 at 500 docs while
+    unrelated cross-parity pairs average 32 bits.
+
+    Candidates are NEVER all-pairs: the 64-bit hash splits into 8
+    one-byte blocks (the sim_hamming_topk sign-pack convention;
+    blocks via shiftrightunsigned), pairs must share a (position,
+    value) block — pigeonhole-COMPLETE for the ≤7 threshold (7 bit
+    flips cannot touch all 8 blocks), so the bucket join provably
+    loses nothing, and expected candidate volume is |A|·|B|/32 of
+    the cross product at random-hash baseline. ORACLE-BACKED: every
+    stage is integer-exact, so DuckDB recomputes the identical
+    pixels (the texture/upscale/brightness math), cell sums, packed
+    hashes (HUGEINT two's-complement block view) and Hamming
+    distances — a wrong decode, split boundary, pack order, or a
+    float anywhere breaks the hash compare."""
+    from trendengine_spark.operators.multimodal import (
+        attach_textured_png,
+        image_dhash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_textured_png(docs))
+    hashes.createOrReplaceTempView("_te_img_dhash")
+    return spark.sql(
+        """
+        WITH blocks AS (
+          SELECT doc_id, dhash, k,
+                 CAST(shiftrightunsigned(dhash, 8 * k) & 255 AS INT) AS bv
+          FROM _te_img_dhash
+          LATERAL VIEW explode(sequence(0, 7)) ks AS k
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id,
+                          a.dhash AS ha, b.dhash AS hb
+          FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        )
+        SELECT index_id, new_id,
+               CAST(bit_count(ha ^ hb) AS INT) AS hamming
+        FROM cand WHERE bit_count(ha ^ hb) <= 7
+        """
+    )
