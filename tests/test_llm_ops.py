@@ -966,3 +966,35 @@ def test_image_dhash_planted_recall_and_invariance(spark):
     out = image_dhash(spark.createDataFrame(pdf)).collect()
     h = {r["doc_id"]: r["dhash"] for r in out}
     assert h[0] == h[1]
+
+
+def test_two_stage_rerank_recall_floors(spark):
+    """End recall of the two-stage (Hamming -> exact cosine) pipeline
+    vs brute force at two candidate budgets — the production role of
+    the low-standalone-recall binary codes. The pipeline is fully
+    deterministic (integer stage-1, id tie-breaks), so these are
+    exact values at this corpus; floors leave margin only for
+    testdata regeneration. Budget sensitivity (0.66 @ 50 vs 0.99 @
+    200 on 500 vectors) is the documented knob: recall tracks
+    budget/N on an isotropic corpus."""
+    from trendengine_spark.operators.similarity import (
+        cosine_topk,
+        load_query_vectors,
+        two_stage_rerank,
+    )
+    from trendengine_spark.queries.base import t as _t
+
+    sf = "/root/testdata/sf0.01"
+    emb = _t(spark, sf, "embeddings")
+    brute = {}
+    for r in cosine_topk(
+        emb, k=10, queries_local=load_query_vectors(sf)
+    ).collect():
+        brute.setdefault(r[0], set()).add(r[1])
+    floors = {50: 0.55, 200: 0.95}
+    for budget, floor in floors.items():
+        got = {}
+        for r in two_stage_rerank(emb, k=10, budget=budget).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(len(brute[q] & got[q]) / 10 for q in brute) / len(brute)
+        assert recall >= floor, (budget, recall)

@@ -1579,3 +1579,68 @@ def dedup_image_phash(spark, sf_dir):
         FROM cand WHERE bit_count(ha ^ hb) <= 7
         """
     )
+
+
+@query(
+    "sim_two_stage_rerank",
+    sql="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0
+                              WHEN i = 63 THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << i) END))
+                  AS BIGINT) AS code
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 10
+    ), d AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(q.qc, c.code)) AS INT) AS hamming
+      FROM q JOIN codes c ON c.vec_id != q.query_id
+    ), cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, vec_id) AS rn
+        FROM d) t WHERE rn <= 50
+    ), qe AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS c
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN qe ON qe.query_id = cand.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, vec_id) AS INT) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cos_sim, rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sim_two_stage_rerank(spark, sf_dir):
+    """Two-stage retrieval: 1-bit Hamming stage-1 (top-50 candidates
+    per query over packed int64 codes — 8 bytes/vector, two integer
+    ops per candidate) → exact-cosine stage-2 rerank → top-10. The
+    production role of the deliberately-low-recall Hamming family
+    (standalone 0.27@10, SCALE.md): as a candidate generator feeding
+    an exact rerank its end recall is measured and pinned in
+    tests/test_llm_ops.py at two budgets. Stage-2 cost is
+    budget·Q vectors regardless of corpus size; stage 1 never reads
+    the float column. ORACLE-BACKED: integer stage-1 ties break on
+    vec_id, so the candidate set is engine-exact, and stage 2 is the
+    same double-cosine formulation the green sim_cosine_topk
+    oracle already pins."""
+    from trendengine_spark.operators.similarity import two_stage_rerank
+
+    return two_stage_rerank(
+        t(spark, sf_dir, "embeddings"), k=10, budget=50
+    )
