@@ -370,3 +370,31 @@ def test_residual_topk_cramer_equals_lstsq(spark):
         assert r["residual"] == pytest.approx(
             r["n_chars"] - pred, abs=1e-6
         )
+
+
+def test_cv_query_matches_cv_linear_production_path(spark):
+    """quality_linear_cv's exact-Cramer/fixed-association evaluation
+    (the r9 oracle twin) must agree with the production cv_linear
+    numpy path to 1e-9 on the same fold assignment — same cross-check
+    discipline as trend_polyfit_coeffs / residual_topk."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.queries.ml import _doc_features
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["fold"]: r
+        for r in REGISTRY["quality_linear_cv"].fn(spark, sf).collect()
+    }
+    feats = _doc_features(spark, sf).withColumn(
+        "_fold", (F.col("doc_id") % 5).cast("int")
+    )
+    cv = cv_linear(feats, ["n_tok", "n_uniq"], "n_chars", fold_col="_fold")
+    for f in cv["folds"]:
+        q = rows[f["fold"]]
+        assert q["n_train"] == f["n_train"]
+        assert q["n_test"] == f["n_test"]
+        assert q["rmse"] == pytest.approx(f["rmse"], abs=1e-6)
+    mean = sum(f["rmse"] for f in cv["folds"]) / len(cv["folds"])
+    assert rows[-1]["rmse"] == pytest.approx(mean, abs=1e-5)

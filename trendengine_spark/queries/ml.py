@@ -518,33 +518,202 @@ def profile_higher_moments(spark, sf_dir):
 
 @query(
     "quality_linear_cv",
-    sql=None,
-    doc="5-fold cross-validation of the document quality model in "
-    "ONE corpus pass: Gram moments are additive over disjoint folds, "
-    "so every leave-fold-out model AND its held-out RMSE derive from "
-    "the k per-fold moment rows (SSE_f = yty_f - 2 w'b_f + w'A_f w) "
-    "- no second scan, no scoring job. Rows-only; exact parity with "
-    "a manual numpy fit/score loop is pinned in tests/test_linmodel.py.",
+    sql=rf"""
+    WITH f AS (
+      SELECT CAST(doc_id % 5 AS INT) AS fold,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_uniq,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT fold,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_tok) AS HUGEINT) AS s1,
+             CAST(sum(n_uniq) AS HUGEINT) AS s2,
+             CAST(sum(n_chars) AS HUGEINT) AS sy,
+             CAST(sum(n_tok * n_tok) AS HUGEINT) AS g11,
+             CAST(sum(n_tok * n_uniq) AS HUGEINT) AS g12,
+             CAST(sum(n_uniq * n_uniq) AS HUGEINT) AS g22,
+             CAST(sum(n_tok * n_chars) AS HUGEINT) AS b1,
+             CAST(sum(n_uniq * n_chars) AS HUGEINT) AS b2,
+             CAST(sum(n_chars * n_chars) AS HUGEINT) AS yty
+      FROM f GROUP BY fold
+    ), tot AS (
+      SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2, sum(sy) AS sy,
+             sum(g11) AS g11, sum(g12) AS g12, sum(g22) AS g22,
+             sum(b1) AS b1, sum(b2) AS b2
+      FROM m
+    ), tr AS (
+      SELECT m.fold, tot.n - m.n AS n, tot.s1 - m.s1 AS s1,
+             tot.s2 - m.s2 AS s2, tot.sy - m.sy AS sy,
+             tot.g11 - m.g11 AS g11, tot.g12 - m.g12 AS g12,
+             tot.g22 - m.g22 AS g22, tot.b1 - m.b1 AS b1,
+             tot.b2 - m.b2 AS b2
+      FROM m, tot
+    ), det AS (
+      SELECT fold,
+        g11*(g22*n - s2*s2) - g12*(g12*n - s2*s1)
+          + s1*(g12*s2 - g22*s1) AS dd,
+        b1*(g22*n - s2*s2) - g12*(b2*n - s2*sy)
+          + s1*(b2*s2 - g22*sy) AS d1,
+        g11*(b2*n - s2*sy) - b1*(g12*n - s2*s1)
+          + s1*(g12*sy - b2*s1) AS d2,
+        g11*(g22*sy - b2*s2) - g12*(g12*sy - b2*s1)
+          + b1*(g12*s2 - g22*s1) AS d0
+      FROM tr
+    ), w AS (
+      SELECT fold,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w1,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w2,
+        CASE WHEN dd = 0 THEN 0.0
+             ELSE CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) END AS w0
+      FROM det
+    ), folds AS (
+      SELECT m.fold,
+             CAST(tr.n AS BIGINT) AS n_train,
+             CAST(m.n AS BIGINT) AS n_test,
+             round(sqrt(greatest(
+               CAST(m.yty AS DOUBLE)
+               - 2 * (w.w1 * CAST(m.b1 AS DOUBLE)
+                      + w.w2 * CAST(m.b2 AS DOUBLE)
+                      + w.w0 * CAST(m.sy AS DOUBLE))
+               + (w.w1 * (w.w1 * CAST(m.g11 AS DOUBLE)
+                          + w.w2 * CAST(m.g12 AS DOUBLE)
+                          + w.w0 * CAST(m.s1 AS DOUBLE))
+                  + w.w2 * (w.w1 * CAST(m.g12 AS DOUBLE)
+                            + w.w2 * CAST(m.g22 AS DOUBLE)
+                            + w.w0 * CAST(m.s2 AS DOUBLE))
+                  + w.w0 * (w.w1 * CAST(m.s1 AS DOUBLE)
+                            + w.w2 * CAST(m.s2 AS DOUBLE)
+                            + w.w0 * CAST(m.n AS DOUBLE))),
+               0) / CAST(m.n AS DOUBLE)), 6) AS rmse
+      FROM m JOIN tr ON tr.fold = m.fold JOIN w ON w.fold = m.fold
+    )
+    SELECT fold, n_train, n_test, rmse FROM folds
+    UNION ALL
+    SELECT -1, CAST((SELECT sum(n_train) FROM folds) // 4 AS BIGINT),
+           CAST(0 AS BIGINT),
+           round((max(CASE WHEN fold = 0 THEN rmse END)
+                  + max(CASE WHEN fold = 1 THEN rmse END)
+                  + max(CASE WHEN fold = 2 THEN rmse END)
+                  + max(CASE WHEN fold = 3 THEN rmse END)
+                  + max(CASE WHEN fold = 4 THEN rmse END)) / 5, 6)
+    FROM folds
+    """,
 )
 def quality_linear_cv(spark, sf_dir):
     """Per-fold generalization error of n_chars ~ n_tok + n_uniq over
-    documents, folds assigned by hash(doc_id) — deterministic across
-    partitionings. Output: (fold, n_train, n_test, rmse) + a summary
-    row (fold = -1) carrying mean/std."""
-    from trendengine_spark.operators.linmodel import cv_linear
+    documents in ONE corpus pass: Gram moments are additive over
+    disjoint folds, so every leave-fold-out model AND its held-out
+    RMSE derive from the k per-fold moment rows
+    (SSE_f = yᵀy_f − 2 wᵀb_f + wᵀA_f w) — no second scan, no scoring
+    job. Output: (fold, n_train, n_test, rmse) + a summary row
+    (fold = -1) carrying the mean.
 
-    feats = _doc_features(spark, sf_dir)
-    cv = cv_linear(
-        feats, ["n_tok", "n_uniq"], "n_chars", k=5, id_cols=["doc_id"]
+    ORACLE-BACKED since r9 (was rows-only — the r8 twin playbook on
+    the CV identity itself): folds are assigned by the engine-
+    portable ``doc_id % 5`` (xxhash64 fold hashing stays the
+    production default in cv_linear; any deterministic disjoint
+    assignment is a valid CV), the per-fold moments are exact
+    integers, leave-fold-out weights are exact-integer 3×3 Cramer
+    solves (Python int / DuckDB HUGEINT), and the held-out SSE is
+    evaluated with ONE FIXED association order mirrored token-for-
+    token between this code and the SQL text, so every rmse is the
+    bit-identical double on both engines before the final 6-dp
+    round. The production cv_linear path (numpy solve, same
+    identity) is asserted to match this evaluation to 1e-9 in
+    tests/test_linmodel.py."""
+    import math
+
+    feats = _doc_features(spark, sf_dir).withColumn(
+        "_fold", (F.col("doc_id") % 5).cast("int")
     )
-    rows = [
-        (f["fold"], f["n_train"], f["n_test"], round(f["rmse"], 6))
-        for f in cv["folds"]
-    ]
-    rows.append((-1, sum(f["n_train"] for f in cv["folds"]) // 4, 0,
-                 round(cv["rmse_mean"], 6)))
+    rows = sorted(
+        (
+            r.asDict()
+            for r in gram_moments(
+                feats, ["n_tok", "n_uniq", "n_chars"], ["_fold"]
+            ).collect()  # bounded: 5 moment rows
+        ),
+        key=lambda r: r["_fold"],
+    )
+    keys = [k for k in rows[0] if k != "_fold"]
+    tot = {m: sum(int(r[m]) for r in rows) for m in keys}
+    out, rmses = [], []
+    for r in rows:
+        n = tot["n_rows"] - int(r["n_rows"])
+        s1 = tot["s_n_tok"] - int(r["s_n_tok"])
+        s2 = tot["s_n_uniq"] - int(r["s_n_uniq"])
+        sy = tot["s_n_chars"] - int(r["s_n_chars"])
+        g11 = tot["g_n_tok_n_tok"] - int(r["g_n_tok_n_tok"])
+        g12 = tot["g_n_tok_n_uniq"] - int(r["g_n_tok_n_uniq"])
+        g22 = tot["g_n_uniq_n_uniq"] - int(r["g_n_uniq_n_uniq"])
+        b1 = tot["g_n_tok_n_chars"] - int(r["g_n_tok_n_chars"])
+        b2 = tot["g_n_uniq_n_chars"] - int(r["g_n_uniq_n_chars"])
+        dd = (
+            g11 * (g22 * n - s2 * s2)
+            - g12 * (g12 * n - s2 * s1)
+            + s1 * (g12 * s2 - g22 * s1)
+        )
+        d1 = (
+            b1 * (g22 * n - s2 * s2)
+            - g12 * (b2 * n - s2 * sy)
+            + s1 * (b2 * s2 - g22 * sy)
+        )
+        d2 = (
+            g11 * (b2 * n - s2 * sy)
+            - b1 * (g12 * n - s2 * s1)
+            + s1 * (g12 * sy - b2 * s1)
+        )
+        d0 = (
+            g11 * (g22 * sy - b2 * s2)
+            - g12 * (g12 * sy - b2 * s1)
+            + b1 * (g12 * s2 - g22 * s1)
+        )
+        if dd == 0:
+            w1 = w2 = w0 = 0.0
+        else:
+            w1 = float(d1) / float(dd)
+            w2 = float(d2) / float(dd)
+            w0 = float(d0) / float(dd)
+        # held-out SSE — association mirrors the oracle SQL exactly
+        fn = float(int(r["n_rows"]))
+        fs1, fs2 = float(int(r["s_n_tok"])), float(int(r["s_n_uniq"]))
+        fsy = float(int(r["s_n_chars"]))
+        fg11 = float(int(r["g_n_tok_n_tok"]))
+        fg12 = float(int(r["g_n_tok_n_uniq"]))
+        fg22 = float(int(r["g_n_uniq_n_uniq"]))
+        fb1 = float(int(r["g_n_tok_n_chars"]))
+        fb2 = float(int(r["g_n_uniq_n_chars"]))
+        yty = float(int(r["g_n_chars_n_chars"]))
+        sse = (
+            yty
+            - 2 * (w1 * fb1 + w2 * fb2 + w0 * fsy)
+            + (
+                w1 * (w1 * fg11 + w2 * fg12 + w0 * fs1)
+                + w2 * (w1 * fg12 + w2 * fg22 + w0 * fs2)
+                + w0 * (w1 * fs1 + w2 * fs2 + w0 * fn)
+            )
+        )
+        n_test = int(r["n_rows"])
+        rmse = round(math.sqrt(max(sse, 0.0) / float(n_test)), 6)
+        rmses.append(rmse)
+        out.append((int(r["_fold"]), n, n_test, rmse))
+    out.append(
+        (
+            -1,
+            sum(o[1] for o in out) // 4,
+            0,
+            round(
+                (rmses[0] + rmses[1] + rmses[2] + rmses[3] + rmses[4]) / 5,
+                6,
+            ),
+        )
+    )
     return spark.createDataFrame(
-        rows, "fold int, n_train long, n_test long, rmse double"
+        out, "fold int, n_train long, n_test long, rmse double"
     )
 
 
