@@ -998,3 +998,45 @@ def test_two_stage_rerank_recall_floors(spark):
             got.setdefault(r["query_id"], set()).add(r["vec_id"])
         recall = sum(len(brute[q] & got[q]) / 10 for q in brute) / len(brute)
         assert recall >= floor, (budget, recall)
+
+
+def test_audio_fingerprint_planted_recall_and_gain_invariance(spark):
+    """Every planted re-mastered pair (2k, 2k+1) — 2x upsample, 2x
+    gain, +1 DC — must be recovered at Hamming <= 7 with recall 1.0,
+    and pure gain (no DC shift) must fingerprint IDENTICALLY (the
+    energy-contour hash compares frame-energy order, which uniform
+    amplification preserves exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from trendengine_spark.operators.codecs import wav_encode
+    from trendengine_spark.operators.multimodal import audio_fingerprint
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["dedup_audio_fingerprint"].fn(spark, sf).collect()
+    pairs = {(r["index_id"], r["new_id"]) for r in rows}
+    docs = {
+        r[0]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {(d, d + 1) for d in docs if d % 2 == 0 and d + 1 in docs}
+    assert planted <= pairs, f"missed {sorted(planted - pairs)[:5]}"
+    assert all(r["hamming"] <= 7 for r in rows)
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-300, 300, size=2080).astype(np.int16)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "media": [
+                wav_encode(8000, base),
+                wav_encode(8000, (base.astype(np.int64) * 3).astype(np.int16)),
+            ],
+        }
+    )
+    out = audio_fingerprint(spark.createDataFrame(pdf)).collect()
+    h = {r["doc_id"]: r["afp"] for r in out}
+    assert h[0] == h[1]

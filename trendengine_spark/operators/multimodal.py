@@ -1087,3 +1087,102 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)
+
+
+def attach_textured_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio column with PLANTED near-duplicates for acoustic-
+    fingerprint dedup (r9 — the audio twin of
+    :func:`attach_textured_png`): even ids get a 2,080-sample int16
+    PCM waveform ``s(t) = ((t+1)·k + t² mod 509 + id) mod 401 − 200``
+    with ``k = id % 89 + 2`` (the quadratic term decorrelates frame
+    energies across documents); each odd id is the REALISTIC
+    near-duplicate of ``id − 1``: the same waveform 2× UPSAMPLED
+    (sample-and-hold), amplitude-DOUBLED and +1 DC-shifted — a
+    re-encoded / resampled / re-mastered copy. Upsampling and pure
+    gain preserve every frame-energy comparison exactly; the DC
+    shift flips a few (measured planted Hamming ≤ 2 at 500 docs,
+    unrelated minimum 10). All sample math is integer, so a DuckDB
+    oracle reproduces the decoded PCM exactly."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_encode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    n, base, scale, off = 2080, i, 1, 0
+                else:
+                    n, base, scale, off = 4160, i - 1, 2, 1
+                t = np.arange(n, dtype=np.int64)
+                bt = t if i % 2 == 0 else t // 2
+                s = ((bt + 1) * (base % 89 + 2) + (bt * bt) % 509 + base) % 401 - 200
+                payloads.append(
+                    wav_encode(8000, (scale * s + off).astype(np.int16))
+                )
+            yield pd.DataFrame({id_col: ids, "media": payloads})
+
+    return fan_out(df.select(id_col), cpu_dense=True).mapInPandas(gen, out_schema)
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit energy-contour acoustic fingerprint over REAL decoded
+    PCM — the audio analog of :func:`image_dhash` (same family as
+    the spectral-peak hashing of production audio fingerprinting,
+    reduced to its integer-verifiable core): split the signal into
+    65 equal frames, compute each frame's int64 energy Σs², and set
+    bit f iff frame f+1 is louder than frame f. Gain- and
+    upsample-invariant by construction (only the ORDER of frame
+    energies matters — pure amplification scales every energy by the
+    same factor; sample-and-hold upsampling scales by the repeat
+    count). Bit 63 packs as the sign bit. Frames are ``n // 65``
+    samples (tail truncated), energies exact int64, so the hash is
+    engine-reproducible. Partition-local mapInPandas; one int64 per
+    clip."""
+    import numpy as np
+
+    from trendengine_spark.operators.codecs import wav_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, ns = [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["media"]):
+                _, samples = wav_decode(bytes(b))
+                s = samples[:, 0].astype(np.int64)
+                n = len(s)
+                frame = n // 65
+                e = (s[: frame * 65] ** 2).reshape(65, frame).sum(axis=1)
+                v = 0
+                for f in range(64):
+                    if int(e[f + 1]) > int(e[f]):
+                        v += (1 << f) if f < 63 else -(1 << 63)
+                ids.append(int(i))
+                fps.append(v)
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return fan_out(df.select(id_col, "media"), cpu_dense=True).mapInPandas(gen, out_schema)

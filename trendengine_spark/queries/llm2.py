@@ -1644,3 +1644,102 @@ def sim_two_stage_rerank(spark, sf_dir):
     return two_stage_rerank(
         t(spark, sf_dir, "embeddings"), k=10, budget=50
     )
+
+
+@query(
+    "dedup_audio_fingerprint",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 2080 ELSE 4160 END AS n,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id - 1 END AS base,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS sc,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS off,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS hold
+      FROM documents
+    ), px AS (
+      SELECT doc_id, CAST(t * 65 // n AS INT) AS f,
+             sc * (((t // hold + 1) * (base % 89 + 2)
+                    + (t // hold * (t // hold)) % 509 + base) % 401 - 200)
+               + off AS s
+      FROM d, unnest(generate_series(0, n - 1)) AS gt(t)
+    ), frames AS (
+      SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+      FROM px GROUP BY doc_id, f
+    ), bits AS (
+      SELECT a.doc_id, a.f AS j
+      FROM frames a JOIN frames b
+        ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      WHERE a.f < 64 AND b.e > a.e
+    ), hashes AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(sum(CASE WHEN j < 63 THEN (1::BIGINT << j)
+                                    ELSE -9223372036854775808 END), 0)
+                  AS BIGINT) AS afp
+      FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ), blocks AS (
+      SELECT doc_id, afp, k,
+             CAST((CAST(afp AS HUGEINT)
+                   + CASE WHEN afp < 0
+                          THEN CAST('18446744073709551616' AS HUGEINT)
+                          ELSE 0 END)
+                  // (CASE k WHEN 0 THEN 1 WHEN 1 THEN 256
+                             WHEN 2 THEN 65536 WHEN 3 THEN 16777216
+                             WHEN 4 THEN 4294967296
+                             WHEN 5 THEN 1099511627776
+                             WHEN 6 THEN 281474976710656
+                             ELSE 72057594037927936 END) % 256 AS INT) AS bv
+      FROM hashes, unnest(generate_series(0, 7)) AS kk(k)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id,
+                      a.afp AS ha, b.afp AS hb
+      FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )
+    SELECT index_id, new_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+    """,
+)
+def dedup_audio_fingerprint(spark, sf_dir):
+    """Audio near-duplicate detection by acoustic fingerprint — the
+    audio twin of dedup_image_phash, closing the dedup × multimodal
+    matrix on the WAV side: REAL PCM encode → REAL decode → 64-bit
+    energy-contour fingerprint (65 equal frames, bit f = frame f+1
+    louder than frame f — gain- and upsample-invariant by
+    construction, operators/multimodal.py:audio_fingerprint) →
+    8-block Hamming bucket join → exact bit_count verify at ≤ 7
+    (pigeonhole-complete). Even doc_ids are originals; each odd id
+    is a planted re-mastered copy of id−1 (2× sample-and-hold
+    upsample, 2× gain, +1 DC shift — attach_textured_wav): planted
+    Hamming ≤ 2 at 500 docs, unrelated minimum 10, so recall is 1.0
+    with zero margin ambiguity. ORACLE-BACKED end-to-end: samples,
+    frame energies, packed hashes and Hamming distances are all
+    exact integers DuckDB recomputes — a wrong decode, frame split,
+    or energy sum breaks the hash."""
+    from trendengine_spark.operators.multimodal import (
+        attach_textured_wav,
+        audio_fingerprint,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    fps = audio_fingerprint(attach_textured_wav(docs))
+    fps.createOrReplaceTempView("_te_audio_fp")
+    return spark.sql(
+        """
+        WITH blocks AS (
+          SELECT doc_id, afp, k,
+                 CAST(shiftrightunsigned(afp, 8 * k) & 255 AS INT) AS bv
+          FROM _te_audio_fp
+          LATERAL VIEW explode(sequence(0, 7)) ks AS k
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id,
+                          a.afp AS ha, b.afp AS hb
+          FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        )
+        SELECT index_id, new_id,
+               CAST(bit_count(ha ^ hb) AS INT) AS hamming
+        FROM cand WHERE bit_count(ha ^ hb) <= 7
+        """
+    )
