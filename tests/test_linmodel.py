@@ -398,3 +398,42 @@ def test_cv_query_matches_cv_linear_production_path(spark):
         assert q["rmse"] == pytest.approx(f["rmse"], abs=1e-6)
     mean = sum(f["rmse"] for f in cv["folds"]) / len(cv["folds"])
     assert rows[-1]["rmse"] == pytest.approx(mean, abs=1e-5)
+
+
+def test_pava_blocks_textbook_cases():
+    """Hand-checked PAVA: violators pool, pooled mean is the weighted
+    mean, already-monotone input is untouched."""
+    from trendengine_spark.operators.isotonic import pava_blocks
+
+    # y means: 1, 3, 2 with equal weights -> last two pool to 2.5
+    assert pava_blocks([(1, 1), (1, 3), (1, 2)]) == [1.0, 2.5, 2.5]
+    # strictly increasing stays put
+    assert pava_blocks([(2, 2), (2, 4), (2, 8)]) == [1.0, 2.0, 4.0]
+    # global violator pools everything: means 5, 1 (weights 1, 3)
+    assert pava_blocks([(1, 5), (3, 3)]) == [2.0, 2.0]
+    # weighted pooling: (n=1,y=4),(n=3,mean=2) -> (4+6)/4=2.5
+    assert pava_blocks([(1, 4), (3, 6)]) == [2.5, 2.5]
+
+
+def test_isotonic_query_monotone_and_mean_preserving(spark):
+    """Per-language fitted values must be non-decreasing in n_tok and
+    preserve the weighted mean (PAVA is a projection: sum of n*fitted
+    equals sum of y exactly, up to the one division per block)."""
+    from trendengine_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["quality_isotonic_calibration"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) == 5
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["n_tok"])
+        fits = [r["fitted"] for r in rs]
+        assert all(a <= b for a, b in zip(fits, fits[1:])), lang
+        total_fit = sum(r["n"] * r["fitted"] for r in rs)
+        total_y = sum(r["sum_y"] for r in rs)
+        assert total_fit == pytest.approx(total_y, rel=1e-9)

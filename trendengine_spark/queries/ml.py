@@ -788,3 +788,71 @@ def flagship_model_curation(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "quality_isotonic_calibration",
+    sql=rf"""
+    WITH f AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), b AS (
+      SELECT lang, n_tok,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_y
+      FROM f GROUP BY lang, n_tok
+    ), p AS (
+      SELECT lang, n_tok, n, sum_y,
+             sum(n) OVER w AS cn, sum(sum_y) OVER w AS csy,
+             row_number() OVER w AS r
+      FROM b
+      WINDOW w AS (PARTITION BY lang ORDER BY n_tok
+                   ROWS UNBOUNDED PRECEDING)
+    ), pairs AS (
+      SELECT i.lang, i.r AS ri, j.r AS rj,
+             CAST(j.csy - i.csy + i.sum_y AS DOUBLE)
+               / CAST(j.cn - i.cn + i.n AS DOUBLE) AS m
+      FROM p i JOIN p j ON j.lang = i.lang AND j.r >= i.r
+    ), inner_min AS (
+      SELECT k.lang, k.r AS rk, pr.ri, min(pr.m) AS mn
+      FROM p k JOIN pairs pr
+        ON pr.lang = k.lang AND pr.ri <= k.r AND pr.rj >= k.r
+      GROUP BY k.lang, k.r, pr.ri
+    ), fit AS (
+      SELECT lang, rk, max(mn) AS fitted
+      FROM inner_min GROUP BY lang, rk
+    )
+    SELECT p.lang, p.n_tok, p.n, p.sum_y, round(fit.fitted, 6) AS fitted
+    FROM p JOIN fit ON fit.lang = p.lang AND fit.rk = p.r
+    """,
+)
+def quality_isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) calibration of document
+    length against token count per language — the no-functional-form
+    calibration step a curation pipeline runs before a learned score
+    gates documents (the linear/Huber models in this family assume a
+    form; isotonic assumes only monotonicity). One bucket aggregate
+    (the only row-scaled stage) + per-language PAVA executor-side
+    (operators/isotonic.py). Output: (lang, n_tok, n, sum_y, fitted).
+
+    ORACLE-BACKED cross-PARADIGM check, the strongest twin shape in
+    the registry: Spark runs the REAL sequential O(B) pool-adjacent-
+    violators pass; DuckDB evaluates the textbook O(B²) minimax
+    identity fit(k) = max_{{i<=k}} min_{{j>=k}} mean(y[i..j]) over
+    prefix sums. The two agree bit-for-bit because PAVA keeps
+    integer block state (cross-multiplied violator comparisons) and
+    its final block mean is exactly the minimax segment's one
+    integer division — same rational, same double, on both engines
+    before the 6-dp round. Monotonicity of the output is property-
+    tested; a PAVA pooling bug, a wrong violator comparison, or any
+    float in the block state breaks the hash."""
+    from trendengine_spark.operators.isotonic import fit_isotonic
+
+    feats = _doc_features(spark, sf_dir)
+    out = fit_isotonic(feats, "n_tok", "n_chars", ["lang"])
+    return out.select(
+        "lang", "n_tok", "n", "sum_y",
+        F.round("fitted", 6).alias("fitted"),
+    )
