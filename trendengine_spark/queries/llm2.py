@@ -1743,3 +1743,141 @@ def dedup_audio_fingerprint(spark, sf_dir):
         FROM cand WHERE bit_count(ha ^ hb) <= 7
         """
     )
+
+
+@query(
+    "sim_rrf_fusion",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), cos_r AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS r
+      FROM (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(qe, e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(qe, qe)) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))) AS c
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+      ) s
+    ), codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0
+                              WHEN i = 63 THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << i) END))
+                  AS BIGINT) AS code
+      FROM embeddings
+    ), ham_r AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS r
+      FROM (
+        SELECT qq.vec_id AS query_id, c.vec_id,
+               bit_count(xor(qq.code, c.code)) AS hamming
+        FROM (SELECT vec_id, code FROM codes WHERE vec_id < 10) qq
+        JOIN codes c ON c.vec_id != qq.vec_id
+      ) s
+    ), fused AS (
+      SELECT cos_r.query_id, cos_r.vec_id,
+             CAST(cos_r.r AS INT) AS cos_rank,
+             CAST(ham_r.r AS INT) AS ham_rank,
+             1.0 / (60 + cos_r.r) + 1.0 / (60 + ham_r.r) AS rrf
+      FROM cos_r JOIN ham_r
+        ON ham_r.query_id = cos_r.query_id
+       AND ham_r.vec_id = cos_r.vec_id
+      WHERE cos_r.r <= 100 AND ham_r.r <= 100
+    )
+    SELECT query_id, vec_id, cos_rank, ham_rank,
+           round(rrf, 6) AS rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, vec_id) AS INT) AS rn
+    FROM fused
+    QUALIFY rn <= 10
+    """,
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    families — the standard way production search combines rankers
+    with incomparable scores: each retriever contributes
+    1/(60 + rank), summed; candidates must appear in BOTH top-100
+    lists (the intersection convention keeps the join bounded).
+    Fuses the exact-cosine ranking with the 1-bit Hamming ranking —
+    the two ANN families the registry already pins individually —
+    and returns the fused top-10 per query.
+
+    ORACLE-BACKED: ranks are exact integers (both underlying
+    orderings carry deterministic id tie-breaks), and the RRF score
+    is a two-term sum of unit fractions evaluated in the same order
+    on both engines — identical doubles, no tolerance. Scale: each
+    ranker's top-100 is a bounded per-query list (k·Q rows), the
+    fusion join is on (query_id, vec_id) over those bounded lists,
+    so fusion cost is independent of corpus size — the rankers
+    themselves carry the scan."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    from trendengine_spark.operators.similarity import cosine_arrow
+
+    cos_scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_arrow(F.col("embedding"), F.col("_qv")).alias("c"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+    cos_r = (
+        cos_scored.withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= 100)
+        .select("query_id", "vec_id", F.col("r").alias("cos_rank"))
+    )
+
+    pack = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN "
+        "embedding[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    codes = emb.select("vec_id", pack.alias("code"))
+    qc = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    ham_scored = codes.join(
+        F.broadcast(qc), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.bit_count(F.col("qc").bitwiseXOR(F.col("code"))).alias("hamming"),
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    ham_r = (
+        ham_scored.withColumn("r", F.row_number().over(w_ham))
+        .filter(F.col("r") <= 100)
+        .select("query_id", "vec_id", F.col("r").alias("ham_rank"))
+    )
+
+    fused = cos_r.join(ham_r, ["query_id", "vec_id"]).select(
+        "query_id",
+        "vec_id",
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+        F.col("ham_rank").cast("int").alias("ham_rank"),
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("cos_rank"))
+            + F.lit(1.0) / (F.lit(60) + F.col("ham_rank"))
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "vec_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id", "vec_id", "cos_rank", "ham_rank",
+            F.round("rrf", 6).alias("rrf"), "rn",
+        )
+    )
