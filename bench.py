@@ -228,6 +228,17 @@ def main() -> None:
         "flagship_model_curation",
         "pipeline_semantic_decontaminate",
         "window_time_weighted_avg",
+        # r9 additions: image pHash + audio fingerprint near-dup over
+        # the real codec paths, two-stage Hamming→cosine rerank, RRF
+        # fusion, distributed-PAVA isotonic calibration, md5-family
+        # incremental index probe, iterative LPA communities
+        "dedup_image_phash",
+        "dedup_audio_fingerprint",
+        "sim_two_stage_rerank",
+        "sim_rrf_fusion",
+        "quality_isotonic_calibration",
+        "dedup_incremental_batch",
+        "graph_communities_lpa",
     ):
         fn = qs[name]
         try:

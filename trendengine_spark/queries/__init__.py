@@ -53,23 +53,65 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: budget still holds. The r5-green LLM/join/window/set/grouped
 #: families rotate below the line; their fresh green history stands.
 _SPINE_FIRST = [
-    # Round-8 rotation (VERDICT r7 task 1): the driver's ~50-row
-    # budget goes to the 32 registry rows that have NEVER received a
-    # driver verdict in any round (union of CORRECTNESS_r01..r07 vs
-    # queries() — mostly the r6-batch-2 and r7 additions), plus the
-    # queries NEW or re-planned in r8. Everything below the line has
-    # fresh r6/r7 driver green (48 rows in CORRECTNESS_r07 alone);
-    # that history stands. Target: cumulative driver coverage
-    # >= 194/198.
+    # Round-9 rotation (VERDICT r8 task 1): the driver's ~50-row
+    # budget goes to (a) the 17 rows with NO driver verdict in any
+    # round (union of CORRECTNESS_r01..r08 vs queries()) — led by
+    # window_time_weighted_avg, the one oracle-backed row still
+    # missing a hash verdict, the four r9 twin CONVERSIONS
+    # (LPA/residual-topk/incremental-dedup/CV — rows-only until this
+    # round, now full SQL oracles), and the five r9 ADDITIONS (image
+    # pHash, audio fingerprint, two-stage rerank, RRF fusion,
+    # isotonic calibration — all oracle-backed at birth); (b) the
+    # UDTF row whose eval was rewritten this round (dispatch fix —
+    # re-verify under the driver harness); (c) the STALEST green
+    # history (r4-era set ops / window / scalar / stream rows, last
+    # sampled 5 rounds ago); (d) family controls with fresh r8
+    # green. Cumulative coverage target: every oracle-backed row has
+    # a hash verdict by end of r9.
     #
-    # Never-driver-sampled (r7 additions, judge-verified green in r7)
+    # (a) never-driver-sampled — oracle-backed first
+    "window_time_weighted_avg",
+    "graph_communities_lpa", "quality_linear_residual_topk",
+    "dedup_incremental_batch", "quality_linear_cv",
+    "dedup_image_phash", "dedup_audio_fingerprint",
+    "sim_two_stage_rerank", "sim_rrf_fusion",
+    "quality_isotonic_calibration",
+    # (a) never-driver-sampled — rows-only by design (planted-shift /
+    # parity / recall goldens pin the math; driver records rows-only)
+    "u7_bfast_monitor_events", "flagship_model_curation",
+    "text_bpe_encode_corpus", "dedup_semantic_survivors",
+    "pipeline_semantic_decontaminate", "sim_pca_explained_variance",
+    "forecast_holt_winters_mae",
+    # (b) changed in r9: generator-free/positional/pickle UDTF eval
+    "udtf_run_length_segments",
+    # (c) stalest green history (r4 verdicts, 5 rounds old)
+    "a2b_fill_missing_months", "a2c_interpolate_gaps",
+    "union_all_counts", "intersect_all_keys", "having_groups",
+    "regexp_extract_keys", "string_agg_sorted", "median_exact",
+    "min_by_max_by", "window_range_frame", "window_percent_rank",
+    "scalar_lambda_fns", "sql_api_shared_dialect",
+    "stream_sliding_window", "stream_late_data_policy",
+    "stats_aggregates", "u1_polytrend_events", "u2_dbest_events",
+    # (c) r5-era dedup/text spine refresh
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "text_quality_profile", "text_language_id",
+    # (d) family controls, fresh r8 green — a harness regression
+    # shows against fresh history
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "a1_annual_composite", "stream_session_window",
+    "dedup_paragraph_global", "sim_cosine_topk",
+    "multimodal_image_tiles", "quality_gram_matrix",
+    "trend_polyfit_coeffs",
+    # ---- ~50-row budget line falls around here (17 never-sampled +
+    # 1 changed + 23 stale + 9 controls = 50; rows below keep their
+    # r6-r8 green history and the judge harness covers everything
+    # regardless) ----
     "trend_mann_kendall_stats", "u6_mann_kendall_events",
     "trend_seasonal_mann_kendall",
     "agg_trimmed_mean_pandas", "sim_ivfpq_topk",
     "window_conditional_running",
     "pipeline_bernoulli_sample",
     "hier_share_of_parent", "rollup_grouping_id",
-    # Never-driver-sampled (r6-batch-2 additions)
     "flagship_curation_pipeline", "retention_cohorts",
     "window_locf_fill", "dedup_ngram_containment",
     "text_shingle_novelty", "daily_value_percentiles",
@@ -78,80 +120,24 @@ _SPINE_FIRST = [
     "stream_interval_left_join", "scalar_bitwise_aggs",
     "scalar_array_setops", "temporal_scd2_lookup",
     "profile_user_zscore_outliers", "events_dow_hour_heatmap",
-    "multimodal_image_tiles", "text_zipf_head",
+    "text_zipf_head",
     "scalar_try_fns", "unpivot_user_stats", "variant_json_shred",
-    # NEW in r8: U1/U5 relational-oracle twins (VERDICT r7 task 2) —
-    # exact-integer normal equations / x7-scaled classical
-    # decomposition, no rounding anywhere
-    "trend_polyfit_coeffs", "u5_decomposition_relational",
-    # NEW in r8: binary-quantized Hamming ANN (hash-exact oracle) and
-    # distributed BPE tokenizer training (pair-count step oracle'd,
-    # greedy loop golden-tested)
+    "u5_decomposition_relational",
     "sim_hamming_topk", "text_bpe_pair_counts", "text_bpe_train_micro",
-    # NEW in r8: rolling 14-day OLS slope (exact integer window
-    # moments, no rounding — the per-row twin of trend_polyfit_coeffs)
-    # and Spearman rank correlation (doubled-rank exactness trick)
     "window_rolling_slope", "stats_spearman_pairs",
-    # NEW in r8: HLL sketch-algebra audience overlap (rows-only)
-    # and exact per-node triangle counts (oriented wedge closure)
     "approx_user_overlap_pairs", "graph_triangle_counts",
-    # NEW in r8: A-ES weighted sampling (hash-uniform, oracle-backed)
-    # and general polygon AOI (codegen ray-casting parity)
     "pipeline_weighted_sample", "f2b_polygon_filter",
-    # NEW in r8: temperature-scaled mixture quotas (count^0.5 recipe)
     "pipeline_temperature_mixture",
-    # NEW in r8: PII scrubbing (codegen regex chain) and bounded-state
-    # Misra-Gries heavy hitters with exact verification
     "text_pii_redact", "profile_heavy_hitters",
-    # NEW in r8: persisted IVFPQ index (build-once/probe-forever,
-    # partition-pruned probe)
     "sim_ivfpq_persisted",
-    # Re-planned in r8: iterative-operator routing (VERDICT task 4)
     "recursive_cte_reachability",
-    # NEW in r8 session 3, ORACLE-BACKED first (a driver hash verdict
-    # is strongest where there is SQL to compare): exact-Gram quality
-    # model, one-pass PCA covariance, exact-integer correlations
-    "quality_gram_matrix",
     "sim_embedding_covariance",
     "profile_numeric_correlations",
     "profile_higher_moments",
-    # ---- ~50-row budget line falls around here (30 never-sampled +
-    # recursive + 15 earlier-r8 + the 4 oracle-backed session-3 rows
-    # = 50; the rows below lose least if the budget cuts them — the
-    # TWAP row is oracle-backed and first in line if it stretches,
-    # and the judge harness covers everything regardless) ----
-    "window_time_weighted_avg",
-    # (u7_bfast + incremental-dedup demoted from the never-sampled
-    # block to make room for the oracle-backed session-3 rows: both
-    # rows-only with planted-shift / planted-dup goldens pinning them)
-    "u7_bfast_monitor_events", "dedup_incremental_batch",
-    "quality_linear_residual_topk", "quality_linear_cv",
-    "flagship_model_curation",
-    # NEW in r8: BPE inference over the corpus (encode = once per
-    # distinct word + broadcast join back)
-    "text_bpe_encode_corpus",
-    # NEW in r8: SemDeDup-style semantic dedup (cluster-then-pairwise)
-    "dedup_semantic_survivors",
-    # NEW in r8: embedding-level decontamination (LSH cross-corpus)
-    "pipeline_semantic_decontaminate",
-    # NEW in r8: label-propagation communities (majority vote, not CC)
-    "graph_communities_lpa",
-    # NEW in r8: PCA spectrum (covariance above carries the oracle)
-    "sim_pca_explained_variance",
-    # NEW in r8: Holt-Winters backtest (rows-only; naive twin above
-    # carries the oracle shape)
-    "forecast_holt_winters_mae",
-    # r8 cap fix (VERDICT task 5): containment dedup max_df
-    # Known-green controls: one row per major family so a harness
-    # regression shows up against fresh history
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "a1_annual_composite", "f1_temporal_filter",
-    "d1_period_pairing", "stream_session_window",
-    "dedup_paragraph_global", "pipeline_epoch_shuffle",
+    "f1_temporal_filter",
+    "d1_period_pairing", "pipeline_epoch_shuffle",
     "sim_range_search", "text_rarity_profile",
     "multimodal_gif_animation", "join_time_window_counts",
-    # (controls above + everything below: r5-r7 driver green or
-    # golden/property coverage)
     "forecast_seasonal_naive_mae", "graph_pagerank_micro",
     "stream_user_running_stats",
     "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
