@@ -71,6 +71,11 @@ def test_no_cartesian_products_anywhere(spark):
         # r8: 1-row exact-total broadcast into the verify filter of
         # the Misra-Gries heavy-hitter pass
         "profile_heavy_hitters",
+        # r9: the same 10-query-code/vector broadcast theta probe as
+        # sim_hamming_topk / sim_cosine_topk, composed (stage 1 of
+        # the rerank; both rankers of the fusion)
+        "sim_two_stage_rerank",
+        "sim_rrf_fusion",
     }
     offenders = []
     for name in sorted(REGISTRY):

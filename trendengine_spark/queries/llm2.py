@@ -797,14 +797,19 @@ def sim_ivfpq_topk(spark, sf_dir):
       FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
       WHERE len(ts) >= 3
     ),
+    hb AS (
+      SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+      FROM sh
+    ),
     sig AS (
-      SELECT id, p, min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, unnest(generate_series(0, 63)) AS pp(p)
+      SELECT id, p, min((h * (2 * p + 3) + p) % 2147483647) AS mh
+      FROM hb, unnest(generate_series(0, 63)) AS pp(p)
       GROUP BY id, p
     ),
     band AS (
       SELECT id, CAST(p // 4 AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY p)) AS bucket
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
       FROM sig GROUP BY id, p // 4
     ),
     cand AS (
@@ -835,10 +840,11 @@ def dedup_incremental_batch(spark, sf_dir):
     at probe time.
 
     ORACLE-BACKED since r9 (was rows-only): the index is built with
-    the engine-portable md5 permutation family (permutation i =
-    lexicographic min of md5('<i>:' || shingle); band bucket =
-    md5 of the band's 4 signature strings — operators/dedup.py
-    ``family='md5'``), so DuckDB recomputes the IDENTICAL signatures,
+    the engine-portable md5 permutation family (ONE md5 anchors a
+    60-bit integer per shingle; permutation i is the affine
+    universal map (h·(2i+3)+i) mod 2³¹−1; band bucket = md5 of the
+    band's 4 signature ints — operators/dedup.py ``family='md5'``),
+    so DuckDB recomputes the IDENTICAL signatures,
     buckets, candidates and est_jaccard relationally in one query
     while Spark exercises the REAL persisted-index path
     (write_minhash_index → parquet manifest → incremental probe).
