@@ -76,6 +76,7 @@ _SPINE_FIRST = [
     "dedup_image_phash", "dedup_audio_fingerprint",
     "sim_two_stage_rerank", "sim_rrf_fusion",
     "quality_isotonic_calibration",
+    "approx_distinct_kmv", "approx_user_overlap_kmv",
     # (a) never-driver-sampled — rows-only by design (planted-shift /
     # parity / recall goldens pin the math; driver records rows-only)
     "u7_bfast_monitor_events", "flagship_model_curation",

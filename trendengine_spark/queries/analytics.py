@@ -1710,3 +1710,186 @@ def graph_communities_lpa(spark, sf_dir):
         .limit(20)
         .withColumn("modularity", F.lit(float(q)))
     )
+
+
+#: shared KMV-sketch constants (r9): k smallest md5-derived 60-bit
+#: hashes per set. 63·2⁶⁰ is exactly representable in double, so the
+#: estimator (k−1)·M/h₍ₖ₎ is one identical float expression on both
+#: engines. k = 64 exercises the |D| ≤ k exact branch at sf0.001 and
+#: the sketch branch at sf0.01+.
+_KMV_K = 64
+_KMV_SCALE = "63.0 * CAST(1152921504606846976 AS DOUBLE)"
+
+
+@query(
+    "approx_distinct_kmv",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h
+    )
+    SELECT event_type,
+           CAST(max(n_exact) AS BIGINT) AS n_exact,
+           CASE WHEN max(n_exact) <= {_KMV_K} THEN 'exact' ELSE 'kmv' END
+             AS mode,
+           CASE WHEN max(n_exact) <= {_KMV_K}
+                THEN CAST(max(n_exact) AS DOUBLE)
+                ELSE round({_KMV_SCALE}
+                     / CAST(max(CASE WHEN rn = {_KMV_K} THEN h END)
+                            AS DOUBLE), 3) END AS est_distinct
+    FROM r GROUP BY event_type
+    """,
+)
+def approx_distinct_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef 2002 —
+    public method, own implementation): hash every key to a uniform
+    60-bit integer, keep the k smallest per group; the estimator
+    (k−1)·2⁶⁰/h₍ₖ₎ inverts the expected spacing of uniform order
+    statistics. The sketch is MERGEABLE (union = k smallest of the
+    concatenation — `approx_user_overlap_kmv` exploits this for set
+    algebra) and, unlike engine-native HLL
+    (`approx_vs_exact_distinct`), ENGINE-PORTABLE: the md5 hash
+    family makes the estimate a deterministic function of the data,
+    so this approximate sketch is fully ORACLE-BACKED — DuckDB
+    computes the identical kth hash and the identical estimate,
+    including the |D| ≤ k degenerate branch where the sketch holds
+    the whole set and the estimate is exact (exercised at sf0.001).
+    Scale: the shuffle carries distinct (group, hash) pairs and the
+    window keeps k rows per group; at production cardinalities the
+    per-partition top-k partial (sort-limit pushdown) bounds map
+    output at k rows per partition."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),
+                           16, 10) AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n_exact
+          FROM h
+        )
+        SELECT event_type,
+               CAST(max(n_exact) AS BIGINT) AS n_exact,
+               CASE WHEN max(n_exact) <= {_KMV_K} THEN 'exact'
+                    ELSE 'kmv' END AS mode,
+               CASE WHEN max(n_exact) <= {_KMV_K}
+                    THEN CAST(max(n_exact) AS DOUBLE)
+                    ELSE round({_KMV_SCALE}
+                         / CAST(max(CASE WHEN rn = {_KMV_K} THEN h END)
+                                AS DOUBLE), 3) END AS est_distinct
+        FROM r GROUP BY event_type
+        """,
+        ("events",),
+    )
+
+
+@query(
+    "approx_user_overlap_kmv",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), types AS (SELECT DISTINCT event_type FROM h),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), u AS (
+      SELECT p.ta, p.tb, h.h,
+             max(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN h ON h.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, h.h
+    ), r AS (
+      SELECT ta, tb, h, in_a, in_b,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY ta, tb) AS union_exact,
+             sum(in_a * in_b) OVER (PARTITION BY ta, tb) AS inter_exact
+      FROM u
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(max(union_exact) AS BIGINT) AS union_exact,
+           CAST(max(inter_exact) AS BIGINT) AS inter_exact,
+           CASE WHEN max(union_exact) <= {_KMV_K}
+                THEN CAST(max(inter_exact) AS DOUBLE)
+                       / CAST(max(union_exact) AS DOUBLE)
+                ELSE CAST(sum(CASE WHEN rn <= {_KMV_K}
+                                   THEN in_a * in_b ELSE 0 END) AS DOUBLE)
+                       / {_KMV_K}.0 END AS jaccard_kmv,
+           round(CAST(max(inter_exact) AS DOUBLE)
+                 / CAST(max(union_exact) AS DOUBLE), 6) AS jaccard_exact
+    FROM r GROUP BY ta, tb
+    """,
+)
+def approx_user_overlap_kmv(spark, sf_dir):
+    """Audience overlap by KMV sketch ALGEBRA — the oracle-backed
+    twin of the HLL inclusion–exclusion query
+    (`approx_user_overlap_pairs`, rows-only because HLL blobs are
+    engine-specific): the union sketch of two sets is the k smallest
+    of their combined hashes, and the fraction of that sketch
+    present in BOTH sets estimates Jaccard directly (m/k with k a
+    power of two — exactly representable, no float tolerance).
+    Exact union/intersection ride along so the estimate's accuracy
+    is visible in the output itself. |union| ≤ k degenerates to
+    exact (sf0.001 exercises it). The pair join touches distinct
+    (type, hash) rows only — sketch-algebra cost is independent of
+    the fact-table row count."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),
+                           16, 10) AS BIGINT) AS h
+          FROM events
+        ), types AS (SELECT DISTINCT event_type FROM h),
+        pairs AS (
+          SELECT a.event_type AS ta, b.event_type AS tb
+          FROM types a JOIN types b ON a.event_type < b.event_type
+        ), u AS (
+          SELECT p.ta, p.tb, h.h,
+                 max(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END)
+                   AS in_a,
+                 max(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END)
+                   AS in_b
+          FROM pairs p JOIN h ON h.event_type IN (p.ta, p.tb)
+          GROUP BY p.ta, p.tb, h.h
+        ), r AS (
+          SELECT ta, tb, h, in_a, in_b,
+                 row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY ta, tb) AS union_exact,
+                 sum(in_a * in_b) OVER (PARTITION BY ta, tb)
+                   AS inter_exact
+          FROM u
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               CAST(max(union_exact) AS BIGINT) AS union_exact,
+               CAST(max(inter_exact) AS BIGINT) AS inter_exact,
+               CASE WHEN max(union_exact) <= {_KMV_K}
+                    THEN CAST(max(inter_exact) AS DOUBLE)
+                           / CAST(max(union_exact) AS DOUBLE)
+                    ELSE CAST(sum(CASE WHEN rn <= {_KMV_K}
+                                       THEN in_a * in_b ELSE 0 END)
+                              AS DOUBLE) / {_KMV_K}.0 END AS jaccard_kmv,
+               round(CAST(max(inter_exact) AS DOUBLE)
+                     / CAST(max(union_exact) AS DOUBLE), 6)
+                 AS jaccard_exact
+        FROM r GROUP BY ta, tb
+        """,
+        ("events",),
+    )
