@@ -910,3 +910,68 @@ def test_streaming_heavy_hitters_superset_and_bounded_state(spark, tmp_path):
         h = hashes[key]
         assert h in summary, key  # superset guarantee
         assert cnt - bound <= summary[h] <= cnt, (key, summary[h])
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """KMV min-union is commutative and idempotent, so the streaming
+    estimate after N microbatches must be BIT-EQUAL to the batch
+    sketch of the union - including across a replayed (duplicated)
+    batch - and state is bounded at k hashes per group."""
+    import hashlib
+
+    from trendengine_spark.streaming.kmv import (
+        kmv_estimate,
+        latest_estimates,
+        streaming_kmv_distinct,
+    )
+
+    src_dir = str(tmp_path / "kmv_src")
+    # group g: 200 distinct users split over batches with overlap;
+    # group s: 10 users (stays in the |D| < k exact branch)
+    b0 = [("g", i) for i in range(120)] + [("s", i) for i in range(10)]
+    b1 = [("g", i) for i in range(80, 200)] + [("s", i) for i in range(10)]
+    spark.createDataFrame(b0, "grp string, u long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    spark.createDataFrame(b1, "grp string, u long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_kmv_distinct(src, key_col="u", group_col="grp", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["group"]: r
+        for r in latest_estimates(spark.sql("SELECT * FROM kmv_test")).collect()
+    }
+
+    import numpy as np
+
+    def batch_sketch(users, k=64):
+        hs = np.array(
+            sorted(
+                int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                for u in set(users)
+            ),
+            dtype="int64",
+        )[:k]
+        return kmv_estimate(hs, k)
+
+    n, kth, est = batch_sketch(range(200))
+    assert got["g"]["n_sketch"] == n == 64
+    assert got["g"]["kth_hash"] == kth
+    assert got["g"]["est_distinct"] == est  # bit-equal, no tolerance
+    n_s, kth_s, est_s = batch_sketch(range(10))
+    assert got["s"]["n_sketch"] == 10 and got["s"]["est_distinct"] == 10.0
+    assert got["s"]["kth_hash"] is None
