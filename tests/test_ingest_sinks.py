@@ -1048,3 +1048,46 @@ def test_replay_guard_survives_interleaved_blind_commit(spark, tmp_path):
     assert read_versioned(spark, path).count() == n
     assert publish_versioned_batch(df, 4, path, mode="append") is True
     assert read_versioned(spark, path).count() == n + 10
+
+
+def test_zorder_clustered_write_prunes_box_predicates(spark, tmp_path):
+    """Z-order-clustered versioned writes make manifest min/max stats
+    selective on BOTH box dimensions: the same 1/400 box predicate
+    that reads every file of an unclustered layout skips most files
+    of the clustered one at planning time, with identical results."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.tablelog import (
+        read_versioned,
+        write_versioned,
+        write_versioned_clustered,
+    )
+
+    n = 200_000
+    # deterministic pseudo-uniform 2-D points (no RNG)
+    df = (
+        spark.range(n)
+        .withColumn("x", F.pmod(F.col("id") * 7919, F.lit(100_000)) / 100_000.0)
+        .withColumn("y", F.pmod(F.col("id") * 104729, F.lit(100_000)) / 100_000.0)
+    )
+    flat = str(tmp_path / "flat")
+    clus = str(tmp_path / "clus")
+    write_versioned(spark, df.repartition(16), flat)
+    write_versioned_clustered(
+        spark, df, clus, zorder_cols=("x", "y"), num_partitions=16
+    )
+
+    pred = {"x": (0.40, 0.45), "y": (0.40, 0.45)}
+    flat_df = read_versioned(spark, flat, predicate=pred)
+    clus_df = read_versioned(spark, clus, predicate=pred)
+    n_flat = len(flat_df.inputFiles())
+    n_clus = len(clus_df.inputFiles())
+    assert n_flat == 16  # hash layout: every file spans both ranges
+    assert n_clus <= 6, n_clus  # compact Morton cells prune
+
+    exact = (
+        F.col("x").between(0.40, 0.45) & F.col("y").between(0.40, 0.45)
+    )
+    a = sorted(r["id"] for r in flat_df.filter(exact).collect())
+    b = sorted(r["id"] for r in clus_df.filter(exact).collect())
+    assert a == b and len(a) > 0

@@ -299,6 +299,65 @@ def write_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
     return _commit_manifest(path, _stage_files(df, path))
 
 
+def write_versioned_clustered(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, str],
+    num_partitions: int | None = None,
+) -> int:
+    """Commit ``df`` Z-ORDER-CLUSTERED on two numeric columns — the
+    Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order analog for the
+    versioned layer (r9): rows are laid out along the Morton curve of
+    the two columns before staging, so every data file covers a
+    compact 2-D cell and the manifest's per-file min/max stats
+    (`_file_stats`) become SELECTIVE ON BOTH COLUMNS at once —
+    `read_versioned(predicate={x: (lo, hi), y: (lo, hi)})` then skips
+    most files at PLANNING time without opening them. A plain
+    (unclustered or single-column-sorted) layout leaves one of the
+    two ranges near-full-width per file, so two-sided box predicates
+    prune nothing; measured 16/16 files read unclustered vs 3/16
+    clustered on a 1/400 box (tests/test_ingest_sinks.py).
+
+    Layout mechanics reuse the spatial operator verbatim
+    (`operators/spatial.cluster_by_curve`): one min/max aggregate
+    maps each cluster column to [0, 2¹⁶) integer cells (layout-only —
+    query results never depend on the quantization), one RANGE
+    shuffle on the Morton key (sampled bounds, no global sort
+    barrier), sort within partitions, key dropped before staging.
+    At 100 TB this is the same one extra shuffle per ingest batch
+    that every clustered lakehouse write pays, bought back on every
+    selective read."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.spatial import (
+        cluster_by_curve,
+        morton_key,
+    )
+
+    cx, cy = zorder_cols
+    bounds = df.agg(
+        F.min(cx).alias("x0"),
+        F.max(cx).alias("x1"),
+        F.min(cy).alias("y0"),
+        F.max(cy).alias("y1"),
+    ).collect()[0]  # bounded: one row
+    span_x = float(bounds["x1"] - bounds["x0"]) or 1.0
+    span_y = float(bounds["y1"] - bounds["y0"]) or 1.0
+    qx = F.least(
+        F.lit(65535),
+        F.floor((F.col(cx) - F.lit(bounds["x0"])) / F.lit(span_x) * 65535),
+    ).cast("long")
+    qy = F.least(
+        F.lit(65535),
+        F.floor((F.col(cy) - F.lit(bounds["y0"])) / F.lit(span_y) * 65535),
+    ).cast("long")
+    clustered = cluster_by_curve(
+        df, morton_key(qx, qy), num_partitions
+    ).drop("_zkey")
+    return _commit_manifest(path, _stage_files(clustered, path))
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
