@@ -76,6 +76,10 @@ def test_no_cartesian_products_anywhere(spark):
         # the rerank; both rankers of the fusion)
         "sim_two_stage_rerank",
         "sim_rrf_fusion",
+        # r9: T(T-1)/2 group-pair rows (T = #event types, bounded by
+        # contract) broadcast against the distinct-hash table — the
+        # KMV sketch-algebra analog of the HLL sketch pair join
+        "approx_user_overlap_kmv",
     }
     offenders = []
     for name in sorted(REGISTRY):
