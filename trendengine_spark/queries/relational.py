@@ -1178,12 +1178,22 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     roll-up happens FIRST (map-side partial sum keyed by l_orderkey),
     so the join probes carry one row per qualifying order — never the
     raw lineitem. Quantities are integral doubles, so the sum is
-    exact in both engines."""
+    exact in both engines.
+
+    BROADCAST(big) pin (r9): without it, the static planner sees the
+    orders/customer FILES under the 64 MB threshold and builds the
+    broadcast hash relations from the FULL FACT TABLES (4.5M rows at
+    sf3), probing from the 68k-row HAVING output — backwards, and
+    exactly the shape that dies at 100 TB (a fact table is never the
+    build side). Pinning the selective aggregate as the build side
+    is 3.56 → 1.17 s at sf3 and is scale-correct: the HAVING output
+    is bounded by the predicate, not by the data volume."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
-        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        SELECT /*+ BROADCAST(big) */ c_custkey, c_name, o_orderkey,
+               o_orderdate,
                round(o_totalprice, 2) AS totalprice,
                CAST(sum_qty AS DOUBLE) AS sum_qty
         FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -1212,13 +1222,23 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     aggregate). The left join keeps zero-order customers; the
     residual predicate rides ON the join (not WHERE — a WHERE would
     turn it inner). First group-by shuffles on c_custkey; the second
-    input is one row per customer, so the histogram shuffle is tiny."""
+    input is one row per customer, so the histogram shuffle is tiny.
+
+    SHUFFLE_MERGE(orders) pin (r9, the q18 disease in left-outer
+    form): the static planner sees the orders FILE under the 64 MB
+    broadcast threshold and builds the broadcast hash relation from
+    the FULL FACT TABLE (4.5M rows at sf3) — measured 1.44 s vs
+    0.59 s for the co-partitioned sort-merge, and a fact-table
+    broadcast is exactly what dies at 100 TB. SHUFFLE_MERGE (not
+    SHUFFLE_HASH) keeps the build spillable — the r6 rule that fact
+    sides never hash-build stays intact."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
         SELECT n_orders, count(1) AS n_customers
-        FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM (SELECT /*+ SHUFFLE_MERGE(orders) */
+                     c_custkey, count(o_orderkey) AS n_orders
               FROM customer LEFT JOIN orders
                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
               GROUP BY c_custkey) per_cust
