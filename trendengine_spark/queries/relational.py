@@ -66,10 +66,15 @@ def join_inner_3way(spark, sf_dir):
     """,
 )
 def join_left_count(spark, sf_dir):
-    """Left outer join — customers with zero orders kept (count 0)."""
+    """Left outer join — customers with zero orders kept (count 0).
+    The orders side carries a shuffle_merge hint (r9 fact-broadcast
+    audit): the planner otherwise broadcasts the raw fact scan when
+    its FILE is under the 64 MB threshold (1.62 → 0.44 s at sf3);
+    the co-partitioned sort-merge is the shape that survives when
+    orders is TB-sized."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
+        c.join(o.hint("shuffle_merge"), c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
@@ -1321,13 +1326,20 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     intra-region cross-nation trade — same plan shape, non-vacuous):
     nation joined TWICE under different aliases (supplier side /
     customer side), dims broadcast, fact-fact sort-merge, yearly
-    revenue roll-up in fixed-point int64."""
+    revenue roll-up in fixed-point int64.
+
+    SHUFFLE_MERGE(orders) added r9 (the fact-broadcast audit): the
+    MERGE(lineitem) pin held the lineitem side, but the planner still
+    BROADCAST the raw 4.5M-row orders scan under it at sf3 (file
+    under the 64 MB threshold) — 3.24 → 1.68 s once the orders⋈
+    lineitem leg is the spillable co-partitioned sort-merge it must
+    be at scale."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
         SELECT /*+ BROADCAST(supplier), BROADCAST(n1), BROADCAST(n2),
-                   MERGE(lineitem) */
+                   MERGE(lineitem), SHUFFLE_MERGE(orders) */
                n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS yr, count(1) AS n_lines,
                CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
