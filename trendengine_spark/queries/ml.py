@@ -369,25 +369,50 @@ def profile_numeric_correlations(spark, sf_dir):
     """Pairwise Pearson correlations of the lineitem measures from
     ONE exact-Gram pass — the profiling cousin of
     `quality_gram_matrix`. The doubles are decimal-origin (2 dp), so
-    scaling by 100 makes every moment an EXACT integer sum
-    (decimal(38,0) on Spark, HUGEINT in the oracle): both engines
-    derive each correlation from bit-identical integers through the
-    same float expression, so the hash matches without tolerance.
-    The only driver-side data is the single moment row; the six corr
-    values are assembled from it (sufficient-statistics pattern —
-    the corpus is touched once, unlike six F.corr aggregates)."""
+    scaling by 100 makes every moment an EXACT integer sum: both
+    engines derive each correlation from bit-identical integers
+    through the same float expression, so the hash matches without
+    tolerance. The only driver-side data is the single moment row;
+    the six corr values are assembled from it (sufficient-statistics
+    pattern — the corpus is touched once, unlike six F.corr
+    aggregates).
+
+    SPLIT-ACCUMULATOR sums (r9): the product moments exceed int64 at
+    scale (p² ≈ 10¹⁴ × 18M rows ≈ 10²¹), and the r8 answer —
+    decimal(38,0) aggregation — ran interpreted Decimal128 adds
+    (2.6 s at sf3 vs DuckDB's native-HUGEINT 0.6-0.8 s). Every
+    per-ROW product fits int64 comfortably, so each moment is now
+    TWO codegen int64 sums — Σ(x div 2³⁰) and Σ(x mod 2³⁰) —
+    reconstructed exactly as hi·2³⁰ + lo in arbitrary-precision
+    Python on the driver: measured 2.6 → 0.85 s at sf3 with
+    bit-identical output, now FASTER than the DuckDB oracle. Bound
+    check: lo ≤ 2³⁰·n, hi ≤ (maxprod/2³⁰)·n — both < 2⁶³ through
+    n ≈ 10¹⁰ rows; beyond that, split at a higher base or add a
+    second level. The oracle keeps its HUGEINT formulation — the
+    cross-engine check is exactly what proves the reconstruction."""
     import math
 
     li = t(spark, sf_dir, "lineitem")
     feats = li.select(
-        F.round(F.col("l_quantity")).cast("decimal(19,0)").alias("q"),
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("decimal(19,0)")
-        .alias("p"),
-        F.round(F.col("l_discount") * 100).cast("decimal(19,0)").alias("d"),
-        F.round(F.col("l_tax") * 100).cast("decimal(19,0)").alias("t"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
     )
-    m = gram_moments(feats, ["q", "p", "d", "t"]).collect()[0].asDict()
+    cols = ["q", "p", "d", "t"]
+    _B = 1 << 30
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.expr(f"({a} * {b}) div {_B}")).alias(f"hi_{a}_{b}")
+            )
+            aggs.append(
+                F.sum(F.expr(f"({a} * {b}) % {_B}")).alias(f"lo_{a}_{b}")
+            )
+    m = feats.agg(*aggs).collect()[0].asDict()  # bounded: one row
     n = int(m["n_rows"])
     names = {"q": "quantity", "p": "extendedprice",
              "d": "discount", "t": "tax"}
@@ -396,8 +421,9 @@ def profile_numeric_correlations(spark, sf_dir):
         return int(m[f"s_{c}"])
 
     def g(a, b):
-        key = f"g_{a}_{b}"
-        return int(m[key] if key in m else m[f"g_{b}_{a}"])
+        hi = f"hi_{a}_{b}" if f"hi_{a}_{b}" in m else f"hi_{b}_{a}"
+        lo = f"lo_{a}_{b}" if f"lo_{a}_{b}" in m else f"lo_{b}_{a}"
+        return int(m[hi]) * _B + int(m[lo])
 
     rows = []
     for a in ["q", "p", "d", "t"]:
