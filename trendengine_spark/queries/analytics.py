@@ -185,6 +185,31 @@ def _pagerank_sql(div: str, count1: str) -> str:
     """
 
 
+def _copurchase_edges(spark, sf_dir, key):
+    """Symmetrized distinct co-purchase edge set (parts sharing an
+    order) — the shared input of the iterative graph queries. Built
+    ORIENTED (a < b) so the distinct dedups HALF the raw pair stream
+    (r9: the `!=` form shuffled both directions of every pair into
+    the distinct — 5.8 → 3.3 s at sf3), cached oriented, then
+    symmetrized by unioning the flip of the CACHED table: each
+    downstream reference pays one in-memory map, never the
+    self-join."""
+    from trendengine_spark.operators.util import owned_cache
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnRenamed("l_partkey", "b")
+    ori = owned_cache(
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b"))
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct(),
+        key=key,
+    )
+    return ori.unionAll(
+        ori.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
 @query("graph_pagerank_micro", sql=_pagerank_sql("//", "count(*)"))
 def graph_pagerank_micro(spark, sf_dir):
     """PageRank, two power iterations, in INTEGER micro-units — the
@@ -210,17 +235,7 @@ def graph_pagerank_micro(spark, sf_dir):
     materializes the CTE) at synthetic sf1. Caching the edges is the
     loop-invariant hoisting every iterative graph algorithm needs;
     the per-iteration math is identical to the oracle SQL."""
-    from trendengine_spark.operators.util import owned_cache
-
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.withColumnRenamed("l_partkey", "b")
-    edges = owned_cache(
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") != F.col("b"))
-        .select(F.col("l_partkey").alias("a"), "b")
-        .distinct(),
-        key=f"pagerank_edges:{sf_dir}",
-    )
+    edges = _copurchase_edges(spark, sf_dir, f"pagerank_edges:{sf_dir}")
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select(F.col("a").alias("k")).distinct()
     r = nodes.withColumn("rank", F.lit(1000000).cast("long"))
@@ -421,18 +436,9 @@ def recursive_cte_reachability(spark, sf_dir):
     `recursive_cte_month_spine` (scalar class) and the dialect-parity
     unit test in tests/test_relational_ops.py (join-driven class)."""
     from trendengine_spark.operators.graph import khop_frontiers
-    from trendengine_spark.operators.util import owned_cache
     from trendengine_spark.queries.base import t as _t
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.withColumnRenamed("l_partkey", "b")
-    edges = owned_cache(
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") != F.col("b"))
-        .select(F.col("l_partkey").alias("a"), "b")
-        .distinct(),
-        key=f"reach_edges:{sf_dir}",
-    )
+    edges = _copurchase_edges(spark, sf_dir, f"reach_edges:{sf_dir}")
     seeds = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
