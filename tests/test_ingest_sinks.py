@@ -1091,3 +1091,46 @@ def test_zorder_clustered_write_prunes_box_predicates(spark, tmp_path):
     a = sorted(r["id"] for r in flat_df.filter(exact).collect())
     b = sorted(r["id"] for r in clus_df.filter(exact).collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_zorder_ingestion_prunes(spark, tmp_path):
+    """Z-ordered streaming commits: each microbatch lands Morton-
+    clustered, so a box predicate prunes files at planning time on
+    the streamed table too - and the layout shuffle changes no rows
+    (exactly-once semantics intact via the batch-id marker)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.tablelog import (
+        publish_versioned_batch,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "zstream")
+    n = 50_000
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .withColumn("x", F.pmod(F.col("id") * 7919, F.lit(100_000)) / 100_000.0)
+        .withColumn("y", F.pmod(F.col("id") * 104729, F.lit(100_000)) / 100_000.0)
+        .repartition(8)
+    )
+    assert publish_versioned_batch(
+        mk(0, n), 0, path, zorder_by=("x", "y"), zorder_partitions=8
+    )
+    assert publish_versioned_batch(
+        mk(n, 2 * n), 1, path, zorder_by=("x", "y"), zorder_partitions=8
+    )
+    # replay of batch 1 is a no-op even with the layout shuffle
+    assert not publish_versioned_batch(
+        mk(n, 2 * n), 1, path, zorder_by=("x", "y"), zorder_partitions=8
+    )
+
+    pred = {"x": (0.40, 0.45), "y": (0.40, 0.45)}
+    d = read_versioned(spark, path, predicate=pred)
+    full = read_versioned(spark, path)
+    n_files_pruned = len(d.inputFiles())
+    n_files_all = len(full.inputFiles())
+    assert n_files_all == 16
+    assert n_files_pruned <= 6, n_files_pruned
+    exact = F.col("x").between(0.40, 0.45) & F.col("y").between(0.40, 0.45)
+    assert d.filter(exact).count() == full.filter(exact).count() > 0
+    assert full.count() == 2 * n

@@ -328,6 +328,21 @@ def write_versioned_clustered(
     At 100 TB this is the same one extra shuffle per ingest batch
     that every clustered lakehouse write pays, bought back on every
     selective read."""
+    return _commit_manifest(
+        path, _stage_files(_zorder_layout(df, zorder_cols, num_partitions), path)
+    )
+
+
+def _zorder_layout(
+    df: DataFrame,
+    zorder_cols: tuple[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The layout step of :func:`write_versioned_clustered`, shared
+    with the streaming publisher: quantize the two cluster columns to
+    [0, 2¹⁶) cells (one bounded min/max aggregate — layout-only,
+    results never depend on it), range-shuffle on the Morton key,
+    sort within partitions, drop the key."""
     from pyspark.sql import functions as F
 
     from trendengine_spark.operators.spatial import (
@@ -342,6 +357,8 @@ def write_versioned_clustered(
         F.min(cy).alias("y0"),
         F.max(cy).alias("y1"),
     ).collect()[0]  # bounded: one row
+    if bounds["x0"] is None:  # empty batch: nothing to lay out
+        return df
     span_x = float(bounds["x1"] - bounds["x0"]) or 1.0
     span_y = float(bounds["y1"] - bounds["y0"]) or 1.0
     qx = F.least(
@@ -352,10 +369,9 @@ def write_versioned_clustered(
         F.lit(65535),
         F.floor((F.col(cy) - F.lit(bounds["y0"])) / F.lit(span_y) * 65535),
     ).cast("long")
-    clustered = cluster_by_curve(
-        df, morton_key(qx, qy), num_partitions
-    ).drop("_zkey")
-    return _commit_manifest(path, _stage_files(clustered, path))
+    return cluster_by_curve(df, morton_key(qx, qy), num_partitions).drop(
+        "_zkey"
+    )
 
 
 def read_versioned(
@@ -523,17 +539,28 @@ def compact_versioned(
 
 
 def publish_versioned_batch(
-    batch_df: DataFrame, batch_id: int, path: str, mode: str = "append"
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    mode: str = "append",
+    zorder_by: tuple[str, str] | None = None,
+    zorder_partitions: int | None = None,
 ) -> bool:
     """One microbatch commit of :func:`publish_stream_versioned`
     (module-level so the retry/no-op contract is directly testable).
     Returns True when a version was committed, False when the batch
-    was skipped as empty or as an already-applied retry."""
+    was skipped as empty or as an already-applied retry.
+    ``zorder_by`` lays the batch's files out along the Morton curve
+    before staging (r9) — streaming ingestion then lands with
+    planning-time-prunable per-file stats on both cluster columns,
+    batch by batch, no rewrite ever needed."""
     if batch_df.isEmpty():
         return False
     applied = last_batch_id(path)
     if applied is not None and batch_id <= applied:
         return False  # retry of an already-committed batch: no-op
+    if zorder_by is not None:
+        batch_df = _zorder_layout(batch_df, zorder_by, zorder_partitions)
     new_files = _stage_files(batch_df, path)
     if mode == "snapshot":
         _commit_manifest(path, new_files, batch_id=batch_id)
@@ -569,6 +596,8 @@ def publish_stream_versioned(
     checkpoint: str | None = None,
     query_name: str = "versioned_publish",
     mode: str = "append",
+    zorder_by: tuple[str, str] | None = None,
+    zorder_partitions: int | None = None,
 ):
     """Streaming publisher: every microbatch commits one table version
     (``mode='snapshot'`` publishes the batch AS the new table;
@@ -596,7 +625,9 @@ def publish_stream_versioned(
     itself)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        publish_versioned_batch(batch_df, batch_id, path, mode)
+        publish_versioned_batch(
+            batch_df, batch_id, path, mode, zorder_by, zorder_partitions
+        )
 
     writer = (
         events.writeStream.foreachBatch(_apply)
