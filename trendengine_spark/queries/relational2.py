@@ -537,8 +537,8 @@ def scalar_try_fns(spark, sf_dir):
       SELECT user_id,
              round(min(value), 4) AS min_v,
              round(max(value), 4) AS max_v,
-             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
-                        / count(value), 4) AS DOUBLE) AS mean_v
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(100 * count(value) AS DOUBLE) AS mean_v
       FROM events GROUP BY user_id
     )
     UNPIVOT per_user ON min_v, max_v, mean_v
@@ -550,15 +550,22 @@ def unpivot_user_stats(spark, sf_dir):
     (user_id, stat, v) rows — the inverse of pivot_event_types,
     closing the reshaping pair. Spark plans it as a single Expand (no
     join, no shuffle beyond the aggregate); column-name labels match
-    the oracle's UNPIVOT."""
+    the oracle's UNPIVOT.
+
+    mean_v is the integer-cents exact mean, UNROUNDED (r9 hardening,
+    first full sf0.1 sweep): the prior round(·, 4) hit exact .xxxx5
+    boundary rationals where Spark's shortest-string half-up and
+    DuckDB's binary rounding legitimately disagree — two rows at
+    sf0.1. One correctly-rounded division of exact integers needs no
+    rounding to be engine-identical; min/max of 2-dp values round at
+    4 dp safely (never near a boundary)."""
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.round(F.min("value"), 4).alias("min_v"),
         F.round(F.max("value"), 4).alias("max_v"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,10)")).cast("double")
-            / F.count("value"),
-            4,
+        (
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("double")
+            / (F.lit(100) * F.count("value")).cast("double")
         ).alias("mean_v"),
     )
     return per_user.unpivot(

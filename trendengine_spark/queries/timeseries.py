@@ -267,25 +267,33 @@ def f8_decode_labels(spark, sf_dir):
     "a1_annual_composite",
     sql="""
     SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
-                 / count(l_extendedprice) AS value
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(100 * count(l_extendedprice) AS DOUBLE) AS value
     FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
     """,
 )
 def a1_annual_composite(spark, sf_dir):
     """A1: per-series annual mean composite — one hash aggregate.
 
-    Same exact-decimal mean as the ``annual_composite`` operator
-    (``operators/composite.py``, which remains the programmatic API
-    and is exercised by a1_max/a2/engine flows); built through the
-    SQL front-end for a single analysis pass (see ``sqltext``)."""
+    Exact mean via integer cents (r9 hardening — found by the first
+    full sf0.1 oracle sweep): the prior decimal(18,10)-sum → double
+    cast drifted ONE ULP at sf0.1 magnitudes because DuckDB's
+    decimal→double conversion scales by 10⁻¹⁰ in floating point (not
+    correctly rounded) while Spark's BigDecimal.doubleValue is. The
+    2-dp prices re-quantize to exact int64 cents, both the sum and
+    100·count convert to double EXACTLY (< 2⁵³; split-accumulator
+    beyond — see profile_numeric_correlations), and the mean is ONE
+    correctly-rounded division — bit-identical on any engine. The
+    ``annual_composite`` operator (operators/composite.py) remains
+    the programmatic API, exercised by a1_max/a2/engine flows."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
         SELECT l_returnflag, year(l_shipdate) AS yr,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
-                 / count(l_extendedprice) AS value
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE)
+                 / CAST(100 * count(l_extendedprice) AS DOUBLE) AS value
         FROM lineitem GROUP BY l_returnflag, year(l_shipdate)
         """,
         ("lineitem",),
