@@ -1134,3 +1134,49 @@ def test_streaming_zorder_ingestion_prunes(spark, tmp_path):
     exact = F.col("x").between(0.40, 0.45) & F.col("y").between(0.40, 0.45)
     assert d.filter(exact).count() == full.filter(exact).count() > 0
     assert full.count() == 2 * n
+
+
+def test_compaction_reclusters_zorder(spark, tmp_path):
+    """compact_versioned(zorder_by=...) restores whole-table Morton
+    prunability after unclustered appends: before compaction the box
+    predicate touches the appended files; after, it prunes across
+    the full compacted set - with identical rows."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.tablelog import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+        write_versioned_clustered,
+    )
+
+    path = str(tmp_path / "zcompact")
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .withColumn("x", F.pmod(F.col("id") * 7919, F.lit(100_000)) / 100_000.0)
+        .withColumn("y", F.pmod(F.col("id") * 104729, F.lit(100_000)) / 100_000.0)
+    )
+    write_versioned_clustered(spark, mk(0, 100_000), path, ("x", "y"), 8)
+    # two unclustered appends degrade prunability
+    from trendengine_spark.tablelog import publish_versioned_batch
+
+    publish_versioned_batch(mk(100_000, 150_000).repartition(4), 0, path)
+    publish_versioned_batch(mk(150_000, 200_000).repartition(4), 1, path)
+
+    pred = {"x": (0.40, 0.45), "y": (0.40, 0.45)}
+    before = len(read_versioned(spark, path, predicate=pred).inputFiles())
+    total_before = read_versioned(spark, path).count()
+
+    compact_versioned(
+        spark, path, target_bytes=200_000, zorder_by=("x", "y")
+    )
+    after_df = read_versioned(spark, path, predicate=pred)
+    after = len(after_df.inputFiles())
+    n_all = len(read_versioned(spark, path).inputFiles())
+    assert read_versioned(spark, path).count() == total_before == 200_000
+    # the 8 unclustered appended files were all touched before;
+    # after re-clustering the box hits a small fraction of the set
+    assert before >= 8
+    assert after <= max(2, n_all // 3), (after, n_all)
+    exact = F.col("x").between(0.40, 0.45) & F.col("y").between(0.40, 0.45)
+    assert after_df.filter(exact).count() > 0

@@ -474,6 +474,7 @@ def compact_versioned(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Rewrite the newest version's data into ~``target_bytes`` files
     and publish the compacted file set as the next version — the
@@ -514,7 +515,15 @@ def compact_versioned(
         if os.path.exists(os.path.join(data_dir, f))
     )
     n_out = max(1, -(-total // target_bytes))  # ceil
-    compacted = _stage_files(df.coalesce(n_out), path)
+    # zorder_by (r9): compaction doubles as the re-clustering pass
+    # (Delta OPTIMIZE ZORDER) — appended-but-unclustered batches fold
+    # into the Morton layout here, restoring planning-time prunability
+    # across the WHOLE table, not just per batch
+    if zorder_by is not None:
+        out = _zorder_layout(df, zorder_by, n_out)
+    else:
+        out = df.coalesce(n_out)
+    compacted = _stage_files(out, path)
     snapshot_set = set(files)
     while True:
         head = current_version(path)
