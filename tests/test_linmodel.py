@@ -16,6 +16,7 @@ import pytest
 from trendengine_spark.operators.linmodel import (
     cv_linear,
     fit_linear,
+    fit_logistic,
     gram_moments,
     score_linear,
     solve_normal,
@@ -437,3 +438,113 @@ def test_isotonic_query_monotone_and_mean_preserving(spark):
         total_fit = sum(r["n"] * r["fitted"] for r in rs)
         total_y = sum(r["sum_y"] for r in rs)
         assert total_fit == pytest.approx(total_y, rel=1e-9)
+
+
+def _irls_reference(X, y, iters=8, ridge=1e-9):
+    """Textbook numpy IRLS (the independent reference fit_logistic is
+    checked against): Newton steps on the augmented design."""
+    import numpy as np
+
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    beta = np.zeros(Xa.shape[1])
+    for _ in range(iters):
+        eta = Xa @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1 - mu), 1e-6)
+        z = eta + (y - mu) / w
+        A = Xa.T @ (w[:, None] * Xa)
+        A[:-1, :-1] += ridge * np.eye(Xa.shape[1] - 1)
+        beta = np.linalg.solve(A, Xa.T @ (w * z))
+    return beta
+
+
+def test_fit_logistic_planted_recovery_and_reference_parity(spark):
+    """fit_logistic must recover planted coefficients on a
+    deterministic Bernoulli draw and agree with the textbook numpy
+    IRLS on the identical rows to 1e-6 (same algorithm, distributed
+    vs local)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("x1", (F.pmod(F.col("id") * 7919, F.lit(1000)) / 500.0) - 1.0)
+        .withColumn("x2", (F.pmod(F.col("id") * 104729, F.lit(1000)) / 500.0) - 1.0)
+        # deterministic uniform draw from md5 (engine-portable spirit)
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10)"
+                " AS DOUBLE) / 281474976710656.0"
+            ),
+        )
+        .withColumn(
+            "y",
+            (
+                F.col("u")
+                < F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(2.0 * F.col("x1") - 1.0 * F.col("x2") + 0.5)))
+            ).cast("int"),
+        )
+    )
+    fit = fit_logistic(df, ["x1", "x2"], "y")[()]
+    assert fit["weights"]["x1"] == pytest.approx(2.0, abs=0.15)
+    assert fit["weights"]["x2"] == pytest.approx(-1.0, abs=0.15)
+    assert fit["intercept"] == pytest.approx(0.5, abs=0.15)
+    assert fit["n"] == n
+
+    pdf = df.select("x1", "x2", "y").toPandas()
+    beta = _irls_reference(
+        pdf[["x1", "x2"]].to_numpy(), pdf["y"].to_numpy(dtype=float)
+    )
+    assert fit["weights"]["x1"] == pytest.approx(beta[0], abs=1e-6)
+    assert fit["weights"]["x2"] == pytest.approx(beta[1], abs=1e-6)
+    assert fit["intercept"] == pytest.approx(beta[2], abs=1e-6)
+
+
+def test_fit_logistic_grouped_and_saturated_guard(spark):
+    """Per-group fits are independent, and a perfectly-separated
+    (all-one-label) group degrades gracefully: the floored IRLS
+    weight keeps the solve finite and the fitted probability
+    saturates toward the label."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(4_000)
+        .withColumn("g", (F.col("id") % 2 == 0).cast("string"))
+        .withColumn("x1", (F.pmod(F.col("id") * 37, F.lit(100)) / 50.0) - 1.0)
+        .withColumn(
+            "y",
+            F.when(F.col("g") == "true", F.lit(1))  # saturated group
+            .otherwise((F.col("x1") > 0).cast("int")),
+        )
+    )
+    fits = fit_logistic(df, ["x1"], "y", ["g"], iters=8)
+    sat = fits[("true",)]
+    p = 1.0 / (1.0 + math.exp(-(sat["intercept"])))
+    assert p > 0.99 and math.isfinite(sat["intercept"])
+    sep = fits[("false",)]
+    assert sep["weights"]["x1"] > 1.0  # steep positive boundary
+
+
+def test_logistic_gate_query_conservation_and_accuracy(spark):
+    """The declared gate query's confusion counts must partition n
+    exactly, labels are near-balanced by construction (threshold at
+    the corpus median), and the fitted gate separates the
+    near-linear n_chars ~ tokens relationship almost perfectly."""
+    from trendengine_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["quality_logistic_gate"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n"]
+        assert 0 < r["n_pos"] < r["n"]  # non-degenerate labels
+        assert (r["tp"] + r["tn"]) / r["n"] >= 0.9, r["lang"]

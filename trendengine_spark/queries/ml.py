@@ -882,3 +882,69 @@ def quality_isotonic_calibration(spark, sf_dir):
         "lang", "n_tok", "n", "sum_y",
         F.round("fitted", 6).alias("fitted"),
     )
+
+
+@query(
+    "quality_logistic_gate",
+    sql=None,
+    doc="Per-language logistic quality classifier: P(long doc | "
+    "token stats) fitted by distributed IRLS (each Newton step ONE "
+    "omega-weighted Gram aggregate - operators/linmodel.fit_logistic)"
+    ", then every document gated at p >= 0.5 with per-language "
+    "confusion counts out. Rows-only (sigma/exp are transcendental "
+    "- no cross-engine bit contract); the fit is pinned by planted-"
+    "coefficient recovery and 1e-6 parity with a textbook numpy IRLS "
+    "in tests/test_linmodel.py, and the gate arithmetic is a pure "
+    "codegen projection of literal weights.",
+)
+def quality_logistic_gate(spark, sf_dir):
+    """The classifier half of model-in-the-loop curation (the
+    regression half is flagship_model_curation's Huber gate): fit
+    P(n_chars > 300 | n_tok, n_uniq) per language with 8 IRLS
+    iterations — every Newton step is one ω-weighted Gram aggregate,
+    no UDF, no scoring job — then score the corpus as one chained-
+    CASE codegen projection and report per-language
+    (lang, n, n_pos, tp, fp, fn, tn). Scale: iters·(scan +
+    O(langs·d²) shuffle) for the fit, one scan for the gate."""
+    from trendengine_spark.operators.linmodel import (
+        fit_logistic,
+        score_expr,
+    )
+
+    feats = _doc_features(spark, sf_dir).withColumn(
+        "is_long", (F.col("n_chars") > 300).cast("int")
+    )
+    fits = fit_logistic(
+        feats, ["n_tok", "n_uniq"], "is_long", ["lang"], iters=8
+    )
+    eta = None
+    for (lang,), f in sorted(fits.items()):
+        e = score_expr(f["weights"], f["intercept"])
+        eta = (
+            F.when(F.col("lang") == lang, e)
+            if eta is None
+            else eta.when(F.col("lang") == lang, e)
+        )
+    pred = (eta >= 0).cast("int")  # p >= 0.5  <=>  eta >= 0
+    y = F.col("is_long")
+    return (
+        feats.withColumn("_p", pred)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+            F.sum((y == 1).cast("int") * (F.col("_p") == 1).cast("int"))
+            .cast("long")
+            .alias("tp"),
+            F.sum((y == 0).cast("int") * (F.col("_p") == 1).cast("int"))
+            .cast("long")
+            .alias("fp"),
+            F.sum((y == 1).cast("int") * (F.col("_p") == 0).cast("int"))
+            .cast("long")
+            .alias("fn"),
+            F.sum((y == 0).cast("int") * (F.col("_p") == 0).cast("int"))
+            .cast("long")
+            .alias("tn"),
+        )
+        .orderBy("lang")
+    )
