@@ -239,6 +239,9 @@ def main() -> None:
         "quality_isotonic_calibration",
         "dedup_incremental_batch",
         "graph_communities_lpa",
+        # r10 additions: the logistic IRLS gate (closing the one r9
+        # evidence gap), plus this round's new oracle rows
+        "quality_logistic_gate",
     ):
         fn = qs[name]
         try:

@@ -394,6 +394,31 @@ def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
     )
 
 
+def test_last_batch_id_survives_vacuumed_blind_commits(spark, tmp_path):
+    """ADVICE r9: on a vacuumed table whose SURVIVING manifests carry
+    no batch_id (plain write_versioned commits), last_batch_id must
+    stop at the vacuum floor and return None — not crash the
+    scan-back with FileNotFoundError — and publish_versioned_batch
+    must still be able to publish."""
+    import pandas as pd
+
+    from trendengine_spark.tablelog import (
+        last_batch_id,
+        publish_versioned_batch,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt_vac")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    for _ in range(3):  # three blind commits (no batch_id)
+        write_versioned(spark, df, path)
+    vacuum_versioned(path, keep_last=2)  # v0's manifest removed
+    assert last_batch_id(path) is None
+    assert publish_versioned_batch(df, 7, path) is True
+    assert last_batch_id(path) == 7
+
+
 def test_versioned_table_schema_evolution(spark, tmp_path):
     """A later version may add columns; each version reads with its
     own schema (no cross-file merge needed), and a mergeSchema scan

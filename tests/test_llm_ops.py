@@ -921,6 +921,36 @@ def test_append_minhash_index_batch_key_retry_noop(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/signatures").count() == n_sig + 5
 
 
+def test_append_minhash_index_honors_md5_family(spark, tmp_path):
+    """ADVICE r9: appending to an index built with family='md5' must
+    write md5-family signatures and md5 STRING band buckets — not
+    xxhash64 longs (which would never match future probes and break
+    the bands/ parquet schema). A doc appended and then probed with
+    its own text must come back as a hit."""
+    from trendengine_spark.operators.dedup import (
+        append_minhash_index,
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "mh_idx_md5")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") < 40), idx, family="md5"
+    )
+    batch = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+    append_minhash_index(batch, idx, batch_key="m1")
+    # band buckets must stay the md5 string type end-to-end
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert dict(bands.dtypes)["bucket"] == "string"
+    # a self-copy of an APPENDED doc must probe as a duplicate
+    probe = batch.filter(F.col("doc_id") == 45).withColumn(
+        "doc_id", F.lit(9945).cast("long")
+    )
+    hits = incremental_minhash_dedup(probe, idx, threshold=0.9)
+    assert hits.filter(F.col("index_id") == 45).count() == 1
+
+
 # ---------------------------------------------------------------- r9:
 # image near-dup via perceptual hash (dHash over the real PNG path)
 
@@ -998,6 +1028,24 @@ def test_two_stage_rerank_recall_floors(spark):
             got.setdefault(r["query_id"], set()).add(r["vec_id"])
         recall = sum(len(brute[q] & got[q]) / 10 for q in brute) / len(brute)
         assert recall >= floor, (budget, recall)
+
+
+def test_two_stage_rerank_external_queries_keep_id_collisions(spark):
+    """ADVICE r9: with an EXTERNAL queries frame the id spaces are
+    unrelated, so a corpus doc whose vec_id equals a query_id must
+    stay eligible — in particular, a query that IS corpus vector q
+    must retrieve vec_id == q as its top hit (cosine 1.0)."""
+    from trendengine_spark.operators.similarity import two_stage_rerank
+    from trendengine_spark.queries.base import t as _t
+
+    emb = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = two_stage_rerank(emb, k=3, budget=20, queries=q).collect()
+    top = {r["query_id"]: r["vec_id"] for r in out if r["rn"] == 1}
+    assert top == {i: i for i in range(5)}
 
 
 def test_audio_fingerprint_planted_recall_and_gain_invariance(spark):

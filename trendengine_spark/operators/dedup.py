@@ -758,14 +758,18 @@ def append_minhash_index(
     if batch_key is not None and batch_key in meta.get("applied", []):
         return meta  # retried batch: no-op
     num_perm, bands, n = meta["num_perm"], meta["bands"], meta["n"]
+    family = meta.get("family", "xxhash64")
     spark = new_docs.sparkSession
-    sig = minhash_signatures(new_docs, num_perm, id_col, text_col, n)
-    view = f"_te_mh_append_{num_perm}_{bands}"
+    sig = minhash_signatures(
+        new_docs, num_perm, id_col, text_col, n, family=family
+    )
+    view = f"_te_mh_append_{num_perm}_{bands}_{family}"
     sig.createOrReplaceTempView(view)
     sig.write.mode("append").parquet(os.path.join(path, "signatures"))
     spark.sql(
         f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
-        f"LATERAL VIEW explode(array({_band_structs_sql(num_perm, bands)})) "
+        f"LATERAL VIEW explode(array("
+        f"{_band_structs_sql(num_perm, bands, family)})) "
         f"bt AS bh"
     ).write.mode("append").parquet(os.path.join(path, "bands"))
     if batch_key is not None:

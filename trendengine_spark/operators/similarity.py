@@ -1349,7 +1349,10 @@ def two_stage_rerank(
 
     ``queries`` defaults to corpus rows with ``id < 10`` (the
     registry's standing query-set convention); self-matches are
-    excluded in stage 1.
+    excluded in stage 1 ONLY in that corpus-derived mode — an
+    external ``queries`` frame has its own id space, so a corpus doc
+    whose id collides with a query_id is a legitimate candidate, not
+    a self-match (ADVICE r9).
     """
     pack = F.expr(
         f"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN "
@@ -1377,9 +1380,11 @@ def two_stage_rerank(
         )
         q_vecs = queries.select("query_id", F.col(vec_col).alias("_qv"))
 
-    d = codes.join(
-        F.broadcast(q_codes), F.col(id_col) != F.col("query_id")
-    ).select(
+    if queries is None:
+        stage1_cond = F.col(id_col) != F.col("query_id")
+    else:
+        stage1_cond = F.lit(True)
+    d = codes.join(F.broadcast(q_codes), stage1_cond).select(
         "query_id",
         id_col,
         F.bit_count(F.col("qc").bitwiseXOR(F.col("code")))

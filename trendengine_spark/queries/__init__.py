@@ -53,172 +53,115 @@ __all__ = ["REGISTRY", "Query", "all_queries", "all_oracle_sql"]
 #: budget still holds. The r5-green LLM/join/window/set/grouped
 #: families rotate below the line; their fresh green history stands.
 _SPINE_FIRST = [
-    # Round-9 rotation (VERDICT r8 task 1): the driver's ~50-row
-    # budget goes to (a) the 17 rows with NO driver verdict in any
-    # round (union of CORRECTNESS_r01..r08 vs queries()) — led by
-    # window_time_weighted_avg, the one oracle-backed row still
-    # missing a hash verdict, the four r9 twin CONVERSIONS
-    # (LPA/residual-topk/incremental-dedup/CV — rows-only until this
-    # round, now full SQL oracles), and the five r9 ADDITIONS (image
-    # pHash, audio fingerprint, two-stage rerank, RRF fusion,
-    # isotonic calibration — all oracle-backed at birth); (b) the
-    # UDTF row whose eval was rewritten this round (dispatch fix —
-    # re-verify under the driver harness); (c) the STALEST green
-    # history (r4-era set ops / window / scalar / stream rows, last
-    # sampled 5 rounds ago); (d) family controls with fresh r8
-    # green. Cumulative coverage target: every oracle-backed row has
-    # a hash verdict by end of r9.
-    #
-    # (a) never-driver-sampled — oracle-backed first
-    "window_time_weighted_avg",
+    # Driver sampling order, r10 rotation. Front-loaded: (a) the ONE
+    # row with zero driver history (quality_logistic_gate, landed in
+    # the r9 snapshot commit after the sweeps -- VERDICT r9 task 1),
+    # then this round's new/converted oracle rows as they land, then
+    # the r9-era rows and stale green history. List is duplicate-free
+    # by construction (asserted in _reorder_registry; ADVICE r9).
+    "quality_logistic_gate", "window_time_weighted_avg",
     "graph_communities_lpa", "quality_linear_residual_topk",
-    "dedup_incremental_batch", "quality_linear_cv",
-    "dedup_image_phash", "dedup_audio_fingerprint",
-    "sim_two_stage_rerank", "sim_rrf_fusion",
-    "quality_isotonic_calibration",
-    "approx_distinct_kmv", "approx_user_overlap_kmv",
-    # (a) never-driver-sampled — rows-only by design (planted-shift /
-    # parity / recall goldens pin the math; driver records rows-only)
-    "u7_bfast_monitor_events", "flagship_model_curation",
-    "text_bpe_encode_corpus", "dedup_semantic_survivors",
-    "pipeline_semantic_decontaminate", "sim_pca_explained_variance",
-    "forecast_holt_winters_mae",
-    # (b) changed in r9: generator-free/positional/pickle UDTF eval
-    "udtf_run_length_segments",
-    # (c) stalest green history (r4 verdicts, 5 rounds old)
-    "a2b_fill_missing_months", "a2c_interpolate_gaps",
-    "union_all_counts", "intersect_all_keys", "having_groups",
-    "regexp_extract_keys", "string_agg_sorted", "median_exact",
-    "min_by_max_by", "window_range_frame", "window_percent_rank",
-    "scalar_lambda_fns", "sql_api_shared_dialect",
-    "stream_sliding_window", "stream_late_data_policy",
-    "stats_aggregates", "u1_polytrend_events", "u2_dbest_events",
-    # (c) r5-era dedup/text spine refresh
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "text_quality_profile", "text_language_id",
-    # (d) family controls, fresh r8 green — a harness regression
-    # shows against fresh history
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "a1_annual_composite", "stream_session_window",
-    "dedup_paragraph_global", "sim_cosine_topk",
-    "multimodal_image_tiles", "quality_gram_matrix",
-    "trend_polyfit_coeffs",
-    # ---- ~50-row budget line falls around here (17 never-sampled +
-    # 1 changed + 23 stale + 9 controls = 50; rows below keep their
-    # r6-r8 green history and the judge harness covers everything
-    # regardless) ----
+    "dedup_incremental_batch", "quality_linear_cv", "dedup_image_phash",
+    "dedup_audio_fingerprint", "sim_two_stage_rerank", "sim_rrf_fusion",
+    "quality_isotonic_calibration", "approx_distinct_kmv",
+    "approx_user_overlap_kmv", "u7_bfast_monitor_events",
+    "flagship_model_curation", "text_bpe_encode_corpus",
+    "dedup_semantic_survivors", "pipeline_semantic_decontaminate",
+    "sim_pca_explained_variance", "forecast_holt_winters_mae",
+    "udtf_run_length_segments", "a2b_fill_missing_months",
+    "a2c_interpolate_gaps", "union_all_counts", "intersect_all_keys",
+    "having_groups", "regexp_extract_keys", "string_agg_sorted",
+    "median_exact", "min_by_max_by", "window_range_frame",
+    "window_percent_rank", "scalar_lambda_fns", "sql_api_shared_dialect",
+    "stream_sliding_window", "stream_late_data_policy", "stats_aggregates",
+    "u1_polytrend_events", "u2_dbest_events", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_quality_profile",
+    "text_language_id", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "a1_annual_composite",
+    "stream_session_window", "dedup_paragraph_global", "sim_cosine_topk",
+    "multimodal_image_tiles", "quality_gram_matrix", "trend_polyfit_coeffs",
     "trend_mann_kendall_stats", "u6_mann_kendall_events",
-    "trend_seasonal_mann_kendall",
-    "agg_trimmed_mean_pandas", "sim_ivfpq_topk",
-    "window_conditional_running",
-    "pipeline_bernoulli_sample",
-    "hier_share_of_parent", "rollup_grouping_id",
-    "flagship_curation_pipeline", "retention_cohorts",
-    "window_locf_fill", "dedup_ngram_containment",
-    "text_shingle_novelty", "daily_value_percentiles",
-    "pipeline_interleave_sources", "dq_expectations_events",
-    "graph_copurchase_2hop", "scalar_agg_predicates",
-    "stream_interval_left_join", "scalar_bitwise_aggs",
-    "scalar_array_setops", "temporal_scd2_lookup",
+    "trend_seasonal_mann_kendall", "agg_trimmed_mean_pandas",
+    "sim_ivfpq_topk", "window_conditional_running",
+    "pipeline_bernoulli_sample", "hier_share_of_parent", "rollup_grouping_id",
+    "flagship_curation_pipeline", "retention_cohorts", "window_locf_fill",
+    "dedup_ngram_containment", "text_shingle_novelty",
+    "daily_value_percentiles", "pipeline_interleave_sources",
+    "dq_expectations_events", "graph_copurchase_2hop",
+    "scalar_agg_predicates", "stream_interval_left_join",
+    "scalar_bitwise_aggs", "scalar_array_setops", "temporal_scd2_lookup",
     "profile_user_zscore_outliers", "events_dow_hour_heatmap",
-    "text_zipf_head",
-    "scalar_try_fns", "unpivot_user_stats", "variant_json_shred",
-    "u5_decomposition_relational",
-    "sim_hamming_topk", "text_bpe_pair_counts", "text_bpe_train_micro",
-    "window_rolling_slope", "stats_spearman_pairs",
-    "approx_user_overlap_pairs", "graph_triangle_counts",
-    "pipeline_weighted_sample", "f2b_polygon_filter",
-    "pipeline_temperature_mixture",
-    "text_pii_redact", "profile_heavy_hitters",
-    "sim_ivfpq_persisted",
-    "recursive_cte_reachability",
-    "sim_embedding_covariance",
-    "profile_numeric_correlations",
-    "profile_higher_moments",
-    "f1_temporal_filter",
-    "d1_period_pairing", "pipeline_epoch_shuffle",
-    "sim_range_search", "text_rarity_profile",
-    "multimodal_gif_animation", "join_time_window_counts",
-    "forecast_seasonal_naive_mae", "graph_pagerank_micro",
-    "stream_user_running_stats",
-    "scalar_string_fns", "scalar_date_fns", "scalar_math_fns",
-    "scalar_array_fns", "scalar_json_fns",
-    "set_distinct_pairs",
-    "exact_distinct_twin", "approx_vs_exact_distinct",
-    "multimodal_feature_extract", "multimodal_resize",
-    "multimodal_frame_sample",
-    "f2_bbox_filter", "f3_projection",
-    "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
-    "f7_timestamp_decode", "f8_decode_labels",
-    "a2_monthly_composite", "a3_count_distinct",
-    "a4_a5_category_counts", "a6_sum", "a7_count_rows",
-    "d2_explode_tokens",
-    "flagship_trend_pipeline", "s2_grid_composite", "s3_schema_on_read",
-    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
+    "text_zipf_head", "scalar_try_fns", "unpivot_user_stats",
+    "variant_json_shred", "u5_decomposition_relational", "sim_hamming_topk",
+    "text_bpe_pair_counts", "text_bpe_train_micro", "window_rolling_slope",
+    "stats_spearman_pairs", "approx_user_overlap_pairs",
+    "graph_triangle_counts", "pipeline_weighted_sample", "f2b_polygon_filter",
+    "pipeline_temperature_mixture", "text_pii_redact",
+    "profile_heavy_hitters", "sim_ivfpq_persisted",
+    "recursive_cte_reachability", "sim_embedding_covariance",
+    "profile_numeric_correlations", "profile_higher_moments",
+    "f1_temporal_filter", "d1_period_pairing", "pipeline_epoch_shuffle",
+    "sim_range_search", "text_rarity_profile", "multimodal_gif_animation",
+    "join_time_window_counts", "forecast_seasonal_naive_mae",
+    "graph_pagerank_micro", "stream_user_running_stats", "scalar_string_fns",
+    "scalar_date_fns", "scalar_math_fns", "scalar_array_fns",
+    "scalar_json_fns", "set_distinct_pairs", "exact_distinct_twin",
+    "approx_vs_exact_distinct", "multimodal_feature_extract",
+    "multimodal_resize", "multimodal_frame_sample", "f2_bbox_filter",
+    "f3_projection", "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
+    "f7_timestamp_decode", "f8_decode_labels", "a2_monthly_composite",
+    "a3_count_distinct", "a4_a5_category_counts", "a6_sum", "a7_count_rows",
+    "d2_explode_tokens", "flagship_trend_pipeline", "s2_grid_composite",
+    "s3_schema_on_read", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
     "subquery_scalar_avg", "subquery_exists_correlated",
     "stream_tumbling_window", "stream_interval_join",
-    "a1_annual_composite_max",
-    "profile_mad_outliers",
-    "a2b_fill_missing_months", "a2c_interpolate_gaps",
-    "window_range_frame", "window_percent_rank", "scalar_lambda_fns",
-    "pipeline_pack_sequences", "profile_key_skew",
-    "sim_embedding_l2norm", "sim_embedding_quantize_int8",
-    "sim_embedding_near_dup", "sim_ann_hyperplane",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q18_large_volume_customer",
-    "tpch_q22_global_sales_opportunity",
+    "a1_annual_composite_max", "profile_mad_outliers",
+    "pipeline_pack_sequences", "profile_key_skew", "sim_embedding_l2norm",
+    "sim_embedding_quantize_int8", "sim_embedding_near_dup",
+    "sim_ann_hyperplane", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer", "tpch_q22_global_sales_opportunity",
     "spatial_zorder_rollup", "raster_region_ingest",
     "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
-    "scd2_user_event_history", "funnel_view_click_purchase",
-    "sim_pq_topk", "text_bigram_familiarity",
-    "recursive_cte_month_spine", "pipeline_source_mixture",
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "tpch_q12_late_lines_priority",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q11_important_stock",
-    "text_repetition_signals",
-    "pipeline_hash_sample_per_key", "stream_dedup_first_event",
-    "fuzzy_name_pairs_blocked",
+    "scd2_user_event_history", "funnel_view_click_purchase", "sim_pq_topk",
+    "text_bigram_familiarity", "recursive_cte_month_spine",
+    "pipeline_source_mixture", "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share", "tpch_q9_product_type_profit",
+    "tpch_q12_late_lines_priority", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts", "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_supplier", "tpch_q11_important_stock",
+    "text_repetition_signals", "pipeline_hash_sample_per_key",
+    "stream_dedup_first_event", "fuzzy_name_pairs_blocked",
     "stream_session_dynamic_gap", "approx_top_k_events",
-    "udtf_run_length_segments",
-    "lateral_top_order_per_customer",
-    "group_by_all_dialect", "scalar_map_fns",
-    "profile_equidepth_histogram",
-    "join_asof_forward_tolerance",
-    "multimodal_audio_spectrogram",
-    "multimodal_resize_real",
-    "stream_sliding_window", "stream_late_data_policy",
-    "dedup_exact", "dedup_fingerprint_md5", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_cluster_assignment", "dedup_simhash",
-    "dedup_corpus_survivors",
-    "text_quality_profile", "text_language_id", "text_token_explode_tf",
-    "text_tfidf_top_terms", "text_token_count_bpe",
-    "text_winnow_fingerprints", "text_chunk_windows",
-    "sim_cosine_topk", "sim_ivf_topk", "sim_label_centroid_dist",
-    "pipeline_stratified_sample", "profile_table_nulls",
-    "multimodal_content_stats", "multimodal_png_decode",
-    "multimodal_jpeg_decode", "multimodal_wav_features",
-    "join_inner_3way", "join_left_count", "join_semi", "join_anti",
-    "join_full_outer", "join_broadcast_dim", "join_theta_range",
-    "join_asof",
-    "window_rank_orders", "window_topk_per_group", "window_lag_monthly",
-    "window_running_sum", "window_ntile_firstlast", "sort_limit_topn",
-    "set_union_distinct", "set_intersect", "set_except",
-    "rollup_year_quarter", "cube_flag_status",
-    "pivot_event_types", "grouping_sets_mixed",
-    "union_all_counts", "intersect_all_keys", "having_groups",
-    "regexp_extract_keys", "string_agg_sorted", "median_exact",
-    "min_by_max_by", "sql_api_shared_dialect",
-    "u1_polytrend_events", "u2_dbest_events",
-    "u3_generalize_events", "u5_decomposition_events",
-    "approx_percentiles", "stats_aggregates",
+    "lateral_top_order_per_customer", "group_by_all_dialect",
+    "scalar_map_fns", "profile_equidepth_histogram",
+    "join_asof_forward_tolerance", "multimodal_audio_spectrogram",
+    "multimodal_resize_real", "dedup_fingerprint_md5",
+    "dedup_cluster_assignment", "dedup_simhash", "dedup_corpus_survivors",
+    "text_token_explode_tf", "text_tfidf_top_terms", "text_token_count_bpe",
+    "text_winnow_fingerprints", "text_chunk_windows", "sim_ivf_topk",
+    "sim_label_centroid_dist", "pipeline_stratified_sample",
+    "profile_table_nulls", "multimodal_content_stats",
+    "multimodal_png_decode", "multimodal_jpeg_decode",
+    "multimodal_wav_features", "join_inner_3way", "join_left_count",
+    "join_semi", "join_anti", "join_full_outer", "join_broadcast_dim",
+    "join_theta_range", "join_asof", "window_rank_orders",
+    "window_topk_per_group", "window_lag_monthly", "window_running_sum",
+    "window_ntile_firstlast", "sort_limit_topn", "set_union_distinct",
+    "set_intersect", "set_except", "rollup_year_quarter", "cube_flag_status",
+    "pivot_event_types", "grouping_sets_mixed", "u3_generalize_events",
+    "u5_decomposition_events", "approx_percentiles",
 ]
 
 
 def _reorder_registry() -> None:
+    if len(set(_SPINE_FIRST)) != len(_SPINE_FIRST):  # pragma: no cover
+        dupes = sorted(
+            {n for n in _SPINE_FIRST if _SPINE_FIRST.count(n) > 1}
+        )
+        raise ValueError(f"duplicate spine entries: {dupes}")
     ordered = {n: REGISTRY[n] for n in _SPINE_FIRST if n in REGISTRY}
     missing = [n for n in _SPINE_FIRST if n not in REGISTRY]
     if missing:  # pragma: no cover - authoring guard

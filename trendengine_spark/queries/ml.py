@@ -727,6 +727,14 @@ def quality_linear_cv(spark, sf_dir):
         rmse = round(math.sqrt(max(sse, 0.0) / float(n_test)), 6)
         rmses.append(rmse)
         out.append((int(r["_fold"]), n, n_test, rmse))
+    if len(rmses) != 5:
+        # Tiny tables can leave doc_id%5 residues empty; the oracle
+        # SQL would emit NULL here, so fail loud rather than index
+        # past the folds that exist (ADVICE r9).
+        raise ValueError(
+            f"quality_linear_cv needs all 5 folds non-empty, "
+            f"got {len(rmses)}"
+        )
     out.append(
         (
             -1,

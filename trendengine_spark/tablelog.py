@@ -189,10 +189,17 @@ def last_batch_id(path: str) -> int | None:
     double-append. Scans back from the head and stops at the first
     manifest carrying a batch_id; manifests are one small JSON read
     each and streaming tables interleave few blind commits, so the
-    walk is short in practice (and bounded by the version count)."""
+    walk is short in practice (and bounded by the version count).
+    Stops at the vacuum floor (r10, ADVICE): ``vacuum_versioned``
+    deletes old manifests, so the walk treats a missing manifest as
+    the oldest surviving one — a fully-vacuumed chain of blind
+    commits yields ``None``, not ``FileNotFoundError``."""
     v = current_version(path)
     while v >= 0:
-        bid = _read_manifest(path, v).get("batch_id")
+        try:
+            bid = _read_manifest(path, v).get("batch_id")
+        except (FileNotFoundError, OSError):
+            return None  # manifest vacuumed: oldest surviving reached
         if bid is not None:
             return bid
         v -= 1
