@@ -1030,6 +1030,42 @@ def test_two_stage_rerank_recall_floors(spark):
         assert recall >= floor, (budget, recall)
 
 
+def test_simhash_md5_family_exact_dup_and_ann_md5_recall(spark):
+    """r10 md5-family conversions: (a) a verbatim copy of a document
+    must SimHash-fingerprint identically under family='md5' (hamming
+    0 pair recovered through the pigeonhole join); (b) md5-sign-plane
+    ANN must keep a sane recall floor vs brute force — the portable
+    family trades bucket isotropy, not correctness."""
+    from trendengine_spark.operators.dedup import simhash_near_pairs
+    from trendengine_spark.operators.similarity import (
+        cosine_topk,
+        random_hyperplane_ann,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    copies = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    pairs = simhash_near_pairs(
+        docs.unionByName(copies), max_hamming=3, family="md5"
+    ).collect()
+    zero = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+    assert all((i, i + 100000) in zero for i in range(3))
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    ann = random_hyperplane_ann(
+        emb, queries, k=5, dim=64, family="md5"
+    ).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["vec_id"]))
+    ann_set = set(zip(ann["query_id"], ann["vec_id"]))
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.5, f"md5-family ANN recall {recall:.2f}"
+
+
 def test_two_stage_rerank_external_queries_keep_id_collisions(spark):
     """ADVICE r9: with an EXTERNAL queries frame the id spaces are
     unrelated, so a corpus doc whose vec_id equals a query_id must

@@ -477,6 +477,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     bits: int = 64,
     mount: int = 0,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document in one conditional-agg pass.
 
@@ -485,16 +486,49 @@ def simhash_fingerprints(
     plain JVM aggregates (shiftright + bitwise AND), map-side combined.
     Also emits the four 16-bit blocks used for pigeonhole bucketing of
     Hamming-≤3 near-dup search.
+
+    ``family='md5'`` (r10) is the engine-portable variant, same
+    contract as :func:`minhash_signatures`: the 64 token-hash bits
+    come from md5's first 16 hex chars as two 32-bit halves
+    (``conv(substr(md5(token), 1|9, 8), 16, 10)``) — any engine with
+    md5() and integer shifts computes the identical fingerprint (the
+    DuckDB oracle of ``dedup_simhash`` does, relationally). One md5
+    per token row, computed once before the 64 conditional aggs;
+    xxhash64 stays the 100 TB default (one fixed-width JVM hash, no
+    hex-string decode).
     """
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
+    if family == "md5":
+        md5h = F.md5("token")
+        tok = tok.select(
+            "id",
+            F.conv(F.substring(md5h, 1, 8), 16, 10)
+            .cast("long")
+            .alias("_h_hi"),
+            F.conv(F.substring(md5h, 9, 8), 16, 10)
+            .cast("long")
+            .alias("_h_lo"),
+        )
+    elif family != "xxhash64":  # pragma: no cover - authoring guard
+        raise ValueError(f"unknown simhash family: {family!r}")
+
     def _build():
-        h = F.xxhash64("token")
+        if family == "md5":
+            def bit_src(j):
+                src = F.col("_h_lo") if j < 32 else F.col("_h_hi")
+                return F.shiftright(src, j % 32)
+        else:
+            h = F.xxhash64("token")
+
+            def bit_src(j):
+                return F.shiftright(h, j)
+
         sums = [
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(bit_src(j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(bits)
         ]
@@ -507,7 +541,9 @@ def simhash_fingerprints(
     # ~130 wide-expression py4j round trips — built once per context;
     # ``mount`` in the key isolates exprIds when two fingerprint
     # subplans share one query plan (see ctx_memo contract)
-    bit_sums, fp = ctx_memo(df.sparkSession, f"simhash.exprs.{bits}.{mount}", _build)
+    bit_sums, fp = ctx_memo(
+        df.sparkSession, f"simhash.exprs.{bits}.{mount}.{family}", _build
+    )
     agg = tok.groupBy("id").agg(*bit_sums)
     out = agg.select("id", fp)
     blocks = [
@@ -534,7 +570,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     # across invocations (same rationale as minhash_lsh_pairs)
     fp = owned_cache(
         simhash_fingerprints(df, **kw),
-        f"dedup.simhash.fp.{kw.get('bits', 64)}.{kw.get('mount', 0)}",
+        f"dedup.simhash.fp.{kw.get('bits', 64)}.{kw.get('mount', 0)}"
+        f".{kw.get('family', 'xxhash64')}",
     )
     banded = fp.select(
         "id",

@@ -291,6 +291,37 @@ def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _md5_sign_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Engine-portable ±1 hyperplanes (r10): entry (p, i) is +1 iff
+    the low bit of ``int(md5('hp:p:i')[:15 hex], 16)`` is set — the
+    same md5-anchoring contract as the minhash/simhash md5 families,
+    so any engine with md5() rebuilds the identical matrix (the
+    DuckDB oracle of ``sim_ann_hyperplane`` does it in SQL). Random-
+    sign projections are a standard SimHash/LSH plane family; only
+    the SIGN of the dot product is consumed, so unit normalization
+    is unnecessary."""
+    import hashlib
+
+    m = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(
+                hashlib.md5(f"hp:{p}:{i}".encode()).hexdigest()[:15], 16
+            )
+            m[p, i] = 1.0 if (h & 1) == 1 else -1.0
+    return m
+
+
+def _quantize_away_from_zero(m: np.ndarray, scale: float = 1024.0) -> np.ndarray:
+    """round(v*scale) with ties away from zero — matching both Spark's
+    and DuckDB's round() on the exactly-representable v*1024 (power-of-
+    two scaling is exact in binary), so integer dot products against
+    ±1 planes are EXACT and engine-identical. np.rint would tie to
+    even and diverge."""
+    s = m * scale
+    return np.sign(s) * np.floor(np.abs(s) + 0.5)
+
+
 def _pack_band_signatures(
     m: np.ndarray, planes_t: np.ndarray, planes_per_band: int, bands: int
 ) -> np.ndarray:
@@ -313,6 +344,7 @@ def band_signatures(
     bands: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """Per-vector banded hyperplane signatures in ONE ``mapInPandas``
     BLAS pass → (id, vec, sigs ARRAY<BIGINT> of length ``bands``).
@@ -339,6 +371,8 @@ def band_signatures(
             if pdf.empty:
                 continue
             m = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if quantize:
+                m = _quantize_away_from_zero(m)
             sigs = _pack_band_signatures(m, planes_t, planes_per_band, bands)
             yield pd.DataFrame(
                 {
@@ -362,6 +396,7 @@ def random_hyperplane_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    family: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -381,11 +416,29 @@ def random_hyperplane_ann(
     ``planes_per_band`` (8-16) to shrink buckets — candidate volume
     per band is N/2^planes, so selectivity improves exponentially
     while recall stays high.
+
+    ``family='md5'`` (r10) makes bucket assignment engine-portable:
+    ±1 planes from :func:`_md5_sign_planes` and vectors quantized to
+    exact integers (:func:`_quantize_away_from_zero`) mean every dot
+    product is EXACT integer arithmetic — identical sign bits on any
+    engine, which is what lets the ``sim_ann_hyperplane`` DuckDB
+    oracle recompute candidates and the final top-k relationally.
+    The BLAS matmul stays exact because every intermediate is an
+    integer < 2⁵³; the Gaussian family stays the default (better
+    bucket isotropy for skewed real corpora).
     """
     spark = corpus.sparkSession
-    all_planes = _planes(planes_per_band * bands, dim, seed)
+    n_planes = planes_per_band * bands
+    if family == "md5":
+        all_planes = _md5_sign_planes(n_planes, dim)
+    elif family == "gaussian":
+        all_planes = _planes(n_planes, dim, seed)
+    else:  # pragma: no cover - authoring guard
+        raise ValueError(f"unknown hyperplane family: {family!r}")
+    quantize = family == "md5"
     csig = band_signatures(
-        fan_out(corpus), all_planes, planes_per_band, bands, id_col, vec_col
+        fan_out(corpus), all_planes, planes_per_band, bands, id_col,
+        vec_col, quantize=quantize,
     )
     c_banded = csig.select(
         id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
@@ -407,6 +460,8 @@ def random_hyperplane_ann(
             ),
         )
     q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    if quantize:
+        q_mat = _quantize_away_from_zero(q_mat)
     q_sigs = _pack_band_signatures(
         q_mat, np.ascontiguousarray(all_planes.T), planes_per_band, bands
     )

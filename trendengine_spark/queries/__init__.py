@@ -59,7 +59,11 @@ _SPINE_FIRST = [
     # then this round's new/converted oracle rows as they land, then
     # the r9-era rows and stale green history. List is duplicate-free
     # by construction (asserted in _reorder_registry; ADVICE r9).
-    "quality_logistic_gate", "window_time_weighted_avg",
+    "quality_logistic_gate",
+    # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
+    # exact-rank twin) — need their first hash verdicts
+    "dedup_simhash", "sim_ann_hyperplane", "approx_percentiles",
+    "window_time_weighted_avg",
     "graph_communities_lpa", "quality_linear_residual_topk",
     "dedup_incremental_batch", "quality_linear_cv", "dedup_image_phash",
     "dedup_audio_fingerprint", "sim_two_stage_rerank", "sim_rrf_fusion",
@@ -118,7 +122,7 @@ _SPINE_FIRST = [
     "a1_annual_composite_max", "profile_mad_outliers",
     "pipeline_pack_sequences", "profile_key_skew", "sim_embedding_l2norm",
     "sim_embedding_quantize_int8", "sim_embedding_near_dup",
-    "sim_ann_hyperplane", "tpch_q4_order_priority",
+     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q10_returned_items", "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer", "tpch_q22_global_sales_opportunity",
@@ -139,7 +143,7 @@ _SPINE_FIRST = [
     "scalar_map_fns", "profile_equidepth_histogram",
     "join_asof_forward_tolerance", "multimodal_audio_spectrogram",
     "multimodal_resize_real", "dedup_fingerprint_md5",
-    "dedup_cluster_assignment", "dedup_simhash", "dedup_corpus_survivors",
+    "dedup_cluster_assignment",  "dedup_corpus_survivors",
     "text_token_explode_tf", "text_tfidf_top_terms", "text_token_count_bpe",
     "text_winnow_fingerprints", "text_chunk_windows", "sim_ivf_topk",
     "sim_label_centroid_dist", "pipeline_stratified_sample",
@@ -152,7 +156,7 @@ _SPINE_FIRST = [
     "window_ntile_firstlast", "sort_limit_topn", "set_union_distinct",
     "set_intersect", "set_except", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed", "u3_generalize_events",
-    "u5_decomposition_events", "approx_percentiles",
+    "u5_decomposition_events", 
 ]
 
 

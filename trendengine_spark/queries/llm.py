@@ -182,12 +182,67 @@ def dedup_cluster_assignment(spark, sf_dir):
 
 @query(
     "dedup_simhash",
-    sql=None,
-    doc="SimHash-64 near-dup pairs at Hamming ≤ 3, pigeonhole-bucketed "
-    "by 16-bit blocks (recall 1.0 for ≤3 differing bits, no all-pairs).",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    th AS (
+      SELECT id,
+             CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h_hi,
+             CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS h_lo
+      FROM tok
+    ),
+    bsum AS (
+      SELECT id, j,
+             sum(CASE WHEN ((CASE WHEN j < 32 THEN h_lo ELSE h_hi END
+                             >> (j % 32)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, unnest(generate_series(0, 63)) AS jj(j)
+      GROUP BY id, j
+    ),
+    fp AS (
+      SELECT id,
+             CAST(sum(CASE WHEN s > 0 AND j < 32
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS fp_lo,
+             CAST(sum(CASE WHEN s > 0 AND j >= 32
+                           THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT)
+               AS fp_hi
+      FROM bsum GROUP BY id
+    ),
+    blk AS (
+      SELECT id, fp_lo, fp_hi, k,
+             CASE k WHEN 0 THEN fp_lo & 65535
+                    WHEN 1 THEN (fp_lo >> 16) & 65535
+                    WHEN 2 THEN fp_hi & 65535
+                    ELSE (fp_hi >> 16) & 65535 END AS blk_val
+      FROM fp, unnest(generate_series(0, 3)) AS kk(k)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+    FROM blk a JOIN blk b ON a.k = b.k AND a.blk_val = b.blk_val
+    WHERE a.id < b.id
+      AND bit_count(xor(a.fp_lo, b.fp_lo))
+          + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """,
 )
 def dedup_simhash(spark, sf_dir):
-    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash-64 near-dup pairs at Hamming ≤ 3, pigeonhole-bucketed
+    by 16-bit blocks (recall 1.0 for ≤3 differing bits by the
+    pigeonhole principle — no all-pairs join, candidates only within
+    equal (block, value) buckets).
+
+    ORACLE-BACKED since r10 (was rows-only), by the md5-family
+    re-anchoring playbook (the r9 dedup_incremental_batch trick):
+    token-hash bits come from md5's first 16 hex chars as two 32-bit
+    integer halves, so DuckDB recomputes the IDENTICAL 64 bit-sums,
+    fingerprints, pigeonhole buckets and Hamming distances
+    relationally. Output is pure integers — the hash compare carries
+    no float tolerance. xxhash64 remains the operator's 100 TB
+    default family (``operators/dedup.py simhash_fingerprints``)."""
+    return simhash_near_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3, family="md5"
+    )
 
 
 # ------------------------------------------------------------- text analysis
@@ -471,16 +526,74 @@ def sim_range_search(spark, sf_dir):
 
 @query(
     "sim_ann_hyperplane",
-    sql=None,
-    doc="Random-hyperplane LSH ANN top-5 (8 planes × 4 bands) — the "
-    "sub-linear scale path; recall vs sim_cosine_topk asserted in tests.",
+    sql="""
+    WITH signs AS (
+      SELECT p, i,
+             CASE WHEN (CAST(concat('0x',
+                    substr(md5('hp:' || p || ':' || i), 1, 15)) AS BIGINT)
+                    & 1) = 1 THEN 1 ELSE -1 END AS s
+      FROM unnest(generate_series(0, 47)) AS pp(p),
+           unnest(generate_series(0, 63)) AS ii(i)
+    ),
+    qv AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT qv.id, signs.p, sum(signs.s * qv.q) AS d
+      FROM qv JOIN signs ON signs.i = qv.i
+      GROUP BY qv.id, signs.p
+    ),
+    sigs AS (
+      SELECT id, CAST(p // 4 AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4))
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS vec_id
+      FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
+      WHERE q.id < 10 AND c.id <> q.id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                      qe.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]))) AS c
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, c,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, vec_id) AS INT) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cos_sim, rn
+    FROM ranked WHERE rn <= 5
+    """,
 )
 def sim_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN top-5 (4 planes × 12 bands) — the
+    sub-linear scale path: corpus signatures in one mapInPandas BLAS
+    pass, candidates from ONE broadcast (band, sig) equi-join, exact
+    cosine re-rank only inside the candidate set.
+
+    ORACLE-BACKED since r10 (was rows-only), by md5-seeding the
+    planes: ±1 plane signs derive from md5('hp:p:i') and vectors are
+    quantized to exact integers (round(v·1024) — power-of-two scaling
+    is exact), so every plane dot product is exact int64 arithmetic
+    and DuckDB rebuilds the IDENTICAL buckets, candidate sets and
+    top-5 relationally. The Gaussian plane family stays the operator
+    default; recall floors for both families asserted in tests."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return random_hyperplane_ann(emb, queries, k=5, dim=64)
+    return random_hyperplane_ann(emb, queries, k=5, dim=64, family="md5")
 
 
 @query(
