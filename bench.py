@@ -240,8 +240,9 @@ def main() -> None:
         "dedup_incremental_batch",
         "graph_communities_lpa",
         # r10 additions: the logistic IRLS gate (closing the one r9
-        # evidence gap), plus this round's new oracle rows
+        # evidence gap) and the raster-to-trend lifecycle capstone
         "quality_logistic_gate",
+        "flagship_lifecycle_pipeline",
     ):
         fn = qs[name]
         try:

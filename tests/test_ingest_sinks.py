@@ -419,6 +419,39 @@ def test_last_batch_id_survives_vacuumed_blind_commits(spark, tmp_path):
     assert last_batch_id(path) == 7
 
 
+def test_lifecycle_pipeline_manifest_prune(spark):
+    """r10 flagship: the raster→trend lifecycle's AOI read must prune
+    files at the MANIFEST level (z-order clustered commit ⇒ per-file
+    min/max selective on both coordinates), and the pruned scan must
+    return exactly the rows the full scan + exact filter returns —
+    the predicate shrinks IO, never semantics."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.tablelog import read_versioned
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["flagship_lifecycle_pipeline"].fn(spark, sf).collect()
+    assert len(out) >= 1 and sum(r["n_pixels"] for r in out) == 16
+    path = os.path.join(
+        tempfile.gettempdir(), f"te_lifecycle_{abs(hash(sf)) % 10**8}"
+    )
+    aoi = (4.0, 6.0)
+    pred = {"longitude": aoi, "latitude": aoi}
+    full = read_versioned(spark, path)
+    pruned = read_versioned(spark, path, predicate=pred)
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert n_full == 16 and n_pruned <= n_full // 4, (n_pruned, n_full)
+    box = (
+        (F.col("longitude") >= aoi[0]) & (F.col("longitude") < aoi[1])
+        & (F.col("latitude") >= aoi[0]) & (F.col("latitude") < aoi[1])
+    )
+    assert pruned.filter(box).count() == full.filter(box).count()
+
+
 def test_versioned_table_schema_evolution(spark, tmp_path):
     """A later version may add columns; each version reads with its
     own schema (no cross-file merge needed), and a mergeSchema scan

@@ -63,6 +63,8 @@ _SPINE_FIRST = [
     # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
     # exact-rank twin) — need their first hash verdicts
     "dedup_simhash", "sim_ann_hyperplane", "approx_percentiles",
+    # r10 addition: the raster-to-trend lifecycle capstone (rows-only)
+    "flagship_lifecycle_pipeline",
     "window_time_weighted_avg",
     "graph_communities_lpa", "quality_linear_residual_topk",
     "dedup_incremental_batch", "quality_linear_cv", "dedup_image_phash",

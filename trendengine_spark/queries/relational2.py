@@ -123,6 +123,117 @@ def raster_region_ingest(spark, sf_dir):
     )
 
 
+@query(
+    "flagship_lifecycle_pipeline",
+    sql=None,
+    doc="The full 100 TB lifecycle as ONE statement: te_region raster "
+    "ingest → Z-order-clustered versioned commit → manifest "
+    "data-skipping AOI read → annual composite → PolyTrend "
+    "classification → category roll-up. Rows-only by design (the "
+    "versioned table is not a DuckDB-readable source and PolyTrend "
+    "is the applyInPandas cascade); every stage is individually "
+    "pinned — region source goldens, z-order prune file counts, "
+    "composite oracle (a1_annual_composite), PolyTrend goldens — and "
+    "the manifest prune is plan-asserted in "
+    "tests/test_ingest_sinks.py::test_lifecycle_pipeline_manifest_prune.",
+)
+def flagship_lifecycle_pipeline(spark, sf_dir):
+    """VERDICT r9 task 3 — the raster-to-trend composition a
+    production deployment runs, end to end (`sf_dir` is unused: the
+    te_region source IS the table):
+
+    1. **Acquire** an 8°×8° region × 10 years through the te_region
+       DataSource (one InputPartition per tile-year — acquisition
+       scales with the cluster, not the driver, unlike the
+       reference's single getRegion call).
+    2. **Commit** it Z-order-clustered on (longitude, latitude) into
+       a manifest-versioned table (`write_versioned_clustered`) — the
+       ingest-time layout step that makes every later AOI read
+       planning-time prunable on BOTH coordinates.
+    3. **Read back** a 2°×2° AOI via `read_versioned(predicate=...)`
+       — manifest min/max file skipping, then the exact box filter
+       (the predicate shrinks IO, never semantics).
+    4. **Composite** to one value per pixel-year (A1 exact mean).
+    5. **Classify** each pixel's 10-year series with PolyTrend.
+    6. **Roll up** to (trend_type, direction) category counts — the
+       reference's end-product summary (A4/A5 analog).
+
+    At 100 TB each stage keeps its posture: partitioned acquisition,
+    one extra ingest shuffle for the clustered layout, storage-level
+    AOI pruning (measured 3-4/16 files), applyInPandas only per
+    bounded pixel series, and a tiny final aggregate.
+
+    The synthetic field is interannually STATIONARY by construction
+    (seasonal harmonic + spatial gradient, no trend term —
+    `sources/region.py synthetic_ndvi`), so the correct end verdict
+    is one uniform no-trend category; the flagship pins the
+    composition and its storage posture, while the classifier's
+    discrimination is pinned by the PolyTrend golden suites."""
+    import os
+    import shutil
+    import tempfile
+
+    from trendengine_spark.functions.polytrend import polytrend_groups
+    from trendengine_spark.operators.composite import annual_composite
+    from trendengine_spark.sources import register_sources
+    from trendengine_spark.tablelog import (
+        read_versioned,
+        write_versioned_clustered,
+    )
+
+    register_sources(spark)
+    obs = (
+        spark.read.format("te_region")
+        .option("dataset", "gimms")
+        .option("bbox", "0,0,8,8")
+        .option("years", "2001,2010")
+        # 4° tiles: 40 tile-year partitions — enough parallelism for
+        # local[32] while keeping the Python-source per-partition
+        # dispatch cost bounded (2° tiles = 160 partitions measured
+        # 2x slower for the same rows)
+        .option("tile_deg", "4")
+        .load()
+        .select("longitude", "latitude", "time", "value")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"te_lifecycle_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # fresh lifecycle per run
+    # the clustered commit reads obs twice (layout-bounds aggregate +
+    # staging write): persist across the two passes so the synthetic
+    # acquisition runs once, then release before the read-back
+    obs.persist()
+    try:
+        write_versioned_clustered(
+            spark, obs, path, ("longitude", "latitude"), num_partitions=16
+        )
+    finally:
+        obs.unpersist()
+    aoi = (4.0, 6.0)
+    scan = read_versioned(
+        spark, path, predicate={"longitude": aoi, "latitude": aoi}
+    ).filter(
+        (F.col("longitude") >= aoi[0]) & (F.col("longitude") < aoi[1])
+        & (F.col("latitude") >= aoi[0]) & (F.col("latitude") < aoi[1])
+    )
+    ann = annual_composite(scan, ["longitude", "latitude"])
+    trends = polytrend_groups(
+        ann,
+        ["longitude", "latitude"],
+        time_col="period_start",
+        value_col="value",
+    )
+    return (
+        trends.groupBy("trend_type", "direction")
+        .agg(
+            F.count("*").cast("long").alias("n_pixels"),
+            F.round(F.avg("slope"), 6).alias("avg_slope"),
+        )
+        .orderBy("trend_type", "direction")
+    )
+
+
 # --------------------------------------------------------- subqueries
 @query(
     "subquery_scalar_avg",
