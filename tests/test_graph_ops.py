@@ -32,6 +32,33 @@ def test_label_propagation_separates_bridged_cliques(spark):
     assert out2 == out
 
 
+def test_label_propagation_early_exit_is_fixpoint_identity(spark):
+    """r10: early_exit stops only when a round changes NO label —
+    synchronous LPA is then at a fixpoint, so the result must be
+    bit-identical to running every declared round (and to a larger
+    iters: rounds past convergence are the identity)."""
+    from trendengine_spark.operators.graph import label_propagation
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(10 + i, 10 + j) for i in range(6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(5, 10)], "src long, dst long"
+    )
+    ref = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=5, early_exit=False).collect()
+    }
+    fast = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=5, early_exit=True).collect()
+    }
+    more = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=9, early_exit=True).collect()
+    }
+    assert fast == ref == more
+
+
 def test_label_propagation_isolated_pairs(spark):
     from trendengine_spark.operators.graph import label_propagation
 

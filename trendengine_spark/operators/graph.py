@@ -84,6 +84,7 @@ def label_propagation(
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    early_exit: bool = True,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007 — public method, own implementation): every node
@@ -109,6 +110,17 @@ def label_propagation(
     discipline shared with CC/pagerank). Undirectedness is the
     caller's contract: pass each edge once; both directions are
     derived here.
+
+    ``early_exit`` (r10): stop as soon as a round changes NO label —
+    synchronous LPA is then at a fixpoint, so every remaining round
+    is the identity and the result is bit-identical to running all
+    ``iters`` rounds (which is why the oracle-backed declared query
+    can use it while its DuckDB twin runs the full unrolled count:
+    same fixpoint). The stability probe is one short-circuiting
+    anti-equality count per round (``limit(1)`` — first changed row
+    wins); on the sf0.1 co-purchase graph convergence lands in 2-3 of
+    the declared 5 rounds, and the probe's cost is a fraction of one
+    saved round's join+aggregate+checkpoint.
 
     Returns (node, community) — community = the converged label.
     """
@@ -141,7 +153,7 @@ def label_propagation(
         # count first) then by label ascending — struct comparison is
         # lexicographic, so the label component needs only to be
         # orderable (string/date node ids work, not just numeric)
-        labels = (
+        new_labels = (
             votes.groupBy("node")
             .agg(
                 F.min(
@@ -151,6 +163,19 @@ def label_propagation(
             .select("node", F.col("w.label").alias("label"))
             .localCheckpoint()
         )
+        if early_exit:
+            changed = (
+                new_labels.withColumnRenamed("label", "_new")
+                .join(labels, "node")
+                .filter(F.col("_new") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break  # fixpoint: remaining rounds are the identity
+        else:
+            labels = new_labels
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -1703,8 +1703,17 @@ def graph_communities_lpa(spark, sf_dir):
     from trendengine_spark.operators.util import owned_cache
 
     edges = owned_cache(edges, "graph.lpa.edges")  # LPA + modularity
+    # early_exit=False, measured (r10): THIS graph converges at
+    # exactly round 5 (per-round changed labels at sf0.1:
+    # 3284/822/69/12/0), so the stability probe would cost ~0.4s of
+    # extra jobs and save zero rounds. The probe stays the operator
+    # DEFAULT because early-converging graphs (the stress_lpa
+    # structure converges in 2 of 5 rounds) save whole rounds; either
+    # setting yields identical labels (fixpoint identity), so the
+    # 5-round unrolled oracle text is valid for both.
     labels = owned_cache(
-        label_propagation(edges, iters=5), "graph.lpa.labels"
+        label_propagation(edges, iters=5, early_exit=False),
+        "graph.lpa.labels",
     )
     from trendengine_spark.operators.graph import modularity
 
