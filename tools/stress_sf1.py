@@ -19,7 +19,8 @@ scaling). Output layout is multi-file parquet (~64 splits/fact) —
 the ingest posture the engine assumes (SCALE.md), unlike the
 driver's single-row-group files.
 
-Usage: python tools/stress_sf1.py [replicas] [sf_src_dir]
+Usage: python tools/stress_sf1.py [replicas] [sf_src_dir] [suite]
+       suite ∈ {all, relational, llm} (default all)
 """
 
 from __future__ import annotations
@@ -34,7 +35,9 @@ sys.path.insert(0, "/root/repo")
 
 OUT = "/tmp/te_sf1"
 FACTS = ("lineitem", "orders")
-DIMS = ("customer", "supplier", "part", "nation", "region", "events")
+# events moved out of DIMS in r10: it now replicates with the facts
+# (event_id offset) so the LLM/profiling shapes scale too
+DIMS = ("customer", "supplier", "part", "nation", "region")
 
 #: registry queries whose shapes span the relational spine
 QUERIES = [
@@ -59,7 +62,104 @@ QUERIES = [
     "profile_numeric_correlations",
 ]
 
-ORACLE_TABLES = FACTS + DIMS
+ORACLE_TABLES = FACTS + DIMS + ("events", "documents", "embeddings")
+
+#: r10 (VERDICT r9 task 2): the LLM-pipeline workhorses face DuckDB at
+#: sf3 too — dedup, fingerprinting, sketch profiling, and the
+#: multimodal near-dup path. documents/events/embeddings replicate
+#: like the facts; documents get a PER-REPLICA TOKEN SALT (bijective
+#: within a replica) so replicas are new DISTINCT documents, not
+#: near-dups of each other — verbatim replication would make every
+#: LSH bucket quadratic in replicas, which no real corpus growth does.
+LLM_QUERIES = [
+    "dedup_minhash_lsh",        # xxhash64 scale default (see below)
+    "dedup_paragraph_global",
+    "text_winnow_fingerprints",
+    "profile_heavy_hitters",
+    "dedup_image_phash",
+]
+
+#: dedup_minhash_lsh is rows-only (no oracle SQL — the xxhash64
+#: family has no DuckDB twin). For the THROUGHPUT comparison DuckDB
+#: runs the same 64-perm/16-band LSH pipeline with its own native
+#: 64-bit hash() where Spark uses xxhash64 — both engines pay one
+#: cheap fixed-width hash per shingle plus 64 affine rehashes, band
+#: buckets, a bucket self-join and a signature verify at the same
+#: 0.35 threshold. Equivalent work, not identical pairs.
+LLM_DUCK_OVERRIDE = {
+    "dedup_minhash_lsh": """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    hb AS (
+      SELECT id, (hash(shingle) % 2147483647)::BIGINT AS h FROM sh
+    ),
+    sig AS (
+      SELECT id, p, min((h * (2 * p + 3) + p) % 2147483647) AS mh
+      FROM hb, unnest(generate_series(0, 63)) AS pp(p)
+      GROUP BY id, p
+    ),
+    band AS (
+      SELECT id, CAST(p // 4 AS INT) AS band,
+             hash(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+      FROM sig GROUP BY id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.id < b.id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
+      FROM cand
+      JOIN sig sa ON sa.id = id_a
+      JOIN sig sb ON sb.id = id_b AND sb.p = sa.p
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+    FROM est WHERE ej >= 0.35
+    """,
+    # The registry ORACLE form computes md5 inside per-row
+    # list_transform lambdas — exact, but interpreted per element
+    # (measured ~10 s/1k docs: hopeless as a THROUGHPUT baseline at
+    # sf3). This twin does the identical winnowing math (same md5,
+    # same k=5/w=4, same distinct fingerprints) relationally: one
+    # position explode, one vectorized md5 column, one 4-row window
+    # min — the form a performance-conscious DuckDB user would write.
+    "text_winnow_fingerprints": """
+    WITH g AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i,
+             substr(md5(substr(norm, CAST(i AS INT), 5)), 1, 16) AS h
+      FROM g, unnest(generate_series(1, length(norm) - 4)) AS u(i)
+      WHERE length(norm) >= 5
+    ),
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             i,
+             count(*) OVER (PARTITION BY doc_id) AS np
+      FROM pos
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM wmin WHERE i <= np - 3 OR (np < 4 AND i = 1)
+    """,
+}
 
 
 def build(spark, src: str, replicas: int) -> None:
@@ -85,32 +185,91 @@ def build(spark, src: str, replicas: int) -> None:
         load_table(spark, src, name).repartition(4).write.parquet(
             f"{OUT}/{name}.parquet"
         )
+    # LLM facts (r10). documents: doc_id offset keeps the planted
+    # even/odd near-dup parity (offset is even), and every token gets
+    # an 'r<k>' replica prefix — a bijective vocab remap that
+    # preserves each replica's internal shingle/dup structure exactly
+    # while making cross-replica Jaccard ~0 (growth in DISTINCT
+    # documents, the honest corpus scale-up). events: event_id offset,
+    # user_id untouched (heavy keys stay heavy, 10x deeper).
+    docs = load_table(spark, src, "documents").select("*", rep)
+    docs = (
+        docs.withColumn("doc_id", F.col("doc_id") + F.col("_r") * offset)
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("r"), F.col("_r").cast("string"), F.lit("$1")),
+            ),
+        )
+        .drop("_r")
+    )
+    docs.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+    ev = load_table(spark, src, "events").select("*", rep)
+    ev = ev.withColumn(
+        "event_id", F.col("event_id") + F.col("_r") * offset
+    ).drop("_r")
+    ev.repartition(32).write.parquet(f"{OUT}/events.parquet")
+    emb = load_table(spark, src, "embeddings").select("*", rep)
+    emb = emb.withColumn(
+        "vec_id", F.col("vec_id") + F.col("_r") * offset
+    ).drop("_r")
+    emb.repartition(8).write.parquet(f"{OUT}/embeddings.parquet")
 
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    suite = sys.argv[3] if len(sys.argv) > 3 else "all"
+    rel_queries = QUERIES if suite in ("all", "relational") else []
+    llm_queries = LLM_QUERIES if suite in ("all", "llm") else []
 
     from trendengine_spark.queries import REGISTRY
     from trendengine_spark.session import get_spark
 
     spark = get_spark(app_name="stress_sf1")
-    t0 = time.perf_counter()
-    build(spark, src, replicas)
-    print(f"build: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if os.environ.get("TE_SF1_REUSE") == "1" and os.path.exists(OUT):
+        # reuse a prior build (set TE_SF1_REUSE=1) — the build is
+        # deterministic in (replicas, src), so suite-by-suite runs
+        # need not repay the ~2-minute write
+        print("build: reused existing", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        build(spark, src, replicas)
+        print(f"build: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rows = spark.read.parquet(f"{OUT}/lineitem.parquet").count()
 
-    spark_times = {}
-    for name in QUERIES:
-        fn = REGISTRY[name].fn
-        fn(spark, OUT).toArrow()  # codegen warm-up
-        best = float("inf")
-        for _ in range(3):
-            s = time.perf_counter()
-            fn(spark, OUT).toArrow()
-            best = min(best, time.perf_counter() - s)
-        spark_times[name] = round(best, 3)
+    def time_spark(names: list[str]) -> dict[str, float]:
+        out = {}
+        pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
+
+        def drop_caches() -> None:
+            # operator-internal caches (LSH signature tables etc.)
+            # must not carry across samples — same discipline as
+            # bench.py, or the second run measures a cache hit
+            for key in list(pool):
+                try:
+                    pool.pop(key).unpersist(blocking=True)
+                except Exception:
+                    pass
+
+        for name in names:
+            fn = REGISTRY[name].fn
+            fn(spark, OUT).toArrow()  # codegen warm-up
+            drop_caches()
+            best = float("inf")
+            for _ in range(3):
+                s = time.perf_counter()
+                fn(spark, OUT).toArrow()
+                best = min(best, time.perf_counter() - s)
+                drop_caches()
+            out[name] = round(best, 3)
+        return out
+
+    spark_times = time_spark(rel_queries)
+    spark_llm = time_spark(llm_queries)
 
     import duckdb
 
@@ -121,20 +280,31 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{OUT}/{t}.parquet/*.parquet'"
         )
-    for name in QUERIES:
-        sql = REGISTRY[name].sql
-        con.execute(sql).fetchall()  # warm
-        best = float("inf")
-        # DuckDB min-of-5: its run-to-run spread measured larger than
-        # Spark's on this box (q3 0.19-1.11 s across runs at 6M rows)
-        for _ in range(5):
-            s = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - s)
-        duck_times[name] = round(best, 3)
+    def time_duck(names: list[str], samples: int = 5) -> dict[str, float]:
+        out = {}
+        for name in names:
+            sql = LLM_DUCK_OVERRIDE.get(name) or REGISTRY[name].sql
+            con.execute(sql).fetchall()  # warm
+            best = float("inf")
+            # DuckDB min-of-5: its run-to-run spread measured larger
+            # than Spark's on this box (q3 0.19-1.11 s across runs at
+            # 6M rows). The LLM suite uses min-of-2: its slowest
+            # DuckDB rows run tens of seconds to minutes at sf3,
+            # where scheduler noise is irrelevant.
+            for _ in range(samples):
+                s = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - s)
+            out[name] = round(best, 3)
+        return out
+
+    duck_times = time_duck(rel_queries)
+    duck_llm = time_duck(llm_queries, samples=2)
 
     total_s = round(sum(spark_times.values()), 3)
     total_d = round(sum(duck_times.values()), 3)
+    total_sl = round(sum(spark_llm.values()), 3)
+    total_dl = round(sum(duck_llm.values()), 3)
     print(
         json.dumps(
             {
@@ -144,6 +314,13 @@ def main() -> None:
                 "spark_total": total_s,
                 "duckdb_total": total_d,
                 "ratio": round(total_s / total_d, 2) if total_d else None,
+                "spark_llm": spark_llm,
+                "duckdb_llm": duck_llm,
+                "spark_llm_total": total_sl,
+                "duckdb_llm_total": total_dl,
+                "llm_ratio": (
+                    round(total_sl / total_dl, 2) if total_dl else None
+                ),
             }
         )
     )
