@@ -41,13 +41,21 @@ QUERIES = ["tpch_q18_large_volume_customer", "tpch_q21_waiting_supplier"]
 #: sort-merge partition carries ~1/4 of an 18M-row fact join — far
 #: over the per-task memory budget, forcing ExternalSorter to spill.
 CONF = {
-    "spark.driver.memory": "1500m",
-    "spark.memory.fraction": "0.25",
-    "spark.sql.shuffle.partitions": "4",
+    # 4g heap / fraction 0.15: ~600 MB of execution+storage for sorts
+    # that need ~2 GB — the pressure lands on the SORT, which can
+    # spill, not on the scan (a 1.5g heap with 32 concurrent parquet
+    # readers GC-crashed the JVM before any shuffle ran: that is the
+    # OOM failure mode, not the degradation this probe certifies).
+    # Run with SPARK_GRAFT_CPUS=8 to bound concurrent scan buffers.
+    "spark.driver.memory": "4g",
+    "spark.memory.fraction": "0.05",
+    "spark.sql.shuffle.partitions": "2",
     "spark.sql.adaptive.enabled": "false",  # AQE would re-split the
     # skewed partitions and dodge the squeeze — the probe wants the
     # worst case the static planner can hand the sorter
     "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "true",  # the engine default disables the UI;
+    # the status REST API (our spill-metric source) needs it
 }
 
 
@@ -57,7 +65,10 @@ def _spill_totals(spark) -> tuple[int, int]:
     metrics; the py4j path into AppStatusStore is version-brittle)."""
     base = spark.sparkContext.uiWebUrl
     if not base:
-        return (-1, -1)
+        raise SystemExit(
+            "Spark UI disabled — spill metrics unavailable "
+            "(spark.ui.enabled must be true for this probe)"
+        )
     app_id = spark.sparkContext.applicationId
     with urllib.request.urlopen(
         f"{base}/api/v1/applications/{app_id}/stages?status=complete"
