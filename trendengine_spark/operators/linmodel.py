@@ -475,28 +475,32 @@ def fit_logistic(
     df = owned_cache(
         df, f"linmodel.logit.{'-'.join(features)}.{target}"
     )
-    # iteration 0: beta = 0 for every group present
-    keys = [
-        tuple(r[c] for c in group_cols)
-        for r in (
-            df.select(*group_cols).distinct().limit(1025).collect()
-            if group_cols
-            else [{}]
-        )
-    ]
-    if len(keys) > 1024:
+    # Iteration 0 runs OUTSIDE the chained-expression machinery (r10):
+    # with beta = 0 for every group, eta ≡ 0, mu ≡ 0.5 and w ≡ 0.25
+    # exactly, so the first Newton step needs no per-group expression
+    # — and its gram rows already carry (a) the group keys (replacing
+    # the old distinct-collect job) and (b) the exact row counts
+    # (sum(w) = n/4 with w constant, replacing the old final count
+    # job). Two whole scan jobs saved, identical math.
+    z0 = (F.col(target).cast("double") - F.lit(0.5)) / F.lit(0.25)
+    rows0 = gram_moments(
+        df.withColumn("_z", z0),
+        [*features, "_z"],
+        group_cols,
+        weight=F.lit(0.25),
+    ).collect()
+    if len(rows0) > 1024:
         raise ValueError(
             "fit_logistic: group_cols cardinality exceeds 1024 — "
             "use a coarser grouping"
         )
-    fits = {
-        key: {
-            "weights": {f: 0.0 for f in features},
-            "intercept": 0.0,
-            "n": 0,
-        }
-        for key in keys
-    }
+    fits = {}
+    true_n = {}
+    for r_ in rows0:
+        m = r_.asDict()
+        key = tuple(m[c] for c in group_cols)
+        fits[key] = solve_normal(m, features, "_z", ridge)
+        true_n[key] = int(round(float(m["n_rows"]) * 4))
 
     def _chained(build):
         expr = None
@@ -511,7 +515,7 @@ def fit_logistic(
             expr = F.when(cond, e) if expr is None else expr.when(cond, e)
         return expr
 
-    for _ in range(iters):
+    for _ in range(iters - 1):  # Newton step 1 of `iters` ran above
         eta = _chained(lambda f: score_expr(f["weights"], f["intercept"]))
         mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         w = F.greatest(mu * (F.lit(1.0) - mu), F.lit(1e-6))
@@ -524,13 +528,30 @@ def fit_logistic(
             m = r_.asDict()
             key = tuple(m[c] for c in group_cols)
             new_fits[key] = solve_normal(m, features, "_z", ridge)
+        # Newton convergence check is FREE (the coefficients are
+        # already driver-side per iteration, r10): stop when every
+        # group's largest coefficient step is below tol — each saved
+        # iteration is one whole scan+aggregate job. Saturated groups
+        # (perfect separation) never converge by this test and run
+        # the full iteration budget, as before.
+        delta = 0.0
+        for key, nf in new_fits.items():
+            of = fits.get(
+                key, {"weights": {f: 0.0 for f in features}, "intercept": 0.0}
+            )
+            delta = max(
+                delta,
+                abs(nf["intercept"] - of["intercept"]),
+                *[
+                    abs(nf["weights"][f] - of["weights"][f])
+                    for f in features
+                ],
+            )
         fits = new_fits
-    # report true row counts, not the final sum of IRLS weights
-    if group_cols:
-        for r_ in df.groupBy(*group_cols).count().collect():
-            key = tuple(r_[c] for c in group_cols)
-            if key in fits:
-                fits[key]["n"] = int(r_["count"])
-    else:
-        fits[()]["n"] = df.count()
+        if delta < 1e-9:
+            break
+    # true row counts came free from iteration 0 (w ≡ 0.25 exactly,
+    # so Σw = n/4 — no extra count job)
+    for key in fits:
+        fits[key]["n"] = true_n.get(key, 0)
     return fits
