@@ -419,6 +419,39 @@ def test_last_batch_id_survives_vacuumed_blind_commits(spark, tmp_path):
     assert last_batch_id(path) == 7
 
 
+def test_table_history_commit_log(spark, tmp_path):
+    """r10: table_history reads the commit log from manifests alone —
+    versions, per-commit file/row counts from the recorded stats,
+    batch ids, and commit timestamps; vacuumed versions drop out."""
+    import pandas as pd
+
+    from trendengine_spark.tablelog import (
+        publish_versioned_batch,
+        table_history,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vh")
+    write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [1, 2]})), path
+    )
+    publish_versioned_batch(
+        spark.createDataFrame(pd.DataFrame({"k": [3]})), 5, path
+    )
+    h = table_history(path)
+    assert [e["version"] for e in h] == [0, 1]
+    assert [e["rows"] for e in h] == [2, 3]  # append folds v0's files
+    assert h[0]["batch_id"] is None and h[1]["batch_id"] == 5
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[1]["committed_at"] >= h[0]["committed_at"]
+    write_versioned(
+        spark, spark.createDataFrame(pd.DataFrame({"k": [9]})), path
+    )
+    vacuum_versioned(path, keep_last=2)
+    assert [e["version"] for e in table_history(path)] == [1, 2]
+
+
 def test_lifecycle_pipeline_manifest_prune(spark):
     """r10 flagship: the raster→trend lifecycle's AOI read must prune
     files at the MANIFEST level (z-order clustered commit ⇒ per-file

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -280,7 +281,15 @@ def _commit_manifest(
         )
         final = os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
         tmp = final + f".tmp{uuid.uuid4().hex}"
-        body = {"version": version, "files": files, "stats": stats}
+        body = {
+            "version": version,
+            "files": files,
+            "stats": stats,
+            # audit metadata (r10): wall-clock commit time, for
+            # table_history / retention decisions only — never query
+            # semantics (results must stay time-independent)
+            "committed_at": time.time(),
+        }
         if batch_id is not None:
             body["batch_id"] = batch_id
         with open(tmp, "w") as fh:
@@ -653,6 +662,40 @@ def publish_stream_versioned(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def table_history(path: str) -> list[dict]:
+    """Commit log of a versioned table — the DESCRIBE HISTORY analog
+    (Delta `history()`, Iceberg `snapshots`): one entry per SURVIVING
+    manifest, oldest first, from manifest metadata alone (no data
+    files opened — row counts sum the per-file stats recorded at
+    commit, O(manifests) local JSON reads). Vacuumed versions are
+    absent by definition; manifests from before the r10
+    `committed_at` stamp report ``committed_at=None``. Each entry:
+    {version, committed_at, n_files, rows (None when any file lacks
+    stats), batch_id}."""
+    out = []
+    for m in _manifest_paths(path):
+        with open(m) as fh:
+            b = json.load(fh)
+        stats = b.get("stats", {})
+        rows = 0
+        for f in b["files"]:
+            s = stats.get(f)
+            if s is None or "rows" not in s:
+                rows = None
+                break
+            rows += s["rows"]
+        out.append(
+            {
+                "version": b["version"],
+                "committed_at": b.get("committed_at"),
+                "n_files": len(b["files"]),
+                "rows": rows,
+                "batch_id": b.get("batch_id"),
+            }
+        )
+    return out
 
 
 def diff_versions(
