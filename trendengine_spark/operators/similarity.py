@@ -681,10 +681,21 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     quantile: float = 0.999,
     min_pairs: int = 10,
+    family: str = "gaussian",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     self-bucketing — candidates only share a band signature, then
     exact cosine verify. No all-pairs join.
+
+    ``family='md5'`` (r10) makes the whole operator engine-portable,
+    the `sim_ann_hyperplane` contract extended to SELF-bucketing:
+    ±1 md5-seeded planes over integer-quantized vectors give exact
+    int64 plane dots (identical buckets → identical candidate
+    PAIRS on any engine), and the adaptive cut runs at GK accuracy
+    10⁶ — lossless below a million candidates, where Spark's
+    ⌈q·n⌉-rank rule coincides with DuckDB's ``quantile_disc``
+    exactly (the `approx_percentiles` identity). Gaussian stays the
+    default plane family.
 
     ``threshold``: absolute cosine cut (use for real near-dup corpora
     where duplicates sit at cos ≥ 0.9). ``threshold=None`` switches to
@@ -705,9 +716,16 @@ def embedding_near_dup_pairs(
     pair table is likewise owned-cached: the percentile branch and the
     filter branch would otherwise each re-run the self-join.
     """
+    if family == "md5":
+        planes = _md5_sign_planes(planes_per_band * bands, dim)
+    elif family == "gaussian":
+        planes = _planes(planes_per_band * bands, dim, seed)
+    else:  # pragma: no cover - authoring guard
+        raise ValueError(f"unknown hyperplane family: {family!r}")
     sigs = band_signatures(
-        fan_out(corpus), _planes(planes_per_band * bands, dim, seed),
+        fan_out(corpus), planes,
         planes_per_band, bands, id_col, vec_col,
+        quantize=family == "md5",
     )
     banded = owned_cache(
         sigs.select(
@@ -715,7 +733,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("vec"),
             F.posexplode("sigs").alias("band", "sig"),
         ),
-        f"sim.neardup.banded.{planes_per_band}.{bands}.{seed}",
+        f"sim.neardup.banded.{planes_per_band}.{bands}.{seed}.{family}",
     )
     a = banded.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "sig"
@@ -735,15 +753,21 @@ def embedding_near_dup_pairs(
     if threshold is None:
         scored = owned_cache(
             scored.select("id_a", "id_b", "cos_sim"),
-            f"sim.neardup.scored.{planes_per_band}.{bands}.{seed}",
+            f"sim.neardup.scored.{planes_per_band}.{bands}.{seed}.{family}",
         )
         # Adaptive cut = min(percentile value, min_pairs-th best sim):
         # the floor guarantees at least min_pairs survivors whenever
         # that many candidates exist, so the result is never the
         # 1-row-at-sf0.01 thin evidence VERDICT r5 flagged. Both cut
         # jobs run on the owned-cached scored table (tiny).
+        # accuracy 10^6: the GK sketch is lossless below a million
+        # candidates, making the cut the exact ceil(q*n)-rank element
+        # (= DuckDB quantile_disc — the approx_percentiles identity),
+        # which is what lets the md5 family carry a full oracle
         cut_p = scored.agg(
-            F.percentile_approx("cos_sim", quantile).alias("_thr_p")
+            F.percentile_approx("cos_sim", quantile, 1_000_000).alias(
+                "_thr_p"
+            )
         )
         cut_n = (
             scored.orderBy(F.desc("cos_sim"))

@@ -63,6 +63,7 @@ _SPINE_FIRST = [
     # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
     # exact-rank twin) — need their first hash verdicts
     "dedup_simhash", "sim_ann_hyperplane", "approx_percentiles",
+    "sim_embedding_near_dup",
     # r10 addition: the raster-to-trend lifecycle capstone (rows-only)
     "flagship_lifecycle_pipeline",
     "window_time_weighted_avg",
@@ -123,7 +124,7 @@ _SPINE_FIRST = [
     "stream_tumbling_window", "stream_interval_join",
     "a1_annual_composite_max", "profile_mad_outliers",
     "pipeline_pack_sequences", "profile_key_skew", "sim_embedding_l2norm",
-    "sim_embedding_quantize_int8", "sim_embedding_near_dup",
+    "sim_embedding_quantize_int8", 
      "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q10_returned_items", "tpch_q13_customer_distribution",

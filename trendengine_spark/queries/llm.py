@@ -616,17 +616,76 @@ def sim_ivf_topk(spark, sf_dir):
 
 @query(
     "sim_embedding_near_dup",
-    sql=None,
-    doc="Embedding-cosine near-dup pairs via banded hyperplane "
-    "self-bucketing with an adaptive cut: 99.9th percentile of "
-    "observed candidate similarities, floored to keep at least "
-    "min_pairs=10 survivors — non-vacuous at every sf by construction "
-    "(the synthetic corpus has no cos ≥ 0.9 pairs; a fixed threshold "
-    "there returns 0 rows and proves nothing). No all-pairs join.",
+    sql="""
+    WITH signs AS (
+      SELECT p, i,
+             CASE WHEN (CAST(concat('0x',
+                    substr(md5('hp:' || p || ':' || i), 1, 15)) AS BIGINT)
+                    & 1) = 1 THEN 1 ELSE -1 END AS s
+      FROM unnest(generate_series(0, 59)) AS pp(p),
+           unnest(generate_series(0, 63)) AS ii(i)
+    ),
+    qv AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT qv.id, signs.p, sum(signs.s * qv.q) AS d
+      FROM qv JOIN signs ON signs.i = qv.i
+      GROUP BY qv.id, signs.p
+    ),
+    sigs AS (
+      SELECT id, CAST(p // 10 AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 10))
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY id, p // 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.id < b.id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                      ea.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]))) AS c
+      FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+                JOIN embeddings eb ON eb.vec_id = cand.id_b
+    ),
+    thr AS (
+      SELECT least(
+               (SELECT quantile_disc(c, 0.999) FROM scored),
+               (SELECT min(c) FROM
+                 (SELECT c FROM scored ORDER BY c DESC LIMIT 10))
+             ) AS t
+    )
+    SELECT id_a, id_b, round(c, 4) AS cos_sim
+    FROM scored, thr WHERE c >= t
+    """,
 )
 def sim_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded hyperplane
+    self-bucketing with an adaptive cut: 99.9th percentile of
+    observed candidate similarities, floored to keep at least
+    min_pairs=10 survivors — non-vacuous at every sf by construction
+    (the synthetic corpus has no cos ≥ 0.9 pairs; a fixed threshold
+    there returns 0 rows and proves nothing). No all-pairs join.
+
+    ORACLE-BACKED since r10 (was rows-only), composing this round's
+    two portability contracts: md5-seeded ±1 planes over integer-
+    quantized vectors make the candidate PAIR SET engine-identical
+    (the sim_ann_hyperplane trick, extended to self-bucketing), and
+    the adaptive percentile runs at GK accuracy 10⁶ where Spark's
+    ⌈q·n⌉ rank rule equals DuckDB's quantile_disc exactly (the
+    approx_percentiles identity). Gaussian planes remain the
+    operator default family."""
     return embedding_near_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=None, dim=64, quantile=0.999
+        t(spark, sf_dir, "embeddings"), threshold=None, dim=64,
+        quantile=0.999, family="md5",
     )
 
 
