@@ -80,6 +80,11 @@ def test_no_cartesian_products_anywhere(spark):
         # contract) broadcast against the distinct-hash table — the
         # KMV sketch-algebra analog of the HLL sketch pair join
         "approx_user_overlap_kmv",
+        # r10 (newly oracle-backed, so newly plan-checked): the
+        # adaptive-cut broadcast — a 1-row least(percentile, nth-best)
+        # scalar joined onto the scored pairs, same class as
+        # subquery_scalar_avg
+        "sim_embedding_near_dup",
     }
     offenders = []
     for name in sorted(REGISTRY):
