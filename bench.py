@@ -243,6 +243,7 @@ def main() -> None:
         # evidence gap) and the raster-to-trend lifecycle capstone
         "quality_logistic_gate",
         "flagship_lifecycle_pipeline",
+        "pipeline_leakage_safe_split",
     ):
         fn = qs[name]
         try:

@@ -1066,6 +1066,42 @@ def test_simhash_md5_family_exact_dup_and_ann_md5_recall(spark):
     assert recall >= 0.5, f"md5-family ANN recall {recall:.2f}"
 
 
+def test_leakage_safe_split_no_cross_split_near_dups(spark):
+    """r10: the split's entire reason to exist — NO near-dup pair may
+    straddle a split boundary (each cluster moves atomically), every
+    document gets exactly one split, and the assignment is
+    deterministic across invocations. Weights must roughly hold on
+    the singleton-dominated corpus."""
+    from trendengine_spark.operators.dedup import ngram_jaccard_pairs
+    from trendengine_spark.operators.pipeline import leakage_safe_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    out = leakage_safe_split(docs, pairs).cache()
+    assert out.count() == docs.count()
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaks == 0
+    fr = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(fr.values())
+    assert 0.7 <= fr.get("train", 0) / n <= 0.9
+    # determinism across invocations
+    again = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
+    out.unpersist()
+
+
 def test_two_stage_rerank_external_queries_keep_id_collisions(spark):
     """ADVICE r9: with an EXTERNAL queries frame the id spaces are
     unrelated, so a corpus doc whose vec_id equals a query_id must

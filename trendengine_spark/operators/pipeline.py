@@ -149,3 +149,64 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_es_key", "_rn")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/validation/test assignment that moves NEAR-DUP CLUSTERS
+    atomically (r10) — the production guard against evaluation
+    contamination: hashing documents independently puts two
+    near-duplicates on opposite sides of the train/test wall, and the
+    model is then scored on paraphrases of its own training data.
+    Here the split draw is a function of the CLUSTER id (connected
+    components over ``pairs``, :func:`~trendengine_spark.operators.
+    dedup.dedup_clusters` — min doc id in the component; singletons
+    are their own cluster), so every member of a near-dup family
+    lands in the same split by construction.
+
+    The draw is the registry's standing md5 convention
+    (`pipeline_bernoulli_sample` / `pipeline_hash_sample_per_key`):
+    a 60-bit integer from ``md5('split:' || cluster_id)`` compared
+    against INTEGER thresholds ``floor(w·2⁶⁰)`` — deterministic, no
+    RNG state, engine-portable, and exactly reproducible as the
+    corpus grows (a cluster's split never changes when unrelated
+    documents arrive).
+
+    Scale: the pair list is the LSH/Jaccard output (bucket-bounded,
+    never all-pairs), components are O(log diameter) rounds over
+    pairs only, and the final assignment is one broadcast-or-shuffle
+    join of docs against the (small) non-singleton cluster map plus
+    a codegen hash projection. Returns (id_col, cluster_id, split).
+    """
+    from trendengine_spark.operators.dedup import dedup_clusters
+
+    w_train, w_val, w_test = weights
+    if abs(w_train + w_val + w_test - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    two60 = 1 << 60
+    t_train = int(w_train * two60)
+    t_val = int((w_train + w_val) * two60)
+    clusters = dedup_clusters(pairs).withColumnRenamed("id", id_col)
+    lab = docs.select(id_col).join(clusters, id_col, "left").select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(draw < F.lit(t_train), F.lit("train"))
+        .when(draw < F.lit(t_val), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return lab.select(id_col, "cluster_id", split.alias("split"))

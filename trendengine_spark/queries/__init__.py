@@ -63,7 +63,7 @@ _SPINE_FIRST = [
     # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
     # exact-rank twin) — need their first hash verdicts
     "dedup_simhash", "sim_ann_hyperplane", "approx_percentiles",
-    "sim_embedding_near_dup",
+    "sim_embedding_near_dup", "pipeline_leakage_safe_split",
     # r10 addition: the raster-to-trend lifecycle capstone (rows-only)
     "flagship_lifecycle_pipeline",
     "window_time_weighted_avg",

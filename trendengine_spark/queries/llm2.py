@@ -874,6 +874,86 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @query(
+    "pipeline_leakage_safe_split",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+      WHERE len(ts) >= 3
+    ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ), comp AS (
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    ), drawn AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN h < {int(0.8 * (1 << 60))} THEN 'train'
+                  WHEN h < {int(0.9 * (1 << 60))} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, cluster_id,
+               CAST(concat('0x', substr(md5('split:' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lab
+      )
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM drawn GROUP BY split
+    """,
+)
+def pipeline_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/validation/test split (80/10/10): near-dup
+    CLUSTERS (connected components over the exact n-gram Jaccard
+    pairs, min-id label) are assigned ATOMICALLY by an md5 draw on
+    the cluster id — so no near-duplicate pair ever straddles the
+    train/test wall (the eval-contamination guard every production
+    corpus split needs; asserted as literally zero cross-split pairs
+    in tests). Deterministic end-to-end: no RNG state, a cluster's
+    split never changes as unrelated documents arrive, and the
+    integer thresholds floor(w·2⁶⁰) make the draw engine-portable —
+    the DuckDB oracle recomputes the identical pairs (inverted
+    shingle index), components (recursive CTE transitive closure vs
+    Spark's pointer-jumping label propagation — the
+    dedup_cluster_assignment equivalence), draws, and per-split
+    (n_docs, n_clusters) counts. Scale: pairs are index-bounded
+    (never all-pairs), components O(log diameter) rounds over pairs
+    only, assignment one join + a codegen hash projection."""
+    from trendengine_spark.operators.dedup import ngram_jaccard_pairs
+    from trendengine_spark.operators.pipeline import leakage_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    out = leakage_safe_split(docs, pairs)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )
+
+
+@query(
     "pipeline_bernoulli_sample",
     sql="""
     SELECT doc_id, lang
