@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
@@ -470,7 +471,8 @@ def test_lifecycle_pipeline_manifest_prune(spark):
     out = REGISTRY["flagship_lifecycle_pipeline"].fn(spark, sf).collect()
     assert len(out) >= 1 and sum(r["n_pixels"] for r in out) == 16
     path = os.path.join(
-        tempfile.gettempdir(), f"te_lifecycle_{abs(hash(sf)) % 10**8}"
+        tempfile.gettempdir(),
+        f"te_lifecycle_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     aoi = (4.0, 6.0)
     pred = {"longitude": aoi, "latitude": aoi}

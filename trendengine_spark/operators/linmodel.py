@@ -483,12 +483,21 @@ def fit_logistic(
     # (sum(w) = n/4 with w constant, replacing the old final count
     # job). Two whole scan jobs saved, identical math.
     z0 = (F.col(target).cast("double") - F.lit(0.5)) / F.lit(0.25)
-    rows0 = gram_moments(
-        df.withColumn("_z", z0),
-        [*features, "_z"],
-        group_cols,
-        weight=F.lit(0.25),
-    ).collect()
+    # limit(1025) bounds the driver collect BEFORE the cardinality
+    # check (r11, ADVICE): ≤1024 groups means ≤1024 rows come back —
+    # the complete set needed for Newton step 1 — while a pathological
+    # grouping returns exactly 1025 and raises instead of OOMing the
+    # driver with an unbounded collect.
+    rows0 = (
+        gram_moments(
+            df.withColumn("_z", z0),
+            [*features, "_z"],
+            group_cols,
+            weight=F.lit(0.25),
+        )
+        .limit(1025)
+        .collect()
+    )
     if len(rows0) > 1024:
         raise ValueError(
             "fit_logistic: group_cols cardinality exceeds 1024 — "

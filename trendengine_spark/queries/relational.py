@@ -769,11 +769,23 @@ def approx_percentiles(spark, sf_dir):
     the hash compare carries no float tolerance and needs no
     rounding. At 100 TB cardinalities you'd widen ε (the sketch's
     whole point — bounded state, mergeable map-side) and the oracle
-    identity honestly dissolves into the documented rank bound."""
+    identity honestly dissolves into the documented rank bound.
+
+    Accuracy is DERIVED from the checked scale (r11, ADVICE): the
+    fixed 1e6 was lossless at sf≤0.1 but at sf1 lineitem's 'N' group
+    is ~3M rows, where a rank error of up to ~3 can select an
+    adjacent element and hash-mismatch. One cheap single-column
+    count-by-flag pins accuracy > max rows/group, keeping the sketch
+    lossless at whatever scale the sweep runs; the floor stays 1e6 so
+    small scales measure the same configuration as before."""
     li = t(spark, sf_dir, "lineitem")
+    nmax = (
+        li.groupBy("l_returnflag").count().agg(F.max("count")).first()[0]
+    ) or 0
+    acc = max(1_000_000, int(nmax) + 1)
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], 1_000_000
+            "l_extendedprice", [0.25, 0.5, 0.75], acc
         ).alias("pcts"),
         F.min("l_extendedprice").alias("mn"),
         F.max("l_extendedprice").alias("mx"),

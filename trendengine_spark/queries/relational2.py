@@ -169,6 +169,7 @@ def flagship_lifecycle_pipeline(spark, sf_dir):
     is one uniform no-trend category; the flagship pins the
     composition and its storage posture, while the classifier's
     discrimination is pinned by the PolyTrend golden suites."""
+    import hashlib
     import os
     import shutil
     import tempfile
@@ -195,9 +196,14 @@ def flagship_lifecycle_pipeline(spark, sf_dir):
         .load()
         .select("longitude", "latitude", "time", "value")
     )
+    # stable digest, not hash() (r11, ADVICE): Python's str hash is
+    # PYTHONHASHSEED-randomized per process, so hash-named dirs from
+    # previous runs were never rmtree'd by later processes and
+    # accumulated in /tmp; md5 makes the path deterministic across
+    # processes so each run actually cleans up its predecessor.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"te_lifecycle_{abs(hash(sf_dir)) % 10**8}",
+        f"te_lifecycle_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     shutil.rmtree(path, ignore_errors=True)  # fresh lifecycle per run
     # the clustered commit reads obs twice (layout-bounds aggregate +

@@ -194,12 +194,16 @@ def last_batch_id(path: str) -> int | None:
     Stops at the vacuum floor (r10, ADVICE): ``vacuum_versioned``
     deletes old manifests, so the walk treats a missing manifest as
     the oldest surviving one — a fully-vacuumed chain of blind
-    commits yields ``None``, not ``FileNotFoundError``."""
+    commits yields ``None``, not ``FileNotFoundError``. Only a
+    MISSING manifest means vacuumed (r11, ADVICE): other OSErrors
+    (EACCES/EIO) are transient read failures and must propagate —
+    mapping them to None would make the replay dedup fail open and
+    double-append an already-applied batch."""
     v = current_version(path)
     while v >= 0:
         try:
             bid = _read_manifest(path, v).get("batch_id")
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             return None  # manifest vacuumed: oldest surviving reached
         if bid is not None:
             return bid
