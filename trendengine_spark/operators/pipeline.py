@@ -153,9 +153,10 @@ def weighted_sample(
 
 def leakage_safe_split(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Train/validation/test assignment that moves NEAR-DUP CLUSTERS
     atomically (r10) — the production guard against evaluation
@@ -181,16 +182,25 @@ def leakage_safe_split(
     pairs only, and the final assignment is one broadcast-or-shuffle
     join of docs against the (small) non-singleton cluster map plus
     a codegen hash projection. Returns (id_col, cluster_id, split).
+
+    Pass either ``pairs`` (clusters computed here) or precomputed
+    ``clusters`` (an (id, cluster_id) frame, e.g. the registry's
+    shared ``jaccard_cluster_labels`` memo — r11, so the split query
+    stops rebuilding the pair/CC stage its siblings already built).
     """
     from trendengine_spark.operators.dedup import dedup_clusters
 
     w_train, w_val, w_test = weights
     if abs(w_train + w_val + w_test - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {weights}")
+    if (pairs is None) == (clusters is None):
+        raise ValueError("pass exactly one of pairs= or clusters=")
     two60 = 1 << 60
     t_train = int(w_train * two60)
     t_val = int((w_train + w_val) * two60)
-    clusters = dedup_clusters(pairs).withColumnRenamed("id", id_col)
+    if clusters is None:
+        clusters = dedup_clusters(pairs)
+    clusters = clusters.withColumnRenamed("id", id_col)
     lab = docs.select(id_col).join(clusters, id_col, "left").select(
         id_col,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

@@ -81,6 +81,33 @@ def owned_cache(df: DataFrame, key: str) -> DataFrame:
     return out
 
 
+def owned_cache_get(spark, key: str, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Memoized :func:`owned_cache`: return the pool's live entry for
+    ``key`` if one exists, else build + persist + register. This is
+    the CROSS-QUERY sharing variant (r11, VERDICT finding 2): several
+    registry queries consume the same expensive intermediate (e.g.
+    the n-gram Jaccard pair → connected-components cluster labels
+    feeding split / cluster-assignment / survivor queries), and
+    ``owned_cache`` alone rebuilds per call — correct, but a session
+    that runs the registry sequentially (the driver's correctness
+    harness, the oracle sweeps, the sf3 suite) pays the stage once
+    per consumer. The KEY must encode every input that changes the
+    result (source dir, n, threshold); the bench harness still drops
+    pool entries between samples, so timed samples keep paying their
+    full plan cost — this memo never hides work from the benchmark.
+    """
+    sc = spark.sparkContext
+    pool = getattr(sc, "_te_owned_caches", None)
+    if pool is None:
+        pool = {}
+        sc._te_owned_caches = pool
+    if key in pool:
+        return pool[key]
+    out = builder().persist()
+    pool[key] = out
+    return out
+
+
 def _plan_num_partitions(df: DataFrame) -> int:
     """Partition count of a plan from physical planning only (no job,
     no Python-RDD conversion). Under AQE the wrapper reports

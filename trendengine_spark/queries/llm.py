@@ -137,6 +137,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def jaccard_cluster_labels(spark, sf_dir, threshold=0.5, n=3):
+    """Shared pair→cluster stage (r11, VERDICT finding 2): the exact
+    n-gram Jaccard pair set and its connected-components labels feed
+    THREE registry queries (cluster assignment, corpus survivors,
+    leakage-safe split). Each used to rebuild the identical
+    pipeline; this memo computes it once per (session, source,
+    params) and serves the persisted labels to every consumer —
+    the ``graph.lpa.edges`` sharing pattern. The bench harness drops
+    the pool between samples, so timed samples still pay full cost."""
+    from trendengine_spark.operators.dedup import dedup_clusters
+    from trendengine_spark.operators.util import owned_cache_get
+
+    key = f"dedup.jaccard.clusters.{n}.{threshold}.{sf_dir}"
+    return owned_cache_get(
+        spark,
+        key,
+        lambda: dedup_clusters(
+            ngram_jaccard_pairs(
+                t(spark, sf_dir, "documents"), threshold=threshold, n=n
+            )
+        ),
+    )
+
+
 @query(
     "dedup_cluster_assignment",
     sql=f"""
@@ -174,10 +198,7 @@ def dedup_cluster_assignment(spark, sf_dir):
     (scale path); the oracle computes the same fixpoint as a DuckDB
     recursive-CTE transitive closure (fine at oracle scale, O(V·
     component) rows) — upgrading this from rows-only to hash-checked."""
-    from trendengine_spark.operators.dedup import dedup_clusters
-
-    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5, n=3)
-    return dedup_clusters(pairs)
+    return jaccard_cluster_labels(spark, sf_dir)
 
 
 @query(
@@ -1035,11 +1056,8 @@ def dedup_corpus_survivors(spark, sf_dir):
     duplicate fraction can be far too large to broadcast; with AQE on,
     small build sides convert to broadcast at runtime); oracle: the
     same via the recursive-CTE closure."""
-    from trendengine_spark.operators.dedup import dedup_clusters
-
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-    non_reps = dedup_clusters(pairs).filter(
+    non_reps = jaccard_cluster_labels(spark, sf_dir).filter(
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias("doc_id"))
     return docs.join(non_reps, "doc_id", "left_anti").select("doc_id", "lang")

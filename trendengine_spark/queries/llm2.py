@@ -938,12 +938,12 @@ def pipeline_leakage_safe_split(spark, sf_dir):
     (n_docs, n_clusters) counts. Scale: pairs are index-bounded
     (never all-pairs), components O(log diameter) rounds over pairs
     only, assignment one join + a codegen hash projection."""
-    from trendengine_spark.operators.dedup import ngram_jaccard_pairs
     from trendengine_spark.operators.pipeline import leakage_safe_split
+    from trendengine_spark.queries.llm import jaccard_cluster_labels
 
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-    out = leakage_safe_split(docs, pairs)
+    clusters = jaccard_cluster_labels(spark, sf_dir, threshold=0.5, n=3)
+    out = leakage_safe_split(docs, clusters=clusters)
     return (
         out.groupBy("split")
         .agg(
