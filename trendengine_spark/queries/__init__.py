@@ -59,6 +59,10 @@ _SPINE_FIRST = [
     # then this round's new/converted oracle rows as they land, then
     # the r9-era rows and stale green history. List is duplicate-free
     # by construction (asserted in _reorder_registry; ADVICE r9).
+    # r11 conversions front-loaded for their first hash verdicts:
+    # the U1 cascade's critical-value re-anchoring (VERDICT r10
+    # task 1) leads — it is the engine-core operator's oracle proof
+    "u1_polytrend_relational",
     "quality_logistic_gate",
     # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
     # exact-rank twin) — need their first hash verdicts
