@@ -61,8 +61,14 @@ _SPINE_FIRST = [
     # by construction (asserted in _reorder_registry; ADVICE r9).
     # r11 conversions front-loaded for their first hash verdicts:
     # the U1 cascade's critical-value re-anchoring (VERDICT r10
-    # task 1) leads — it is the engine-core operator's oracle proof
+    # task 1) leads — it is the engine-core operator's oracle proof —
+    # followed by the three r11 rows-only -> full-oracle conversions
+    # (task 6: MK z/p/trend via inline erfc, the Holt-Winters
+    # recursive-CTE backtest, the 20-iteration BPE merge sequence)
     "u1_polytrend_relational",
+    "u6_mann_kendall_events",
+    "forecast_holt_winters_mae",
+    "text_bpe_train_micro",
     "quality_logistic_gate",
     # r10 rows-only -> full-oracle conversions (md5 re-anchoring /
     # exact-rank twin) — need their first hash verdicts
@@ -78,7 +84,7 @@ _SPINE_FIRST = [
     "approx_user_overlap_kmv", "u7_bfast_monitor_events",
     "flagship_model_curation", "text_bpe_encode_corpus",
     "dedup_semantic_survivors", "pipeline_semantic_decontaminate",
-    "sim_pca_explained_variance", "forecast_holt_winters_mae",
+    "sim_pca_explained_variance",
     "udtf_run_length_segments", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "union_all_counts", "intersect_all_keys",
     "having_groups", "regexp_extract_keys", "string_agg_sorted",
@@ -91,7 +97,7 @@ _SPINE_FIRST = [
     "tpch_q3_shipping_priority", "a1_annual_composite",
     "stream_session_window", "dedup_paragraph_global", "sim_cosine_topk",
     "multimodal_image_tiles", "quality_gram_matrix", "trend_polyfit_coeffs",
-    "trend_mann_kendall_stats", "u6_mann_kendall_events",
+    "trend_mann_kendall_stats",
     "trend_seasonal_mann_kendall", "agg_trimmed_mean_pandas",
     "sim_ivfpq_topk", "window_conditional_running",
     "pipeline_bernoulli_sample", "hier_share_of_parent", "rollup_grouping_id",
@@ -104,7 +110,7 @@ _SPINE_FIRST = [
     "profile_user_zscore_outliers", "events_dow_hour_heatmap",
     "text_zipf_head", "scalar_try_fns", "unpivot_user_stats",
     "variant_json_shred", "u5_decomposition_relational", "sim_hamming_topk",
-    "text_bpe_pair_counts", "text_bpe_train_micro", "window_rolling_slope",
+    "text_bpe_pair_counts", "window_rolling_slope",
     "stats_spearman_pairs", "approx_user_overlap_pairs",
     "graph_triangle_counts", "pipeline_weighted_sample", "f2b_polygon_filter",
     "pipeline_temperature_mixture", "text_pii_redact",

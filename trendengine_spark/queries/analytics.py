@@ -530,17 +530,101 @@ def trend_mann_kendall_stats(spark, sf_dir):
 
 @query(
     "u6_mann_kendall_events",
-    sql=None,
-    doc="Full Mann-Kendall test per event-type daily series: "
-    "continuity-corrected normal z, two-sided p (own erfc), trend "
-    "verdict at alpha=0.05, Sen's slope. The integer-exact core "
-    "(S, 18*Var(S), Sen) is oracle-checked in "
-    "trend_mann_kendall_stats; z/p pinned by golden/property tests.",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(sign(b.v - a.v) AS BIGINT) AS sg,
+             (b.v - a.v) / CAST(b.i - a.i AS DOUBLE) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+    ), agg AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+             round(median(slope), 6) AS sens_slope
+      FROM pairs GROUP BY event_type
+    ), nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily
+      GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2) g
+      GROUP BY event_type
+    ), core AS (
+      SELECT nn.event_type, nn.n,
+             COALESCE(agg.s_stat, 0) AS s_stat,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS BIGINT) AS var_s18,
+             COALESCE(agg.sens_slope, 0.0) AS sens_slope
+      FROM nn LEFT JOIN agg ON nn.event_type = agg.event_type
+              JOIN ties ON nn.event_type = ties.event_type
+    ), zed AS (
+      SELECT *,
+        CASE WHEN var_s18 <= 0 THEN CAST(0 AS DOUBLE)
+             WHEN s_stat > 0 THEN
+               CAST(s_stat - 1 AS DOUBLE)
+               / sqrt(CAST(var_s18 AS DOUBLE) / CAST(18 AS DOUBLE))
+             WHEN s_stat < 0 THEN
+               CAST(s_stat + 1 AS DOUBLE)
+               / sqrt(CAST(var_s18 AS DOUBLE) / CAST(18 AS DOUBLE))
+             ELSE CAST(0 AS DOUBLE) END AS z
+      FROM core
+    ), erf AS (
+      SELECT *,
+        (CAST(1 AS DOUBLE)
+           / (CAST(1 AS DOUBLE)
+              + 3.275911e-1 * (abs(z) / sqrt(CAST(2 AS DOUBLE)))))
+          AS tt,
+        abs(z) / sqrt(CAST(2 AS DOUBLE)) AS ax
+      FROM zed
+    ), pv AS (
+      SELECT *,
+        (tt * (2.54829592e-1
+               + tt * (-2.84496736e-1
+                       + tt * (1.421413741e0
+                               + tt * (-1.453152027e0
+                                       + tt * 1.061405429e0)))))
+          * exp(-(ax * ax)) AS p_value
+      FROM erf
+    )
+    SELECT event_type, CAST(n AS INT) AS n, s_stat,
+           round(z, 6) AS z,
+           round(p_value, 6) AS p_value,
+           CAST(CASE WHEN p_value < 5e-2 THEN CAST(sign(s_stat) AS INT)
+                ELSE 0 END AS INT) AS trend,
+           sens_slope
+    FROM pv
+    """,
 )
 def u6_mann_kendall_events(spark, sf_dir):
     """The decision-ready MK output (adds z / p_value / trend to the
     oracle-checked integer core): what a TrendEngine user actually
-    reads off a trend test. Same per-group numpy path."""
+    reads off a trend test. Same per-group numpy path.
+
+    FULL ORACLE since r11 (VERDICT r10 task 6): the normal-
+    approximation tail that kept this rows-only is engine-portable
+    after all — z is one division of exact integers by one
+    IEEE-correctly-rounded sqrt (identical doubles by construction),
+    and the two-sided p uses `_erfc` (Abramowitz–Stegun 7.1.26),
+    which is FIVE Horner steps and one `exp` of plain doubles: the
+    oracle SQL transcribes the exact operation sequence (same
+    nesting, exponent-notation double literals), and both the Python
+    UDF (math.exp) and DuckDB (std::exp) bind the same platform libm,
+    so even the one non-correctly-rounded call agrees bitwise. The
+    trend verdict compares the UNROUNDED p against α — exactly the
+    numpy decision; z/p round at 6 dp only for display (boundary
+    collisions would need a value within 1e-16 of a .xxxxxx5
+    half-way point). The n<2 early-return needs no SQL twin: its
+    z=0/p=1 outputs coincide with the formula path after rounding
+    (_erfc(0) = 0.999999999 rounds to 1.0)."""
     from trendengine_spark.functions.mannkendall import mann_kendall_groups
 
     ev = t(spark, sf_dir, "events")
@@ -1473,19 +1557,107 @@ def graph_triangle_counts(spark, sf_dir):
     )
 
 
-@query(
-    "forecast_holt_winters_mae",
-    sql=None,
-    doc="Additive Holt-Winters backtest per event-type series (m=7 "
-    "weekly seasonality, 14-day holdout) scored against the "
-    "multi-step seasonal-naive baseline (7-day holdout: the "
-    "driver events table spans ~30 days, leaving a 3-season train). "
-    "Rows-only (sequential "
-    "smoothing recursion is not SQL-expressible); the recursion is "
-    "pinned by scalar/vectorized parity + planted trend+seasonality "
-    "recovery in tests/test_holtwinters.py, and the baseline's "
-    "one-step twin is oracle-checked by forecast_seasonal_naive_mae.",
+#: HW oracle building blocks (r11 conversion): the level update is
+#: repeated VERBATIM inside the trend/season updates (SQL cannot
+#: reference a same-SELECT alias) — recomputing the identical
+#: expression yields the identical double, so the transcription stays
+#: bit-compatible with the numpy step which computes it once.
+_HW_LV = (
+    "(3e-1 * (ys.y - r.s0)) "
+    "+ ((CAST(1 AS DOUBLE) - 3e-1) * (r.lv + r.tr))"
 )
+_HW_FC = "((f.lv + CAST({h} AS DOUBLE) * f.tr) + f.s{i})"
+_HW_SQL = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ), cal AS (
+      SELECT b.event_type, CAST(u.g AS DATE) AS d
+      FROM bounds b,
+           unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                  CAST(b.d1 AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS u(g)
+    ), ys AS (
+      SELECT c.event_type,
+             CAST(row_number() OVER (PARTITION BY c.event_type
+                                     ORDER BY c.d) - 1 AS BIGINT) AS t,
+             COALESCE(dy.y, CAST(0 AS DOUBLE)) AS y
+      FROM cal c LEFT JOIN daily dy
+        ON dy.event_type = c.event_type AND dy.d = c.d
+    ), ok AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - 7 AS BIGINT) AS nt
+      FROM ys GROUP BY 1 HAVING count(*) >= 21
+    ), piv AS (
+      SELECT ys.event_type,
+             {", ".join(f"max(CASE WHEN t = {k} THEN y END) AS y{k}"
+                        for k in range(14))}
+      FROM ys JOIN ok ON ok.event_type = ys.event_type
+      WHERE t < 14 GROUP BY 1
+    ), init AS (
+      SELECT event_type,
+        (y0+y1+y2+y3+y4+y5+y6) / CAST(7 AS DOUBLE) AS lv,
+        (((y7+y8+y9+y10+y11+y12+y13) / CAST(7 AS DOUBLE))
+         - ((y0+y1+y2+y3+y4+y5+y6) / CAST(7 AS DOUBLE)))
+          / CAST(7 AS DOUBLE) AS tr,
+        {", ".join(
+            f"y{k} - ((y0+y1+y2+y3+y4+y5+y6) / CAST(7 AS DOUBLE)) AS s{k}"
+            for k in range(7))}
+      FROM piv
+    ), rec AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS t,
+             lv, tr, s0, s1, s2, s3, s4, s5, s6
+      FROM init
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+        {_HW_LV} AS lv,
+        (1e-1 * (({_HW_LV}) - r.lv))
+          + ((CAST(1 AS DOUBLE) - 1e-1) * r.tr) AS tr,
+        r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+        (2e-1 * (ys.y - ({_HW_LV})))
+          + ((CAST(1 AS DOUBLE) - 2e-1) * r.s0) AS s6
+      FROM rec r
+      JOIN ys ON ys.event_type = r.event_type AND ys.t = r.t
+      JOIN ok ON ok.event_type = r.event_type
+      WHERE r.t < ok.nt
+    ), fin AS (
+      SELECT r.* FROM rec r JOIN ok ON ok.event_type = r.event_type
+      WHERE r.t = ok.nt
+    ), hold AS (
+      SELECT ys.event_type,
+             {", ".join(
+                f"max(CASE WHEN ys.t = ok.nt + {h} THEN ys.y END) AS h{h}"
+                for h in range(7))},
+             {", ".join(
+                f"max(CASE WHEN ys.t = ok.nt - 7 + {h} THEN ys.y END)"
+                f" AS nv{h}" for h in range(7))}
+      FROM ys JOIN ok ON ok.event_type = ys.event_type
+      GROUP BY 1
+    )
+    SELECT f.event_type,
+      CAST(ok.nt AS INT) AS n_train, CAST(7 AS INT) AS n_test,
+      round(({" + ".join(
+          f"abs({_HW_FC.format(h=h + 1, i=h)} - h.h{h})"
+          for h in range(7))})
+        / CAST(7 AS DOUBLE), 6) AS mae_hw,
+      round(({" + ".join(f"abs(h.nv{h} - h.h{h})" for h in range(7))})
+        / CAST(7 AS DOUBLE), 6) AS mae_naive,
+      (({" + ".join(
+          f"abs({_HW_FC.format(h=h + 1, i=h)} - h.h{h})"
+          for h in range(7))})
+        / CAST(7 AS DOUBLE))
+      < (({" + ".join(f"abs(h.nv{h} - h.h{h})" for h in range(7))})
+        / CAST(7 AS DOUBLE)) AS hw_beats_naive
+    FROM fin f
+    JOIN ok ON ok.event_type = f.event_type
+    JOIN hold h ON h.event_type = f.event_type
+    """
+
+
+@query("forecast_holt_winters_mae", sql=_HW_SQL)
 def forecast_holt_winters_mae(spark, sf_dir):
     """Per-series (event_type) Holt-Winters vs seasonal-naive MAE on
     a 7-day holdout of the daily event-count series (calendar gaps
@@ -1493,6 +1665,21 @@ def forecast_holt_winters_mae(spark, sf_dir):
     one shuffle keyed by series into a grouped Arrow pass whose
     recursion is vectorized across every series in the batch —
     10^6 series cost the same per-step work as one.
+
+    FULL ORACLE since r11 (VERDICT r10 task 6): "sequential smoothing
+    is not SQL-expressible" was true of plain SQL but not of a
+    RECURSIVE CTE — the oracle steps the (level, trend, 7-slot
+    seasonal ring) state day by day carrying 9 doubles per series,
+    joining each day's observation by index. Every update transcribes
+    the numpy step's exact operation order (plain +/−/× of doubles,
+    no libm), the init means and the 7-term MAE sums are written as
+    explicit left-associated chains (numpy's sequential reduction
+    order for <8 elements), and the hw-beats-naive verdict compares
+    the UNROUNDED maes exactly as the kernel does — so after 16
+    recursion steps the state is still bit-identical and the hash
+    needs no tolerance. The recursion is O(n) per series with O(m)
+    state — fine at oracle scale, while Spark's vectorized batch pass
+    remains the 10⁶-series path.
 
     Expected output on THIS data: the synthetic event stream has no
     real weekly structure, so the naive baseline usually wins — the

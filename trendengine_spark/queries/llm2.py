@@ -1104,22 +1104,100 @@ def text_bpe_pair_counts(spark, sf_dir):
     return pair_counts(_with_symbols(word_vocab(docs)))
 
 
-@query(
-    "text_bpe_train_micro",
-    sql=None,
-    doc="Full greedy BPE training loop (20 merges) over documents: "
-    "per-iteration pair-count aggregation + argmax (1-row collect) + "
-    "Arrow-vectorized merge application. Rows-only (iterative, "
-    "driver-steered); the learned merge sequence is golden-tested "
-    "against an independent reference implementation in "
-    "tests/test_bpe.py, and iteration 0's aggregation is "
-    "oracle-checked by text_bpe_pair_counts.",
-)
+def _bpe_train_sql(n_merges: int) -> str:
+    """Full greedy BPE training as ONE DuckDB statement (r11,
+    VERDICT r10 task 6 — the merge-sequence identity): ``n_merges``
+    chained CTE groups, each = pair-count aggregate → argmax with the
+    (freq DESC, pair ASC) tie-break → merge application. The greedy
+    leftmost-non-overlap scan is rendered RELATIONALLY (windows, no
+    lambdas — DuckDB v1.0's list_reduce mis-folds repeated
+    accumulator appends): hit positions are grouped into consecutive
+    runs (gaps-and-islands, ``i − row_number()``), and within a run
+    the scan takes exactly the alternate positions starting at the
+    run head (take_i = hit_i AND NOT take_{i−1}; runs of length > 1
+    occur only for a = b, the KwKwK case the Spark fold's skip flag
+    handles). Early stop (best freq < min_pair_freq = 2) falls out
+    structurally: the argmax CTE filters f >= 2, an empty argmax
+    LEFT-JOINs as NULL so the vocab passes through unchanged, and
+    every later iteration recomputes the same sub-threshold best —
+    emitting nothing. MATERIALIZED CTEs keep the 20-deep chain from
+    inlining exponentially."""
+    parts = [r"""
+    WITH words AS MATERIALIZED (
+      SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != '')) AS t(w)
+      GROUP BY 1
+    ), v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)),
+                         '</w>') AS s
+      FROM words
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS f
+      FROM v{k}, unnest(range(1, len(s))) AS g(i)
+      GROUP BY 1, 2
+    ), b{k} AS MATERIALIZED (
+      SELECT a, b, f FROM p{k} WHERE f >= 2
+      ORDER BY f DESC, a, b LIMIT 1
+    ), h{k} AS (
+      SELECT v.word, v.freq, g.i, v.s[g.i] AS sym,
+             COALESCE(v.s[g.i] = b.a AND v.s[g.i + 1] = b.b, FALSE) AS hit,
+             b.a AS ma, b.b AS mb
+      FROM v{k} v LEFT JOIN b{k} b ON TRUE,
+           unnest(range(1, len(v.s) + 1)) AS g(i)
+    ), m{k} AS (
+      SELECT word, freq, i, sym, hit, ma, mb,
+             CASE WHEN hit THEN
+               (i - min(i) OVER (PARTITION BY word, isl, hit)) % 2 = 0
+             ELSE FALSE END AS take
+      FROM (SELECT *,
+              i - row_number() OVER (PARTITION BY word, hit ORDER BY i)
+                AS isl
+            FROM h{k})
+    ), v{k + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             list(CASE WHEN take THEN ma || mb ELSE sym END ORDER BY i)
+               AS s
+      FROM (SELECT *,
+              COALESCE(lag(take) OVER (PARTITION BY word ORDER BY i),
+                       FALSE) AS covered
+            FROM m{k})
+      WHERE NOT covered
+      GROUP BY word, freq
+    )""")
+    sel = "\n    UNION ALL\n".join(
+        f"    SELECT {k + 1} AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, f AS pair_freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    parts.append("\n" + sel + "\n    ORDER BY rank")
+    return "".join(parts)
+
+
+@query("text_bpe_train_micro", sql=_bpe_train_sql(20))
 def text_bpe_train_micro(spark, sf_dir):
     """Learned merge table for a 20-merge BPE vocabulary: (rank,
     left_sym, right_sym, merged, pair_freq) in learned order —
     deterministic by the (freq DESC, pair ASC) tie-break, so the
-    result is stable across partitionings (property-tested)."""
+    result is stable across partitionings (property-tested).
+
+    FULL ORACLE since r11: the driver-steered loop's only
+    engine-specific pieces were the per-iteration argmax collect and
+    the Arrow merge scan — both pure integer/string operations with a
+    total deterministic order, so the entire 20-iteration training
+    run is restated as one chained-CTE DuckDB statement
+    (:func:`_bpe_train_sql`) whose learned merge TABLE must equal the
+    Spark trainer's row for row, rank for rank — a far stronger check
+    than the iteration-0 pair counts alone (`text_bpe_pair_counts`):
+    any divergence in counting, tie-breaking, KwKwK overlap handling,
+    or early-stop propagates into a different merge sequence and a
+    hash mismatch."""
     from trendengine_spark.operators.bpe import bpe_train
     from trendengine_spark.queries.base import t as _t
 
