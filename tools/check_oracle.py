@@ -25,6 +25,7 @@ Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -108,9 +109,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # driver testdata ships single-FILE {table}.parquet; scale
+        # builds (tools/stress_sf1.py) write multi-file parquet
+        # DIRECTORIES of the same name — glob those (r11, sf1 sweep)
+        path = f"{args.sf}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     n_pass = n_fail = n_rows_only = 0
     for name in names:

@@ -164,6 +164,7 @@ LLM_DUCK_OVERRIDE = {
 
 def build(spark, src: str, replicas: int) -> None:
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from trendengine_spark.tables import load_table
 
@@ -174,15 +175,29 @@ def build(spark, src: str, replicas: int) -> None:
     # blocks timestamp predicate pushdown — it would handicap exactly
     # the scan path this probe exists to measure
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    def _ntz(df):
+        """Write timestamps as NTZ, matching the driver testdata's
+        parquet shape (r11): Spark's TIMESTAMP writes
+        isAdjustedToUTC=true, which DuckDB reads as TIMESTAMPTZ and
+        renders with a '+00:00' suffix — the full-registry sf1 sweep
+        then hash-mismatches on RENDERING while the instants are
+        identical. The session is UTC, so the cast is value-exact."""
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(
+                    f.name, F.col(f.name).cast(T.TimestampNTZType())
+                )
+        return df
     offset = 10_000_000
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r")
     for name in FACTS:
         df = load_table(spark, src, name).select("*", rep)
         key = "o_orderkey" if name == "orders" else "l_orderkey"
         df = df.withColumn(key, F.col(key) + F.col("_r") * offset).drop("_r")
-        df.repartition(64).write.parquet(f"{OUT}/{name}.parquet")
+        _ntz(df).repartition(64).write.parquet(f"{OUT}/{name}.parquet")
     for name in DIMS:
-        load_table(spark, src, name).repartition(4).write.parquet(
+        _ntz(load_table(spark, src, name)).repartition(4).write.parquet(
             f"{OUT}/{name}.parquet"
         )
     # LLM facts (r10). documents: doc_id offset keeps the planted
@@ -205,17 +220,17 @@ def build(spark, src: str, replicas: int) -> None:
         )
         .drop("_r")
     )
-    docs.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+    _ntz(docs).repartition(32).write.parquet(f"{OUT}/documents.parquet")
     ev = load_table(spark, src, "events").select("*", rep)
     ev = ev.withColumn(
         "event_id", F.col("event_id") + F.col("_r") * offset
     ).drop("_r")
-    ev.repartition(32).write.parquet(f"{OUT}/events.parquet")
+    _ntz(ev).repartition(32).write.parquet(f"{OUT}/events.parquet")
     emb = load_table(spark, src, "embeddings").select("*", rep)
     emb = emb.withColumn(
         "vec_id", F.col("vec_id") + F.col("_r") * offset
     ).drop("_r")
-    emb.repartition(8).write.parquet(f"{OUT}/embeddings.parquet")
+    _ntz(emb).repartition(8).write.parquet(f"{OUT}/embeddings.parquet")
 
 
 def main() -> None:

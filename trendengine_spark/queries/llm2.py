@@ -854,6 +854,7 @@ def dedup_incremental_batch(spark, sf_dir):
     string md5s); the md5 family is the cross-engine
     reproducibility contract, same spirit as
     pipeline_bernoulli_sample's md5 draw."""
+    import hashlib
     import os
     import tempfile
 
@@ -865,9 +866,12 @@ def dedup_incremental_batch(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # stable digest, not hash() (r11, same fix as the lifecycle
+    # flagship): PYTHONHASHSEED randomizes str hash per process, so
+    # hash-named index dirs leaked across runs
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"te_mh_index_{abs(hash(sf_dir)) % 10**8}",
+        f"te_mh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     write_minhash_index(corpus, idx, family="md5")
     return incremental_minhash_dedup(batch, idx, threshold=0.5)
@@ -1520,6 +1524,7 @@ def sim_ivfpq_persisted(spark, sf_dir):
     in tests); rows-only here because LSH/PQ ranking is not
     SQL-expressible. Operators: `operators/similarity.
     ivfpq_write_index` / `ivfpq_query_index`."""
+    import hashlib
     import os
     import tempfile
 
@@ -1531,7 +1536,7 @@ def sim_ivfpq_persisted(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"te_ivfpq_index_{abs(hash(sf_dir)) % 10**8}",
+        f"te_ivfpq_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     ivfpq_write_index(emb, idx, n_cells=16, m_subspaces=8, k_codes=16)
     queries = emb.filter(F.col("vec_id") < 10).select(
