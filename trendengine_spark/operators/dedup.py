@@ -427,6 +427,7 @@ def minhash_lsh_pairs(
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list →
     (id, cluster_id) with cluster_id = min id in the component; the
@@ -459,16 +460,21 @@ def dedup_clusters(
       state (the common near-dup case: tiny cluster diameters) exit
       after one cheap test.
 
-    ``max_iterations`` bounds runaway graphs.
+    ``max_iterations`` bounds runaway graphs. ``pairs_unique=True``
+    skips the edge-dedup shuffle: callers whose pair list is unique
+    with id_a < id_b by construction (every groupBy-produced pair set
+    in this module) make the symmetric union duplicate-free already —
+    and duplicate edges would only repeat work, never change the
+    min-label fixpoint, so the flag is a pure plan trim.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    if not pairs_unique:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_mn"))

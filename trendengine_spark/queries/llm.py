@@ -156,7 +156,8 @@ def jaccard_cluster_labels(spark, sf_dir, threshold=0.5, n=3):
         lambda: dedup_clusters(
             ngram_jaccard_pairs(
                 t(spark, sf_dir, "documents"), threshold=threshold, n=n
-            )
+            ),
+            pairs_unique=True,  # groupBy output: unique, id_a < id_b
         ),
     )
 
