@@ -438,35 +438,39 @@ def text_token_count_bpe(spark, sf_dir):
     sql=f"""
     WITH g AS (
         SELECT doc_id, {_NORM_SQL} AS norm FROM documents
-    ), h AS (
-        SELECT doc_id,
-               CASE WHEN length(norm) >= 5 THEN
-                   list_transform(
-                       range(0, length(norm) - 5 + 1),
-                       i -> substr(md5(substr(norm,
-                                              CAST(i + 1 AS INT), 5)), 1, 16))
-               ELSE CAST([] AS VARCHAR[]) END AS hs
-        FROM g
+    ), pos AS (
+        SELECT doc_id, i,
+               substr(md5(substr(norm, CAST(i AS INT), 5)), 1, 16) AS h
+        FROM g, unnest(generate_series(1, length(norm) - 4)) AS u(i)
+        WHERE length(norm) >= 5
     ), wmin AS (
         SELECT doc_id,
-               CASE WHEN len(hs) >= 4 THEN
-                   list_transform(
-                       range(0, len(hs) - 4 + 1),
-                       j -> list_min(list_slice(hs, CAST(j + 1 AS INT),
-                                                CAST(j + 4 AS INT))))
-               WHEN len(hs) > 0 THEN [list_min(hs)]
-               ELSE CAST([] AS VARCHAR[]) END AS fps
-        FROM h
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                 AS fp,
+               i,
+               count(*) OVER (PARTITION BY doc_id) AS np
+        FROM pos
     )
-    SELECT doc_id, UNNEST(list_distinct(fps)) AS fingerprint
-    FROM wmin
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM wmin WHERE i <= np - 3 OR (np < 4 AND i = 1)
     """,
 )
 def text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints per document: any
     shared substring of length >= k+w-1 yields a common fingerprint,
     so overlap detection is an equi-join on this output — the
-    scale-safe alternative to pairwise text comparison."""
+    scale-safe alternative to pairwise text comparison.
+
+    Oracle form (r11): the window-min rendering — one position
+    explode, one vectorized md5 column, one 4-row frame min, short
+    docs (< w windows) emitting their single global min via the
+    (np < 4, i = 1) branch. Result-identical to the original
+    per-row list_transform rendering (verified row-for-row in r10
+    when it became the sf3 throughput twin), but the md5 runs as a
+    plain vectorized column instead of an interpreted per-element
+    lambda — ~100× faster in DuckDB, which is what makes the sf1+
+    full-registry sweeps affordable."""
     return winnow_fingerprints(t(spark, sf_dir, "documents"), k=5, w=4)
 
 
