@@ -82,6 +82,63 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return _COSINE_ARROW(a, b)
 
 
+_COSINE_ARROW_Q: object = None
+
+
+def cosine_arrow_quantized(a: Column, b: Column, scale: int = 1024) -> Column:
+    """Engine-portable cosine over INTEGER-QUANTIZED vectors (r11 —
+    found by the sf1 full-registry sweep): float cosine of two
+    engines' dot products differs in the last ulp (numpy einsum vs a
+    sequential fold), which is invisible until an adaptive threshold
+    lands ON an ulp plateau of near-identical pairs — at sf1 the
+    replicated corpus put ~20k tied pairs at cos ≈ 1 and a one-ulp
+    threshold difference moved 675 rows. Quantizing to
+    q = round(v·scale) (power-of-two scale: exact) makes dot and both
+    norms² exact int64 sums — ORDER-INDEPENDENT, so any engine's
+    summation agrees — and the cosine is then the fixed three-op
+    double sequence dot/(sqrt(na)·sqrt(nb)), identical everywhere.
+    This is the md5-family scoring contract; the Gaussian default
+    keeps full-precision float cosine (:func:`cosine_arrow`)."""
+    global _COSINE_ARROW_Q
+    if _COSINE_ARROW_Q is None:
+
+        @F.pandas_udf("double")
+        def _cosq(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            ma = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in xs]
+            )
+            mb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in ys]
+            )
+            if ma.size == 0:
+                return pd.Series([], dtype="float64")
+            # HALF-AWAY rounding, not np.rint (ties-to-even): the
+            # engines' round() is half-away-from-zero, and float32
+            # inputs scaled by the power-of-two 1024 DO land exact
+            # .5 ties — rint silently picked the other integer there
+            sa = ma * 1024
+            sb = mb * 1024
+            qa = np.copysign(np.floor(np.abs(sa) + 0.5), sa).astype(
+                np.int64
+            )
+            qb = np.copysign(np.floor(np.abs(sb) + 0.5), sb).astype(
+                np.int64
+            )
+            dots = np.einsum("ij,ij->i", qa, qb).astype(np.float64)
+            na = np.sqrt(
+                np.einsum("ij,ij->i", qa, qa).astype(np.float64)
+            )
+            nb = np.sqrt(
+                np.einsum("ij,ij->i", qb, qb).astype(np.float64)
+            )
+            return pd.Series(dots / (na * nb))
+
+        _COSINE_ARROW_Q = _cosq
+    if scale != 1024:  # pragma: no cover - authoring guard
+        raise ValueError("quantized cosine is pinned to scale=1024")
+    return _COSINE_ARROW_Q(a, b)
+
+
 #: (sf_dir, table, max_id, id_col, vec_col) → (ids, read-only matrix)
 _QUERY_VEC_MEMO: dict = {}
 
@@ -747,8 +804,17 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # md5 family scores on the quantized integers too (not just the
+    # buckets): exact int64 dots are summation-order-independent, so
+    # the verify cosine — and therefore the adaptive cut and the kept
+    # SET — is bit-identical on any engine (see
+    # :func:`cosine_arrow_quantized` for the sf1 ulp-plateau failure
+    # this prevents)
+    verify_cos = (
+        cosine_arrow_quantized if family == "md5" else cosine_arrow
+    )
     scored = pairs.withColumn(
-        "cos_sim", cosine_arrow(F.col("vec_a"), F.col("vec_b"))
+        "cos_sim", verify_cos(F.col("vec_a"), F.col("vec_b"))
     )
     if threshold is None:
         scored = owned_cache(
@@ -760,14 +826,19 @@ def embedding_near_dup_pairs(
         # that many candidates exist, so the result is never the
         # 1-row-at-sf0.01 thin evidence VERDICT r5 flagged. Both cut
         # jobs run on the owned-cached scored table (tiny).
-        # accuracy 10^6: the GK sketch is lossless below a million
-        # candidates, making the cut the exact ceil(q*n)-rank element
-        # (= DuckDB quantile_disc — the approx_percentiles identity),
-        # which is what lets the md5 family carry a full oracle
+        # GK accuracy is DERIVED from the observed candidate count
+        # (r11 — the first sf1 full-registry sweep caught the fixed
+        # 10^6 going lossy at 1.68M candidates: rank error ≈ 2 picked
+        # an adjacent element and shifted the whole cut). Lossless GK
+        # makes the cut the exact ceil(q*n)-rank element (= DuckDB
+        # quantile_disc — the approx_percentiles identity), which is
+        # what lets the md5 family carry a full oracle at ANY checked
+        # scale; the count is one bounded driver scalar on the
+        # already-cached scored table.
+        n_cand = scored.count()
+        acc = max(1_000_000, n_cand + 1)
         cut_p = scored.agg(
-            F.percentile_approx("cos_sim", quantile, 1_000_000).alias(
-                "_thr_p"
-            )
+            F.percentile_approx("cos_sim", quantile, acc).alias("_thr_p")
         )
         cut_n = (
             scored.orderBy(F.desc("cos_sim"))

@@ -672,15 +672,19 @@ def sim_ivf_topk(spark, sf_dir):
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
       WHERE a.id < b.id
     ),
+    qe AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * 1024)) AS q
+      FROM embeddings
+    ),
     scored AS (
       SELECT id_a, id_b,
-             list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
-               (sqrt(list_dot_product(ea.embedding::DOUBLE[],
-                                      ea.embedding::DOUBLE[])) *
-                sqrt(list_dot_product(eb.embedding::DOUBLE[],
-                                      eb.embedding::DOUBLE[]))) AS c
-      FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
-                JOIN embeddings eb ON eb.vec_id = cand.id_b
+             list_dot_product(ea.q, eb.q) /
+               (sqrt(list_dot_product(ea.q, ea.q)) *
+                sqrt(list_dot_product(eb.q, eb.q))) AS c
+      FROM cand JOIN qe ea ON ea.vec_id = cand.id_a
+                JOIN qe eb ON eb.vec_id = cand.id_b
     ),
     thr AS (
       SELECT least(
@@ -705,10 +709,16 @@ def sim_embedding_near_dup(spark, sf_dir):
     two portability contracts: md5-seeded ±1 planes over integer-
     quantized vectors make the candidate PAIR SET engine-identical
     (the sim_ann_hyperplane trick, extended to self-bucketing), and
-    the adaptive percentile runs at GK accuracy 10⁶ where Spark's
+    the adaptive percentile runs at GK accuracy derived from the
+    candidate count — lossless at any checked scale, where Spark's
     ⌈q·n⌉ rank rule equals DuckDB's quantile_disc exactly (the
-    approx_percentiles identity). Gaussian planes remain the
-    operator default family."""
+    approx_percentiles identity). r11 (sf1 sweep finding): the
+    VERIFY cosine also scores the quantized integers — exact int64
+    dots are summation-order-independent, so the similarity VALUES,
+    the cut, and the kept set are bit-identical cross-engine even on
+    the ulp plateau of ~20k near-identical replicated pairs where
+    numpy-vs-sequential float dots moved 675 rows. Gaussian planes +
+    full-precision cosine remain the operator default family."""
     return embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=None, dim=64,
         quantile=0.999, family="md5",

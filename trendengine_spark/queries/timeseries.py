@@ -477,14 +477,37 @@ def d1_period_pairing(spark, sf_dir):
     )
 
 
+def _monthly_cents_mean(li):
+    """Monthly mean of the 2-dp price column via INTEGER CENTS (r11 —
+    caught by the first full sf1 sweep, the exact drift class the a1
+    fix documented in r9): the decimal(18,10)-sum → double cast
+    drifts one ulp at sf1 monthly-sum magnitudes because DuckDB's
+    decimal→double conversion scales by 1e-10 in floating point while
+    Spark's BigDecimal.doubleValue is correctly rounded. Cents make
+    sum and 100·count exact int64 → exact doubles → ONE
+    correctly-rounded division, bit-identical on both engines at any
+    scale. ``monthly_composite`` (generic values, not 2-dp-origin)
+    remains the programmatic API, as ``annual_composite`` did for a1.
+    """
+    return li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", F.col("time")).alias("period_start"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / (F.lit(100) * F.count("value")).cast("double")
+        ).alias("value")
+    )
+
+
 # --- A2 + densify: fill_missing_months declared against the oracle
 @query(
     "a2b_fill_missing_months",
     sql="""
     WITH m AS (
       SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_start,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
-                   / count(l_extendedprice) AS value
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 * count(l_extendedprice) AS DOUBLE) AS value
       FROM lineitem WHERE month(l_shipdate) <> 6
       GROUP BY 1, 2
     ), spans AS (
@@ -509,7 +532,7 @@ def a2b_fill_missing_months(spark, sf_dir):
         F.col("l_shipdate").alias("time"),
         F.col("l_extendedprice").alias("value"),
     )
-    monthly = monthly_composite(li, ["l_returnflag"]).select(
+    monthly = _monthly_cents_mean(li).select(
         "l_returnflag", "period_start", "value"
     )
     dense = fill_missing_months(monthly, ["l_returnflag"])
@@ -525,8 +548,8 @@ def a2b_fill_missing_months(spark, sf_dir):
     sql="""
     WITH m AS (
       SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_start,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE)
-                   / count(l_extendedprice) AS value
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 * count(l_extendedprice) AS DOUBLE) AS value
       FROM lineitem WHERE month(l_shipdate) <> 6
       GROUP BY 1, 2
     ), spans AS (
@@ -578,7 +601,7 @@ def a2c_interpolate_gaps(spark, sf_dir):
         F.col("l_extendedprice").alias("value"),
     )
     dense = fill_missing_months(
-        monthly_composite(li, ["l_returnflag"]), ["l_returnflag"]
+        _monthly_cents_mean(li), ["l_returnflag"]
     )
     out = interpolate_months(dense, ["l_returnflag"])
     return out.select(
