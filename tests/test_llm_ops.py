@@ -1160,3 +1160,67 @@ def test_audio_fingerprint_planted_recall_and_gain_invariance(spark):
     out = audio_fingerprint(spark.createDataFrame(pdf)).collect()
     h = {r["doc_id"]: r["afp"] for r in out}
     assert h[0] == h[1]
+
+
+def test_quantized_cosine_is_engine_portable(spark):
+    """cosine_arrow_quantized (the md5-family verify scorer, r11)
+    must equal DuckDB's rendering of the same quantized formula
+    BIT-FOR-BIT, including on exact .5/1024 quantization ties where
+    np.rint (ties-to-even) silently diverged from SQL round
+    (half-away) — the sf1 sweep failure this scorer fixed."""
+    import duckdb
+    import pandas as pd
+
+    from trendengine_spark.operators.similarity import (
+        cosine_arrow_quantized,
+    )
+
+    # vectors engineered to hit quantization ties: (k + 0.5)/1024 is
+    # exactly representable, so v*1024 == k.5 exactly
+    va = [(3 + 0.5) / 1024, 0.25, -0.125, (7 + 0.5) / 1024]
+    vb = [(5 + 0.5) / 1024, -0.5, 0.375, (2 + 0.5) / 1024]
+    pdf = pd.DataFrame({"a": [va, va], "b": [vb, va]})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(cosine_arrow_quantized(F.col("a"), F.col("b")).alias("c"))
+        .collect()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT list_dot_product(qa, qb) /
+               (sqrt(list_dot_product(qa, qa)) *
+                sqrt(list_dot_product(qb, qb))) AS c
+        FROM (
+          SELECT list_transform(a, x -> round(x * 1024)) AS qa,
+                 list_transform(b, x -> round(x * 1024)) AS qb
+          FROM (SELECT ? AS a, ? AS b UNION ALL SELECT ? AS a, ? AS b)
+        )
+        """,
+        [va, vb, va, va],
+    ).fetchall()
+    assert got[0]["c"] == want[0][0]  # bitwise, no tolerance
+    assert got[1]["c"] == want[1][0]
+    assert abs(got[1]["c"] - 1.0) < 1e-12  # self-cosine ~ 1
+
+
+def test_owned_cache_get_memoizes_per_key(spark):
+    """owned_cache_get (r11): the builder runs once per key; a second
+    call serves the pooled DataFrame object, and a pool drop (the
+    bench harness discipline) forces a rebuild."""
+    from trendengine_spark.operators.util import owned_cache_get
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).toDF("v")
+
+    a = owned_cache_get(spark, "test.memo.key", build)
+    b = owned_cache_get(spark, "test.memo.key", build)
+    assert a is b and len(calls) == 1
+    pool = spark.sparkContext._te_owned_caches
+    pool.pop("test.memo.key").unpersist(blocking=True)
+    c = owned_cache_get(spark, "test.memo.key", build)
+    assert len(calls) == 2 and c.count() == 5
+    pool.pop("test.memo.key").unpersist(blocking=True)

@@ -80,12 +80,11 @@ def main() -> None:
 
     for p in (STREAM_SRC, ROOT):
         shutil.rmtree(p, ignore_errors=True)
-    # one file per microbatch: salt a round-robin key so repartition
-    # spreads rows evenly regardless of source partitioning
-    (
-        docs.repartition(n_batches, F.col("doc_id") % n_batches)
-        .write.parquet(STREAM_SRC)
-    )
+    # one file per microbatch: keyless repartition = RoundRobin
+    # partitioning, every partition non-empty and near-equal (hashing
+    # doc_id % n left ~1/e of the partitions empty — 81 files, not
+    # 128)
+    docs.repartition(n_batches).write.parquet(STREAM_SRC)
     init_dedup_root(ROOT, num_perm=64, bands=16)
 
     lat: list[float] = []
