@@ -975,3 +975,82 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     n_s, kth_s, est_s = batch_sketch(range(10))
     assert got["s"]["n_sketch"] == 10 and got["s"]["est_distinct"] == 10.0
     assert got["s"]["kth_hash"] is None
+
+
+def test_streaming_dedup_inline_maintenance_preserves_state(spark, tmp_path):
+    """maintenance_every (r11): the k-th batch compacts + vacuums the
+    three tables INSIDE the fold. Afterwards (a) the corpus content
+    is identical to the no-maintenance run, (b) the probe still drops
+    near-dups of pre-compaction documents, (c) a replayed batch is
+    still a no-op (batch_id carried through the compacted manifest),
+    and (d) the snapshot file count is the data's, not the commit
+    count's."""
+    import os
+
+    from trendengine_spark.streaming.dedup_pipeline import (
+        BANDS,
+        CORPUS,
+        SIGS,
+        dedup_fold_batch,
+        init_dedup_root,
+    )
+    from trendengine_spark.tablelog import read_versioned, _read_manifest
+    from trendengine_spark.tablelog import current_version
+
+    root = str(tmp_path / "dedup_maint")
+    init_dedup_root(root, num_perm=32, bands=8, n=2)
+
+    def batch(bid, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a genuinely novel document about window functions",
+        "integer arithmetic keeps the oracle hash exactly stable",
+        "partition pruning is the cheapest query you never run",
+    ]
+    # batches 0..2 each add one novel doc; batch 2 triggers maintenance
+    for bid in range(3):
+        r = dedup_fold_batch(
+            batch(bid, [(bid * 10, texts[bid])]),
+            bid,
+            root,
+            threshold=0.8,
+            maintenance_every=2,
+        )
+        assert r["admitted"] == 1, (bid, r)
+
+    bands_path = os.path.join(root, BANDS)
+    # (d) compacted: each table's newest manifest lists few files even
+    # though 3 append commits (+1 compaction) happened
+    for t in (CORPUS, SIGS, BANDS):
+        p = os.path.join(root, t)
+        m = _read_manifest(p, current_version(p))
+        assert len(m["files"]) <= 4, (t, len(m["files"]))
+
+    # (b) near-dup of a PRE-compaction doc is still dropped
+    r3 = dedup_fold_batch(
+        batch(3, [(30, texts[0]), (31, "another brand new document")]),
+        3,
+        root,
+        threshold=0.8,
+        maintenance_every=2,
+    )
+    assert r3 == {"skipped": False, "admitted": 1, "dropped": 1}
+
+    # (c) replaying batch 3 is a no-op after maintenance
+    r3b = dedup_fold_batch(
+        batch(3, [(30, texts[0]), (31, "another brand new document")]),
+        3,
+        root,
+        threshold=0.8,
+        maintenance_every=2,
+    )
+    assert r3b["skipped"] is True
+
+    # (a) final corpus = the four novel docs exactly
+    got = sorted(
+        r["doc_id"]
+        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+    )
+    assert got == [0, 10, 20, 31]

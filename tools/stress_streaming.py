@@ -21,8 +21,11 @@ The batch stream is the sf3 documents table re-written as
 so the probe is deterministic and replayable.
 
 Usage: python tools/stress_streaming.py [replicas] [n_batches] [src]
-       (defaults 30, 128, /root/testdata/sf0.1; TE_SF1_REUSE=1 reuses
-       the stress_sf1 build)
+                                        [maintenance_every]
+       (defaults 30, 128, /root/testdata/sf0.1, 0=off; TE_SF1_REUSE=1
+       reuses the stress_sf1 build. maintenance_every=k inlines the
+       compact+vacuum pair every k batches — the r11 fix for the
+       measured +4 ms/batch manifest/file growth.)
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    maintenance = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from trendengine_spark.session import get_spark
     from trendengine_spark.streaming.dedup_pipeline import (
@@ -91,7 +95,10 @@ def main() -> None:
 
     def fold(bdf, bid):
         t0 = time.perf_counter()
-        dedup_fold_batch(bdf, bid, ROOT, threshold=0.9)
+        dedup_fold_batch(
+            bdf, bid, ROOT, threshold=0.9,
+            maintenance_every=maintenance or None,
+        )
         lat.append(time.perf_counter() - t0)
         if bid % 16 == 0:
             print(f"batch {bid}: {lat[-1]:.2f}s", file=sys.stderr)
@@ -118,6 +125,7 @@ def main() -> None:
         json.dumps(
             {
                 "probe": "streaming_dedup",
+                "maintenance_every": maintenance,
                 "replicas": replicas,
                 "n_docs": n_docs,
                 "n_batches": len(lat),
