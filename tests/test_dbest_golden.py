@@ -5,7 +5,9 @@ and gap interpolation."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from trendengine_spark.functions.dbest import (
     _has_sustained_step,
     dbest_change_detection,
@@ -247,6 +249,154 @@ def test_dbest_non_cyclical_detects_planted_step():
     # the TOTAL reported change, not the single largest segment's
     rc = dbest_change_detection(y, data_type="cyclical", duration=24)
     assert sum(abs(c) for c in rc["change"]) > 0.2
+
+
+def _numpy_u2(y):
+    """Reference rows for the u2_dbest_relational knob set: scale-free
+    shifts (5%/10% of range), duration 5, breakpoints_no 3, default
+    distance threshold, non-cyclical."""
+    y = np.asarray(y, dtype=np.float64)
+    rng = float(y.max() - y.min())
+    r = dbest_change_detection(
+        y,
+        data_type="non-cyclical",
+        breakpoints_no=3,
+        first_level_shift=0.05 * rng,
+        second_level_shift=0.1 * rng,
+        duration=5,
+    )
+    rows = [
+        (
+            r["start"][i], r["duration"][i], r["end"][i],
+            r["change"][i], r["change_type"][i], r["significance"][i],
+        )
+        for i in range(len(r["start"]))
+    ]
+    return r["breakpoint_no"], r["segment_no"], rows
+
+
+def _spark_u2(spark, series):
+    """Run the relational twin over planted integer series (dict
+    name -> list[int]) through the same entry the registry query
+    uses, returning rows per series name."""
+    from trendengine_spark.queries.analytics import u2_relational_changes
+
+    data = [
+        (name, x, int(v))
+        for name, ys in series.items()
+        for x, v in enumerate(ys)
+    ]
+    pts = spark.createDataFrame(
+        data, "event_type string, x bigint, y bigint"
+    )
+    out = {}
+    for row in u2_relational_changes(spark, pts).collect():
+        out.setdefault(row["event_type"], []).append(row)
+    return out
+
+
+def _assert_u2_parity(got_rows, bp_no, seg_no, want_rows, name=""):
+    """Tie-tolerant parity: numpy's lstsq gives exactly-flat segments
+    ulp-noise changes (~1e-14) where the SQL's exact-integer slope is
+    exactly 0.0, so rows whose |change| TIES another reported row may
+    permute in rank (and across the top-k cut). Per rank the |change|
+    magnitudes must agree; position fields and codes are compared
+    exactly only for ranks whose magnitude is unambiguous (separated
+    from every other reported magnitude by more than the tolerance)."""
+    assert got_rows, f"{name}: no rows"
+    assert got_rows[0]["breakpoint_no"] == bp_no, name
+    assert got_rows[0]["segment_no"] == seg_no, name
+    got = sorted(got_rows, key=lambda r: r["chg_rank"])
+    assert len(got) == len(want_rows), (name, got, want_rows)
+    tol = 1e-6
+    wmag = [abs(w[3]) for w in want_rows]
+    for i, (g, w) in enumerate(zip(got, want_rows)):
+        scale = max(1.0, wmag[i])
+        assert abs(abs(g["change"]) - wmag[i]) <= tol * scale, (name, i, g, w)
+        ambiguous = any(
+            abs(wmag[i] - wmag[j]) <= tol * scale
+            for j in range(len(wmag))
+            if j != i
+        )
+        if not ambiguous:
+            assert (
+                g["seg_start"], g["seg_duration"], g["seg_end"],
+            ) == w[:3], (name, i, g, w)
+            assert (g["change_type"], g["significance"]) == w[4:], (
+                name, i, g, w,
+            )
+            assert abs(g["change"] - w[3]) <= tol * scale, (name, i, g, w)
+
+
+def test_u2_relational_matches_numpy_planted_branches(spark):
+    """Every exit of the relational U2 twin against the numpy kernel
+    on planted integer series (the oracle hash at three scales covers
+    Spark vs DuckDB; this pins both against functions/dbest.py):
+
+    - perfect_line: zero deviations -> no split; exact RSS = 0 with
+      slope != 0 -> the perfect-fit significance exit (sig 1).
+    - constant: zero range -> threshold floor 1e-12, no split; N = 0
+      and RSS = 0 -> sig 0; degenerate fls = sls = 0 makes every
+      zero-jump 'sustained' (numpy >= semantics) -> ctype 1 on both.
+    - step: sustained level shift -> boundary lands AT the step, the
+      m = 2 bridge segment takes the dof <= 0 exit (sig 0) and is the
+      only abrupt (ctype 1) segment; |change| ties rank the two flat
+      segments by start.
+    - trend_noisy: in-window wiggle below threshold -> single segment
+      through the t^2 > t_crit^2 branch (sig 1, ctype 0).
+    - alternating: range 1 -> threshold floor keeps EVERY interior
+      deviation above it -> full split cascade, candidate cap 6,
+      deep-level exercise of the lockstep loop.
+    """
+    series = {
+        "perfect_line": [3 * x + 7 for x in range(30)],
+        "constant": [42] * 30,
+        "step": [100] * 15 + [200] * 15,
+        "trend_noisy": [10 * x + (x % 3) for x in range(30)],
+        "alternating": [100 + (x % 2) for x in range(30)],
+    }
+    got = _spark_u2(spark, series)
+    assert set(got) == set(series)
+    for name, ys in series.items():
+        bp_no, seg_no, want = _numpy_u2(ys)
+        _assert_u2_parity(got[name], bp_no, seg_no, want, name)
+    # spot-pin the branch facts the docstring claims
+    pl = got["perfect_line"][0]
+    assert (pl["segment_no"], pl["significance"], pl["change_type"]) == (1, 1, 0)
+    ct = got["constant"][0]
+    assert (ct["significance"], ct["change_type"]) == (0, 1)
+    st = {r["seg_duration"]: r for r in got["step"]}
+    assert st[2]["change_type"] == 1 and st[2]["significance"] == 0
+    assert abs(st[2]["change"] - 100.0) < 1e-9
+    tn = got["trend_noisy"][0]
+    assert (tn["segment_no"], tn["significance"], tn["change_type"]) == (1, 1, 0)
+    assert got["alternating"][0]["breakpoint_no"] == 3
+
+
+def test_u2_relational_matches_numpy_real_series(spark):
+    """The registry query itself (daily event counts at sf0.001) vs
+    the numpy kernel, per event_type — the end-to-end parity the
+    VERDICT r11 task asked for ('covering every exit' is the planted
+    test above; this is the real-data leg)."""
+    from trendengine_spark.queries.base import REGISTRY
+
+    rows = REGISTRY["u2_dbest_relational"].fn(spark, SF_SMOKE).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["event_type"], []).append(r)
+    pts = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("d"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in sorted(pts, key=lambda r: (r["event_type"], r["d"])):
+        series.setdefault(r["event_type"], []).append(r["count"])
+    assert set(got) == set(series)
+    for name, ys in series.items():
+        bp_no, seg_no, want = _numpy_u2(ys[:30])
+        _assert_u2_parity(got[name], bp_no, seg_no, want, name)
 
 
 def test_dbest_non_cyclical_generalization():

@@ -1224,3 +1224,32 @@ def test_owned_cache_get_memoizes_per_key(spark):
     c = owned_cache_get(spark, "test.memo.key", build)
     assert len(calls) == 2 and c.count() == 5
     pool.pop("test.memo.key").unpersist(blocking=True)
+
+
+def test_owned_cache_drop_invalidates_by_prefix(spark):
+    """owned_cache_drop (r12, ADVICE r11): the explicit invalidation
+    for sessions that rewrite source parquet mid-session — entries
+    under the prefix are unpersisted and forgotten (next get
+    rebuilds), entries outside it survive, unknown prefixes no-op."""
+    from trendengine_spark.operators.util import (
+        owned_cache_drop,
+        owned_cache_get,
+    )
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).toDF("v")
+
+    owned_cache_get(spark, "/tmp/srcA:pairs", build)
+    owned_cache_get(spark, "/tmp/srcA:clusters", build)
+    keep = owned_cache_get(spark, "/tmp/srcB:pairs", build)
+    assert owned_cache_drop(spark, "/tmp/srcA") == 2
+    assert owned_cache_drop(spark, "/tmp/nowhere") == 0
+    pool = spark.sparkContext._te_owned_caches
+    assert "/tmp/srcB:pairs" in pool and pool["/tmp/srcB:pairs"] is keep
+    owned_cache_get(spark, "/tmp/srcA:pairs", build)  # rebuilds
+    assert len(calls) == 4
+    for k in ("/tmp/srcA:pairs", "/tmp/srcB:pairs"):
+        pool.pop(k).unpersist(blocking=True)

@@ -92,6 +92,19 @@ def ngram_jaccard_pairs(
     many documents before pairing; at web scale this bounds the
     per-shingle join fan-out (a shingle in k docs contributes k²
     candidate pairs).
+
+    SINGLE-ROW CEILING (ADVICE r11): the r11 pair enumeration
+    materializes each shingle's full posting list as ONE in-row array
+    (``collect_list`` → posexplode) — candidate VOLUME is unchanged
+    versus the old self-join (Σ df²), but a hot shingle in k docs now
+    also builds one k-element array row (~8k bytes) and carries it
+    through the generate stage, where the self-join streamed pair
+    rows with no per-row ceiling. Without ``max_df`` a pathological
+    stop-shingle (k ~ 10⁸ at web scale) is therefore a multi-GB
+    single row BEFORE it is a quadratic pair explosion. Always set
+    ``max_df`` at scale; it caps both failure modes at once (the
+    filter runs on ``size(ids)`` before any expansion). The engine's
+    own callers pass it or operate at driver-test scale.
     """
     # owned_cache, not bare cache() (r3's unbounded leak) and not
     # localCheckpoint (r4's 4× regression: row-format blocks, codegen

@@ -85,7 +85,7 @@ def cosine_arrow(a: Column, b: Column) -> Column:
 _COSINE_ARROW_Q: object = None
 
 
-def cosine_arrow_quantized(a: Column, b: Column, scale: int = 1024) -> Column:
+def cosine_arrow_quantized(a: Column, b: Column) -> Column:
     """Engine-portable cosine over INTEGER-QUANTIZED vectors (r11 —
     found by the sf1 full-registry sweep): float cosine of two
     engines' dot products differs in the last ulp (numpy einsum vs a
@@ -98,7 +98,13 @@ def cosine_arrow_quantized(a: Column, b: Column, scale: int = 1024) -> Column:
     summation agrees — and the cosine is then the fixed three-op
     double sequence dot/(sqrt(na)·sqrt(nb)), identical everywhere.
     This is the md5-family scoring contract; the Gaussian default
-    keeps full-precision float cosine (:func:`cosine_arrow`)."""
+    keeps full-precision float cosine (:func:`cosine_arrow`).
+
+    The quantization scale is PINNED to 1024 (no parameter — ADVICE
+    r11): the UDF body, the oracle SQL of the md5-family queries, and
+    the plane quantizer (:func:`_quantize_away_from_zero`) must all
+    agree on the same power-of-two constant, so a per-call scale knob
+    could only ever desynchronize them."""
     global _COSINE_ARROW_Q
     if _COSINE_ARROW_Q is None:
 
@@ -134,8 +140,6 @@ def cosine_arrow_quantized(a: Column, b: Column, scale: int = 1024) -> Column:
             return pd.Series(dots / (na * nb))
 
         _COSINE_ARROW_Q = _cosq
-    if scale != 1024:  # pragma: no cover - authoring guard
-        raise ValueError("quantized cosine is pinned to scale=1024")
     return _COSINE_ARROW_Q(a, b)
 
 
@@ -834,9 +838,18 @@ def embedding_near_dup_pairs(
         # quantile_disc — the approx_percentiles identity), which is
         # what lets the md5 family carry a full oracle at ANY checked
         # scale; the count is one bounded driver scalar on the
-        # already-cached scored table.
+        # already-cached scored table. The derivation is CLAMPED at
+        # 2^24 (ADVICE r11): GK memory is O(accuracy) per aggregator
+        # and Spark's accuracy is int32, so "lossless at any scale"
+        # would otherwise silently degrade into materializing every
+        # candidate inside the sketch. Below the clamp the cut is the
+        # exact rank element; above it (>16.7M candidates) the cut
+        # carries the documented GK rank bound of n/accuracy ≲ n/2^24
+        # — the rank-tolerance posture approx_percentiles documents —
+        # and the md5-family oracle identity no longer holds, which
+        # only matters far beyond any checked scale (sf3 peak: 1.68M).
         n_cand = scored.count()
-        acc = max(1_000_000, n_cand + 1)
+        acc = max(1_000_000, min(n_cand + 1, 1 << 24))
         cut_p = scored.agg(
             F.percentile_approx("cos_sim", quantile, acc).alias("_thr_p")
         )

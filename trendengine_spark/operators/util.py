@@ -95,6 +95,16 @@ def owned_cache_get(spark, key: str, builder: Callable[[], DataFrame]) -> DataFr
     result (source dir, n, threshold); the bench harness still drops
     pool entries between samples, so timed samples keep paying their
     full plan cost — this memo never hides work from the benchmark.
+
+    IMMUTABLE-SOURCE CONTRACT (ADVICE r11): the memo assumes the
+    parquet under the keyed source dir does not change for the
+    lifetime of the session — a rebuild in the same process (e.g. a
+    stress-tool regeneration) would silently serve stale results, and
+    because the memoized value may sit on ``localCheckpoint``'d
+    blocks with truncated lineage, executor loss later in the session
+    makes it unrecoverable rather than recomputable. Sessions that
+    rewrite their inputs must call :func:`owned_cache_drop` with the
+    affected key prefix (usually the sf_dir) before re-querying.
     """
     sc = spark.sparkContext
     pool = getattr(sc, "_te_owned_caches", None)
@@ -106,6 +116,26 @@ def owned_cache_get(spark, key: str, builder: Callable[[], DataFrame]) -> DataFr
     out = builder().persist()
     pool[key] = out
     return out
+
+
+def owned_cache_drop(spark, key_prefix: str) -> int:
+    """Invalidate every pool entry whose key starts with
+    ``key_prefix`` (unpersist + forget); returns the number dropped.
+    This is the explicit escape hatch for the immutable-source
+    contract of :func:`owned_cache_get` — call it after rewriting
+    source parquet mid-session (keys embed the sf_dir, so the dir
+    path is the natural prefix). Unknown prefixes are a no-op."""
+    sc = spark.sparkContext
+    pool = getattr(sc, "_te_owned_caches", None)
+    if not pool:
+        return 0
+    hits = [k for k in pool if k.startswith(key_prefix)]
+    for k in hits:
+        try:
+            pool.pop(k).unpersist(blocking=False)
+        except Exception:  # pragma: no cover - cleanup best-effort
+            pass
+    return len(hits)
 
 
 def _plan_num_partitions(df: DataFrame) -> int:

@@ -65,6 +65,10 @@ _SPINE_FIRST = [
     # followed by the three r11 rows-only -> full-oracle conversions
     # (task 6: MK z/p/trend via inline erfc, the Holt-Winters
     # recursive-CTE backtest, the 20-iteration BPE merge sequence)
+    # r12 conversions lead (first hash verdicts): U2 DBEST — the last
+    # golden-only core operator — gained its relational oracle twin
+    # (VERDICT r11 task 1)
+    "u2_dbest_relational",
     "u1_polytrend_relational",
     "u6_mann_kendall_events",
     "forecast_holt_winters_mae",

@@ -2311,3 +2311,349 @@ def u1_polytrend_relational(spark, sf_dir):
     O(series), never O(points), and the classification is pure
     codegen expression work on the aggregated row."""
     return sql_over_tables(spark, sf_dir, _U1_SQL_SPARK, ("events",))
+
+
+# --------------------------------------------------------------------- U2
+# DBEST change detection, relational twin (r12 — VERDICT r11 task 1).
+# The non-cyclical path of functions/dbest.dbest_change_detection
+# (reference contract /root/reference/TrendEngine/calculations/
+# dbest.py:64-200; the reference's own non-cyclical branch NameErrors
+# at dbest.py:94-95,148-149 — SURVEY §4.4.6) restated over the daily
+# event-count series so BOTH engines compute bit-identical doubles:
+#
+# * The series is INTEGER daily counts (order-free aggregation), the
+#   analysis window is the first _U2_NMAX observations per series —
+#   which bounds the split recursion depth at _U2_NMAX - 2 levels, the
+#   unroll budget of the DuckDB chained-CTE head (the BPE playbook:
+#   a driver-steered loop transcribes as chained MATERIALIZED CTEs).
+# * Every floating value is ONE fixed-parenthesization expression over
+#   exact int64 quantities (chord deviation, window means, the slope
+#   N/D, t² = N²·dof/(Syy_m·D − N²)), shared VERBATIM between the
+#   DuckDB statement and the Spark loop via the snippet constants
+#   below — IEEE ops on identical integers land on identical doubles,
+#   so the hash needs no tolerance (the u1-cascade discipline).
+# * p < α ⟺ t² > t_crit²(df) via the same TCRIT_975 literal table u1
+#   uses (stattools betainc inverted to the last ulp).
+
+_U2_NMAX = 30          # analysis window → unroll depth _U2_NMAX - 2
+_U2_KEEP = 6           # segment_breakpoints keeps 2 × breakpoints_no
+_U2_REPORT = 3         # breakpoints_no: top-k segments by |change|
+_U2_DUR = 5            # sustained-step window (duration knob)
+_U2_FLS = "5e-2"       # first_level_shift = 5e-2 · range (scale-free)
+_U2_SLS = "1e-1"       # second_level_shift = 1e-1 · range
+
+#: chord deviation |y − (y0 + (y1−y0)(x−i0)/(i1−i0))| — the integer
+#: product is exact int64, the division and sum are the same two
+#: correctly-rounded IEEE ops numpy's _chord_deviations performs
+_U2_DEV = (
+    "abs(CAST(p.y AS DOUBLE) - (CAST(g.y0 AS DOUBLE)"
+    " + CAST((g.y1 - g.y0) * (p.x - g.i0) AS DOUBLE)"
+    " / CAST(g.i1 - g.i0 AS DOUBLE)))"
+)
+
+
+def _u2_pts_sql(events: str = "events") -> str:
+    """Series CTE body: dense 0-based index over OBSERVED days,
+    integer counts, clipped to the analysis window."""
+    return f"""
+    SELECT event_type, y, x FROM (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS y,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE)) - 1
+                  AS BIGINT) AS x
+      FROM {events}
+      GROUP BY event_type, CAST(ts AS DATE)) q
+    WHERE x < {_U2_NMAX}
+    """
+
+
+def _u2_ser_sql(pts: str) -> str:
+    """Per-series gate + default distance threshold. Non-cyclical
+    remainder is exactly zero, so default_distance_threshold reduces
+    to max(0.01·range, 1e-12) — exact integers into one double
+    product (numpy computes the same 1e-2 · float(range))."""
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(y) - min(y) AS BIGINT) AS rng,
+           greatest(1e-2 * CAST(max(y) - min(y) AS DOUBLE), 1e-12) AS thr
+    FROM {pts} GROUP BY event_type HAVING count(*) >= 6
+    """
+
+
+def _u2_seg0_sql(ser: str, pts: str) -> str:
+    return f"""
+    SELECT s.event_type, CAST(0 AS BIGINT) AS i0, p0.y AS y0,
+           s.n - 1 AS i1, p1.y AS y1, s.thr
+    FROM {ser} s
+    JOIN {pts} p0 ON p0.event_type = s.event_type AND p0.x = 0
+    JOIN {pts} p1 ON p1.event_type = s.event_type AND p1.x = s.n - 1
+    """
+
+
+def _u2_level_sql(seg: str, pts: str) -> str:
+    """One split level: per open segment, the interior point of max
+    chord deviation (first-index tie-break = numpy argmax), kept when
+    it exceeds the threshold (strict, as segment_breakpoints)."""
+    return f"""
+    SELECT event_type, i0, y0, i1, y1, thr, x AS bp, y AS yb, dev
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type, i0, i1
+            ORDER BY dev DESC, x ASC) AS rn
+          FROM (SELECT g.event_type, g.i0, g.y0, g.i1, g.y1, g.thr,
+                       p.x, p.y, {_U2_DEV} AS dev
+                FROM {seg} g JOIN {pts} p
+                  ON p.event_type = g.event_type
+                 AND p.x > g.i0 AND p.x < g.i1) d) q
+    WHERE rn = 1 AND dev > thr
+    """
+
+
+def _u2_children_sql(c: str) -> str:
+    return f"""
+    SELECT event_type, i0, y0, bp AS i1, yb AS y1, thr FROM {c}
+    UNION ALL
+    SELECT event_type, bp AS i0, yb AS y0, i1, y1, thr FROM {c}
+    """
+
+
+def _u2_tail_sql(tc: str, pts: str, ser: str, candall: str) -> str:
+    """Everything after candidate collection, shared verbatim by both
+    engines (``tc`` is the per-dialect critical-value lookup): keep
+    the top ``_U2_KEEP`` candidates by (dev DESC, bp DESC) — python's
+    reverse tuple sort — bound the segments, aggregate exact integer
+    moments per segment, test the sustained-step rule on the GLOBAL
+    series (windows clamp at the ends exactly like the numpy slice),
+    and classify each segment's slope via t² against t_crit²."""
+    n2 = "s.m * s.sxy - s.sx * s.sy"     # m·Sxy (exact int64)
+    d2 = "s.m * s.sxx - s.sx * s.sx"     # m·Sxx (exact int64, > 0)
+    syy2 = "s.m * s.syy - s.sy * s.sy"   # m·Syy (exact int64)
+    rssn = (
+        f"(CAST({syy2} AS DOUBLE) * CAST({d2} AS DOUBLE)"
+        f" - CAST({n2} AS DOUBLE) * CAST({n2} AS DOUBLE))"
+    )
+    tsq = (
+        f"((CAST({n2} AS DOUBLE) * CAST({n2} AS DOUBLE)"
+        f" * CAST(s.m - 2 AS DOUBLE)) / {rssn})"
+    )
+    return f"""cand AS (
+  SELECT event_type, bp FROM (
+    SELECT event_type, bp, row_number() OVER (
+      PARTITION BY event_type ORDER BY dev DESC, bp DESC) AS rn
+    FROM {candall} ca) r
+  WHERE rn <= {_U2_KEEP}
+), nk AS (
+  SELECT s.event_type, s.n, s.rng, CAST(count(c.bp) AS BIGINT) AS n_kept
+  FROM {ser} s LEFT JOIN cand c ON c.event_type = s.event_type
+  GROUP BY s.event_type, s.n, s.rng
+), bnd AS (
+  SELECT event_type, bp FROM cand
+  UNION ALL SELECT event_type, CAST(0 AS BIGINT) AS bp FROM nk
+  UNION ALL SELECT event_type, n - 1 AS bp FROM nk
+), segf AS (
+  SELECT event_type, a, b FROM (
+    SELECT event_type, bp AS a,
+           lead(bp) OVER (PARTITION BY event_type ORDER BY bp) AS b
+    FROM bnd) q
+  WHERE b IS NOT NULL
+), mom AS (
+  SELECT f.event_type, f.a, f.b,
+    CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(p.x) AS BIGINT) AS sx, CAST(sum(p.y) AS BIGINT) AS sy,
+    CAST(sum(p.x * p.x) AS BIGINT) AS sxx,
+    CAST(sum(p.x * p.y) AS BIGINT) AS sxy,
+    CAST(sum(p.y * p.y) AS BIGINT) AS syy
+  FROM segf f JOIN {pts} p ON p.event_type = f.event_type
+    AND p.x >= f.a AND p.x <= f.b
+  GROUP BY f.event_type, f.a, f.b
+), hits AS (
+  SELECT q.event_type, q.k
+  FROM (
+    SELECT event_type, x AS k, y,
+      lead(y) OVER (PARTITION BY event_type ORDER BY x) AS y_next,
+      CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN {_U2_DUR - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pre_s,
+      CAST(count(*) OVER (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN {_U2_DUR - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pre_c,
+      CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN 1 FOLLOWING AND {_U2_DUR} FOLLOWING)
+           AS BIGINT) AS post_s,
+      CAST(count(*) OVER (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN 1 FOLLOWING AND {_U2_DUR} FOLLOWING)
+           AS BIGINT) AS post_c
+    FROM {pts}) q
+  JOIN nk ON nk.event_type = q.event_type
+  WHERE q.y_next IS NOT NULL
+    AND CAST(abs(q.y_next - q.y) AS DOUBLE)
+        >= {_U2_FLS} * CAST(nk.rng AS DOUBLE)
+    AND abs(CAST(q.post_s AS DOUBLE) / CAST(q.post_c AS DOUBLE)
+          - CAST(q.pre_s AS DOUBLE) / CAST(q.pre_c AS DOUBLE))
+        >= {_U2_SLS} * CAST(nk.rng AS DOUBLE)
+), segc AS (
+  SELECT m.event_type, m.a, m.b, m.m, m.sx, m.sy, m.sxx, m.sxy, m.syy,
+         CAST(max(CASE WHEN h.k IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS ctype
+  FROM mom m LEFT JOIN hits h
+    ON h.event_type = m.event_type AND h.k >= m.a AND h.k < m.b
+  GROUP BY m.event_type, m.a, m.b, m.m, m.sx, m.sy, m.sxx, m.sxy, m.syy
+), fin AS (
+  SELECT s.event_type, s.a, s.b, s.ctype,
+    (CAST({n2} AS DOUBLE) / CAST({d2} AS DOUBLE))
+      * CAST(s.b - s.a AS DOUBLE) AS change,
+    CASE WHEN s.m - 2 <= 0 THEN 0
+         WHEN {rssn} <= CAST(0 AS DOUBLE)
+           THEN (CASE WHEN {n2} = 0 THEN 0 ELSE 1 END)
+         WHEN {tsq} > ({tc}) * ({tc}) THEN 1 ELSE 0 END AS sig
+  FROM segc s
+), rk AS (
+  SELECT f.event_type, f.a, f.b, f.ctype, f.change, f.sig, nk.n_kept,
+    row_number() OVER (PARTITION BY f.event_type
+                       ORDER BY abs(f.change) DESC, f.a ASC) AS rnk,
+    CAST(count(*) OVER (PARTITION BY f.event_type) AS INT) AS segment_no
+  FROM fin f JOIN nk ON nk.event_type = f.event_type
+)
+SELECT event_type,
+  CAST(least(n_kept, {_U2_REPORT}) AS INT) AS breakpoint_no,
+  segment_no,
+  CAST(rnk AS INT) AS chg_rank,
+  CAST(a + 1 AS INT) AS seg_start,
+  CAST(b - a + 1 AS INT) AS seg_duration,
+  CAST(b + 1 AS INT) AS seg_end,
+  change,
+  CAST(ctype AS INT) AS change_type,
+  CAST(sig AS INT) AS significance
+FROM rk WHERE rnk <= {_U2_REPORT}
+ORDER BY event_type, chg_rank
+"""
+
+
+def _u2_duck_sql() -> str:
+    """The whole computation as ONE DuckDB statement: the split loop
+    unrolled as _U2_NMAX − 2 chained MATERIALIZED CTE levels (depth
+    bound: each level peels at least one point off every still-open
+    segment, so a window of n points splits at most n − 2 deep;
+    exhausted levels propagate empty sets for free). MATERIALIZED
+    keeps the chain from inlining quadratically."""
+    parts = [
+        f"WITH daily AS MATERIALIZED ({_u2_pts_sql('events')}"
+        f"), ser AS MATERIALIZED ({_u2_ser_sql('daily')}"
+        f"), seg0 AS MATERIALIZED ({_u2_seg0_sql('ser', 'daily')})"
+    ]
+    levels = _U2_NMAX - 2
+    for k in range(levels):
+        parts.append(
+            f", c{k} AS MATERIALIZED ({_u2_level_sql(f'seg{k}', 'daily')}"
+            f"), seg{k + 1} AS MATERIALIZED ("
+            f"{_u2_children_sql(f'c{k}')})"
+        )
+    allc = "\n  UNION ALL ".join(
+        f"SELECT event_type, bp, dev FROM c{k}" for k in range(levels)
+    )
+    parts.append(f", candall AS MATERIALIZED (\n  {allc}\n), ")
+    parts.append(
+        _u2_tail_sql(
+            _tcrit_lookup("s.m - 2", "duck"), "daily", "ser", "candall"
+        )
+    )
+    return "".join(parts)
+
+
+_U2_SQL_DUCK = _u2_duck_sql()
+
+#: schema of an empty candidate set (series with no splits anywhere)
+_U2_CAND_SCHEMA = "event_type string, bp bigint, dev double"
+
+
+def u2_relational_changes(spark, pts):
+    """Spark side of the U2 twin over a prepared ``(event_type, x,
+    y)`` points DataFrame (exposed separately so tests can feed
+    planted series). The split recursion runs as a LOCKSTEP loop —
+    all series advance one level per iteration, each level one
+    narrow join + window ``spark.sql`` statement over the SAME level
+    text the DuckDB head unrolls — with the level output
+    ``localCheckpoint``-ed (tiny: ≤ one row per open segment) so the
+    lineage stays O(1) per level, the iterative-algorithm recipe the
+    CC/PageRank operators document. The loop exits as soon as a level
+    splits nothing (the numpy stack's emptiness), bounded by the same
+    _U2_NMAX − 2 worst case the oracle unrolls. At 10⁶ series the
+    shape is unchanged: ≤ 28 jobs, state O(open segments), the
+    per-series work never leaves its hash partition, and nothing ever
+    collects to the driver."""
+    from functools import reduce
+
+    from trendengine_spark.operators.util import owned_cache
+
+    pts = owned_cache(pts, "u2.pts")
+    pts.createOrReplaceTempView("te_u2_pts")
+    ser = spark.sql(_u2_ser_sql("te_u2_pts"))
+    ser.createOrReplaceTempView("te_u2_ser")
+    seg = spark.sql(_u2_seg0_sql("te_u2_ser", "te_u2_pts"))
+    cands = []
+    for _ in range(_U2_NMAX - 2):
+        seg.createOrReplaceTempView("te_u2_seg")
+        c = spark.sql(
+            _u2_level_sql("te_u2_seg", "te_u2_pts")
+        ).localCheckpoint()
+        if c.isEmpty():
+            break
+        cands.append(c.select("event_type", "bp", "dev"))
+        c.createOrReplaceTempView("te_u2_c")
+        # children are a pure column shuffle of the CHECKPOINTED level
+        # output — safe to leave lazy across the view rebind
+        seg = spark.sql(_u2_children_sql("te_u2_c"))
+    candall = (
+        reduce(lambda a, b: a.unionAll(b), cands)
+        if cands
+        else spark.createDataFrame([], _U2_CAND_SCHEMA)
+    )
+    candall.createOrReplaceTempView("te_u2_candall")
+    return spark.sql(
+        "WITH "
+        + _u2_tail_sql(
+            _tcrit_lookup("s.m - 2", "spark"),
+            "te_u2_pts",
+            "te_u2_ser",
+            "te_u2_candall",
+        )
+    )
+
+
+@query("u2_dbest_relational", sql=_U2_SQL_DUCK)
+def u2_dbest_relational(spark, sf_dir):
+    """U2 DBEST change detection as an engine-portable relational
+    program — the r12 conversion that gives the LAST golden-only core
+    operator an oracle twin (VERDICT r11 task 1). Semantics: the
+    non-cyclical path of :func:`~trendengine_spark.functions.dbest.
+    dbest_change_detection` (the path the reference app crashes on,
+    `/root/reference/TrendEngine/calculations/dbest.py:94-95,148-149`)
+    over the daily event-count series, scale-free knobs
+    (first/second level shift = 5%/10% of the series range,
+    duration 5, breakpoints_no 3, default distance threshold):
+
+    * **Top-down chord-split segmentation** — numpy's stack recursion
+      is traversal-order-independent (each segment's best split is a
+      deterministic argmax), so it transcribes as LEVELS of
+      simultaneous splits: chained MATERIALIZED CTEs on the DuckDB
+      side, a lockstep checkpointed loop on the Spark side, both
+      executing the IDENTICAL level SQL text. Candidate ranking
+      (dev DESC, bp DESC) is python's reverse tuple sort.
+    * **Exact-integer everything** — counts are int64; chord
+      deviations, window means, slope = N/D, and t² = N²·dof /
+      (Syy_m·D − N²) are fixed-parenthesization IEEE expressions over
+      exact int64 moments, identical on both engines; RSS ≤ 0 and
+      dof ≤ 0 degeneracies take the numpy exits (perfect fit ⇒
+      significant iff slope ≠ 0; too short ⇒ not significant).
+    * **Sustained-step change_type** — jump ≥ fls with the
+      duration-window means differing ≥ sls, windows clamped at the
+      series ends exactly like the numpy slices; evaluated on the
+      GLOBAL series then EXISTS-joined per segment.
+
+    Parity with the numpy path is pinned by
+    ``tests/test_dbest_golden.py`` (real series at sf0.001 + planted
+    branch-coverage series); numpy's lstsq-vs-Cramer ulp noise can
+    permute EXACT |change| ties in rank order, so the parity test
+    compares the segment set and tie-grouped ranking, while the
+    cross-engine hash needs no tolerance at all."""
+    pts = sql_over_tables(spark, sf_dir, _u2_pts_sql("events"), ("events",))
+    return u2_relational_changes(spark, pts)
