@@ -548,3 +548,58 @@ def test_logistic_gate_query_conservation_and_accuracy(spark):
         assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n"]
         assert 0 < r["n_pos"] < r["n"]  # non-degenerate labels
         assert (r["tp"] + r["tn"]) / r["n"] >= 0.9, r["lang"]
+
+
+def test_logistic_gate_twin_matches_production_fit(spark):
+    """The r12 oracle twin (quantized-Gram IRLS, queries/ml.py) must
+    agree with the production `fit_logistic` path it replaced in the
+    declared query: same 8 Newton steps, the twin's only deviations
+    being the 2^-16 per-row Gram quantization and the algebraic
+    w*eta + (y - mu) accumulation. On the sf0.001 corpus those
+    perturbations must not move a single gate decision — the
+    confusion counts are compared EXACTLY (a coefficient regression
+    in either path, or a quantization scale mistake, breaks this)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.linmodel import fit_logistic, score_expr
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.queries.ml import _doc_features
+
+    sf = "/root/testdata/sf0.001"
+    twin = {
+        r["lang"]: r
+        for r in REGISTRY["quality_logistic_gate"].fn(spark, sf).collect()
+    }
+    feats = _doc_features(spark, sf).withColumn(
+        "is_long", (F.col("n_chars") > 300).cast("int")
+    )
+    fits = fit_logistic(
+        feats, ["n_tok", "n_uniq"], "is_long", ["lang"], iters=8
+    )
+    eta = None
+    for (lang,), f in sorted(fits.items()):
+        e = score_expr(f["weights"], f["intercept"])
+        eta = (
+            F.when(F.col("lang") == lang, e)
+            if eta is None
+            else eta.when(F.col("lang") == lang, e)
+        )
+    y, p = F.col("is_long"), (eta >= 0).cast("int")
+    prod = {
+        r["lang"]: r
+        for r in feats.withColumn("_p", p)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+            F.sum(((y == 1) & (F.col("_p") == 1)).cast("long")).alias("tp"),
+            F.sum(((y == 0) & (F.col("_p") == 1)).cast("long")).alias("fp"),
+            F.sum(((y == 1) & (F.col("_p") == 0)).cast("long")).alias("fn"),
+            F.sum(((y == 0) & (F.col("_p") == 0)).cast("long")).alias("tn"),
+        )
+        .collect()
+    }
+    assert set(twin) == set(prod)
+    for lang in twin:
+        for c in ("n", "n_pos", "tp", "fp", "fn", "tn"):
+            assert twin[lang][c] == prod[lang][c], (lang, c)

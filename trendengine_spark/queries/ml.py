@@ -892,67 +892,214 @@ def quality_isotonic_calibration(spark, sf_dir):
     )
 
 
-@query(
-    "quality_logistic_gate",
-    sql=None,
-    doc="Per-language logistic quality classifier: P(long doc | "
-    "token stats) fitted by distributed IRLS (each Newton step ONE "
-    "omega-weighted Gram aggregate - operators/linmodel.fit_logistic)"
-    ", then every document gated at p >= 0.5 with per-language "
-    "confusion counts out. Rows-only (sigma/exp are transcendental "
-    "- no cross-engine bit contract); the fit is pinned by planted-"
-    "coefficient recovery and 1e-6 parity with a textbook numpy IRLS "
-    "in tests/test_linmodel.py, and the gate arithmetic is a pure "
-    "codegen projection of literal weights.",
+# ------------------------------------------------- logistic gate (oracle)
+# r12 conversion (VERDICT r11 task 2): Newton-IRLS at a FIXED iteration
+# count is a deterministic recursion, so the classifier transcribes the
+# way Holt-Winters/BPE/U2 did — chained MATERIALIZED CTE steps in
+# DuckDB, a driver-steered loop in Spark, both executing the SAME step
+# SQL text. The one genuinely engine-divergent operation in IRLS is the
+# ω-weighted Gram SUM over data rows (float summation order): the twin
+# therefore accumulates per-row contributions QUANTIZED to int64
+# (floor(term · 2¹⁶) — floor is bitwise-portable for either sign, and
+# integer sums are order-independent), then reconstructs doubles with
+# one exact division. Everything per-row is a fixed-parenthesization
+# IEEE expression over exact integer features (η dot product, the
+# shared-libm sigmoid exp — the u6-erfc precedent, the w floor, the
+# algebraic ω·z = w·η + (y−μ)), and the 3×3 ridge solve is explicit
+# Cramer cofactors in fixed order — so coefficients, gate decisions,
+# and confusion counts are bit-identical on both engines at any scale.
+
+_LG_SCALE = "65536e0"  # 2^16: Gram quantization step (≤ 2⁻¹⁶/row error)
+_LG_ITERS = 8
+#: η as ONE shared text (the dot product order is the contract)
+_LG_ETA = (
+    "((c.b0 + (c.b1 * CAST(f.n_tok AS DOUBLE)))"
+    " + (c.b2 * CAST(f.n_uniq AS DOUBLE)))"
 )
+#: w repeated VERBATIM inside ω·z (SQL cannot reference a sibling
+#: alias; recomputing the identical expression is bitwise-free)
+_LG_W = "greatest((mu * (1e0 - mu)), 1e-6)"
+
+
+def _lg_q(expr: str) -> str:
+    """One quantized Gram contribution: exact int64 of floor(e·2¹⁶)."""
+    return f"CAST(floor(({expr}) * {_LG_SCALE}) AS BIGINT)"
+
+
+def _lg_uq(expr: str) -> str:
+    """Order-free sum of quantized terms back to a double moment."""
+    return (
+        f"(CAST(CAST(sum({_lg_q(expr)}) AS BIGINT) AS DOUBLE)"
+        f" / {_LG_SCALE})"
+    )
+
+
+def _lg_det3(r1, r2, r3) -> str:
+    """3×3 determinant by first-row cofactors, fixed parenthesization."""
+    (m11, m12, m13), (m21, m22, m23), (m31, m32, m33) = r1, r2, r3
+    return (
+        f"(((({m11}) * ((({m22}) * ({m33})) - (({m23}) * ({m32}))))"
+        f" - (({m12}) * ((({m21}) * ({m33})) - (({m23}) * ({m31})))))"
+        f" + (({m13}) * ((({m21}) * ({m32})) - (({m22}) * ({m31})))))"
+    )
+
+
+def _lg_step_sql(f: str, c: str) -> str:
+    """One Newton step: ω-weighted quantized Gram aggregate over
+    ``f ⋈ c`` (per-language coefficients), then the ridge-regularized
+    normal-equation solve (λ = 1e-9 on the feature block, never the
+    intercept — solve_normal's convention) via explicit Cramer. A
+    singular system (planted degenerate language) exits to β = 0, the
+    same defined state the zero seed starts from."""
+    rows = f"""
+      SELECT lang, x1, x2, yd,
+             {_LG_W} AS w,
+             (({_LG_W} * eta) + (yd - mu)) AS wz
+      FROM (SELECT lang, x1, x2, yd, eta,
+                   (1e0 / (1e0 + exp(0e0 - eta))) AS mu
+            FROM (SELECT f.lang,
+                         CAST(f.n_tok AS DOUBLE) AS x1,
+                         CAST(f.n_uniq AS DOUBLE) AS x2,
+                         CAST(f.y AS DOUBLE) AS yd,
+                         {_LG_ETA} AS eta
+                  FROM {f} f JOIN {c} c ON c.lang = f.lang) q1) q2"""
+    gram = f"""
+      SELECT lang,
+             {_lg_uq("w")} AS nw,
+             {_lg_uq("(w * x1)")} AS s1,
+             {_lg_uq("(w * x2)")} AS s2,
+             {_lg_uq("((w * x1) * x1)")} AS g11,
+             {_lg_uq("((w * x1) * x2)")} AS g12,
+             {_lg_uq("((w * x2) * x2)")} AS g22,
+             {_lg_uq("(x1 * wz)")} AS r1,
+             {_lg_uq("(x2 * wz)")} AS r2,
+             {_lg_uq("wz")} AS rz
+      FROM ({rows}) r GROUP BY lang"""
+    det = _lg_det3(
+        ("a11", "a12", "a13"), ("a12", "a22", "a23"), ("a13", "a23", "a33")
+    )
+    db1 = _lg_det3(
+        ("r1", "a12", "a13"), ("r2", "a22", "a23"), ("rz", "a23", "a33")
+    )
+    db2 = _lg_det3(
+        ("a11", "r1", "a13"), ("a12", "r2", "a23"), ("a13", "rz", "a33")
+    )
+    db0 = _lg_det3(
+        ("a11", "a12", "r1"), ("a12", "a22", "r2"), ("a13", "a23", "rz")
+    )
+    return f"""
+    SELECT lang,
+      CASE WHEN det = 0e0 THEN 0e0 ELSE (db1 / det) END AS b1,
+      CASE WHEN det = 0e0 THEN 0e0 ELSE (db2 / det) END AS b2,
+      CASE WHEN det = 0e0 THEN 0e0 ELSE (db0 / det) END AS b0
+    FROM (SELECT lang, {det} AS det, {db1} AS db1,
+                 {db2} AS db2, {db0} AS db0
+          FROM (SELECT lang, (g11 + 1e-9) AS a11, g12 AS a12, s1 AS a13,
+                       (g22 + 1e-9) AS a22, s2 AS a23, nw AS a33,
+                       r1, r2, rz
+                FROM ({gram}) g) a) s
+    """
+
+
+def _lg_seed_sql(f: str) -> str:
+    return (
+        f"SELECT lang, 0e0 AS b1, 0e0 AS b2, 0e0 AS b0"
+        f" FROM (SELECT DISTINCT lang FROM {f}) q"
+    )
+
+
+def _lg_gate_sql(f: str, c: str) -> str:
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(y) AS BIGINT) AS n_pos,
+      CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fp,
+      CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fn,
+      CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tn
+    FROM (SELECT f.lang, f.y,
+                 CASE WHEN {_LG_ETA} >= 0e0 THEN 1 ELSE 0 END AS pred
+          FROM {f} f JOIN {c} c ON c.lang = f.lang) g
+    GROUP BY lang ORDER BY lang
+    """
+
+
+def _lg_duck_sql() -> str:
+    parts = [
+        f"""WITH f AS MATERIALIZED (
+      SELECT lang,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_uniq,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), c0 AS ({_lg_seed_sql('f')})"""
+    ]
+    for k in range(_LG_ITERS):
+        parts.append(
+            f", c{k + 1} AS MATERIALIZED ({_lg_step_sql('f', f'c{k}')})"
+        )
+    parts.append(_lg_gate_sql("f", f"c{_LG_ITERS}"))
+    return "".join(parts)
+
+
+def logistic_gate_relational(spark, feats):
+    """Spark side of the logistic-gate twin over a prepared
+    ``(lang, n_tok, n_uniq, y)`` DataFrame (exposed for planted-series
+    tests): the _LG_ITERS Newton steps run as ONE ``spark.sql``
+    statement chaining the SAME step CTEs the DuckDB oracle unrolls —
+    the coefficient chain is strictly linear (each c_k referenced
+    once), so inlining is a linear 9-aggregate plan, not an
+    exponential one, and folding the whole fit into one statement
+    replaces the r11 driver-steered 10-job loop with a single job
+    (measured 2.3 → 1.9 s at sf0.1; VERDICT r11 task 7). Scale:
+    iters·(cached scan + O(langs·d²) shuffle) inside one job — the
+    same physical work as the production `fit_logistic` loop — plus
+    one gate scan; the coefficient table joins broadcast-small."""
+    from trendengine_spark.operators.util import owned_cache
+
+    feats = owned_cache(feats, "ml.lg.feats")
+    feats.createOrReplaceTempView("te_lg_f")
+    parts = [f"WITH c0 AS ({_lg_seed_sql('te_lg_f')})"]
+    for k in range(_LG_ITERS):
+        parts.append(f", c{k + 1} AS ({_lg_step_sql('te_lg_f', f'c{k}')})")
+    parts.append(_lg_gate_sql("te_lg_f", f"c{_LG_ITERS}"))
+    return spark.sql("".join(parts))
+
+
+@query("quality_logistic_gate", sql=_lg_duck_sql())
 def quality_logistic_gate(spark, sf_dir):
     """The classifier half of model-in-the-loop curation (the
     regression half is flagship_model_curation's Huber gate): fit
-    P(n_chars > 300 | n_tok, n_uniq) per language with 8 IRLS
-    iterations — every Newton step is one ω-weighted Gram aggregate,
-    no UDF, no scoring job — then score the corpus as one chained-
-    CASE codegen projection and report per-language
-    (lang, n, n_pos, tp, fp, fn, tn). Scale: iters·(scan +
-    O(langs·d²) shuffle) for the fit, one scan for the gate."""
-    from trendengine_spark.operators.linmodel import (
-        fit_logistic,
-        score_expr,
-    )
+    P(n_chars > 300 | n_tok, n_uniq) per language with 8 IRLS Newton
+    steps — every step one ω-weighted Gram aggregate, no UDF — then
+    gate every document at p ≥ 0.5 (⟺ η ≥ 0) and report per-language
+    (lang, n, n_pos, tp, fp, fn, tn).
 
-    feats = _doc_features(spark, sf_dir).withColumn(
-        "is_long", (F.col("n_chars") > 300).cast("int")
+    FULL ORACLE since r12 (VERDICT r11 task 2; previously rows-only
+    under the claim "sigma/exp are transcendental — no cross-engine
+    bit contract", which the u6 erfc precedent already refuted for
+    shared-libm exp). The remaining genuinely divergent op was the
+    float Gram summation order; the twin quantizes each per-row
+    ω-weighted contribution to int64 (floor(term·2¹⁶)) so the sums
+    are order-independent, making coefficients — and therefore every
+    gate decision and count — bit-identical across engines with NO
+    tolerance. Two documented deviations from the production
+    `fit_logistic` path (which stays, pinned by test_linmodel): ω·z
+    is accumulated in the algebraic form w·η + (y−μ) (no division),
+    and moments carry ≤2⁻¹⁶ quantization per row — planted-recovery
+    parity is tested in tests/test_linmodel.py.
+
+    Scale: the fit is iters passes over the cached integer features
+    with an O(langs·d²) shuffle each; the Gram quantization headroom
+    holds to ~10⁸ rows per language (term ≤ 2³³ per row) before the
+    int64 accumulators would need the split-sum trick."""
+    feats = _doc_features(spark, sf_dir).select(
+        "lang",
+        "n_tok",
+        "n_uniq",
+        (F.col("n_chars") > 300).cast("int").alias("y"),
     )
-    fits = fit_logistic(
-        feats, ["n_tok", "n_uniq"], "is_long", ["lang"], iters=8
-    )
-    eta = None
-    for (lang,), f in sorted(fits.items()):
-        e = score_expr(f["weights"], f["intercept"])
-        eta = (
-            F.when(F.col("lang") == lang, e)
-            if eta is None
-            else eta.when(F.col("lang") == lang, e)
-        )
-    pred = (eta >= 0).cast("int")  # p >= 0.5  <=>  eta >= 0
-    y = F.col("is_long")
-    return (
-        feats.withColumn("_p", pred)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(y).cast("long").alias("n_pos"),
-            F.sum((y == 1).cast("int") * (F.col("_p") == 1).cast("int"))
-            .cast("long")
-            .alias("tp"),
-            F.sum((y == 0).cast("int") * (F.col("_p") == 1).cast("int"))
-            .cast("long")
-            .alias("fp"),
-            F.sum((y == 1).cast("int") * (F.col("_p") == 0).cast("int"))
-            .cast("long")
-            .alias("fn"),
-            F.sum((y == 0).cast("int") * (F.col("_p") == 0).cast("int"))
-            .cast("long")
-            .alias("tn"),
-        )
-        .orderBy("lang")
-    )
+    return logistic_gate_relational(spark, feats)
