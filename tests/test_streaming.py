@@ -685,15 +685,16 @@ def test_direct_maintain_preserves_stream_marker(spark, tmp_path):
 
 
 def test_streaming_dedup_pipeline_folds_probes_and_replays(spark, tmp_path):
-    """r8 streaming-dedup composition: probe → drop → three ordered
-    idempotent versioned commits. Checks (a) cross-batch near-dups
-    dropped, within-batch exact dups collapsed keep-first, (b) replay
-    of a folded batch is a no-op, (c) the crash window 'corpus+sigs
-    committed, bands not' replays to the SAME final state with no
-    self-hit false dups (candidates anchor on the band table)."""
+    """Streaming-dedup composition (r12 transaction shape): probe →
+    drop → ONE idempotent multi-table commit. Checks (a) cross-batch
+    near-dups dropped, within-batch exact dups collapsed keep-first,
+    (b) replay of a folded batch is a no-op, (c) the crash window is
+    ALL-OR-NOTHING — a batch that crashed after staging but before
+    its single commit left nothing visible (no partial corpus/sigs/
+    bands states exist by construction), its stragglers are
+    vacuum-reclaimed, and the retry converges to exactly one copy of
+    everything."""
     import os
-
-    from pyspark.sql import functions as F
 
     from trendengine_spark.streaming.dedup_pipeline import (
         BANDS,
@@ -703,9 +704,10 @@ def test_streaming_dedup_pipeline_folds_probes_and_replays(spark, tmp_path):
         init_dedup_root,
     )
     from trendengine_spark.tablelog import (
+        _stage_files,
         current_version,
-        publish_versioned_batch,
-        read_versioned,
+        read_multi_versioned,
+        vacuum_multi_versioned,
     )
 
     root = str(tmp_path / "dedup_root")
@@ -724,7 +726,7 @@ def test_streaming_dedup_pipeline_folds_probes_and_replays(spark, tmp_path):
     )  # doc 2 = exact dup of 0 after normalization (keep-first)
     r0 = dedup_fold_batch(b0, 0, root, threshold=0.8)
     assert r0["admitted"] == 2 and r0["dropped"] == 1
-    corpus = read_versioned(spark, os.path.join(root, CORPUS))
+    corpus = read_multi_versioned(spark, root, CORPUS)
     assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 1]
 
     b1 = spark.createDataFrame(
@@ -738,51 +740,64 @@ def test_streaming_dedup_pipeline_folds_probes_and_replays(spark, tmp_path):
     assert r1["admitted"] == 1 and r1["dropped"] == 1
     got = sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     )
     assert got == [0, 1, 11]
 
-    # replay of batch 1: full no-op (band-table marker gate)
+    # replay of batch 1: full no-op (root batch_id marker gate)
+    v_before = current_version(root)
     r1b = dedup_fold_batch(b1, 1, root, threshold=0.8)
     assert r1b["skipped"] is True
-    assert current_version(os.path.join(root, CORPUS)) == 1
+    assert current_version(root) == v_before
     assert sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     ) == [0, 1, 11]
 
-    # crash window: simulate batch 2 committing corpus + sigs but NOT
-    # bands, then the retry running the full fold
+    # crash window: batch 2 crashed AFTER staging files but BEFORE its
+    # single commit — nothing is visible (all-or-nothing), the
+    # stragglers are unreferenced, and the retry converges
     b2 = spark.createDataFrame(
         [doc(20, "yet another brand new document about broadcast joins")],
         "doc_id long, text string",
     )
-    from trendengine_spark.operators.dedup import (
-        band_table,
-        minhash_signatures,
-    )
+    from trendengine_spark.operators.dedup import minhash_signatures
 
-    sig2 = minhash_signatures(b2, 32, "doc_id", "text", 2)
-    publish_versioned_batch(b2, 2, os.path.join(root, CORPUS), mode="append")
-    publish_versioned_batch(sig2, 2, os.path.join(root, SIGS), mode="append")
+    orphan_corpus = _stage_files(b2, os.path.join(root, CORPUS))
+    orphan_sigs = _stage_files(
+        minhash_signatures(b2, 32, "doc_id", "text", 2),
+        os.path.join(root, SIGS),
+    )
+    assert orphan_corpus and orphan_sigs  # staged, invisible
+    assert current_version(root) == v_before  # no commit happened
+    assert sorted(
+        r["doc_id"]
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
+    ) == [0, 1, 11]
     # retry (as the stream would): must not see doc 20 as a dup of
     # itself, and must converge to exactly one copy everywhere
     r2 = dedup_fold_batch(b2, 2, root, threshold=0.8)
     assert r2["dropped"] == 0
     final = sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     )
     assert final == [0, 1, 11, 20]
     sigs_ids = [
-        r["id"]
-        for r in read_versioned(spark, os.path.join(root, SIGS)).collect()
+        r["id"] for r in read_multi_versioned(spark, root, SIGS).collect()
     ]
     assert sorted(sigs_ids) == [0, 1, 11, 20]  # no double-appended sigs
-    bands_df = read_versioned(spark, os.path.join(root, BANDS))
+    bands_df = read_multi_versioned(spark, root, BANDS)
     assert bands_df.select("id").distinct().count() == 4
+    # vacuum reclaims the crashed attempt's unreferenced stragglers
+    removed = vacuum_multi_versioned(root, keep_last=2)["removed_files"]
+    assert removed >= len(orphan_corpus) + len(orphan_sigs)
+    assert sorted(
+        r["doc_id"]
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
+    ) == [0, 1, 11, 20]
 
-    # batch 3 must treat 20 as indexed now (bands committed by retry)
+    # batch 3 must treat 20 as indexed now (folded by the retry)
     b3 = spark.createDataFrame(
         [doc(30, "yet another brand new document about broadcast joins")],
         "doc_id long, text string",
@@ -803,7 +818,7 @@ def test_streaming_dedup_pipeline_end_to_end_with_restart(spark, tmp_path):
         init_dedup_root,
         run_dedup_stream,
     )
-    from trendengine_spark.tablelog import read_versioned
+    from trendengine_spark.tablelog import read_multi_versioned
 
     src = str(tmp_path / "src")
     root = str(tmp_path / "root")
@@ -829,7 +844,7 @@ def test_streaming_dedup_pipeline_end_to_end_with_restart(spark, tmp_path):
     q.awaitTermination(180)
     assert sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     ) == [0, 1]
 
     second = spark.createDataFrame(
@@ -849,7 +864,7 @@ def test_streaming_dedup_pipeline_end_to_end_with_restart(spark, tmp_path):
     q2.awaitTermination(180)
     assert sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     ) == [0, 1, 11]
 
 
@@ -994,8 +1009,11 @@ def test_streaming_dedup_inline_maintenance_preserves_state(spark, tmp_path):
         dedup_fold_batch,
         init_dedup_root,
     )
-    from trendengine_spark.tablelog import read_versioned, _read_manifest
-    from trendengine_spark.tablelog import current_version
+    from trendengine_spark.tablelog import (
+        _read_manifest,
+        current_version,
+        read_multi_versioned,
+    )
 
     root = str(tmp_path / "dedup_maint")
     init_dedup_root(root, num_perm=32, bands=8, n=2)
@@ -1020,13 +1038,11 @@ def test_streaming_dedup_inline_maintenance_preserves_state(spark, tmp_path):
         )
         assert r["admitted"] == 1, (bid, r)
 
-    bands_path = os.path.join(root, BANDS)
-    # (d) compacted: each table's newest manifest lists few files even
-    # though 3 append commits (+1 compaction) happened
+    # (d) compacted: the newest ROOT manifest lists few files per
+    # table even though 3 append commits (+1 compaction) happened
+    m = _read_manifest(root, current_version(root))
     for t in (CORPUS, SIGS, BANDS):
-        p = os.path.join(root, t)
-        m = _read_manifest(p, current_version(p))
-        assert len(m["files"]) <= 4, (t, len(m["files"]))
+        assert len(m["tables"][t]) <= 4, (t, len(m["tables"][t]))
 
     # (b) near-dup of a PRE-compaction doc is still dropped
     r3 = dedup_fold_batch(
@@ -1051,6 +1067,6 @@ def test_streaming_dedup_inline_maintenance_preserves_state(spark, tmp_path):
     # (a) final corpus = the four novel docs exactly
     got = sorted(
         r["doc_id"]
-        for r in read_versioned(spark, os.path.join(root, CORPUS)).collect()
+        for r in read_multi_versioned(spark, root, CORPUS).collect()
     )
     assert got == [0, 10, 20, 31]

