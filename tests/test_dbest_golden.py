@@ -373,6 +373,68 @@ def test_u2_relational_matches_numpy_planted_branches(spark):
     assert got["alternating"][0]["breakpoint_no"] == 3
 
 
+def test_u3_relational_matches_numpy(spark):
+    """The U3 generalization twin (r12 conversion) vs the numpy
+    kernel on planted + real series: segment counts exact, rmse
+    within the 2^-20 quantization + line-fit ulp band, mad within
+    fit ulps. Covers the zero-split exit (perfect line: one segment,
+    rmse = mad = 0) and the deep-split exit (alternating series)."""
+    from trendengine_spark.functions.dbest import dbest_generalization
+    from trendengine_spark.queries.analytics import (
+        u3_relational_generalize,
+    )
+    from trendengine_spark.queries.base import REGISTRY
+
+    series = {
+        "perfect_line": [3 * x + 7 for x in range(30)],
+        "step": [100] * 15 + [200] * 15,
+        "alternating": [100 + (x % 2) for x in range(30)],
+        "trend_noisy": [10 * x + (x % 3) for x in range(30)],
+    }
+    data = [
+        (name, x, int(v))
+        for name, ys in series.items()
+        for x, v in enumerate(ys)
+    ]
+    pts = spark.createDataFrame(
+        data, "event_type string, x bigint, y bigint"
+    )
+    got = {
+        r["event_type"]: r
+        for r in u3_relational_generalize(spark, pts).collect()
+    }
+    # real-data leg through the registry query itself
+    rows = REGISTRY["u3_generalize_events"].fn(spark, SF_SMOKE).collect()
+    real_pts = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("d"))
+        .count()
+        .collect()
+    )
+    real = {}
+    for r in sorted(real_pts, key=lambda r: (r["event_type"], r["d"])):
+        real.setdefault(r["event_type"], []).append(r["count"])
+    for r in rows:
+        got[r["event_type"]] = r
+        series[r["event_type"]] = real[r["event_type"]][:30]
+
+    for name, ys in series.items():
+        w = dbest_generalization(
+            np.asarray(ys, dtype=np.float64), data_type="non-cyclical"
+        )
+        g = got[name]
+        assert g["segment_no"] == w["segment_no"], name
+        assert abs(g["rmse"] - w["rmse"]) <= 1e-4 + 1e-4 * w["rmse"], (
+            name, g["rmse"], w["rmse"],
+        )
+        assert abs(g["mad"] - w["mad"]) <= 1e-6 + 1e-6 * w["mad"], (
+            name, g["mad"], w["mad"],
+        )
+    assert got["perfect_line"]["segment_no"] == 1
+    assert got["perfect_line"]["rmse"] == 0.0
+    assert got["perfect_line"]["mad"] == 0.0
+
+
 def test_u2_relational_matches_numpy_real_series(spark):
     """The registry query itself (daily event counts at sf0.001) vs
     the numpy kernel, per event_type — the end-to-end parity the

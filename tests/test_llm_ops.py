@@ -760,6 +760,43 @@ def test_heavy_hitters_mg_equals_exact_groupby(spark):
         assert exact == {("hot_a", 400), ("hot_b", 300), ("hot_c", 150)}
 
 
+def test_heavy_hitters_gate_boundary_equality(spark):
+    """The cardinality-gated dispatcher (r12): forcing the gate to
+    each side of the boundary on the SAME data must give identical
+    results — the exact branch (gate above the cardinality) and the
+    Misra-Gries branch (gate at 0, everything goes to MG) are equal
+    answers by the mergeable-summaries bound, and the gate may only
+    ever change the plan."""
+    from trendengine_spark.operators.profile import (
+        heavy_hitters,
+        heavy_hitters_mg,
+    )
+
+    rows = (
+        [("hot_a",)] * 400 + [("hot_b",)] * 300 + [("hot_c",)] * 150
+        + [(f"cold_{i % 500}",) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    exact_branch = heavy_hitters(
+        df, "k", denom=16, counters=64, max_exact_distinct=10**9
+    ).collect()
+    mg_branch = heavy_hitters(
+        df, "k", denom=16, counters=64, max_exact_distinct=0
+    ).collect()
+    direct_mg = heavy_hitters_mg(df, "k", denom=16, counters=64).collect()
+    as_set = lambda rs: {(r["k"], r["cnt"]) for r in rs}  # noqa: E731
+    assert (
+        as_set(exact_branch)
+        == as_set(mg_branch)
+        == as_set(direct_mg)
+        == {("hot_a", 400), ("hot_b", 300), ("hot_c", 150)}
+    )
+    # default gate on this data picks the exact branch (cardinality
+    # far below 10^8) and still matches
+    dflt = heavy_hitters(df, "k", denom=16).collect()
+    assert as_set(dflt) == as_set(exact_branch)
+
+
 def test_heavy_hitters_mg_empty_when_uniform(spark):
     """Uniform keys below threshold -> empty result, no crash."""
     from trendengine_spark.operators.profile import heavy_hitters_mg

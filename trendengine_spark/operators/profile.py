@@ -130,6 +130,55 @@ def numeric_histogram(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    denom: int = 128,
+    counters: int | None = None,
+    max_exact_distinct: int = 100_000_000,
+) -> DataFrame:
+    """Cardinality-gated frequent-key detection (r12, VERDICT r11
+    task 5): the exact ``GROUP BY key HAVING count(*)·denom > N``
+    plan and the bounded-state Misra-Gries plan
+    (:func:`heavy_hitters_mg`) return PROVABLY EQUAL answers — the
+    choice between them is pure cost, and the measured cost model
+    (tools/stress_heavy_hitters.py, SCALE.md r8) says the exact JVM
+    hash aggregate wins until DISTINCT-KEY CARDINALITY makes its
+    shuffle the bottleneck (O(distinct) rows of network + a
+    skew-prone reduce vs MG's O(partitions·counters) KBs; on one box
+    exact still won at 1.8·10⁷ keys, 2.36 s vs 4.42 s). This wrapper
+    measures the deciding quantity and dispatches:
+
+    1. One O(1)-state sketch aggregate estimates the key cardinality
+       (``approx_count_distinct`` — native HLL, one partial+final
+       pass, deterministic; the same mergeable-sketch estimate the
+       oracle-backed KMV operator computes, chosen here in its
+       JVM-native form because the gate affects ONLY plan choice:
+       both branches produce the identical result set, so sketch
+       error can never change an answer, only a plan).
+    2. ``estimate ≤ max_exact_distinct`` → the exact aggregate (the
+       verify phase of the MG plan, applied to the whole table).
+    3. Otherwise → the Misra-Gries summary plan.
+
+    The default gate (10⁸) is deliberately far above any single-box
+    point and well below the 10⁹+ regime where the exact plan's
+    shuffle measurably degrades; equality across the boundary is
+    pinned by tests driving both branches on the same data."""
+    est = df.agg(
+        F.approx_count_distinct(key_col).alias("d")
+    ).collect()[0]["d"]  # bounded: one row
+    if est > max_exact_distinct:
+        return heavy_hitters_mg(df, key_col, denom, counters)
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * denom > F.col("n_total"))
+        .select(key_col, "cnt")
+        .orderBy(key_col)
+    )
+
+
 def heavy_hitters_mg(
     df: DataFrame,
     key_col: str,

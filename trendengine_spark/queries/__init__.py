@@ -67,8 +67,12 @@ _SPINE_FIRST = [
     # recursive-CTE backtest, the 20-iteration BPE merge sequence)
     # r12 conversions lead (first hash verdicts): U2 DBEST — the last
     # golden-only core operator — gained its relational oracle twin
-    # (VERDICT r11 task 1)
+    # (VERDICT r11 task 1); U3 generalization and the logistic gate
+    # converted rows-only -> full oracle (tasks 2/6); heavy hitters
+    # now dispatches through the cardinality gate (task 5)
     "u2_dbest_relational",
+    "u3_generalize_events",
+    "profile_heavy_hitters",
     "u1_polytrend_relational",
     "u6_mann_kendall_events",
     "forecast_holt_winters_mae",
@@ -118,7 +122,7 @@ _SPINE_FIRST = [
     "stats_spearman_pairs", "approx_user_overlap_pairs",
     "graph_triangle_counts", "pipeline_weighted_sample", "f2b_polygon_filter",
     "pipeline_temperature_mixture", "text_pii_redact",
-    "profile_heavy_hitters", "sim_ivfpq_persisted",
+    "sim_ivfpq_persisted",
     "recursive_cte_reachability", "sim_embedding_covariance",
     "profile_numeric_correlations", "profile_higher_moments",
     "f1_temporal_filter", "d1_period_pairing", "pipeline_epoch_shuffle",
@@ -172,7 +176,7 @@ _SPINE_FIRST = [
     "window_topk_per_group", "window_lag_monthly", "window_running_sum",
     "window_ntile_firstlast", "sort_limit_topn", "set_union_distinct",
     "set_intersect", "set_except", "rollup_year_quarter", "cube_flag_status",
-    "pivot_event_types", "grouping_sets_mixed", "u3_generalize_events",
+    "pivot_event_types", "grouping_sets_mixed",
     "u5_decomposition_events", 
 ]
 

@@ -2565,21 +2565,20 @@ _U2_SQL_DUCK = _u2_duck_sql()
 _U2_CAND_SCHEMA = "event_type string, bp bigint, dev double"
 
 
-def u2_relational_changes(spark, pts):
-    """Spark side of the U2 twin over a prepared ``(event_type, x,
-    y)`` points DataFrame (exposed separately so tests can feed
-    planted series). The split recursion runs as a LOCKSTEP loop —
-    all series advance one level per iteration, each level one
-    narrow join + window ``spark.sql`` statement over the SAME level
-    text the DuckDB head unrolls — with the level output
-    ``localCheckpoint``-ed (tiny: ≤ one row per open segment) so the
-    lineage stays O(1) per level, the iterative-algorithm recipe the
-    CC/PageRank operators document. The loop exits as soon as a level
-    splits nothing (the numpy stack's emptiness), bounded by the same
-    _U2_NMAX − 2 worst case the oracle unrolls. At 10⁶ series the
-    shape is unchanged: ≤ 28 jobs, state O(open segments), the
-    per-series work never leaves its hash partition, and nothing ever
-    collects to the driver."""
+def _u2_spark_candidates(spark, pts):
+    """Shared Spark head of the U2/U3 twins: run the split recursion
+    as a LOCKSTEP loop — all series advance one level per iteration,
+    each level one narrow join + window ``spark.sql`` statement over
+    the SAME level text the DuckDB heads unroll — with the level
+    output ``localCheckpoint``-ed (tiny: ≤ one row per open segment)
+    so the lineage stays O(1) per level, the iterative-algorithm
+    recipe the CC/PageRank operators document. The loop exits as soon
+    as a level splits nothing (the numpy stack's emptiness), bounded
+    by the same _U2_NMAX − 2 worst case the oracles unroll. At 10⁶
+    series the shape is unchanged: ≤ 28 jobs, state O(open segments),
+    the per-series work never leaves its hash partition, and nothing
+    ever collects to the driver. Registers the ``te_u2_pts`` /
+    ``te_u2_ser`` / ``te_u2_candall`` temp views the tails consume."""
     from functools import reduce
 
     from trendengine_spark.operators.util import owned_cache
@@ -2608,6 +2607,14 @@ def u2_relational_changes(spark, pts):
         else spark.createDataFrame([], _U2_CAND_SCHEMA)
     )
     candall.createOrReplaceTempView("te_u2_candall")
+
+
+def u2_relational_changes(spark, pts):
+    """Spark side of the U2 twin over a prepared ``(event_type, x,
+    y)`` points DataFrame (exposed separately so tests can feed
+    planted series): the shared lockstep head, then the shared tail
+    text."""
+    _u2_spark_candidates(spark, pts)
     return spark.sql(
         "WITH "
         + _u2_tail_sql(
@@ -2657,3 +2664,142 @@ def u2_dbest_relational(spark, sf_dir):
     cross-engine hash needs no tolerance at all."""
     pts = sql_over_tables(spark, sf_dir, _u2_pts_sql("events"), ("events",))
     return u2_relational_changes(spark, pts)
+
+
+# --------------------------------------------------------------------- U3
+# DBEST trend generalization, relational twin (r12 — VERDICT r11
+# task 6): the same split recursion as U2 but UNCAPPED (the paper's
+# generalization keeps every split under the distance threshold,
+# max_breakpoints = n), then per-segment least-squares lines
+# (`_quick_line`) and the (rmse, mad) fit-quality contract of
+# reference `/root/reference/TrendEngine/calculations/dbest.py:385-395`.
+# The one order-dependent float aggregation — Σ residual² — is
+# quantized to int64 per point (floor(r²·2²⁰), the logistic-gate
+# discipline), so both engines compute the identical rmse double;
+# mad = max |residual| is order-free on identical doubles.
+
+#: per-point residual against the OWNING segment's line (a boundary
+#: point belongs to the segment STARTING there — numpy's fit array is
+#: written segment-by-segment, later segments overwrite the shared
+#: boundary — except the final point, owned by the last segment)
+_U3_RESID = (
+    "(CAST(p.y AS DOUBLE)"
+    " - (f.itc + (f.slp * CAST(p.x AS DOUBLE))))"
+)
+
+
+def _u3_tail_sql(pts: str, ser: str, candall: str) -> str:
+    slp = (
+        "(CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE)"
+        " / CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE))"
+    )
+    return f"""cand AS (
+  SELECT event_type, bp FROM {candall} ca
+), bnd AS (
+  SELECT event_type, bp FROM cand
+  UNION ALL SELECT event_type, CAST(0 AS BIGINT) AS bp FROM {ser}
+  UNION ALL SELECT event_type, n - 1 AS bp FROM {ser}
+), segf AS (
+  SELECT event_type, a, b FROM (
+    SELECT event_type, bp AS a,
+           lead(bp) OVER (PARTITION BY event_type ORDER BY bp) AS b
+    FROM bnd) q
+  WHERE b IS NOT NULL
+), mom AS (
+  SELECT f.event_type, f.a, f.b,
+    CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(p.x) AS BIGINT) AS sx, CAST(sum(p.y) AS BIGINT) AS sy,
+    CAST(sum(p.x * p.x) AS BIGINT) AS sxx,
+    CAST(sum(p.x * p.y) AS BIGINT) AS sxy
+  FROM segf f JOIN {pts} p ON p.event_type = f.event_type
+    AND p.x >= f.a AND p.x <= f.b
+  GROUP BY f.event_type, f.a, f.b
+), lines AS (
+  SELECT m.event_type, m.a, m.b, {slp} AS slp,
+    ((CAST(m.sy AS DOUBLE) / CAST(m.m AS DOUBLE))
+     - ({slp} * (CAST(m.sx AS DOUBLE) / CAST(m.m AS DOUBLE)))) AS itc
+  FROM mom m
+), resid AS (
+  SELECT f.event_type, f.a,
+    CAST(floor((({_U3_RESID}) * ({_U3_RESID})) * 1048576e0) AS BIGINT)
+      AS q_r2,
+    abs({_U3_RESID}) AS abs_r
+  FROM lines f
+  JOIN {ser} nk ON nk.event_type = f.event_type
+  JOIN {pts} p ON p.event_type = f.event_type
+    AND p.x >= f.a
+    AND (p.x < f.b OR f.b = nk.n - 1)
+)
+SELECT r.event_type,
+  CAST(count(DISTINCT r.a) AS INT) AS segment_no,
+  sqrt((CAST(CAST(sum(r.q_r2) AS BIGINT) AS DOUBLE) / 1048576e0)
+       / CAST(max(nk.n) AS DOUBLE)) AS rmse,
+  max(r.abs_r) AS mad
+FROM resid r JOIN {ser} nk ON nk.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+"""
+
+
+def _u3_duck_sql() -> str:
+    """Head identical to :func:`_u2_duck_sql` (same threshold, same
+    levels — the generalization explores the same split tree and the
+    cap is applied only at selection, which U3 doesn't apply), then
+    the U3 fit-quality tail."""
+    parts = [
+        f"WITH daily AS MATERIALIZED ({_u2_pts_sql('events')}"
+        f"), ser AS MATERIALIZED ({_u2_ser_sql('daily')}"
+        f"), seg0 AS MATERIALIZED ({_u2_seg0_sql('ser', 'daily')})"
+    ]
+    levels = _U2_NMAX - 2
+    for k in range(levels):
+        parts.append(
+            f", c{k} AS MATERIALIZED ({_u2_level_sql(f'seg{k}', 'daily')}"
+            f"), seg{k + 1} AS MATERIALIZED ("
+            f"{_u2_children_sql(f'c{k}')})"
+        )
+    allc = "\n  UNION ALL ".join(
+        f"SELECT event_type, bp, dev FROM c{k}" for k in range(levels)
+    )
+    parts.append(f", candall AS MATERIALIZED (\n  {allc}\n), ")
+    parts.append(_u3_tail_sql("daily", "ser", "candall"))
+    return "".join(parts)
+
+
+def u3_relational_generalize(spark, pts):
+    """Spark side of the U3 twin (exposed for planted-series tests):
+    shared lockstep head, U3 tail."""
+    _u2_spark_candidates(spark, pts)
+    return spark.sql(
+        "WITH "
+        + _u3_tail_sql("te_u2_pts", "te_u2_ser", "te_u2_candall")
+    )
+
+
+@query("u3_generalize_events", sql=_u3_duck_sql())
+def u3_generalize_events(spark, sf_dir):
+    """U3 DBEST trend generalization — FULL ORACLE since r12 (VERDICT
+    r11 task 6; previously rows-only): simplify each series to the
+    piecewise-linear segments whose chord deviation stays under the
+    default distance threshold and report the fit quality the
+    reference consumes — (segment_no, rmse, mad), contract
+    `/root/reference/TrendEngine/calculations/dbest.py:385-395`.
+
+    The declared query runs the NON-CYCLICAL generalization over the
+    integer daily event-count series (the engine-portable twin of
+    :func:`~trendengine_spark.functions.dbest.dbest_generalization`,
+    transcribed with the U2 machinery: same uncapped split recursion,
+    `_quick_line` per segment as one exact-integer slope division,
+    Σresidual² quantized to int64 so the rmse double is
+    order-independent, mad as an order-free max). The STL-seasonal
+    path the reference's cyclical mode uses remains first-class and
+    exercised — `u5_decomposition_events` (rows-only by design) and
+    the `tests/test_dbest_golden.py` goldens cover it; numpy↔SQL
+    parity for THIS query is pinned by the planted + real-series
+    tests there.
+
+    Scale: identical to the U2 twin — ≤ _U2_NMAX−2 lockstep level
+    jobs with O(open segments) state, then two narrow joins; nothing
+    collects to the driver."""
+    pts = sql_over_tables(spark, sf_dir, _u2_pts_sql("events"), ("events",))
+    return u3_relational_generalize(spark, pts)

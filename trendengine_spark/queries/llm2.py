@@ -1489,23 +1489,25 @@ def text_pii_redact(spark, sf_dir):
     """,
 )
 def profile_heavy_hitters(spark, sf_dir):
-    """Bounded-state frequent-key detection: Misra-Gries summaries per
-    partition (vectorized pandas, <= 1024 weighted keys each), one
-    tiny summary merge, then an EXACT verify pass over the <= 1024
-    candidates (broadcast semi-join + 1-row total broadcast). The
-    mergeable-summaries undercount bound (N/(counters+1) with
-    counters=8*denom) guarantees every key above the 1/128 frequency
-    threshold reaches the verify pass, so the output EQUALS the exact
-    GROUP BY ... HAVING answer the oracle computes — while phases 1-2
-    move only O(partitions*counters) rows instead of the full key
-    cardinality. At 100 TB with billions of distinct keys this is the
-    difference between a few-KB-per-partition summary shuffle and a
-    full-cardinality aggregation. Operator:
-    `operators/profile.heavy_hitters_mg`."""
-    from trendengine_spark.operators.profile import heavy_hitters_mg
+    """Frequent-key detection behind the CARDINALITY GATE (r12,
+    VERDICT r11 task 5): one O(1)-state sketch pass estimates the
+    distinct-key count and dispatches — low cardinality (every
+    checked scale of this table) runs the exact JVM GROUP BY ...
+    HAVING plan the oracle computes, closing the documented sf3
+    inversion where the bounded-state plan paid Arrow transfer to
+    beat an aggregation that was trivially cheap at 1k keys; above
+    the gate (10⁹-regime key spaces) the Misra-Gries summary plan
+    takes over, moving O(partitions·counters) KBs instead of the full
+    key cardinality across the network. The two branches return
+    PROVABLY EQUAL answers (mergeable-summaries undercount bound
+    N/(counters+1), counters = 8·denom ⇒ every key above 1/128
+    reaches the exact verify pass), so the gate affects plan choice
+    only — pinned by boundary equality tests. Operator:
+    `operators/profile.heavy_hitters`."""
+    from trendengine_spark.operators.profile import heavy_hitters
 
     events = t(spark, sf_dir, "events")
-    return heavy_hitters_mg(events, "user_id", denom=128)
+    return heavy_hitters(events, "user_id", denom=128)
 
 
 @query(

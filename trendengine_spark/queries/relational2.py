@@ -564,30 +564,10 @@ def sql_api_shared_dialect(spark, sf_dir):
     return spark.sql(_SHARED_DIALECT_SQL)
 
 
-# ------------------------------------------------- U3/U5 (rows-only)
-@query(
-    "u3_generalize_events",
-    sql=None,
-    doc="U3: DBEST trend generalization per event_type (rmse/mad/"
-    "f_local contract; applyInPandas, golden-tested).",
-)
-def u3_generalize_events(spark, sf_dir):
-    from trendengine_spark.functions.dbest import dbest_generalize
-
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.col("ts").alias("time"), "value"
-    )
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "time").alias("period_start")
-    ).agg(F.avg("value").alias("value"))
-    res = dbest_generalize(daily, ["event_type"], seasonality=7)
-    return res.select(
-        "event_type", "status", "segment_no",
-        F.round("rmse", 6).alias("rmse_r"),
-        F.round("mad", 6).alias("mad_r"),
-    )
-
-
+# ------------------------------------------------- U5 (rows-only)
+# (u3_generalize_events moved to queries/analytics.py in r12, where
+# it gained its full oracle via the shared U2/U3 split machinery; the
+# STL-cyclical generalization path stays covered by the dbest goldens)
 @query(
     "u5_decomposition_events",
     sql=None,
