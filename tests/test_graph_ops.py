@@ -59,6 +59,32 @@ def test_label_propagation_early_exit_is_fixpoint_identity(spark):
     assert fast == ref == more
 
 
+def test_label_propagation_checkpoint_cadence_identity(spark):
+    """r12: checkpoint_every batches rounds into fewer jobs — a pure
+    execution-shape knob. Labels must be identical for every cadence
+    (1 = per-round, 2 = pairs, 5 = one job), on a graph that needs
+    several rounds to converge."""
+    from trendengine_spark.operators.graph import label_propagation
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(10 + i, 10 + j) for i in range(6) for j in range(i + 1, 6)]
+    # chain of bridges so labels keep moving for a few rounds
+    edges = spark.createDataFrame(
+        c1 + c2 + [(5, 10), (11, 20), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    outs = [
+        {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                edges, iters=5, early_exit=False, checkpoint_every=k
+            ).collect()
+        }
+        for k in (1, 2, 5)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_label_propagation_isolated_pairs(spark):
     from trendengine_spark.operators.graph import label_propagation
 

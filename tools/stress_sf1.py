@@ -243,7 +243,16 @@ def main() -> None:
     from trendengine_spark.queries import REGISTRY
     from trendengine_spark.session import get_spark
 
-    spark = get_spark(app_name="stress_sf1")
+    # maxResultSize raised for the probe only: the timing harness
+    # pulls each query's FULL result to the driver as Arrow (the
+    # honest end-to-end cost a SQL client pays), and at sf10 the
+    # biggest LLM result sets pass the 1 GiB default (r12 — the
+    # registry queries themselves stay bounded; this is harness
+    # collection, not operator state)
+    spark = get_spark(
+        app_name="stress_sf1",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     if os.environ.get("TE_SF1_REUSE") == "1" and os.path.exists(OUT):
         # reuse a prior build (set TE_SF1_REUSE=1) — the build is
         # deterministic in (replicas, src), so suite-by-suite runs

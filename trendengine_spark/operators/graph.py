@@ -85,6 +85,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     early_exit: bool = True,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007 — public method, own implementation): every node
@@ -110,6 +111,17 @@ def label_propagation(
     discipline shared with CC/pagerank). Undirectedness is the
     caller's contract: pass each edge once; both directions are
     derived here.
+
+    ``checkpoint_every`` (r12, VERDICT r11 task 7): batch that many
+    rounds into one job — the per-round eager ``localCheckpoint`` is
+    a blocking job whose scheduler launch cost dominates on small
+    graphs (the declared query's 2.2-2.4 s floor was ~30 stages of
+    fixed cost on 50k rows), and with k rounds composed LAZILY
+    between checkpoints the same rounds run as ⌈iters/k⌉ jobs with
+    lineage depth ≤ k (still O(1) in iters — the discipline the
+    checkpoint exists for). Semantics are identical for any value
+    (fixpoint-identity tested); requires ``early_exit=False`` because
+    the stability probe needs materialized labels every round.
 
     ``early_exit`` (r10): stop as soon as a round changes NO label —
     synchronous LPA is then at a fixpoint, so every remaining round
@@ -140,7 +152,14 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(iters):
+    if checkpoint_every < 1:  # pragma: no cover - authoring guard
+        raise ValueError("checkpoint_every must be >= 1")
+    if early_exit and checkpoint_every != 1:  # pragma: no cover
+        raise ValueError(
+            "early_exit needs materialized labels per round — "
+            "use checkpoint_every=1 with it"
+        )
+    for it in range(iters):
         votes = (
             und.join(
                 labels.withColumnRenamed("node", "b"), "b"
@@ -161,8 +180,9 @@ def label_propagation(
                 ).alias("w")
             )
             .select("node", F.col("w.label").alias("label"))
-            .localCheckpoint()
         )
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            new_labels = new_labels.localCheckpoint()
         if early_exit:
             changed = (
                 new_labels.withColumnRenamed("label", "_new")

@@ -1898,8 +1898,15 @@ def graph_communities_lpa(spark, sf_dir):
     # structure converges in 2 of 5 rounds) save whole rounds; either
     # setting yields identical labels (fixpoint identity), so the
     # 5-round unrolled oracle text is valid for both.
+    # checkpoint_every=5 (r12, VERDICT r11 task 7): all five rounds
+    # compose into ONE job — the 2.2-2.4 s floor was ~30 stages of
+    # fixed scheduler launch cost on 50k rows, not compute; lineage
+    # depth stays bounded at 5 and the labels are identical for any
+    # cadence (fixpoint identity, tested).
     labels = owned_cache(
-        label_propagation(edges, iters=5, early_exit=False),
+        label_propagation(
+            edges, iters=5, early_exit=False, checkpoint_every=5
+        ),
         "graph.lpa.labels",
     )
     from trendengine_spark.operators.graph import modularity

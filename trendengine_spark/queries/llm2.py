@@ -1108,38 +1108,77 @@ def text_bpe_pair_counts(spark, sf_dir):
     return pair_counts(_with_symbols(word_vocab(docs)))
 
 
-def _bpe_train_sql(n_merges: int) -> str:
-    """Full greedy BPE training as ONE DuckDB statement (r11,
-    VERDICT r10 task 6 — the merge-sequence identity): ``n_merges``
-    chained CTE groups, each = pair-count aggregate → argmax with the
-    (freq DESC, pair ASC) tie-break → merge application. The greedy
-    leftmost-non-overlap scan is rendered RELATIONALLY (windows, no
+_BPE_WORDS_BODY = r"""
+      SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM {src},
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != '')) AS t(w)
+      GROUP BY 1"""
+
+_BPE_SYMS_BODY = """
+      SELECT word, freq,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)),
+                         '</w>') AS s
+      FROM {words}"""
+
+
+def _bpe_apply_sql(vin: str, b: str, tag: str, vout: str) -> str:
+    """One merge application over a symbolized vocab — the greedy
+    leftmost-non-overlap scan rendered RELATIONALLY (windows, no
     lambdas — DuckDB v1.0's list_reduce mis-folds repeated
     accumulator appends): hit positions are grouped into consecutive
     runs (gaps-and-islands, ``i − row_number()``), and within a run
     the scan takes exactly the alternate positions starting at the
     run head (take_i = hit_i AND NOT take_{i−1}; runs of length > 1
     occur only for a = b, the KwKwK case the Spark fold's skip flag
-    handles). Early stop (best freq < min_pair_freq = 2) falls out
-    structurally: the argmax CTE filters f >= 2, an empty argmax
-    LEFT-JOINs as NULL so the vocab passes through unchanged, and
-    every later iteration recomputes the same sub-threshold best —
-    emitting nothing. MATERIALIZED CTEs keep the 20-deep chain from
-    inlining exponentially."""
-    parts = [r"""
-    WITH words AS MATERIALIZED (
-      SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS freq
-      FROM documents,
-           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                              x -> x != '')) AS t(w)
-      GROUP BY 1
-    ), v0 AS MATERIALIZED (
+    handles). An EMPTY merge table LEFT-JOINs as NULL and the vocab
+    passes through unchanged. Shared verbatim between the trainer's
+    per-iteration application and the encoder's inference chain."""
+    return f""",
+    h{tag} AS (
+      SELECT v.word, v.freq, g.i, v.s[g.i] AS sym,
+             COALESCE(v.s[g.i] = b.a AND v.s[g.i + 1] = b.b, FALSE) AS hit,
+             b.a AS ma, b.b AS mb
+      FROM {vin} v LEFT JOIN {b} b ON TRUE,
+           unnest(range(1, len(v.s) + 1)) AS g(i)
+    ), m{tag} AS (
+      SELECT word, freq, i, sym, hit, ma, mb,
+             CASE WHEN hit THEN
+               (i - min(i) OVER (PARTITION BY word, isl, hit)) % 2 = 0
+             ELSE FALSE END AS take
+      FROM (SELECT *,
+              i - row_number() OVER (PARTITION BY word, hit ORDER BY i)
+                AS isl
+            FROM h{tag})
+    ), {vout} AS MATERIALIZED (
       SELECT word, freq,
-             list_append(list_transform(range(1, length(word) + 1),
-                                        i -> substr(word, i, 1)),
-                         '</w>') AS s
-      FROM words
-    )"""]
+             list(CASE WHEN take THEN ma || mb ELSE sym END ORDER BY i)
+               AS s
+      FROM (SELECT *,
+              COALESCE(lag(take) OVER (PARTITION BY word ORDER BY i),
+                       FALSE) AS covered
+            FROM m{tag})
+      WHERE NOT covered
+      GROUP BY word, freq
+    )"""
+
+
+def _bpe_train_ctes(n_merges: int, src: str = "documents") -> str:
+    """The training chain as CTE text (words → v0 → n_merges ×
+    (pair count → argmax → apply)) ending with ``v{n_merges}`` and
+    the per-iteration merge tables ``b{k}``. Early stop (best freq <
+    min_pair_freq = 2) falls out structurally: the argmax CTE filters
+    f >= 2, an empty argmax applies as a no-op, and every later
+    iteration recomputes the same sub-threshold best — emitting
+    nothing. MATERIALIZED CTEs keep the chain from inlining
+    exponentially."""
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED ({_BPE_WORDS_BODY.format(src=src)}
+    ), v0 AS MATERIALIZED ({_BPE_SYMS_BODY.format(words='words')}
+    )"""
+    ]
     for k in range(n_merges):
         parts.append(f""",
     p{k} AS MATERIALIZED (
@@ -1149,39 +1188,23 @@ def _bpe_train_sql(n_merges: int) -> str:
     ), b{k} AS MATERIALIZED (
       SELECT a, b, f FROM p{k} WHERE f >= 2
       ORDER BY f DESC, a, b LIMIT 1
-    ), h{k} AS (
-      SELECT v.word, v.freq, g.i, v.s[g.i] AS sym,
-             COALESCE(v.s[g.i] = b.a AND v.s[g.i + 1] = b.b, FALSE) AS hit,
-             b.a AS ma, b.b AS mb
-      FROM v{k} v LEFT JOIN b{k} b ON TRUE,
-           unnest(range(1, len(v.s) + 1)) AS g(i)
-    ), m{k} AS (
-      SELECT word, freq, i, sym, hit, ma, mb,
-             CASE WHEN hit THEN
-               (i - min(i) OVER (PARTITION BY word, isl, hit)) % 2 = 0
-             ELSE FALSE END AS take
-      FROM (SELECT *,
-              i - row_number() OVER (PARTITION BY word, hit ORDER BY i)
-                AS isl
-            FROM h{k})
-    ), v{k + 1} AS MATERIALIZED (
-      SELECT word, freq,
-             list(CASE WHEN take THEN ma || mb ELSE sym END ORDER BY i)
-               AS s
-      FROM (SELECT *,
-              COALESCE(lag(take) OVER (PARTITION BY word ORDER BY i),
-                       FALSE) AS covered
-            FROM m{k})
-      WHERE NOT covered
-      GROUP BY word, freq
     )""")
+        parts.append(_bpe_apply_sql(f"v{k}", f"b{k}", str(k), f"v{k + 1}"))
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Full greedy BPE training as ONE DuckDB statement (r11,
+    VERDICT r10 task 6 — the merge-sequence identity): ``n_merges``
+    chained CTE groups, each = pair-count aggregate → argmax with the
+    (freq DESC, pair ASC) tie-break → merge application
+    (:func:`_bpe_apply_sql`)."""
     sel = "\n    UNION ALL\n".join(
         f"    SELECT {k + 1} AS rank, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, f AS pair_freq FROM b{k}"
         for k in range(n_merges)
     )
-    parts.append("\n" + sel + "\n    ORDER BY rank")
-    return "".join(parts)
+    return _bpe_train_ctes(n_merges) + "\n" + sel + "\n    ORDER BY rank"
 
 
 @query("text_bpe_train_micro", sql=_bpe_train_sql(20))
@@ -1218,16 +1241,65 @@ def text_bpe_train_micro(spark, sf_dir):
     )
 
 
-@query(
-    "text_bpe_encode_corpus",
-    sql=None,
-    doc="Tokenize the WHOLE corpus with a learned BPE merge table — "
-    "the inference half of the tokenizer loop. Rows-only (the merge "
-    "table comes from the iterative trainer); encode semantics are "
-    "golden-tested against learned merges incl. unseen words in "
-    "tests/test_bpe.py, and the compression-ratio invariants are "
-    "asserted in-test.",
+_BPE_ENC_MERGES = 16
+#: deterministic 25% training sample, md5-anchored so BOTH engines
+#: draw the identical sample (the pipeline_bernoulli_sample contract;
+#: xxhash64 has no DuckDB twin)
+_BPE_ENC_SAMPLE_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 4 = 0"
 )
+_BPE_ENC_SAMPLE_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 4 = 0"
+)
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """The WHOLE tokenizer loop — train on the md5-anchored 25%
+    sample, then encode the full corpus — as one DuckDB statement:
+    the training chain (:func:`_bpe_train_ctes` over the sample)
+    followed by the same merge-application machinery
+    (:func:`_bpe_apply_sql`) replayed over the FULL corpus
+    vocabulary in learned order. Sequential rank-order application
+    equals the encoder's repeated lowest-rank greedy merge because a
+    merge's components are products of strictly earlier merges —
+    later merges can never create a new occurrence of an earlier
+    pair (tests/test_bpe.py pins the encoder; the train identity is
+    text_bpe_train_micro's)."""
+    src = f"(SELECT text FROM documents WHERE {_BPE_ENC_SAMPLE_DUCK}) ds"
+    parts = [_bpe_train_ctes(n_merges, src=src)]
+    parts.append(
+        f""",
+    fwords AS MATERIALIZED ({_BPE_WORDS_BODY.format(src='documents')}
+    ), fv0 AS MATERIALIZED ({_BPE_SYMS_BODY.format(words='fwords')}
+    )"""
+    )
+    for k in range(n_merges):
+        parts.append(
+            _bpe_apply_sql(f"fv{k}", f"b{k}", f"a{k}", f"fv{k + 1}")
+        )
+    parts.append(f""",
+    wsub AS MATERIALIZED (
+      SELECT word, CAST(len(s) AS BIGINT) AS n_sub FROM fv{n_merges}
+    ), tokens AS (
+      SELECT doc_id, lang, lower(w) AS word
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x != '')) AS t(w)
+    )
+    SELECT lang,
+      CAST(count(DISTINCT tk.doc_id) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(ws.n_sub) AS BIGINT) AS n_bpe_tokens,
+      CAST(sum(ws.n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS subwords_per_word
+    FROM tokens tk JOIN wsub ws ON ws.word = tk.word
+    GROUP BY lang ORDER BY lang""")
+    return "".join(parts)
+
+
+@query("text_bpe_encode_corpus", sql=_bpe_encode_sql(_BPE_ENC_MERGES))
 def text_bpe_encode_corpus(spark, sf_dir):
     """Per-language tokenizer compression stats from encoding every
     document with a 16-merge BPE vocabulary learned on a 25% sample.
@@ -1238,7 +1310,18 @@ def text_bpe_encode_corpus(spark, sf_dir):
     exploded tokens against the (word → n_subwords) table. Output:
     (lang, n_docs, n_words, n_bpe_tokens, subwords_per_word) — the
     tokens/word ratio is the fertility metric a tokenizer-training
-    pipeline tracks."""
+    pipeline tracks.
+
+    FULL ORACLE since r12 (VERDICT r11 task 6 — was rows-only under
+    "the merge table comes from the iterative trainer"): the r11
+    train conversion already proved the trainer transcribes; the
+    inference half transcribes with the SAME merge-application CTE
+    (sequential rank-order application ≡ the encoder's greedy
+    lowest-rank loop — a merge's components are products of strictly
+    earlier merges, so later merges cannot create earlier pairs).
+    The sample is md5-anchored (both engines draw identical docs),
+    counts are exact integers, and the fertility ratio is one double
+    division of exact integers — no tolerance anywhere."""
     from pyspark.sql import functions as F
 
     from trendengine_spark.operators.bpe import (
@@ -1249,11 +1332,13 @@ def text_bpe_encode_corpus(spark, sf_dir):
     from trendengine_spark.queries.base import t as _t
 
     docs = _t(spark, sf_dir, "documents")
-    # Train on a deterministic 25% hash-sample (the standard posture:
+    # Train on a deterministic md5 25% sample (the standard posture:
     # tokenizers train on a corpus sample), encode the FULL corpus —
     # bpe_encode_words segments unseen words fine (unmerged chars).
-    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
-    merges, vocab = bpe_train(sample, n_merges=16, vocab_partitions=1)
+    sample = docs.filter(F.expr(_BPE_ENC_SAMPLE_SPARK))
+    merges, vocab = bpe_train(
+        sample, n_merges=_BPE_ENC_MERGES, vocab_partitions=1
+    )
     vocab.unpersist(blocking=False)
     word_sub = bpe_encode_words(
         word_vocab(docs).select("word"), merges
@@ -1269,13 +1354,14 @@ def text_bpe_encode_corpus(spark, sf_dir):
         exploded.join(F.broadcast(word_sub), "word")
         .groupBy("lang")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
         )
         .withColumn(
             "subwords_per_word",
-            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
         )
         .orderBy("lang")
     )
