@@ -104,3 +104,89 @@ def test_bfast_engine_flow_flags_disturbed_pixel(spark):
     hit = out[(11.0, 51.0)]
     assert hit["break_detected"] and hit["break_idx"] >= 120
     assert abs(hit["magnitude"] + 0.4) < 0.05
+
+
+# ---------------------------------------------------------------- r12 twin
+def _twin_over_pts(spark, rows):
+    """Run the u7 relational twin's shared SQL over planted
+    (event_type, x, y) integer frames."""
+    import pandas as pd
+
+    from trendengine_spark.queries.analytics import _u7_sql
+
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "x", "y"])
+    ).createOrReplaceTempView("te_u7_pts")
+    return {
+        r["event_type"]: r
+        for r in spark.sql(
+            "WITH "
+            + _u7_sql("SELECT event_type, x, y FROM te_u7_pts", " DIV ")
+        ).collect()
+    }
+
+
+def test_u7_twin_matches_numpy_on_planted_series(spark):
+    """Relational twin vs the numpy path on integer series covering
+    both exits (alarm / no alarm): flags and indices equal, floats
+    within the documented quantization tolerance (harmonics at 2^15,
+    residuals at 2^12)."""
+    rng = np.random.RandomState(7)
+    stable = np.round(
+        100 + 20 * np.sin(2 * math.pi * np.arange(40) / 7)
+        + rng.normal(0, 2, 40)
+    ).astype(int)
+    shifted = stable.copy()
+    shifted[30:] += 60  # level shift in the monitoring period
+    rows = [("a", i, int(v)) for i, v in enumerate(stable)]
+    rows += [("b", i, int(v)) for i, v in enumerate(shifted)]
+    got = _twin_over_pts(spark, rows)
+    for name, y in (("a", stable), ("b", shifted)):
+        want = bfast_monitor(y.astype(float), freq=7.0)
+        g = got[name]
+        assert g["break_detected"] == want["break_detected"]
+        assert g["break_idx"] == want["break_idx"]
+        assert g["n_history"] == want["n_history"]
+        assert g["n_monitor"] == want["n_monitor"]
+        assert abs(g["mosum_max"] - want["mosum_max"]) < max(
+            2e-3 * want["mosum_max"], 2e-3
+        )
+        assert abs(g["magnitude"] - want["magnitude"]) < 1e-6 + 1e-3 * abs(
+            want["magnitude"]
+        )
+    assert got["b"]["break_detected"] and not got["a"]["break_detected"]
+
+
+def test_u7_twin_declared_query_matches_numpy_events(spark):
+    """The declared twin on the real sf0.001 events table agrees
+    with the numpy monitor run on the same daily series."""
+    import pandas as pd
+
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["u7_bfast_relational"].fn(spark, sf).collect()
+    }
+    from trendengine_spark.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    import pyspark.sql.functions as F
+
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .orderBy("event_type", "d")
+        .toPandas()
+    )
+    for name, grp in daily.groupby("event_type"):
+        want = bfast_monitor(
+            grp["y"].to_numpy(dtype=float), freq=7.0
+        )
+        g = got[name]
+        assert g["break_detected"] == want["break_detected"]
+        assert g["n_history"] == want["n_history"]
+        assert abs(g["mosum_max"] - want["mosum_max"]) < max(
+            2e-3 * want["mosum_max"], 2e-3
+        )

@@ -8,7 +8,11 @@ import pandas as pd
 import pytest
 
 from trendengine_spark.operators.pca import (
+    JACOBI_SWEEPS,
     embedding_moments,
+    exact_embedding_moments,
+    jacobi_eigvals,
+    jacobi_schedule,
     pca_fit,
     pca_project,
 )
@@ -74,6 +78,78 @@ def test_projection_matches_numpy_and_preserves_geometry(spark):
     d_full = np.linalg.norm(x[:50, None] - x[None, :50], axis=2)
     d_proj = np.linalg.norm(p[:50, None] - p[None, :50], axis=2)
     np.testing.assert_allclose(d_proj, d_full, rtol=1e-2, atol=1e-2)
+
+
+def test_jacobi_schedule_is_a_proper_round_robin():
+    """Every unordered pair exactly once per dim-1 rounds; pairs
+    within a round are disjoint (the parallel-rotation precondition)."""
+    d = 64
+    seen = set()
+    for r in range(d - 1):
+        pairs = jacobi_schedule(r, d)
+        flat = [i for pq in pairs for i in pq]
+        assert len(flat) == len(set(flat)) == d  # disjoint, all indices
+        for pq in pairs:
+            assert pq not in seen
+            seen.add(pq)
+    assert len(seen) == d * (d - 1) // 2
+
+
+def test_jacobi_eigvals_match_lapack():
+    """Fixed-schedule parallel Jacobi reaches eigh parity — on a
+    FLAT spectrum (the regime that rejects power iteration) and on a
+    gapped one."""
+    rng = np.random.RandomState(3)
+    for scale in (1.0, 1e7):
+        m = rng.normal(size=(64, 64))
+        a = np.floor((m + m.T) * scale)  # symmetric, integer-valued
+        got = np.sort(jacobi_eigvals(a, JACOBI_SWEEPS * 63))[::-1]
+        want = np.sort(np.linalg.eigvalsh(a))[::-1]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9 * scale)
+
+
+def test_exact_moments_match_bruteforce_ints(spark):
+    """exact_embedding_moments = the same integers a single-threaded
+    brute-force quantization computes, at any partitioning."""
+    x = _lowrank(n=97, dim=5)
+    scale = 1 << 21
+    q = np.floor(x * scale + 0.5).astype(np.int64)
+    for parts in (1, 7):
+        rows = exact_embedding_moments(
+            _df(spark, x, parts=parts), x.shape[1], scale
+        ).collect()
+        got = {(r["i"], r["j"]): r["s"] for r in rows}
+        assert got[(-1, -1)] == len(x)
+        for i in range(x.shape[1]):
+            assert got[(i, -1)] == int(q[:, i].sum())
+            for j in range(i, x.shape[1]):
+                assert got[(i, j)] == int(
+                    (q[:, i].astype(object) * q[:, j].astype(object)).sum()
+                )
+
+
+def test_pca_quantization_honesty(spark):
+    """The declared query's quantized-Jacobi eigenvalues track the
+    float-precision eigh of the TRUE covariance: quantization at
+    2²¹/2³⁰ costs ≲1e-4 relative on the top-8 spectrum."""
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        REGISTRY["sim_pca_explained_variance"].fn(spark, sf).collect()
+    )
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    x = np.asarray(
+        [list(v) for v in emb.toPandas()["embedding"]], dtype=np.float64
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    got = np.array([r["eigval"] for r in ev])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    tot = float(np.trace(cov))
+    np.testing.assert_allclose(
+        [r["explained"] for r in ev], want / tot, rtol=1e-3
+    )
 
 
 def test_declared_pca_queries(spark):

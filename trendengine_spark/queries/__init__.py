@@ -69,7 +69,12 @@ _SPINE_FIRST = [
     # golden-only core operator — gained its relational oracle twin
     # (VERDICT r11 task 1); U3 generalization and the logistic gate
     # converted rows-only -> full oracle (tasks 2/6); heavy hitters
-    # now dispatches through the cardinality gate (task 5)
+    # now dispatches through the cardinality gate (task 5); PCA
+    # explained-variance converted via the deterministic quantized
+    # Jacobi eigensolve (task 6) and U7 BFAST gained its relational
+    # twin — every analytical U-row now carries an oracle
+    "sim_pca_explained_variance",
+    "u7_bfast_relational",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -92,7 +97,6 @@ _SPINE_FIRST = [
     "approx_user_overlap_kmv", "u7_bfast_monitor_events",
     "flagship_model_curation", "text_bpe_encode_corpus",
     "dedup_semantic_survivors", "pipeline_semantic_decontaminate",
-    "sim_pca_explained_variance",
     "udtf_run_length_segments", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "union_all_counts", "intersect_all_keys",
     "having_groups", "regexp_extract_keys", "string_agg_sorted",

@@ -2810,3 +2810,250 @@ def u3_generalize_events(spark, sf_dir):
     collects to the driver."""
     pts = sql_over_tables(spark, sf_dir, _u2_pts_sql("events"), ("events",))
     return u3_relational_generalize(spark, pts)
+
+
+# --------------------------------------------------------------------- U7
+# BFAST-monitor MOSUM, relational twin (r12). The numpy path
+# (functions/bfast.bfast_monitor — the lite re-derivation of
+# Verbesselt et al. 2012 that SURVEY §2 row U7+ documents) restated
+# as ONE SQL text both engines run, the u1/u2 discipline:
+#
+# * The harmonic+trend design is QUANTIZED: cos/sin(2πp/7) at scale
+#   2¹⁵ as integer literals indexed by phase p = x mod 7 (exact
+#   periodicity — the numpy path evaluates cos(2πt/7) at unreduced t,
+#   a ≤1e-15 deviation absorbed by the parity tolerance). Design,
+#   counts and all Gram moments are exact int64 sums — order-free.
+# * The 4-parameter OLS solves by Cramer on the 4×4 integer Gram with
+#   cofactor expansion IN DOUBLE: every float op is one fixed-
+#   parenthesization expression over identical exact integers, so
+#   both engines land on identical doubles (no FMA in either).
+#   Singular history (det = 0) yields β = 0 — a documented deviation
+#   from numpy's min-norm lstsq, unreachable on real series (gated
+#   test only).
+# * Residuals quantize at 2¹² for every cross-row SUM: σ̂² as a
+#   SPLIT-ACCUMULATOR (Σ z div 2³⁰ / Σ z mod 2³⁰ — headroom to
+#   |residual| < 7·10⁵ per day at ANY series length), MOSUM as exact
+#   rolling int sums via cumulative-sum differencing with a
+#   PER-SERIES window h (= ceil(0.25·m), a join on mi = mi−h — frame
+#   bounds cannot vary per partition, the csum-difference form can).
+#   Raw double residuals feed the magnitude median (explicit
+#   order-stat positions, the median_exact discipline).
+# * No output rounding anywhere: the doubles are bit-identical.
+
+_U7_HS = 32768  # 2^15 harmonic quantization
+_U7_ESS = "4096e0"  # 2^12 residual quantization (string: stays DOUBLE)
+
+
+def _u7_phase_case(col: str, vals: list[int]) -> str:
+    """CASE lookup of a 7-entry integer literal table by x mod 7 —
+    shared dialect (array indexing differs between engines; CASE
+    doesn't)."""
+    arms = " ".join(
+        f"WHEN {col} % 7 = {p} THEN {v}" for p, v in enumerate(vals)
+    )
+    return f"(CASE {arms} END)"
+
+
+def _u7_det3(m) -> str:
+    return (
+        f"({m[0][0]}*(({m[1][1]}*{m[2][2]})-({m[1][2]}*{m[2][1]}))"
+        f" - {m[0][1]}*(({m[1][0]}*{m[2][2]})-({m[1][2]}*{m[2][0]}))"
+        f" + {m[0][2]}*(({m[1][0]}*{m[2][1]})-({m[1][1]}*{m[2][0]})))"
+    )
+
+
+def _u7_det4(m) -> str:
+    """4×4 determinant by first-row cofactor expansion — one shared
+    fixed-parenthesization double expression."""
+    def minor(k):
+        return [[m[r][c] for c in range(4) if c != k] for r in (1, 2, 3)]
+
+    t0 = f"{m[0][0]}*{_u7_det3(minor(0))}"
+    t1 = f"{m[0][1]}*{_u7_det3(minor(1))}"
+    t2 = f"{m[0][2]}*{_u7_det3(minor(2))}"
+    t3 = f"{m[0][3]}*{_u7_det3(minor(3))}"
+    return f"({t0} - {t1} + {t2} - {t3})"
+
+
+def _u7_sql(pts_body: str, div: str) -> str:
+    """The full monitor as one statement. ``pts_body`` supplies the
+    (event_type, x, y) series CTE body (daily counts in production;
+    planted frames in tests); ``div`` is the integer-division token
+    (' DIV ' Spark / ' // ' DuckDB) — the only dialect difference."""
+    import math as _m
+
+    cosl = [
+        _m.floor(_m.cos(2.0 * _m.pi * p / 7.0) * _U7_HS + 0.5)
+        for p in range(7)
+    ]
+    sinl = [
+        _m.floor(_m.sin(2.0 * _m.pi * p / 7.0) * _U7_HS + 0.5)
+        for p in range(7)
+    ]
+    cc = _u7_phase_case("x", cosl)
+    ss = _u7_phase_case("x", sinl)
+    # the symmetric scaled Gram (doubles) and its Cramer solutions
+    g = [[f"g{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    b = ["b0", "b1", "b2", "b3"]
+
+    def col_replaced(k):
+        return [
+            [b[r] if c == k else g[r][c] for c in range(4)]
+            for r in range(4)
+        ]
+
+    det = _u7_det4(g)
+    dets = [_u7_det4(col_replaced(k)) for k in range(4)]
+    beta = ", ".join(
+        f"CASE WHEN {det} = 0e0 THEN 0e0 ELSE {dk} / {det} END AS bb{k}"
+        for k, dk in enumerate(dets)
+    )
+    resid = (
+        "(CAST(d.y AS DOUBLE) - (f.bb0 + (f.bb1 * CAST(d.x AS DOUBLE))"
+        " + (f.bb2 * CAST(d.c AS DOUBLE)) + (f.bb3 * CAST(d.s AS DOUBLE))))"
+    )
+    return f"""
+pts AS ({pts_body}),
+ser AS (
+  SELECT event_type, n,
+         greatest(CAST(floor(CAST(n AS DOUBLE) * 6e-1) AS BIGINT), 4) AS m
+  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY event_type) q
+),
+serh AS (
+  SELECT event_type, n, m,
+         greatest(CAST(ceil(25e-2 * CAST(m AS DOUBLE)) AS BIGINT), 1) AS h
+  FROM ser WHERE m >= 4 AND n - m >= 1
+),
+des AS (
+  SELECT p.event_type, p.x, p.y, {cc} AS c, {ss} AS s, k.n, k.m, k.h
+  FROM pts p JOIN serh k ON k.event_type = p.event_type
+),
+gram AS (
+  SELECT event_type, max(m) AS mm,
+    CAST(max(m) AS BIGINT) AS g00,
+    CAST(sum(x) AS BIGINT) AS g01, CAST(sum(c) AS BIGINT) AS g02,
+    CAST(sum(s) AS BIGINT) AS g03, CAST(sum(x * x) AS BIGINT) AS g11,
+    CAST(sum(x * c) AS BIGINT) AS g12, CAST(sum(x * s) AS BIGINT) AS g13,
+    CAST(sum(c * c) AS BIGINT) AS g22, CAST(sum(c * s) AS BIGINT) AS g23,
+    CAST(sum(s * s) AS BIGINT) AS g33,
+    CAST(sum(y) AS BIGINT) AS b0, CAST(sum(x * y) AS BIGINT) AS b1,
+    CAST(sum(c * y) AS BIGINT) AS b2, CAST(sum(s * y) AS BIGINT) AS b3
+  FROM des WHERE x < m GROUP BY event_type
+),
+gd AS (
+  SELECT event_type,
+    CAST(g00 AS DOUBLE) g00, CAST(g01 AS DOUBLE) g01,
+    CAST(g02 AS DOUBLE) g02, CAST(g03 AS DOUBLE) g03,
+    CAST(g11 AS DOUBLE) g11, CAST(g12 AS DOUBLE) g12,
+    CAST(g13 AS DOUBLE) g13, CAST(g22 AS DOUBLE) g22,
+    CAST(g23 AS DOUBLE) g23, CAST(g33 AS DOUBLE) g33,
+    CAST(b0 AS DOUBLE) b0, CAST(b1 AS DOUBLE) b1,
+    CAST(b2 AS DOUBLE) b2, CAST(b3 AS DOUBLE) b3
+  FROM gram
+),
+beta AS (SELECT event_type, {beta} FROM gd),
+resid AS (
+  SELECT d.event_type, d.x, d.m, d.h, d.n, {resid} AS e,
+         CAST(floor(({resid} * {_U7_ESS}) + 5e-1) AS BIGINT) AS eq
+  FROM des d JOIN beta f ON f.event_type = d.event_type
+),
+sig AS (
+  SELECT r.event_type,
+    sqrt(((CAST(sum((r.eq * r.eq){div}1073741824) AS DOUBLE) * 1073741824e0
+           + CAST(sum((r.eq * r.eq) % 1073741824) AS DOUBLE))
+          / 16777216e0)
+         / CAST(greatest(max(r.m) - 4, 1) AS DOUBLE)) AS sigma
+  FROM resid r WHERE r.x < r.m GROUP BY r.event_type
+),
+mon AS (
+  SELECT r.event_type, r.x - r.m AS mi, r.e, r.eq, r.m, r.h, r.n,
+         CAST(sum(r.eq) OVER (PARTITION BY r.event_type ORDER BY r.x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cs
+  FROM resid r WHERE r.x >= r.m
+),
+mos AS (
+  SELECT a.event_type, a.mi, a.e, a.m, a.n,
+    ((CAST(a.cs - COALESCE(p.cs, 0) AS DOUBLE) / {_U7_ESS})
+     / ((CASE WHEN g.sigma > 0e0 THEN g.sigma ELSE 1e-12 END)
+        * sqrt(CAST(a.m AS DOUBLE)))) AS mosum
+  FROM mon a
+  JOIN sig g ON g.event_type = a.event_type
+  LEFT JOIN mon p ON p.event_type = a.event_type AND p.mi = a.mi - a.h
+),
+firsts AS (
+  SELECT event_type, min(mi) AS fi FROM mos
+  WHERE abs(mosum) > 4e0 GROUP BY event_type
+),
+mmax AS (
+  SELECT event_type, max(abs(mosum)) AS mosum_max FROM mos
+  GROUP BY event_type
+),
+ranked AS (
+  SELECT o.event_type, o.e,
+         row_number() OVER (PARTITION BY o.event_type ORDER BY o.e) AS rn,
+         count(*) OVER (PARTITION BY o.event_type) AS k
+  FROM mos o JOIN firsts f
+    ON f.event_type = o.event_type AND o.mi >= f.fi
+),
+med AS (
+  SELECT event_type,
+    (sum(CASE WHEN rn = (k + 1){div}2 THEN e ELSE 0e0 END)
+     + sum(CASE WHEN rn = (k{div}2) + 1 THEN e ELSE 0e0 END)) / 2e0
+      AS magnitude
+  FROM ranked GROUP BY event_type
+)
+SELECT k.event_type,
+  (f.fi IS NOT NULL) AS break_detected,
+  CAST(COALESCE(k.m + f.fi, -1) AS INT) AS break_idx,
+  COALESCE(d.magnitude, 0e0) AS magnitude,
+  COALESCE(x.mosum_max, 0e0) AS mosum_max,
+  CAST(k.m AS INT) AS n_history,
+  CAST(k.n - k.m AS INT) AS n_monitor
+FROM serh k
+LEFT JOIN firsts f ON f.event_type = k.event_type
+LEFT JOIN mmax x ON x.event_type = k.event_type
+LEFT JOIN med d ON d.event_type = k.event_type
+ORDER BY k.event_type
+"""
+
+
+def _u7_pts_body(events: str) -> str:
+    """Daily event-count series — the production pts head (same
+    derivation as the U1/U2 twins, unclipped)."""
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS y,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY CAST(ts AS DATE)) - 1
+                AS BIGINT) AS x
+    FROM {events}
+    GROUP BY event_type, CAST(ts AS DATE)
+    """
+
+
+_U7_SQL_DUCK = "WITH " + _u7_sql(_u7_pts_body("events"), " // ")
+_U7_SQL_SPARK = "WITH " + _u7_sql(_u7_pts_body("events"), " DIV ")
+
+
+@query("u7_bfast_relational", sql=_U7_SQL_DUCK)
+def u7_bfast_relational(spark, sf_dir):
+    """U7 BFAST-monitor disturbance detection as an engine-portable
+    relational program — the r12 twin that completes the analytical
+    core's oracle coverage (U1/U2/U3/U5/U6/U8 all carry one; U7 was
+    the last golden-only U-row). Same contract as
+    `u7_bfast_monitor_events` (numpy path
+    `functions/bfast.bfast_monitor`, published method, SURVEY §2
+    U7+): harmonic+trend fit on the stable history (first 60%),
+    MOSUM of scaled residuals over the monitoring period, alarm on
+    |MOSUM| > 4 with break date, median-residual magnitude, and the
+    max excursion. Numpy↔SQL parity (quantization deviations
+    documented in the block comment above) is pinned by
+    tests/test_bfast.py.
+
+    Scale: one narrow shuffle to daily counts, one 14-sum moment
+    aggregation per series (state O(series)), the 4×4 solve as pure
+    codegen expressions on the aggregated row, one in-partition
+    window pass for the MOSUM cumsum, and broadcast-size joins for
+    the per-series scalars — no Python anywhere."""
+    return sql_over_tables(spark, sf_dir, _U7_SQL_SPARK, ("events",))

@@ -287,39 +287,221 @@ def sim_embedding_covariance(spark, sf_dir):
     )
 
 
-@query(
-    "sim_pca_explained_variance",
-    sql=None,
-    doc="Top-8 principal components of the embedding corpus: "
-    "eigenvalues and explained-variance ratios from the driver-side "
-    "eigh over the one-pass covariance (the distributed part is "
-    "oracle-checked by sim_embedding_covariance). Rows-only: "
-    "eigendecomposition is not SQL-expressible; recovery of planted "
-    "low-rank structure and numpy parity are pinned in "
-    "tests/test_pca.py.",
-)
+# ------------------------------------------------------------------
+# sim_pca_explained_variance — FULL ORACLE since r12 (VERDICT r11
+# task 6; previously rows-only under "eigendecomposition is not
+# SQL-expressible"). The refutation has two halves:
+#
+#  1. The covariance both engines diagonalize is pinned to EXACT
+#     integers: embedding values quantized at 2²¹, moment sums exact
+#     int64 (order-free), the d×d matrix re-quantized at 2³⁰ — so
+#     both engines start from the bit-identical matrix.
+#  2. The eigensolve is a FIXED-SCHEDULE parallel-ordered Jacobi
+#     (operators/pca.jacobi_eigvals): trig-free rotations (sqrt and
+#     divide only — correctly-rounded IEEE ops), elementwise
+#     two-sided updates with NO inner products, so no
+#     summation-order dependence anywhere in 630 rounds. DuckDB runs
+#     the identical arithmetic as a recursive CTE; the diagonals
+#     agree BIT-FOR-BIT, hence no output rounding at all.
+#
+# Power iteration was considered and rejected: the corpus spectrum
+# is flat (λ₂/λ₁ ≈ 0.98-0.99 measured at every sf), so a bounded
+# power-deflation loop cannot honestly converge; Jacobi's quadratic
+# global convergence reaches numpy-eigh parity ~1e-14 in 10 sweeps
+# (pinned in tests/test_pca.py). Quantization honesty: eigenvalues
+# of the quantized covariance track the float-precision eigh within
+# ~1e-5 relative (also pinned).
+_PCA_P = 1 << 21  #: embedding value quantization scale
+_PCA_DIV = 4096.0  #: cov(q-scale) → c_int downscale = P²/Q
+_PCA_Q = 1073741824.0  #: c_int scale (2³⁰) — eigval divisor
+_PCA_D = 64
+_PCA_ROUNDS = 63 * 10  # JACOBI_SWEEPS sweeps of dim-1 rounds
+
+
+def _pca_duck_sql() -> str:
+    """DuckDB twin of the quantized-Jacobi PCA: exact-int moments →
+    quantized covariance → 630 recursive-CTE Jacobi rounds (the
+    round-robin pairing, rotation formulas, and expression trees
+    mirror operators/pca.jacobi_eigvals token-for-token) → top-8
+    diagonal with a RECURSIVE cumulative sum (window cumsum order is
+    engine-internal; recursion makes the addition order explicit)."""
+    p, div, q = _PCA_P, _PCA_DIV, _PCA_Q
+    d, m, rounds = _PCA_D, _PCA_D - 1, _PCA_ROUNDS
+    inv2 = (m + 1) // 2
+    return f"""
+    WITH RECURSIVE
+    pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(unnest(embedding)::DOUBLE * {p} + 0.5) AS BIGINT) AS q
+      FROM embeddings
+    ), nn AS (SELECT count(*)::BIGINT n FROM embeddings),
+    mv AS (SELECT i, CAST(sum(q) AS BIGINT) sv FROM pos GROUP BY i),
+    g AS (
+      SELECT a.i i, b.i j, CAST(sum(a.q * b.q) AS BIGINT) sg
+      FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    cq AS (
+      SELECT g.i, g.j,
+             CAST(floor((CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(ma.sv AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(mb.sv AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / {div} + 0.5) AS BIGINT) AS c
+      FROM g JOIN mv ma ON ma.i = g.i JOIN mv mb ON mb.i = g.j, nn
+    ),
+    a0 AS (
+      SELECT i, j, CAST(c AS DOUBLE) a FROM cq
+      UNION ALL
+      SELECT j, i, CAST(c AS DOUBLE) FROM cq WHERE i < j
+    ),
+    it(r, i, j, a) AS (
+      SELECT 0, i, j, a FROM a0
+      UNION ALL
+      (
+      WITH cur AS (SELECT * FROM it),
+      pairing AS (
+        SELECT ii AS idx,
+               CASE WHEN ii = {m} THEN (rr * {inv2}) % {m}
+                    WHEN 2 * ii % {m} = rr THEN {m}
+                    ELSE (rr - ii + {m}) % {m} END AS partner
+        FROM range({d}) t(ii), (SELECT r % {m} AS rr FROM cur LIMIT 1)
+      ),
+      rot AS (
+        SELECT least(p1.idx, p1.partner) p, greatest(p1.idx, p1.partner) q,
+               app.a app, aqq.a aqq, apq.a apq
+        FROM pairing p1
+        JOIN cur app ON app.i = least(p1.idx, p1.partner)
+                    AND app.j = least(p1.idx, p1.partner)
+        JOIN cur aqq ON aqq.i = greatest(p1.idx, p1.partner)
+                    AND aqq.j = greatest(p1.idx, p1.partner)
+        JOIN cur apq ON apq.i = least(p1.idx, p1.partner)
+                    AND apq.j = greatest(p1.idx, p1.partner)
+        WHERE p1.idx < p1.partner
+      ),
+      cs AS (
+        SELECT p, q,
+          CASE WHEN apq = 0 THEN 1.0
+               ELSE 1.0 / sqrt(t * t + 1.0) END AS c,
+          CASE WHEN apq = 0 THEN 0.0
+               ELSE t * (1.0 / sqrt(t * t + 1.0)) END AS s
+        FROM (
+          SELECT p, q, apq,
+            CASE WHEN apq = 0 THEN 0.0
+                 WHEN (aqq - app) / (2.0 * apq) >= 0.0
+                   THEN 1.0 / ((aqq - app) / (2.0 * apq)
+                        + sqrt(((aqq - app) / (2.0 * apq))
+                               * ((aqq - app) / (2.0 * apq)) + 1.0))
+                 ELSE 1.0 / ((aqq - app) / (2.0 * apq)
+                      - sqrt(((aqq - app) / (2.0 * apq))
+                             * ((aqq - app) / (2.0 * apq)) + 1.0))
+            END AS t
+          FROM rot)
+      ),
+      info AS (
+        SELECT p AS idx, c, s, q AS partner, true AS isp FROM cs
+        UNION ALL
+        SELECT q, c, s, p, false FROM cs
+      ),
+      b AS (
+        SELECT t1.i, t1.j,
+               CASE WHEN fi.isp THEN fi.c * t1.a - fi.s * t2.a
+                    ELSE fi.s * t2.a + fi.c * t1.a END AS a
+        FROM cur t1
+        JOIN info fi ON fi.idx = t1.i
+        JOIN cur t2 ON t2.i = fi.partner AND t2.j = t1.j
+      )
+      SELECT cur2.r + 1, t1.i, t1.j,
+             CASE WHEN fj.isp THEN fj.c * t1.a - fj.s * t2.a
+                  ELSE fj.s * t2.a + fj.c * t1.a END
+      FROM b t1
+      JOIN info fj ON fj.idx = t1.j
+      JOIN b t2 ON t2.j = fj.partner AND t2.i = t1.i,
+      (SELECT r FROM cur LIMIT 1) cur2(r)
+      WHERE cur2.r < {rounds} - 1
+      )
+    ),
+    tr AS (SELECT CAST(sum(c) AS BIGINT) tv FROM cq WHERE i = j),
+    topd AS (
+      SELECT a, row_number() OVER (ORDER BY a DESC) rn
+      FROM it WHERE r = {rounds} - 1 AND i = j
+      ORDER BY a DESC LIMIT 8
+    ),
+    cum(rn, a, ce) AS (
+      SELECT rn, a, a / CAST((SELECT tv FROM tr) AS DOUBLE)
+      FROM topd WHERE rn = 1
+      UNION ALL
+      SELECT nxt.rn, nxt.a,
+             cum.ce + nxt.a / CAST((SELECT tv FROM tr) AS DOUBLE)
+      FROM cum JOIN topd nxt ON nxt.rn = cum.rn + 1
+    )
+    SELECT CAST(rn - 1 AS INT) AS component,
+           a / {q} AS eigval,
+           a / CAST((SELECT tv FROM tr) AS DOUBLE) AS explained,
+           ce AS cum_explained
+    FROM cum
+    """
+
+
+@query("sim_pca_explained_variance", sql=_pca_duck_sql())
 def sim_pca_explained_variance(spark, sf_dir):
-    """(component, eigval, explained, cum_explained) for the top 8
-    PCs, rounded to 6 dp. The whole fit touches the corpus once;
-    driver state is d²."""
-    from trendengine_spark.operators.pca import pca_fit
+    """Top-8 principal components of the embedding corpus:
+    (component, eigval, explained, cum_explained), eigensolved by the
+    deterministic quantized Jacobi (see the block comment above —
+    bit-identical across engines, NO output rounding).
+
+    Distribution shape is unchanged from the r11 rows-only version:
+    ONE corpus pass folds exact int64 moments per partition
+    (O(partitions·d²) longs cross the shuffle), the d×d solve is
+    driver-side (bounded 2,145-row collect), and the result is 8
+    literal rows. At 100 TB the moment pass is the same shape as any
+    partial-aggregated SUM; int64 headroom holds to ~4M corpus rows
+    at scale 2²¹ (documented in operators/pca.exact_embedding_moments
+    with the split-accumulator escape hatch)."""
+    import math as _math
+
+    from trendengine_spark.operators.pca import (
+        exact_embedding_moments,
+        jacobi_eigvals,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    fit = pca_fit(emb, 64)
-    cum = 0.0
-    rows = []
-    for k in range(8):
-        cum += float(fit["explained"][k])
-        rows.append(
-            (
-                k,
-                round(float(fit["eigvals"][k]), 6),
-                round(float(fit["explained"][k]), 6),
-                round(cum, 6),
-            )
+    rows = exact_embedding_moments(emb, _PCA_D, _PCA_P).collect()
+    import numpy as np
+
+    n = 0
+    sv = np.zeros(_PCA_D, dtype=object)
+    sg = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["s"])
+        elif r["j"] == -1:
+            sv[r["i"]] = int(r["s"])
+        else:
+            sg[(r["i"], r["j"])] = int(r["s"])
+    if n < 2:  # pragma: no cover - degenerate corpus guard
+        raise ValueError("PCA needs at least 2 rows")
+    a0 = np.zeros((_PCA_D, _PCA_D))
+    trace_int = 0
+    for (i, j), s in sg.items():
+        # token-for-token the oracle's cq expression
+        cov_q = float(s) / float(n) - (float(sv[i]) / float(n)) * (
+            float(sv[j]) / float(n)
         )
+        c_int = _math.floor(cov_q / _PCA_DIV + 0.5)
+        a0[i, j] = a0[j, i] = float(c_int)
+        if i == j:
+            trace_int += c_int
+    diag = jacobi_eigvals(a0, _PCA_ROUNDS)
+    top = np.sort(diag)[::-1][:8]
+    out = []
+    ce = 0.0
+    for k in range(8):
+        ev = float(top[k])
+        explained = ev / float(trace_int)
+        ce = explained if k == 0 else ce + explained
+        out.append((k, ev / _PCA_Q, explained, ce))
     return spark.createDataFrame(
-        rows,
+        out,
         "component int, eigval double, explained double, "
         "cum_explained double",
     )
