@@ -75,6 +75,7 @@ _SPINE_FIRST = [
     # twin — every analytical U-row now carries an oracle
     "sim_pca_explained_variance",
     "u7_bfast_relational",
+    "u5_decomposition_events",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -181,7 +182,6 @@ _SPINE_FIRST = [
     "window_ntile_firstlast", "sort_limit_topn", "set_union_distinct",
     "set_intersect", "set_except", "rollup_year_quarter", "cube_flag_status",
     "pivot_event_types", "grouping_sets_mixed",
-    "u5_decomposition_events", 
 ]
 
 
