@@ -120,3 +120,19 @@ def test_streaming_decon_admits_only_clean_and_replays_safely(
     run()
     again = [r["vec_id"] for r in read_versioned(spark, corpus).collect()]
     assert sorted(again) == sorted(admitted)
+
+
+def test_md5_family_planted_leaks_removed(spark):
+    """The r12 oracle family (md5 planes + quantized verify +
+    exact-rank cut) keeps the detection contract: planted leaks
+    matched and dropped, clean rows kept."""
+    train, eval_df, n_leak = _dfs(spark)
+    matches, survivors = semantic_decontaminate(
+        train, eval_df, threshold=0.99, dim=16, family="md5"
+    )
+    m = matches.toPandas()
+    surv = {r["vec_id"] for r in survivors.collect()}
+    for i in range(n_leak):
+        assert ((m.train_id == i) & (m.eval_id == 10_000 + i)).any()
+        assert i not in surv
+    assert surv == set(range(n_leak, 80))

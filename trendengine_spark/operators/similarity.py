@@ -1417,6 +1417,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drop_quantile: float = 0.99,
+    family: str = "gaussian",
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic (embedding-level) decontamination: remove TRAINING
     vectors whose embedding is near-duplicate to any EVALUATION
@@ -1438,13 +1439,32 @@ def semantic_decontaminate(
     Returns ``(matches, survivors)``: matches = (train_id, eval_id,
     cos_sim) above the cut; survivors = train rows minus contaminated
     ids (anti-join).
+
+    ``family='md5'`` (r12) extends the r10 portability contract to
+    the CROSS-corpus case: both sides signature with the md5-seeded
+    ±1 planes over integer-quantized vectors (bucket assignment =
+    exact int64 arithmetic), the verify cosine scores the quantized
+    integers (order-independent — the sf1 ulp-plateau lesson), and
+    the adaptive cut runs at GK accuracy derived from the candidate
+    count, clamped at 2²⁴ (lossless ⌈q·n⌉-rank = DuckDB
+    quantile_disc below the clamp) — which together is what lets
+    `pipeline_semantic_decontaminate` carry a full DuckDB oracle.
+    Gaussian planes + full-precision cosine stay the default.
     """
-    planes = _planes(planes_per_band * bands, dim, seed)
+    if family == "md5":
+        planes = _md5_sign_planes(planes_per_band * bands, dim)
+    elif family == "gaussian":
+        planes = _planes(planes_per_band * bands, dim, seed)
+    else:  # pragma: no cover - authoring guard
+        raise ValueError(f"unknown hyperplane family: {family!r}")
+    quantize = family == "md5"
     t_sig = band_signatures(
-        fan_out(train), planes, planes_per_band, bands, id_col, vec_col
+        fan_out(train), planes, planes_per_band, bands, id_col, vec_col,
+        quantize=quantize,
     )
     e_sig = band_signatures(
-        eval_df, planes, planes_per_band, bands, id_col, vec_col
+        eval_df, planes, planes_per_band, bands, id_col, vec_col,
+        quantize=quantize,
     )
     t_band = t_sig.select(
         F.col(id_col).alias("train_id"),
@@ -1461,18 +1481,29 @@ def semantic_decontaminate(
         .select("train_id", "eval_id", "vec_t", "vec_e")
         .dropDuplicates(["train_id", "eval_id"])
     )
+    verify_cos = (
+        cosine_arrow_quantized if family == "md5" else cosine_arrow
+    )
     scored = cand.withColumn(
-        "cos_sim", cosine_arrow(F.col("vec_t"), F.col("vec_e"))
+        "cos_sim", verify_cos(F.col("vec_t"), F.col("vec_e"))
     ).select("train_id", "eval_id", "cos_sim")
     # both returned frames (matches AND the survivors anti-join) read
     # scored — materialize once in EITHER mode, or the LSH join +
     # verify re-executes per consumer
     scored = owned_cache(
-        scored, f"sim.decon.{planes_per_band}.{bands}.{seed}"
+        scored, f"sim.decon.{planes_per_band}.{bands}.{seed}.{family}"
     )
     if threshold is None:
+        if family == "md5":
+            # exact ⌈q·n⌉-rank cut (= DuckDB quantile_disc): GK
+            # accuracy derived from the candidate count, clamped at
+            # 2^24 — the embedding_near_dup_pairs discipline
+            n_cand = scored.count()
+            acc = max(1_000_000, min(n_cand + 1, 1 << 24))
+        else:
+            acc = 100_000
         q = scored.agg(
-            F.percentile_approx("cos_sim", drop_quantile, 100_000).alias("c")
+            F.percentile_approx("cos_sim", drop_quantile, acc).alias("c")
         ).collect()[0]["c"]
         cut = float(q) if q is not None else 2.0
     else:

@@ -76,6 +76,7 @@ _SPINE_FIRST = [
     "sim_pca_explained_variance",
     "u7_bfast_relational",
     "u5_decomposition_events",
+    "pipeline_semantic_decontaminate",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -97,7 +98,7 @@ _SPINE_FIRST = [
     "quality_isotonic_calibration", "approx_distinct_kmv",
     "approx_user_overlap_kmv", "u7_bfast_monitor_events",
     "flagship_model_curation", "text_bpe_encode_corpus",
-    "dedup_semantic_survivors", "pipeline_semantic_decontaminate",
+    "dedup_semantic_survivors",
     "udtf_run_length_segments", "a2b_fill_missing_months",
     "a2c_interpolate_gaps", "union_all_counts", "intersect_all_keys",
     "having_groups", "regexp_extract_keys", "string_agg_sorted",

@@ -1680,21 +1680,94 @@ def dedup_semantic_survivors(spark, sf_dir):
 
 @query(
     "pipeline_semantic_decontaminate",
-    sql=None,
-    doc="Embedding-level decontamination: drop training vectors whose "
-    "embedding near-duplicates any eval vector (label 0 plays the "
-    "eval set) — catches the paraphrased/reformatted benchmark "
-    "leakage n-gram decontamination (pipeline_decontaminate_ngrams) "
-    "cannot see. LSH bucket cross-join (never |train| x |eval|), "
-    "exact cosine verify, adaptive 99th-percentile cut. Rows-only; "
-    "planted-leak recall and no-false-drop are pinned in "
-    "tests/test_semantic_decon.py.",
+    sql="""
+    WITH signs AS (
+      SELECT p, i,
+             CASE WHEN (CAST(concat('0x',
+                    substr(md5('hp:' || p || ':' || i), 1, 15)) AS BIGINT)
+                    & 1) = 1 THEN 1 ELSE -1 END AS s
+      FROM unnest(generate_series(0, 59)) AS pp(p),
+           unnest(generate_series(0, 63)) AS ii(i)
+    ),
+    qv AS (
+      SELECT vec_id AS id, label, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT qv.id, qv.label, signs.p, sum(signs.s * qv.q) AS d
+      FROM qv JOIN signs ON signs.i = qv.i
+      GROUP BY qv.id, qv.label, signs.p
+    ),
+    sigs AS (
+      SELECT id, label, CAST(p // 10 AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 10))
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY id, label, p // 10
+    ),
+    cand AS (
+      SELECT DISTINCT tb.id AS train_id, eb.id AS eval_id
+      FROM sigs tb JOIN sigs eb ON tb.band = eb.band AND tb.sig = eb.sig
+      WHERE tb.label <> 0 AND eb.label = 0
+    ),
+    qe AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * 1024)) AS q
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT cand.train_id,
+             list_dot_product(et.q, ee.q) /
+               (sqrt(list_dot_product(et.q, et.q)) *
+                sqrt(list_dot_product(ee.q, ee.q))) AS c
+      FROM cand JOIN qe et ON et.vec_id = cand.train_id
+                JOIN qe ee ON ee.vec_id = cand.eval_id
+    ),
+    thr AS (
+      SELECT COALESCE((SELECT quantile_disc(c, 0.99) FROM scored), 2e0) AS t
+    ),
+    contaminated AS (
+      SELECT DISTINCT train_id FROM scored, thr WHERE c >= t
+    ),
+    base AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_train
+      FROM embeddings WHERE label <> 0 GROUP BY label
+    ),
+    cont AS (
+      SELECT e.label, CAST(count(*) AS BIGINT) AS nc
+      FROM contaminated c JOIN embeddings e ON e.vec_id = c.train_id
+      GROUP BY e.label
+    )
+    SELECT b.label, b.n_train,
+           COALESCE(cont.nc, 0) AS n_contaminated,
+           b.n_train - COALESCE(cont.nc, 0) AS n_survivors
+    FROM base b LEFT JOIN cont ON cont.label = b.label
+    ORDER BY b.label
+    """,
 )
 def pipeline_semantic_decontaminate(spark, sf_dir):
     """Per-label survivor accounting after semantic decontamination
-    of the embeddings corpus against the label-0 'eval' slice.
-    Output: (label, n_train, n_contaminated, n_survivors). The eval
-    side broadcasts; candidates are bucket-bounded."""
+    of the embeddings corpus against the label-0 'eval' slice —
+    embedding-level leakage removal, catching the paraphrased /
+    reformatted benchmark contamination that n-gram decontamination
+    (pipeline_decontaminate_ngrams) cannot see. Output: (label,
+    n_train, n_contaminated, n_survivors). The eval side broadcasts;
+    candidates are LSH-bucket-bounded — never |train| × |eval|.
+
+    FULL ORACLE since r12 (was rows-only under "LSH + float cut"),
+    composing the three proven portability contracts CROSS-corpus:
+    md5-seeded ±1 planes over round(v·1024) integer vectors make the
+    train/eval bucket keys engine-identical (sim_ann_hyperplane),
+    the verify cosine scores the quantized integers so similarity
+    values are summation-order-free (sim_embedding_near_dup's sf1
+    lesson), and the adaptive 99th-percentile cut runs at GK
+    accuracy derived from the candidate count — the exact
+    ⌈q·n⌉-rank element, equal to DuckDB quantile_disc
+    (approx_percentiles identity). Gaussian planes + full-precision
+    cosine remain the operator default; planted-leak recall and
+    no-false-drop stay pinned in tests/test_semantic_decon.py for
+    BOTH families."""
     from pyspark.sql import functions as F
 
     from trendengine_spark.operators.similarity import (
@@ -1706,7 +1779,8 @@ def pipeline_semantic_decontaminate(spark, sf_dir):
     eval_df = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
     train = emb.filter(F.col("label") != 0)
     _m, survivors = semantic_decontaminate(
-        train.select("vec_id", "embedding"), eval_df, threshold=None
+        train.select("vec_id", "embedding"), eval_df, threshold=None,
+        family="md5",
     )
     lab = train.select("vec_id", "label")
     surv = survivors.join(lab, "vec_id").groupBy("label").agg(
