@@ -1290,3 +1290,25 @@ def test_owned_cache_drop_invalidates_by_prefix(spark):
     assert len(calls) == 4
     for k in ("/tmp/srcA:pairs", "/tmp/srcB:pairs"):
         pool.pop(k).unpersist(blocking=True)
+
+
+def test_ivf_relational_twin_recall_vs_bruteforce(spark):
+    """The r12 declared-query twin (md5 init + exact-int Lloyd +
+    quantized scoring) keeps useful recall against brute-force cosine
+    — the quality gate for the oracle conversion."""
+    from trendengine_spark.operators.similarity import cosine_topk
+    from trendengine_spark.queries import REGISTRY
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    twin = REGISTRY["sim_ivf_topk"].fn(spark, SF_SMOKE).toPandas()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(twin[twin.query_id == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.5  # nprobe=6/16 of the space probed

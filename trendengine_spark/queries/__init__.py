@@ -77,6 +77,7 @@ _SPINE_FIRST = [
     "u7_bfast_relational",
     "u5_decomposition_events",
     "pipeline_semantic_decontaminate",
+    "sim_ivf_topk",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -172,7 +173,7 @@ _SPINE_FIRST = [
     "multimodal_resize_real", "dedup_fingerprint_md5",
     "dedup_cluster_assignment",  "dedup_corpus_survivors",
     "text_token_explode_tf", "text_tfidf_top_terms", "text_token_count_bpe",
-    "text_winnow_fingerprints", "text_chunk_windows", "sim_ivf_topk",
+    "text_winnow_fingerprints", "text_chunk_windows",
     "sim_label_centroid_dist", "pipeline_stratified_sample",
     "profile_table_nulls", "multimodal_content_stats",
     "multimodal_png_decode", "multimodal_jpeg_decode",

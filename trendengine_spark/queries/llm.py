@@ -48,6 +48,7 @@ from trendengine_spark.operators.text import (
     winnow_fingerprints,
 )
 from trendengine_spark.queries.base import query, t
+from trendengine_spark.sqltext import sql_over_tables
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -622,22 +623,166 @@ def sim_ann_hyperplane(spark, sf_dir):
     return random_hyperplane_ann(emb, queries, k=5, dim=64, family="md5")
 
 
-@query(
-    "sim_ivf_topk",
-    sql=None,
-    doc="IVF (FAISS-style coarse quantizer) top-5: deterministic "
-    "seeded k-means cells, queries probe nprobe max-cosine cells, "
-    "exact re-rank inside probed cells — candidate volume "
-    "N·nprobe/n_cells; recall vs sim_cosine_topk asserted in tests.",
-)
-def sim_ivf_topk(spark, sf_dir):
-    from trendengine_spark.operators.similarity import ivf_topk
+# ------------------------------------------------------------------
+# sim_ivf_topk — FULL ORACLE since r12 (was rows-only under "learned
+# k-means cells"). The coarse quantizer transcribes with the
+# determinism rulebook: md5-ranked seed selection (engine-portable
+# pseudo-random init — the production xxhash64 init has no DuckDB
+# twin), Lloyd rounds on round(v·1024)-quantized integers (squared
+# Euclidean distances and centroid-mean numerators are EXACT int64,
+# the mean re-quantizes via floor(x+0.5) — one deterministic double
+# op), probing and the verify cosine as fixed-expression doubles over
+# exact integer dots. BOTH engines run the same program (one shared
+# template, dialect differing only in the position-explode spelling),
+# so every bucket, candidate set and score is bit-identical. The
+# float-BLAS ivf_index/ivf_topk operators stay the production path
+# with their own recall/determinism tests.
+_IVF_CELLS = 16
+_IVF_NPROBE = 6
+_IVF_K = 5
 
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+
+def _ivf_sql(pos_body: str) -> str:
+    """Shared IVF program text. ``pos_body`` yields the quantized
+    (id, i, q) position rows per dialect."""
+    c, np_, k = _IVF_CELLS, _IVF_NPROBE, _IVF_K
+    return f"""
+pos AS ({pos_body}),
+nrm AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM pos GROUP BY id
+),
+seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM pos) u
+),
+c0 AS (
+  SELECT s.cell, p.i, p.q AS cv
+  FROM seeds s JOIN pos p ON p.id = s.id WHERE s.cell < {c}
+),
+d1 AS (
+  SELECT p.id, c.cell,
+         CAST(sum((p.q - c.cv) * (p.q - c.cv)) AS BIGINT) AS d
+  FROM pos p JOIN c0 c ON c.i = p.i GROUP BY p.id, c.cell
+),
+a1 AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d ASC, cell ASC)
+             AS rn
+    FROM d1) q1 WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cell, p.i,
+         CAST(floor(CAST(sum(p.q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+  FROM a1 a JOIN pos p ON p.id = a.id GROUP BY a.cell, p.i
+),
+d2 AS (
+  SELECT p.id, c.cell,
+         CAST(sum((p.q - c.cv) * (p.q - c.cv)) AS BIGINT) AS d
+  FROM pos p JOIN c1 c ON c.i = p.i GROUP BY p.id, c.cell
+),
+a2 AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d ASC, cell ASC)
+             AS rn
+    FROM d2) q2 WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cell, p.i,
+         CAST(floor(CAST(sum(p.q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+  FROM a2 a JOIN pos p ON p.id = a.id GROUP BY a.cell, p.i
+),
+cn2 AS (
+  SELECT cell, CAST(sum(cv * cv) AS BIGINT) AS n2 FROM c2 GROUP BY cell
+),
+qdot AS (
+  SELECT p.id, c.cell, CAST(sum(p.q * c.cv) AS BIGINT) AS dt
+  FROM pos p JOIN c2 c ON c.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, c.cell
+),
+probe AS (
+  SELECT id AS query_id, cell FROM (
+    SELECT q3.id, q3.cell,
+           row_number() OVER (PARTITION BY q3.id ORDER BY
+             CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0e0
+                  ELSE CAST(q3.dt AS DOUBLE)
+                       / (sqrt(CAST(qn.n2 AS DOUBLE))
+                          * sqrt(CAST(cn.n2 AS DOUBLE))) END DESC,
+             q3.cell ASC) AS rn
+    FROM qdot q3
+    JOIN nrm qn ON qn.id = q3.id
+    JOIN cn2 cn ON cn.cell = q3.cell) q4 WHERE rn <= {np_}
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, a.id AS vec_id
+  FROM probe pr JOIN a2 a ON a.cell = pr.cell
+  WHERE a.id <> pr.query_id
+),
+sdot AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt
+  FROM cand cd
+  JOIN pos pq ON pq.id = cd.query_id
+  JOIN pos pc ON pc.id = cd.vec_id AND pc.i = pq.i
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0e0
+              ELSE CAST(s.dt AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))) END AS cos_sim,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY
+           CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0e0
+                ELSE CAST(s.dt AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))) END DESC,
+           s.vec_id ASC) AS rn
+  FROM sdot s
+  JOIN nrm na ON na.id = s.query_id
+  JOIN nrm nb ON nb.id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+"""
+
+
+_IVF_POS_DUCK = """
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS q
+  FROM embeddings
+"""
+_IVF_POS_SPARK = """
+  SELECT vec_id AS id, i,
+         CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS q
+  FROM embeddings LATERAL VIEW posexplode(embedding) tt AS i, v
+"""
+
+
+@query("sim_ivf_topk", sql="WITH " + _ivf_sql(_IVF_POS_DUCK))
+def sim_ivf_topk(spark, sf_dir):
+    """IVF (FAISS-style coarse quantizer) top-5 for 10 query vectors:
+    2 Lloyd rounds over the quantized corpus, each query probes its
+    6 max-cosine cells of 16, exact re-rank inside probed cells —
+    candidate volume N·nprobe/n_cells, never N². FULL ORACLE since
+    r12 via the deterministic program in the block comment above
+    (md5 init + exact-int Lloyd + fixed-expression scoring, one
+    shared SQL text); recall vs brute-force cosine is pinned in
+    tests/test_llm_ops.py for this twin AND the float production
+    operator (`operators/similarity.ivf_topk`, which keeps BLAS
+    assignment and xxhash64 seeding for real corpora).
+
+    Scale: Lloyd assignment is a broadcast join of the 1,024-row
+    centroid table against the position rows (N·64·cells intermediate
+    — 102M rows at the sf10 sweep, partial-aggregated map-side);
+    candidates join broadcast probe rows; nothing collects."""
+    return sql_over_tables(
+        spark, sf_dir, "WITH " + _ivf_sql(_IVF_POS_SPARK), ("embeddings",)
     )
-    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
 
 
 @query(
