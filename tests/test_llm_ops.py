@@ -1312,3 +1312,24 @@ def test_ivf_relational_twin_recall_vs_bruteforce(spark):
         hits += len(truth & got)
         tot += len(truth)
     assert hits / tot >= 0.5  # nprobe=6/16 of the space probed
+
+
+def test_pq_relational_twin_recall_vs_bruteforce(spark):
+    """The r12 PQ declared-query twin keeps useful recall against
+    brute-force cosine (ADC over 32x32 trained codes, 4k rerank)."""
+    from trendengine_spark.operators.similarity import cosine_topk
+    from trendengine_spark.queries import REGISTRY
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    twin = REGISTRY["sim_pq_topk"].fn(spark, SF_SMOKE).toPandas()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(twin[twin.query_id == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.5  # lossy 160-bit codes, 4x rerank pool

@@ -78,6 +78,7 @@ _SPINE_FIRST = [
     "u5_decomposition_events",
     "pipeline_semantic_decontaminate",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -156,7 +157,7 @@ _SPINE_FIRST = [
     "tpch_q18_large_volume_customer", "tpch_q22_global_sales_opportunity",
     "spatial_zorder_rollup", "raster_region_ingest",
     "profile_numeric_histogram", "pipeline_decontaminate_ngrams",
-    "scd2_user_event_history", "funnel_view_click_purchase", "sim_pq_topk",
+    "scd2_user_event_history", "funnel_view_click_purchase",
     "text_bigram_familiarity", "recursive_cte_month_spine",
     "pipeline_source_mixture", "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share", "tpch_q9_product_type_profit",

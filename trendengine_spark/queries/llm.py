@@ -1496,61 +1496,166 @@ def pipeline_decontaminate_ngrams(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# sim_pq_topk — FULL ORACLE since r12 (was rows-only under "learned
+# codebooks"). Product quantization (Jégou 2011) transcribes with the
+# same rulebook as the IVF twin, generalized per subspace:
+# unit-quantization q = round(qr·1024/√Σqr²) over the exact
+# pre-quantized integers (a cross-row float norm would be
+# summation-order-dependent; the integer norm is exact), md5-ranked
+# seeds, THREE Lloyd rounds per 2-d subspace on exact int64 squared
+# distances with floor(x+0.5)-requantized means, codes as a final
+# assignment against the trained books, ADC = exact-integer
+# query-block·centroid tables summed per code, and a quantized-cosine
+# rerank of the 4k candidate pool. One shared template (dialect:
+# position explode, integer division, DuckDB MATERIALIZED on the
+# chained books — the BPE inlining lesson). The float-BLAS
+# pq_train/pq_encode/pq_topk operators stay the production path.
+_PQ_SUBS = 32
+_PQ_CELLS = 32
+_PQ_K = 5
+
+
+def _pq_sql(pos_body: str, div: str, mat: str) -> str:
+    c, k = _PQ_CELLS, _PQ_K
+    parts = [
+        f"""
+pos AS ({pos_body}),
+nrm0 AS (
+  SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
+),
+upos AS (
+  SELECT p.id, CAST(p.i{div}2 AS INT) AS sub, p.i,
+         CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
+              / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
+  FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0
+),
+nrm AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM upos GROUP BY id
+),
+seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM upos) u
+),
+b0 AS {mat}(
+  SELECT s.cell, p.sub, p.i, p.q AS cv
+  FROM seeds s JOIN upos p ON p.id = s.id WHERE s.cell < {c}
+)"""
+    ]
+    for r in range(1, 4):
+        parts.append(f""",
+e{r} AS (
+  SELECT p.id, p.sub, c.cell,
+         CAST(sum((p.q - c.cv) * (p.q - c.cv)) AS BIGINT) AS d
+  FROM upos p JOIN b{r - 1} c ON c.sub = p.sub AND c.i = p.i
+  GROUP BY p.id, p.sub, c.cell
+),
+a{r} AS (
+  SELECT id, sub, cell FROM (
+    SELECT id, sub, cell, row_number() OVER (
+      PARTITION BY id, sub ORDER BY d ASC, cell ASC) AS rn
+    FROM e{r}) q{r} WHERE rn = 1
+),
+b{r} AS {mat}(
+  SELECT a.cell, p.sub, p.i,
+         CAST(floor(CAST(sum(p.q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+  FROM a{r} a JOIN upos p ON p.id = a.id AND p.sub = a.sub
+  GROUP BY a.cell, p.sub, p.i
+)""")
+    parts.append(f""",
+e4 AS (
+  SELECT p.id, p.sub, c.cell,
+         CAST(sum((p.q - c.cv) * (p.q - c.cv)) AS BIGINT) AS d
+  FROM upos p JOIN b3 c ON c.sub = p.sub AND c.i = p.i
+  GROUP BY p.id, p.sub, c.cell
+),
+codes AS {mat}(
+  SELECT id, sub, cell FROM (
+    SELECT id, sub, cell, row_number() OVER (
+      PARTITION BY id, sub ORDER BY d ASC, cell ASC) AS rn
+    FROM e4) q4 WHERE rn = 1
+),
+qdt AS (
+  SELECT p.id AS query_id, p.sub, c.cell,
+         CAST(sum(p.q * c.cv) AS BIGINT) AS dt
+  FROM upos p JOIN b3 c ON c.sub = p.sub AND c.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, p.sub, c.cell
+),
+adc AS (
+  SELECT q5.query_id, cd.id AS vec_id, CAST(sum(q5.dt) AS BIGINT) AS score
+  FROM codes cd JOIN qdt q5 ON q5.sub = cd.sub AND q5.cell = cd.cell
+  WHERE cd.id <> q5.query_id
+  GROUP BY q5.query_id, cd.id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM adc) q6 WHERE rn <= {4 * k}
+),
+sdot AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt
+  FROM cand cd
+  JOIN upos pq ON pq.id = cd.query_id
+  JOIN upos pc ON pc.id = cd.vec_id AND pc.i = pq.i
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(s.dt AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+              * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY
+           CAST(s.dt AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+           s.vec_id ASC) AS rn
+  FROM sdot s
+  JOIN nrm na ON na.id = s.query_id
+  JOIN nrm nb ON nb.id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+""")
+    return "".join(parts)
+
+
+_PQ_POS_DUCK = """
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS qr
+  FROM embeddings
+"""
+_PQ_POS_SPARK = """
+  SELECT vec_id AS id, i,
+         CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS qr
+  FROM embeddings LATERAL VIEW posexplode(embedding) tt AS i, v
+"""
+
+
 @query(
     "sim_pq_topk",
-    sql=None,
-    doc="Product-quantization ANN top-5 (Jégou 2011): 32 subspaces × "
-    "32 centroids (160-bit codes, 12.8× compression of the 64-d "
-    "float vectors), asymmetric-distance candidate search over codes "
-    "only, then exact-cosine re-rank of the 4× candidate pool — the "
-    "compressed-index scale path beyond IVF. Rows-only by design; "
-    "recall vs brute force pinned in tests/test_llm_ops.py.",
+    sql="WITH " + _pq_sql(_PQ_POS_DUCK, " // ", "MATERIALIZED "),
 )
 def sim_pq_topk(spark, sf_dir):
-    """ADC search touches ONLY the 20-byte codes (the RAM-resident
-    representation at billion-vector scale); the refine step joins
-    exact vectors for just k×4 candidates per query — the standard
-    two-stage recipe. Candidate generation never materializes
-    query × corpus."""
-    from trendengine_spark.operators.similarity import (
-        cosine,
-        l2_normalize,
-        pq_encode,
-        pq_topk,
-        pq_train_codebooks,
-    )
+    """Product-quantization ANN top-5 (Jégou 2011): 32 subspaces ×
+    32 centroids (160-bit codes, 12.8× compression of the 64-d float
+    vectors), asymmetric-distance candidate search over codes only,
+    then a cosine re-rank of the 4× candidate pool — the
+    compressed-index scale path beyond IVF. FULL ORACLE since r12 via
+    the deterministic program in the block comment above; recall vs
+    brute force is pinned in tests/test_llm_ops.py for this twin AND
+    the float production operators.
 
-    emb = t(spark, sf_dir, "embeddings")
-    unit = emb.select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
-    books = pq_train_codebooks(unit, m_subspaces=32, k=32, iters=3, seed=7)
-    codes = pq_encode(unit, books)
-    queries = unit.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
-    )
-    cands = pq_topk(
-        codes,
-        books,
-        queries.select("query_id", F.col("q_vec").alias("embedding")),
-        k=20,
-    ).select("query_id", "vec_id")
-    exact = (
-        cands.join(unit, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine(F.col("embedding"), F.col("q_vec")).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            "query_id", "vec_id",
-            F.round("cos_sim", 4).alias("cos_sim"),
-            F.col("rn").cast("int").alias("rn"),
-        )
+    Scale: training joins the 2,048-row book table per round
+    (N·64·cells intermediate, partial-aggregated); ADC joins the
+    per-query distance tables (N·m rows per query batch); candidates
+    are 4k per query. Nothing collects."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        "WITH " + _pq_sql(_PQ_POS_SPARK, " DIV ", ""),
+        ("embeddings",),
     )
 
 
