@@ -1333,3 +1333,26 @@ def test_pq_relational_twin_recall_vs_bruteforce(spark):
         hits += len(truth & got)
         tot += len(truth)
     assert hits / tot >= 0.5  # lossy 160-bit codes, 4x rerank pool
+
+
+def test_ivfpq_relational_twin_recall_vs_bruteforce(spark):
+    """The r12 IVFPQ declared-query twin (integer residual ADC over
+    composed coarse+product quantizers) keeps useful recall."""
+    from trendengine_spark.operators.similarity import cosine_topk
+    from trendengine_spark.queries import REGISTRY
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    twin = REGISTRY["sim_ivfpq_topk"].fn(spark, SF_SMOKE).toPandas()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(twin[twin.query_id == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    # lossy 160-bit residual codes + nprobe 8/16 pruning: the floor
+    # mirrors the production operator's pinned 0.63 recall posture
+    assert hits / tot >= 0.4

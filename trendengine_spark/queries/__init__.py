@@ -79,6 +79,7 @@ _SPINE_FIRST = [
     "pipeline_semantic_decontaminate",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "u2_dbest_relational",
     "u3_generalize_events",
     "profile_heavy_hitters",
@@ -115,7 +116,7 @@ _SPINE_FIRST = [
     "multimodal_image_tiles", "quality_gram_matrix", "trend_polyfit_coeffs",
     "trend_mann_kendall_stats",
     "trend_seasonal_mann_kendall", "agg_trimmed_mean_pandas",
-    "sim_ivfpq_topk", "window_conditional_running",
+    "window_conditional_running",
     "pipeline_bernoulli_sample", "hier_share_of_parent", "rollup_grouping_id",
     "flagship_curation_pipeline", "retention_cohorts", "window_locf_fill",
     "dedup_ngram_containment", "text_shingle_novelty",

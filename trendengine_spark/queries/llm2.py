@@ -750,41 +750,211 @@ def multimodal_gif_animation(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# sim_ivfpq_topk — FULL ORACLE since r12, composing the round's two
+# quantizer transcriptions (sim_ivf_topk's coarse Lloyd, sim_pq_topk's
+# per-subspace Lloyd) through the residual decomposition the deployed
+# architecture uses: coarse-quantize the unit-quantized integers,
+# product-quantize the INTEGER residual q − c(q) (ints minus ints —
+# the residual pass introduces no floats at all), and score
+# q·x ≈ q·c(cell) + Σ_sub table[code] ENTIRELY in exact int64 — the
+# ranking never touches a float; only the probing cosine and the
+# final score division are (deterministic fixed-expression) doubles.
+# One shared template; the float-BLAS ivfpq_index/ivfpq_topk
+# operators stay the production path.
+_IVFPQ_CELLS = 16
+_IVFPQ_SUBS = 32
+_IVFPQ_CODES = 32
+_IVFPQ_NPROBE = 8
+_IVFPQ_K = 5
+
+
+def _ivfpq_sql(pos_body: str, div: str, mat: str) -> str:
+    c, s_, kc = _IVFPQ_CELLS, _IVFPQ_SUBS, _IVFPQ_CODES
+    np_, k = _IVFPQ_NPROBE, _IVFPQ_K
+    parts = [
+        f"""
+pos AS ({pos_body}),
+nrm0 AS (
+  SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
+),
+upos AS (
+  SELECT p.id, CAST(p.i{div}2 AS INT) AS sub, p.i,
+         CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
+              / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
+  FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0
+),
+seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM upos) u
+),
+v0 AS {mat}(
+  SELECT s.cell, p.i, p.q AS cv
+  FROM seeds s JOIN upos p ON p.id = s.id WHERE s.cell < {c}
+)"""
+    ]
+    # coarse quantizer: 2 Lloyd rounds + final assignment/centroids
+    for r in (1, 2):
+        parts.append(f""",
+vd{r} AS (
+  SELECT p.id, cb.cell,
+         CAST(sum((p.q - cb.cv) * (p.q - cb.cv)) AS BIGINT) AS d
+  FROM upos p JOIN v{r - 1} cb ON cb.i = p.i GROUP BY p.id, cb.cell
+),
+va{r} AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (
+      PARTITION BY id ORDER BY d ASC, cell ASC) AS rn
+    FROM vd{r}) vq{r} WHERE rn = 1
+),
+v{r} AS {mat}(
+  SELECT a.cell, p.i,
+         CAST(floor(CAST(sum(p.q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+  FROM va{r} a JOIN upos p ON p.id = a.id GROUP BY a.cell, p.i
+)""")
+    parts.append(f""",
+rpos AS {mat}(
+  SELECT p.id, a.cell, p.sub, p.i, p.q - cb.cv AS rq
+  FROM upos p
+  JOIN va2 a ON a.id = p.id
+  JOIN v2 cb ON cb.cell = a.cell AND cb.i = p.i
+),
+rb0 AS {mat}(
+  SELECT s.cell AS code, p.sub, p.i, p.rq AS cv
+  FROM seeds s JOIN rpos p ON p.id = s.id WHERE s.cell < {kc}
+)""")
+    # residual PQ: 2 Lloyd rounds + final code assignment
+    for r in (1, 2):
+        parts.append(f""",
+rd{r} AS (
+  SELECT p.id, p.sub, cb.code,
+         CAST(sum((p.rq - cb.cv) * (p.rq - cb.cv)) AS BIGINT) AS d
+  FROM rpos p JOIN rb{r - 1} cb ON cb.sub = p.sub AND cb.i = p.i
+  GROUP BY p.id, p.sub, cb.code
+),
+ra{r} AS (
+  SELECT id, sub, code FROM (
+    SELECT id, sub, code, row_number() OVER (
+      PARTITION BY id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM rd{r}) rq{r} WHERE rn = 1
+),
+rb{r} AS {mat}(
+  SELECT a.code, p.sub, p.i,
+         CAST(floor(CAST(sum(p.rq) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+  FROM ra{r} a JOIN rpos p ON p.id = a.id AND p.sub = a.sub
+  GROUP BY a.code, p.sub, p.i
+)""")
+    parts.append(f""",
+rd3 AS (
+  SELECT p.id, p.sub, cb.code,
+         CAST(sum((p.rq - cb.cv) * (p.rq - cb.cv)) AS BIGINT) AS d
+  FROM rpos p JOIN rb2 cb ON cb.sub = p.sub AND cb.i = p.i
+  GROUP BY p.id, p.sub, cb.code
+),
+codes AS {mat}(
+  SELECT id, sub, code FROM (
+    SELECT id, sub, code, row_number() OVER (
+      PARTITION BY id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM rd3) rq3 WHERE rn = 1
+),
+cn2 AS (
+  SELECT cell, CAST(sum(cv * cv) AS BIGINT) AS n2 FROM v2 GROUP BY cell
+),
+qn2 AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM upos
+  WHERE id < 10 GROUP BY id
+),
+qcd AS (
+  SELECT p.id AS query_id, cb.cell, CAST(sum(p.q * cb.cv) AS BIGINT) AS dt
+  FROM upos p JOIN v2 cb ON cb.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, cb.cell
+),
+probe AS (
+  SELECT query_id, cell, dt FROM (
+    SELECT qc.query_id, qc.cell, qc.dt,
+           row_number() OVER (PARTITION BY qc.query_id ORDER BY
+             CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0e0
+                  ELSE CAST(qc.dt AS DOUBLE)
+                       / (sqrt(CAST(qn.n2 AS DOUBLE))
+                          * sqrt(CAST(cn.n2 AS DOUBLE))) END DESC,
+             qc.cell ASC) AS rn
+    FROM qcd qc
+    JOIN qn2 qn ON qn.id = qc.query_id
+    JOIN cn2 cn ON cn.cell = qc.cell) pq WHERE rn <= {np_}
+),
+qdt AS (
+  SELECT p.id AS query_id, cb.sub, cb.code,
+         CAST(sum(p.q * cb.cv) AS BIGINT) AS dt
+  FROM upos p JOIN rb2 cb ON cb.sub = p.sub AND cb.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, cb.sub, cb.code
+),
+cand AS (
+  SELECT pr.query_id, a.id AS vec_id, pr.dt AS qc
+  FROM probe pr JOIN va2 a ON a.cell = pr.cell
+  WHERE a.id <> pr.query_id
+),
+adc AS (
+  SELECT cd.query_id, cd.vec_id,
+         CAST(max(cd.qc) + sum(q6.dt) AS BIGINT) AS score_i
+  FROM cand cd
+  JOIN codes co ON co.id = cd.vec_id
+  JOIN qdt q6 ON q6.query_id = cd.query_id
+             AND q6.sub = co.sub AND q6.code = co.code
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(score_i AS DOUBLE) / 1048576e0 AS score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score_i DESC, vec_id ASC) AS rn
+  FROM adc
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+""")
+    return "".join(parts)
+
+
+_IVFPQ_POS_DUCK = """
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding::DOUBLE[]) * 1024) AS BIGINT) AS qr
+  FROM embeddings
+"""
+_IVFPQ_POS_SPARK = """
+  SELECT vec_id AS id, i,
+         CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS qr
+  FROM embeddings LATERAL VIEW posexplode(embedding) tt AS i, v
+"""
+
+
 @query(
     "sim_ivfpq_topk",
-    sql=None,
-    doc="IVF + residual-PQ composed index (the deployed billion-"
-    "vector architecture): coarse cells prune the corpus to nprobe/"
-    "n_cells, residual codes score by ADC table gathers, no vector "
-    "reconstruction. Rows-only (seeded k-means + hash init have no "
-    "DuckDB twin); recall@10 vs brute force pinned in "
-    "tests/test_llm_ops.py.",
+    sql="WITH " + _ivfpq_sql(_IVFPQ_POS_DUCK, " // ", "MATERIALIZED "),
 )
 def sim_ivfpq_topk(spark, sf_dir):
-    """Top-5 neighbors for 10 queries through the composed IVFPQ
-    index: q·x ≈ q·c(cell) + q·residual, one scalar + m table
-    lookups per candidate. Candidate volume is N·nprobe/n_cells via
-    the broadcast (query, cell) probe join — the same pruning
-    contract as sim_ivf_topk with 12.8× less candidate payload (codes
-    not vectors)."""
-    from trendengine_spark.operators.similarity import (
-        ivfpq_index,
-        ivfpq_topk,
-        l2_normalize,
-    )
+    """IVF + residual-PQ composed index (the deployed billion-vector
+    architecture): coarse cells prune the corpus to nprobe/n_cells,
+    residual codes score by ADC table gathers, no vector
+    reconstruction — q·x ≈ q·c(cell) + q·residual, one scalar + m
+    table lookups per candidate. FULL ORACLE since r12 (was rows-only
+    under "seeded k-means + hash init have no DuckDB twin") via the
+    composed deterministic program in the block comment above; the
+    integer residual makes the whole ADC ranking EXACT. Recall@10 vs
+    brute force stays pinned in tests/test_llm_ops.py for the float
+    production operators; twin recall pinned alongside.
 
-    emb = t(spark, sf_dir, "embeddings")
-    unit = emb.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    )
-    codes, centroids, books = ivfpq_index(
-        unit, n_cells=16, m_subspaces=32, k_codes=32, iters=2, seed=7
-    )
-    queries = unit.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivfpq_topk(
-        codes, centroids, books, queries, k=5, nprobe=8
+    Scale: the same pruning contract as sim_ivf_topk with 12.8× less
+    candidate payload (codes not vectors); training joins bounded
+    book tables per round; nothing collects."""
+    return sql_over_tables(
+        spark,
+        sf_dir,
+        "WITH " + _ivfpq_sql(_IVFPQ_POS_SPARK, " DIV ", ""),
+        ("embeddings",),
     )
 
 
