@@ -331,3 +331,18 @@ def test_spearman_matches_pearson_of_average_ranks(spark):
                 want, abs=1e-12
             ), (ta, tb)
     assert n_ties > 0  # daily counts tie — the case the fix is about
+
+
+def test_approx_percentiles_gate_paths_equal(spark, monkeypatch):
+    """The r12 cardinality gate: the GK-lossless path and the exact
+    sort path return IDENTICAL rows (both are exact ceil(p*n)-rank
+    elements), so the sf10 memory fix cannot move any checked value."""
+    import trendengine_spark.operators.util as util
+    from trendengine_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    fn = REGISTRY["approx_percentiles"].fn
+    a = {tuple(r) for r in fn(spark, sf).collect()}
+    monkeypatch.setattr(util, "GK_LOSSLESS_GATE", 1)  # force exact path
+    b = {tuple(r) for r in fn(spark, sf).collect()}
+    assert a == b and len(a) == 3

@@ -136,3 +136,21 @@ def test_md5_family_planted_leaks_removed(spark):
         assert ((m.train_id == i) & (m.eval_id == 10_000 + i)).any()
         assert i not in surv
     assert surv == set(range(n_leak, 80))
+
+
+def test_md5_exact_rank_gate_paths_equal(spark, monkeypatch):
+    """Forcing the above-gate exact sort path yields the same matches
+    and survivors as the lossless GK path (both exact rank cuts)."""
+    import trendengine_spark.operators.util as util
+
+    train, eval_df, _ = _dfs(spark)
+    m1, s1 = semantic_decontaminate(
+        train, eval_df, threshold=None, dim=16, family="md5"
+    )
+    a = ({tuple(r) for r in m1.collect()}, {r["vec_id"] for r in s1.collect()})
+    monkeypatch.setattr(util, "GK_LOSSLESS_GATE", 1)
+    m2, s2 = semantic_decontaminate(
+        train, eval_df, threshold=None, dim=16, family="md5"
+    )
+    b = ({tuple(r) for r in m2.collect()}, {r["vec_id"] for r in s2.collect()})
+    assert a == b

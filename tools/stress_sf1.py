@@ -279,12 +279,17 @@ def main() -> None:
                 except Exception:
                     pass
 
+        # r12: sample counts scale DOWN with data size by the tool's
+        # own sf3 reasoning ("scheduler noise is irrelevant" once runs
+        # take tens of seconds) — at sf10 a min-of-3/min-of-5 suite
+        # multiplies hours of pure compute for no added defense.
+        n_samples = int(os.environ.get("TE_SF1_SPARK_SAMPLES", "3"))
         for name in names:
             fn = REGISTRY[name].fn
             fn(spark, OUT).toArrow()  # codegen warm-up
             drop_caches()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(n_samples):
                 s = time.perf_counter()
                 fn(spark, OUT).toArrow()
                 best = min(best, time.perf_counter() - s)
@@ -306,6 +311,7 @@ def main() -> None:
         )
     def time_duck(names: list[str], samples: int = 5) -> dict[str, float]:
         out = {}
+        samples = int(os.environ.get("TE_SF1_DUCK_SAMPLES", str(samples)))
         for name in names:
             sql = LLM_DUCK_OVERRIDE.get(name) or REGISTRY[name].sql
             con.execute(sql).fetchall()  # warm

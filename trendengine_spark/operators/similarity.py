@@ -838,21 +838,31 @@ def embedding_near_dup_pairs(
         # quantile_disc — the approx_percentiles identity), which is
         # what lets the md5 family carry a full oracle at ANY checked
         # scale; the count is one bounded driver scalar on the
-        # already-cached scored table. The derivation is CLAMPED at
-        # 2^24 (ADVICE r11): GK memory is O(accuracy) per aggregator
-        # and Spark's accuracy is int32, so "lossless at any scale"
-        # would otherwise silently degrade into materializing every
-        # candidate inside the sketch. Below the clamp the cut is the
-        # exact rank element; above it (>16.7M candidates) the cut
-        # carries the documented GK rank bound of n/accuracy ≲ n/2^24
-        # — the rank-tolerance posture approx_percentiles documents —
-        # and the md5-family oracle identity no longer holds, which
-        # only matters far beyond any checked scale (sf3 peak: 1.68M).
-        n_cand = scored.count()
-        acc = max(1_000_000, min(n_cand + 1, 1 << 24))
-        cut_p = scored.agg(
-            F.percentile_approx("cos_sim", quantile, acc).alias("_thr_p")
+        # already-cached scored table.
+        # CARDINALITY-GATED since r12 (supersedes the r11 2^24 clamp,
+        # which bounded the sketch but both broke the oracle identity
+        # past the clamp AND still let partials hold every candidate
+        # below it — the sf10 sweep OOM'd the sibling derivation on
+        # 20M-row groups): above GK_LOSSLESS_GATE candidates the cut
+        # is the SAME exact ceil(q*n)-rank element computed by sort +
+        # OFFSET (external, spillable), so the identity now holds at
+        # EVERY scale with bounded memory.
+        from trendengine_spark.operators.util import (
+            GK_LOSSLESS_GATE,
+            exact_rank_element,
         )
+
+        n_cand = scored.count()
+        if n_cand + 1 <= GK_LOSSLESS_GATE:
+            acc = max(1_000_000, n_cand + 1)
+            cut_p = scored.agg(
+                F.percentile_approx("cos_sim", quantile, acc).alias("_thr_p")
+            )
+        else:
+            v = exact_rank_element(scored, "cos_sim", quantile, n=n_cand)
+            cut_p = scored.sparkSession.range(1).select(
+                F.lit(v).cast("double").alias("_thr_p")
+            )
         cut_n = (
             scored.orderBy(F.desc("cos_sim"))
             .limit(min_pairs)
@@ -1496,15 +1506,27 @@ def semantic_decontaminate(
     if threshold is None:
         if family == "md5":
             # exact ⌈q·n⌉-rank cut (= DuckDB quantile_disc): GK
-            # accuracy derived from the candidate count, clamped at
-            # 2^24 — the embedding_near_dup_pairs discipline
+            # accuracy derived from the candidate count below the
+            # gate, sort+OFFSET exact rank above it — the r12
+            # embedding_near_dup_pairs discipline (memory-bounded,
+            # identity holds at every scale)
+            from trendengine_spark.operators.util import (
+                GK_LOSSLESS_GATE,
+                exact_rank_element,
+            )
+
             n_cand = scored.count()
-            acc = max(1_000_000, min(n_cand + 1, 1 << 24))
+            acc = max(1_000_000, n_cand + 1)
+            if n_cand + 1 > GK_LOSSLESS_GATE:
+                acc = None  # dispatch to the exact sort path below
         else:
             acc = 100_000
-        q = scored.agg(
-            F.percentile_approx("cos_sim", drop_quantile, acc).alias("c")
-        ).collect()[0]["c"]
+        if acc is None:
+            q = exact_rank_element(scored, "cos_sim", drop_quantile, n=n_cand)
+        else:
+            q = scored.agg(
+                F.percentile_approx("cos_sim", drop_quantile, acc).alias("c")
+            ).collect()[0]["c"]
         cut = float(q) if q is not None else 2.0
     else:
         cut = threshold

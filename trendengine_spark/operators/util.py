@@ -270,3 +270,41 @@ def fit_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
     except Exception:
         n = spark.sparkContext.defaultParallelism
     return df.repartition(n, *keys)
+
+
+def exact_rank_element(df, col: str, q: float, n: int | None = None):
+    """The exact ⌈q·n⌉-th smallest value of ``df[col]`` (= DuckDB
+    ``quantile_disc`` / Spark's GK query rule at zero rank error) via
+    a global sort + OFFSET — the MEMORY-BOUNDED exact path the r12
+    sf10 sweep forced into existence.
+
+    Why: percentile_approx with accuracy derived ≥ n is lossless, but
+    GK partials COMPRESS ONLY above capacity — with accuracy ≥ rows,
+    every partial aggregator holds its entire partition's values as
+    JVM objects, which OOM'd an 8g heap on 60M-row lineitem at sf10
+    (the r11 2²⁴ clamp bounds the sketch but breaks the exact-rank
+    oracle identity at the same scale it protects). A sort is the
+    honest exact algorithm at any n: external, spillable, O(n log n),
+    and the identity holds at EVERY scale. Callers dispatch on a
+    cardinality gate (the profile_heavy_hitters pattern): sketch below
+    the gate, sort above it. Returns None on an empty frame."""
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = df.count()
+    if not n:
+        return None
+    k = max(int(_m.ceil(q * n)), 1)
+    row = df.select(col).orderBy(F.col(col).asc()).offset(k - 1).limit(1).collect()
+    return row[0][0] if row else None
+
+
+#: rows-per-aggregation-state gate for GK-sketch percentile paths:
+#: below it, accuracy = n+1 is lossless AND cheap (partial state ≤
+#: gate rows); above it, dispatch to exact_rank_element. 2²² rows ×
+#: ~32 partials × ~40 B/entry ≈ 5 GB worst case — inside the 8g
+#: session heap with margin; the sf10 failure point (20M rows/group)
+#: is 5× past it.
+GK_LOSSLESS_GATE = 1 << 22

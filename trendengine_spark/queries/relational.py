@@ -777,24 +777,67 @@ def approx_percentiles(spark, sf_dir):
     adjacent element and hash-mismatch. One cheap single-column
     count-by-flag pins accuracy > max rows/group, keeping the sketch
     lossless at whatever scale the sweep runs; the floor stays 1e6 so
-    small scales measure the same configuration as before."""
+    small scales measure the same configuration as before.
+
+    CARDINALITY-GATED since r12: the sf10 sweep (60M lineitem, ~20M
+    rows/group) found the lossless derivation's memory wall — GK
+    partials compress only above capacity, so accuracy ≥ rows means
+    every partial holds its whole partition as JVM objects, and the
+    8g session heap OOM'd. Above GK_LOSSLESS_GATE rows/group the
+    query now computes the SAME ⌈p·n⌉-rank elements exactly by
+    per-group sort + row_number — external, spillable, identical
+    output (both paths are exact, so the oracle identity holds at
+    EVERY scale and the gate is equality-tested across its boundary
+    in tests/test_relational_ops.py)."""
+    from trendengine_spark.operators.util import GK_LOSSLESS_GATE
+
     li = t(spark, sf_dir, "lineitem")
-    nmax = (
-        li.groupBy("l_returnflag").count().agg(F.max("count")).first()[0]
-    ) or 0
-    acc = max(1_000_000, int(nmax) + 1)
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], acc
-        ).alias("pcts"),
+    counts = li.groupBy("l_returnflag").count().collect()  # bounded: 3 rows
+    nmax = max((int(r["count"]) for r in counts), default=0)
+    if nmax + 1 <= GK_LOSSLESS_GATE:
+        acc = max(1_000_000, nmax + 1)
+        return li.groupBy("l_returnflag").agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], acc
+            ).alias("pcts"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        ).select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p25"),
+            F.element_at("pcts", 2).alias("p50"),
+            F.element_at("pcts", 3).alias("p75"),
+            "mn", "mx",
+        )
+    # exact path: rank targets per group from the bounded counts
+    import math as _m
+
+    from pyspark.sql import Window
+
+    targets = [
+        (r["l_returnflag"], p, max(int(_m.ceil(q * int(r["count"]))), 1))
+        for r in counts
+        for p, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+    ]
+    tdf = spark.createDataFrame(targets, "l_returnflag string, p string, rk long")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select("l_returnflag", "l_extendedprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    picked = ranked.join(
+        F.broadcast(tdf),
+        (ranked["l_returnflag"] == tdf["l_returnflag"])
+        & (ranked["rn"] == tdf["rk"]),
+    ).select(ranked["l_returnflag"], "p", "l_extendedprice")
+    pcts = picked.groupBy("l_returnflag").pivot(
+        "p", ["p25", "p50", "p75"]
+    ).agg(F.first("l_extendedprice"))
+    mnmx = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("mn"),
         F.max("l_extendedprice").alias("mx"),
-    ).select(
-        "l_returnflag",
-        F.element_at("pcts", 1).alias("p25"),
-        F.element_at("pcts", 2).alias("p50"),
-        F.element_at("pcts", 3).alias("p75"),
-        "mn", "mx",
+    )
+    return pcts.join(mnmx, "l_returnflag").select(
+        "l_returnflag", "p25", "p50", "p75", "mn", "mx"
     )
 
 
