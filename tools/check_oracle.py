@@ -98,7 +98,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark()
+    # maxResultSize raised for the harness only (the stress_sf1
+    # rationale): the comparison pulls each query's FULL result to
+    # the driver for hashing — at sf10 the per-document outputs
+    # (fingerprints, hashes) legitimately exceed the 1 GiB default.
+    # Harness collection, not operator state; registry queries keep
+    # their own bounded-collect discipline.
+    spark = get_spark(extra_conf={"spark.driver.maxResultSize": "8g"})
     # JVM/codegen warm-up so the first query's reported time is the
     # query, not one-time JIT (~5-8 s otherwise attributed to whatever
     # happens to run first)
@@ -108,6 +114,19 @@ def main() -> int:
     names = args.names or sorted(qs)
 
     con = duckdb.connect()
+    # Bound the ORACLE engine's appetite (r12, sf10 sweep): the
+    # heaviest doc-pipeline oracles (shingle pair joins over 5M
+    # salted documents) spilled DuckDB temp past the box's 74 GB
+    # free disk, burning ~15 min each before dying on ENOSPC. With
+    # explicit limits a beyond-capacity oracle fails FAST and is
+    # recorded as a duckdb-capacity failure, not a hang — the Spark
+    # side of those rows completes (its external aggregation fits),
+    # which is itself sweep evidence.
+    con.execute("SET memory_limit='60GB'")
+    try:
+        con.execute("SET max_temp_directory_size='40GB'")
+    except Exception:
+        pass  # knob absent on older duckdb — disk ENOSPC still ends it
     for t in TABLES:
         # driver testdata ships single-FILE {table}.parquet; scale
         # builds (tools/stress_sf1.py) write multi-file parquet
