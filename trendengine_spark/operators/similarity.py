@@ -796,17 +796,30 @@ def embedding_near_dup_pairs(
         ),
         f"sim.neardup.banded.{planes_per_band}.{bands}.{seed}.{family}",
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "sig"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "sig"
-    )
+    # IDS-ONLY bucket self-join (r12, the sf10 lesson — see
+    # semantic_decontaminate): the pair shuffle carries 16-byte id
+    # pairs, never the 64-float vectors; vectors join back per id
+    # AFTER the dedup from the already-cached banded table.
+    a = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    id_vec = banded.select("id", "vec").dropDuplicates(["id"])
     pairs = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            id_vec.select(
+                F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+            ),
+            "id_a",
+        )
+        .join(
+            id_vec.select(
+                F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+            ),
+            "id_b",
+        )
     )
     # md5 family scores on the quantized integers too (not just the
     # buckets): exact int64 dots are summation-order-independent, so
@@ -1476,21 +1489,32 @@ def semantic_decontaminate(
         eval_df, planes, planes_per_band, bands, id_col, vec_col,
         quantize=quantize,
     )
+    # IDS-ONLY candidate join (r12, the sf10 lesson): carrying both
+    # 64-float vectors through the bucket join put ~15 GB of vector
+    # payload into the dedup shuffle at 200k vectors (the JVM died);
+    # candidates are now 16-byte id pairs and the vectors join back
+    # per id AFTER dedup — the "ids only across the shuffle" posture
+    # semantic_dedup already documents, applied cross-corpus.
     t_band = t_sig.select(
         F.col(id_col).alias("train_id"),
-        F.col(vec_col).alias("vec_t"),
         F.posexplode("sigs").alias("band", "sig"),
     )
     e_band = e_sig.select(
         F.col(id_col).alias("eval_id"),
-        F.col(vec_col).alias("vec_e"),
         F.posexplode("sigs").alias("band", "sig"),
     )
     cand = (
         t_band.join(F.broadcast(e_band), ["band", "sig"])
-        .select("train_id", "eval_id", "vec_t", "vec_e")
+        .select("train_id", "eval_id")
         .dropDuplicates(["train_id", "eval_id"])
     )
+    t_vec = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("vec_t")
+    )
+    e_vec = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("vec_e")
+    )
+    cand = cand.join(t_vec, "train_id").join(F.broadcast(e_vec), "eval_id")
     verify_cos = (
         cosine_arrow_quantized if family == "md5" else cosine_arrow
     )
