@@ -1516,10 +1516,14 @@ _PQ_CELLS = 32
 _PQ_K = 5
 
 
-def _pq_sql(pos_body: str, div: str, mat: str) -> str:
-    c, k = _PQ_CELLS, _PQ_K
-    parts = [
-        f"""
+def _pq_upos_sql(pos_body: str, div: str) -> str:
+    """The shared unit-quantized position head — split out so the
+    SPARK side can materialize it ONCE (localCheckpoint + temp view):
+    the sf10 sweep found the un-materialized chain re-deriving this
+    12.8M-row frame in ~a dozen join subtrees, whose accumulated AQE
+    stage materializations OOM'd the 8g JVM (BASELINE r12 appendix).
+    DuckDB keeps it inline (its MATERIALIZED CTEs already bound it)."""
+    return f"""
 pos AS ({pos_body}),
 nrm0 AS (
   SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
@@ -1529,7 +1533,19 @@ upos AS (
          CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
               / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
   FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0
-),
+)"""
+
+
+def _pq_sql(pos_body: str, div: str, mat: str, upos_src: str | None = None) -> str:
+    c, k = _PQ_CELLS, _PQ_K
+    head = (
+        f"upos AS (SELECT * FROM {upos_src})"
+        if upos_src
+        else _pq_upos_sql(pos_body, div).strip()
+    )
+    parts = [
+        f"""
+{head},
 nrm AS (
   SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM upos GROUP BY id
 ),
@@ -1650,12 +1666,20 @@ def sim_pq_topk(spark, sf_dir):
     Scale: training joins the 2,048-row book table per round
     (N·64·cells intermediate, partial-aggregated); ADC joins the
     per-query distance tables (N·m rows per query batch); candidates
-    are 4k per query. Nothing collects."""
-    return sql_over_tables(
+    are 4k per query. Nothing collects. The unit-quantized position
+    frame is materialized ONCE (localCheckpoint, the BPE plan-depth
+    discipline) — the r12 sf10 fix for the un-materialized chain
+    re-deriving it per join subtree."""
+    upos = sql_over_tables(
         spark,
         sf_dir,
-        "WITH " + _pq_sql(_PQ_POS_SPARK, " DIV ", ""),
+        "WITH " + _pq_upos_sql(_PQ_POS_SPARK, " DIV ")
+        + " SELECT * FROM upos",
         ("embeddings",),
+    ).localCheckpoint()
+    upos.createOrReplaceTempView("te_pq_upos")
+    return spark.sql(
+        "WITH " + _pq_sql(_PQ_POS_SPARK, " DIV ", "", upos_src="te_pq_upos")
     )
 
 

@@ -769,12 +769,15 @@ _IVFPQ_NPROBE = 8
 _IVFPQ_K = 5
 
 
-def _ivfpq_sql(pos_body: str, div: str, mat: str) -> str:
+def _ivfpq_sql(
+    pos_body: str, div: str, mat: str, upos_src: str | None = None
+) -> str:
     c, s_, kc = _IVFPQ_CELLS, _IVFPQ_SUBS, _IVFPQ_CODES
     np_, k = _IVFPQ_NPROBE, _IVFPQ_K
-    parts = [
-        f"""
-pos AS ({pos_body}),
+    if upos_src:
+        head = f"upos AS (SELECT * FROM {upos_src})"
+    else:
+        head = f"""pos AS ({pos_body}),
 nrm0 AS (
   SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
 ),
@@ -783,7 +786,10 @@ upos AS (
          CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
               / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
   FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0
-),
+)"""
+    parts = [
+        f"""
+{head},
 seeds AS (
   SELECT id, CAST(row_number() OVER (
            ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
@@ -949,12 +955,26 @@ def sim_ivfpq_topk(spark, sf_dir):
 
     Scale: the same pruning contract as sim_ivf_topk with 12.8× less
     candidate payload (codes not vectors); training joins bounded
-    book tables per round; nothing collects."""
-    return sql_over_tables(
+    book tables per round; nothing collects. The unit-quantized
+    position frame is materialized ONCE (localCheckpoint, the r12
+    sf10 plan-depth fix — see sim_pq_topk)."""
+    upos = sql_over_tables(
         spark,
         sf_dir,
-        "WITH " + _ivfpq_sql(_IVFPQ_POS_SPARK, " DIV ", ""),
+        "WITH pos AS (" + _IVFPQ_POS_SPARK + """),
+nrm0 AS (
+  SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
+)
+SELECT p.id, CAST(p.i DIV 2 AS INT) AS sub, p.i,
+       CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
+            / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
+FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0""",
         ("embeddings",),
+    ).localCheckpoint()
+    upos.createOrReplaceTempView("te_ivfpq_upos")
+    return spark.sql(
+        "WITH "
+        + _ivfpq_sql(_IVFPQ_POS_SPARK, " DIV ", "", upos_src="te_ivfpq_upos")
     )
 
 
