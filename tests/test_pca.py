@@ -110,8 +110,11 @@ def test_jacobi_eigvals_match_lapack():
 
 def test_exact_moments_match_bruteforce_ints(spark):
     """exact_embedding_moments = the same integers a single-threaded
-    brute-force quantization computes, at any partitioning."""
+    brute-force quantization computes, at any partitioning. Input
+    normalized to |v| ≤ 1 — the checked precondition of the int64
+    overflow bound (ADVICE r12)."""
     x = _lowrank(n=97, dim=5)
+    x = x / np.abs(x).max()
     scale = 1 << 21
     q = np.floor(x * scale + 0.5).astype(np.int64)
     for parts in (1, 7):
@@ -230,3 +233,108 @@ def test_whitened_projection_unit_variance(spark):
     # whitened components have unit variance and are decorrelated
     cov = np.cov(p, rowvar=False, bias=True)
     np.testing.assert_allclose(cov, np.eye(k), atol=1e-6)
+
+
+def test_jacobi_schedule_rejects_odd_dim():
+    """ADVICE r12: inv2 = (m+1)//2 inverts 2 mod m only for odd m =
+    dim-1 — odd dim must raise, not silently mis-pair."""
+    with pytest.raises(ValueError, match="even dim"):
+        jacobi_schedule(0, 63)
+    jacobi_schedule(0, 64)  # even dim fine
+
+
+def test_exact_moments_guard_rails(spark):
+    """ADVICE r12: the overflow preconditions are real exceptions —
+    |v| ≤ 1 is checked per batch, n·scale² < 2⁶² per partition, and
+    check_moment_headroom covers the cross-partition sum."""
+    from trendengine_spark.operators.pca import check_moment_headroom
+
+    x = np.full((4, 4), 3.0)  # |v| > 1: breaks the n·scale² bound
+    with pytest.raises(Exception, match="overflow bound"):
+        exact_embedding_moments(_df(spark, x, parts=1), 4, 1 << 21).collect()
+    x2 = np.full((8, 2), 0.5)  # 8 · (2³⁰)² = 2⁶³ ≥ 2⁶²
+    with pytest.raises(Exception, match="split-accumulate"):
+        exact_embedding_moments(_df(spark, x2, parts=1), 2, 1 << 30).collect()
+    with pytest.raises(ValueError, match="wrap int64"):
+        check_moment_headroom(1 << 21, 1 << 21)
+    check_moment_headroom(1 << 19, 1 << 21)  # inside the ceiling
+
+
+def test_pca_oracle_round_parity_low_rounds():
+    """ADVICE r12 (the off-by-one): the DuckDB twin at rounds=R must
+    bit-match jacobi_eigvals at R rounds AWAY from the converged
+    regime — the old guard ran R-1 rotations and was masked only
+    because round 630 was a numerical no-op after convergence."""
+    import duckdb
+
+    from trendengine_spark.queries.ml import (
+        _PCA_P,
+        _pca_duck_sql,
+        _pca_matrix,
+        _pca_top8,
+    )
+
+    pq = "/root/testdata/sf0.001/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')"
+    )
+    # python twin from the same parquet: pure-numpy exact-int moments
+    emb = con.execute("SELECT embedding FROM embeddings").fetchall()
+    x = np.asarray([list(r[0]) for r in emb], dtype=np.float64)
+    q = np.floor(x * _PCA_P + 0.5).astype(np.int64)
+    n, d = q.shape
+    sg = q.T @ q  # exact at this corpus size
+    sv = q.sum(axis=0)
+    rows = [{"i": -1, "j": -1, "s": n}]
+    rows += [{"i": i, "j": -1, "s": int(sv[i])} for i in range(d)]
+    rows += [
+        {"i": i, "j": j, "s": int(sg[i, j])}
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    a0, trace_int, _ = _pca_matrix(rows)
+    for rounds in (1, 5):
+        want = _pca_top8(a0, trace_int, rounds)
+        got = sorted(con.execute(_pca_duck_sql(rounds=rounds)).fetchall())
+        assert len(got) == 8
+        for w, g in zip(want, got):
+            assert int(g[0]) == w[0]
+            assert g[1] == w[1], (rounds, g, w)  # bit-for-bit
+            assert g[2] == w[2]
+            assert g[3] == w[3]
+
+
+def test_pca_rounds_certified():
+    """_PCA_ROUNDS (8 sweeps, r13) is certified: the top-8 readout is
+    bit-identical to the 10-sweep JACOBI_SWEEPS reference on the
+    driver corpus — the round cut changes oracle COST only."""
+    import duckdb
+
+    from trendengine_spark.queries.ml import (
+        _PCA_P,
+        _PCA_ROUNDS,
+        _pca_matrix,
+        _pca_top8,
+    )
+
+    pq = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{pq}')"
+    ).fetchall()
+    x = np.asarray([list(r[0]) for r in emb], dtype=np.float64)
+    q = np.floor(x * _PCA_P + 0.5).astype(np.int64)
+    n, d = q.shape
+    sg = q.T @ q
+    sv = q.sum(axis=0)
+    rows = [{"i": -1, "j": -1, "s": n}]
+    rows += [{"i": i, "j": -1, "s": int(sv[i])} for i in range(d)]
+    rows += [
+        {"i": i, "j": j, "s": int(sg[i, j])}
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    a0, tr, _ = _pca_matrix(rows)
+    assert _pca_top8(a0, tr, _PCA_ROUNDS) == _pca_top8(
+        a0, tr, 63 * JACOBI_SWEEPS
+    )

@@ -346,3 +346,21 @@ def test_approx_percentiles_gate_paths_equal(spark, monkeypatch):
     monkeypatch.setattr(util, "GK_LOSSLESS_GATE", 1)  # force exact path
     b = {tuple(r) for r in fn(spark, sf).collect()}
     assert a == b and len(a) == 3
+
+
+def test_exact_rank_element_ignores_nulls(spark):
+    """ADVICE r12: NULLs must not occupy the lowest ranks — the exact
+    path matches percentile_approx/quantile_disc NULL semantics, so
+    crossing GK_LOSSLESS_GATE cannot change results on nullable
+    columns."""
+    from trendengine_spark.operators.util import exact_rank_element
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1.0,), (2.0,), (3.0,), (4.0,)], "v double"
+    )
+    # ceil(0.5·4) = 2nd smallest non-null = 2.0
+    assert exact_rank_element(df, "v", 0.5) == 2.0
+    # and n, when supplied, is the NON-NULL count by contract
+    assert exact_rank_element(df, "v", 0.5, n=4) == 2.0
+    got = df.agg(F.percentile_approx("v", 0.5, 10).alias("p")).collect()
+    assert got[0]["p"] == 2.0

@@ -36,6 +36,7 @@ __all__ = [
     "fit_from_moment_rows",
     "pca_project",
     "exact_embedding_moments",
+    "check_moment_headroom",
     "jacobi_schedule",
     "jacobi_eigvals",
     "JACOBI_SWEEPS",
@@ -114,11 +115,16 @@ def exact_embedding_moments(
 
     Same one-pass shape: each partition folds its Arrow batches into
     a local int64 Gram with BLAS-free integer matmul; only
-    O(partitions · d²) longs cross the shuffle. Overflow headroom:
-    per-partition sums bound by rows·(max|v|·scale)² — at
-    scale 2²¹ and |v| ≤ 1 that holds to ~2M rows per partition and
-    ~4M rows per corpus before the split-accumulator trick
-    (profile_numeric_correlations) would be needed; asserted below.
+    O(partitions · d²) longs cross the shuffle. Overflow headroom
+    (ADVICE r12: real exceptions, not asserts — and the |v| ≤ 1
+    precondition is CHECKED, not assumed): each batch verifies
+    max|q| ≤ scale, each partition verifies rows·scale² < 2⁶², and
+    the cross-partition groupBy sum (which Spark's non-ANSI SUM
+    would silently wrap) is bounded by the caller checking the
+    corpus row count from the (-1,-1) moment row against the same
+    ceiling — see :func:`check_moment_headroom`. At scale 2²¹ the
+    ceiling is ~2²⁰ ≈ 1M corpus rows; past it, split-accumulate
+    (the profile_numeric_correlations trick) or lower the scale.
     """
     schema = T.StructType(
         [
@@ -140,13 +146,22 @@ def exact_embedding_moments(
                 continue
             x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
             q = np.floor(x * scale + 0.5).astype(np.int64)
-            # int64 Gram is exact iff it never wraps: bound the
-            # partition's accumulated magnitude (documented ceiling)
+            # int64 Gram is exact iff it never wraps: the bound
+            # n·scale² assumes |q| ≤ scale (i.e. |v| ≤ 1), so check
+            # BOTH — real exceptions (asserts vanish under -O)
+            if len(q) and int(np.abs(q).max()) > scale:
+                raise ValueError(
+                    "exact_embedding_moments: |v| > 1 breaks the "
+                    f"n*scale^2 overflow bound (max|q|="
+                    f"{int(np.abs(q).max())} > scale={scale}) — "
+                    "normalize the vectors or lower the scale"
+                )
             n += len(q)
-            assert n * float(scale) ** 2 < 2**62, (
-                "exact_embedding_moments: partition too large for "
-                "int64 Gram accumulation — split-accumulate instead"
-            )
+            if n * scale * scale >= 2**62:
+                raise ValueError(
+                    "exact_embedding_moments: partition too large for "
+                    "int64 Gram accumulation — split-accumulate instead"
+                )
             g += q.T @ q
             m += q.sum(axis=0)
         if n == 0:
@@ -171,6 +186,23 @@ def exact_embedding_moments(
     )
 
 
+def check_moment_headroom(n: int, scale: int) -> None:
+    """Corpus-level int64 headroom check for
+    :func:`exact_embedding_moments` consumers (ADVICE r12): the
+    per-partition guard bounds LOCAL Gram accumulation, but the
+    cross-partition ``groupBy().sum()`` is a Spark non-ANSI long sum
+    that wraps silently — so after collecting the moment rows, the
+    caller must check the CORPUS count (available from the (-1,-1)
+    row before any eigensolve) against the same n·scale² < 2⁶²
+    ceiling. Raises ValueError past it."""
+    if n * scale * scale >= 2**62:
+        raise ValueError(
+            f"exact moment sums can wrap int64 at n={n}, scale={scale} "
+            f"(n*scale^2 = {n * scale * scale:.3e} >= 2^62) — "
+            "split-accumulate or lower the quantization scale"
+        )
+
+
 #: fixed sweep count for the deterministic eigensolve — off-diagonal
 #: measured < 2e-16 relative after 10 sweeps on the 64-d corpus
 #: covariance (flat spectrum, the hard case for iterative methods)
@@ -183,7 +215,18 @@ def jacobi_schedule(r: int, dim: int) -> list[tuple[int, int]]:
     pair appears exactly once per ``dim-1`` consecutive rounds. For
     i, j < dim-1 pair when i+j ≡ r (mod dim-1); the index solving
     2i ≡ r pairs with the fixed index dim-1. Pure modular arithmetic
-    so the DuckDB oracle computes the identical schedule in SQL."""
+    so the DuckDB oracle computes the identical schedule in SQL.
+
+    Requires EVEN ``dim``: inv2 = (m+1)//2 is the inverse of 2 mod m
+    only when m = dim-1 is odd — for odd dim the round-robin would
+    silently produce incomplete/non-disjoint pairings and corrupt
+    the eigensolve (ADVICE r12). Pad odd-width inputs with a zero
+    row/column instead."""
+    if dim % 2:
+        raise ValueError(
+            f"jacobi_schedule requires even dim (got {dim}): the "
+            "circle-method inverse (m+1)//2 needs m = dim-1 odd"
+        )
     m = dim - 1
     rr = r % m
     inv2 = (m + 1) // 2  # inverse of 2 mod m (m odd)

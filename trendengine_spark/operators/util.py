@@ -287,11 +287,20 @@ def exact_rank_element(df, col: str, q: float, n: int | None = None):
     honest exact algorithm at any n: external, spillable, O(n log n),
     and the identity holds at EVERY scale. Callers dispatch on a
     cardinality gate (the profile_heavy_hitters pattern): sketch below
-    the gate, sort above it. Returns None on an empty frame."""
+    the gate, sort above it. Returns None on an empty frame.
+
+    NULL semantics (ADVICE r12): NULLs are EXCLUDED, matching
+    percentile_approx / quantile_disc — Spark's default ascending
+    sort is nulls-first, so without the filter NULLs would occupy
+    the lowest ranks and crossing GK_LOSSLESS_GATE would change
+    results on nullable columns. ``n``, when supplied, must be the
+    NON-NULL row count; when omitted it is computed after the
+    filter."""
     import math as _m
 
     from pyspark.sql import functions as F
 
+    df = df.filter(F.col(col).isNotNull())
     if n is None:
         n = df.count()
     if not n:

@@ -315,18 +315,34 @@ _PCA_P = 1 << 21  #: embedding value quantization scale
 _PCA_DIV = 4096.0  #: cov(q-scale) → c_int downscale = P²/Q
 _PCA_Q = 1073741824.0  #: c_int scale (2³⁰) — eigval divisor
 _PCA_D = 64
-_PCA_ROUNDS = 63 * 10  # JACOBI_SWEEPS sweeps of dim-1 rounds
+#: r13: 8 sweeps, down from JACOBI_SWEEPS=10 — the oracle's recursive
+#: CTE pays ~linearly per round (91 s of the r12 sf0.01 sweep), and
+#: the top-8 readout is measured BIT-IDENTICAL from 7 sweeps on all
+#: three driver corpora (quadratic convergence; certified with one
+#: sweep of margin by test_pca_rounds_certified). The cross-engine
+#: identity holds at ANY fixed count; only the eigh-parity accuracy
+#: claim needs the certification, and that is pinned per-corpus.
+_PCA_ROUNDS = 63 * 8
 
 
-def _pca_duck_sql() -> str:
+def _pca_duck_sql(rounds: int = _PCA_ROUNDS) -> str:
     """DuckDB twin of the quantized-Jacobi PCA: exact-int moments →
-    quantized covariance → 630 recursive-CTE Jacobi rounds (the
-    round-robin pairing, rotation formulas, and expression trees
+    quantized covariance → ``rounds`` recursive-CTE Jacobi rounds
+    (the round-robin pairing, rotation formulas, and expression trees
     mirror operators/pca.jacobi_eigvals token-for-token) → top-8
     diagonal with a RECURSIVE cumulative sum (window cumsum order is
-    engine-internal; recursion makes the addition order explicit)."""
+    engine-internal; recursion makes the addition order explicit).
+
+    Round accounting (ADVICE r12 fix): the anchor emits r=0, each
+    step applies schedule r and emits r+1, the guard runs steps
+    while cur2.r < rounds, and the readout takes r = rounds — so
+    exactly ``rounds`` rotations (schedules 0..rounds-1) apply, the
+    same count ``jacobi_eigvals(a0, rounds)`` applies. The previous
+    ``rounds - 1`` guard/readout ran one rotation fewer than the
+    Python side — masked in the converged regime, pinned away from
+    it by the low-round parity test in tests/test_pca.py."""
     p, div, q = _PCA_P, _PCA_DIV, _PCA_Q
-    d, m, rounds = _PCA_D, _PCA_D - 1, _PCA_ROUNDS
+    d, m = _PCA_D, _PCA_D - 1
     inv2 = (m + 1) // 2
     return f"""
     WITH RECURSIVE
@@ -417,13 +433,13 @@ def _pca_duck_sql() -> str:
       JOIN info fj ON fj.idx = t1.j
       JOIN b t2 ON t2.j = fj.partner AND t2.i = t1.i,
       (SELECT r FROM cur LIMIT 1) cur2(r)
-      WHERE cur2.r < {rounds} - 1
+      WHERE cur2.r < {rounds}
       )
     ),
     tr AS (SELECT CAST(sum(c) AS BIGINT) tv FROM cq WHERE i = j),
     topd AS (
       SELECT a, row_number() OVER (ORDER BY a DESC) rn
-      FROM it WHERE r = {rounds} - 1 AND i = j
+      FROM it WHERE r = {rounds} AND i = j
       ORDER BY a DESC LIMIT 8
     ),
     cum(rn, a, ce) AS (
@@ -457,16 +473,30 @@ def sim_pca_explained_variance(spark, sf_dir):
     partial-aggregated SUM; int64 headroom holds to ~4M corpus rows
     at scale 2²¹ (documented in operators/pca.exact_embedding_moments
     with the split-accumulator escape hatch)."""
-    import math as _math
-
-    from trendengine_spark.operators.pca import (
-        exact_embedding_moments,
-        jacobi_eigvals,
-    )
+    from trendengine_spark.operators.pca import exact_embedding_moments
 
     emb = t(spark, sf_dir, "embeddings")
     rows = exact_embedding_moments(emb, _PCA_D, _PCA_P).collect()
+    a0, trace_int, _n = _pca_matrix(rows)
+    out = _pca_top8(a0, trace_int, _PCA_ROUNDS)
+    return spark.createDataFrame(
+        out,
+        "component int, eigval double, explained double, "
+        "cum_explained double",
+    )
+
+
+def _pca_matrix(rows):
+    """Moment rows → (a0, trace_int, n): token-for-token the oracle's
+    cq expression (quantized covariance re-quantized at 2³⁰), shared
+    by the query and the low-round parity test. Applies the
+    corpus-level int64 headroom check (ADVICE r12) — the
+    cross-partition moment SUM wraps silently past n·scale² = 2⁶²."""
+    import math as _math
+
     import numpy as np
+
+    from trendengine_spark.operators.pca import check_moment_headroom
 
     n = 0
     sv = np.zeros(_PCA_D, dtype=object)
@@ -480,6 +510,7 @@ def sim_pca_explained_variance(spark, sf_dir):
             sg[(r["i"], r["j"])] = int(r["s"])
     if n < 2:  # pragma: no cover - degenerate corpus guard
         raise ValueError("PCA needs at least 2 rows")
+    check_moment_headroom(n, _PCA_P)
     a0 = np.zeros((_PCA_D, _PCA_D))
     trace_int = 0
     for (i, j), s in sg.items():
@@ -491,7 +522,18 @@ def sim_pca_explained_variance(spark, sf_dir):
         a0[i, j] = a0[j, i] = float(c_int)
         if i == j:
             trace_int += c_int
-    diag = jacobi_eigvals(a0, _PCA_ROUNDS)
+    return a0, trace_int, n
+
+
+def _pca_top8(a0, trace_int, rounds):
+    """Jacobi top-8 readout → (component, eigval, explained,
+    cum_explained) tuples — the sequential ce accumulation mirrors
+    the oracle's recursive cum CTE addition order exactly."""
+    import numpy as np
+
+    from trendengine_spark.operators.pca import jacobi_eigvals
+
+    diag = jacobi_eigvals(a0, rounds)
     top = np.sort(diag)[::-1][:8]
     out = []
     ce = 0.0
@@ -500,11 +542,7 @@ def sim_pca_explained_variance(spark, sf_dir):
         explained = ev / float(trace_int)
         ce = explained if k == 0 else ce + explained
         out.append((k, ev / _PCA_Q, explained, ce))
-    return spark.createDataFrame(
-        out,
-        "component int, eigval double, explained double, "
-        "cum_explained double",
-    )
+    return out
 
 
 @query(
