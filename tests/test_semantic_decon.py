@@ -154,3 +154,21 @@ def test_md5_exact_rank_gate_paths_equal(spark, monkeypatch):
     )
     b = ({tuple(r) for r in m2.collect()}, {r["vec_id"] for r in s2.collect()})
     assert a == b
+
+
+def test_adaptive_planes_per_band_derivation():
+    """r13 (VERDICT r12 #1): the LSH selectivity knob scales with
+    log2(corpus) — smallest p with 2^p >= n, clamped to [8, 24] —
+    exactly the integer shift-compare the DuckDB oracles transcribe."""
+    from trendengine_spark.operators.similarity import (
+        adaptive_planes_per_band as appb,
+    )
+
+    assert appb(0) == appb(1) == appb(256) == 8  # lo clamp
+    assert appb(500) == 9  # the sf0.01 embeddings corpus
+    assert appb(512) == 9  # exact power: 2^9 >= 512
+    assert appb(513) == 10
+    assert appb(2_000) == 11  # sf0.1
+    assert appb(200_000) == 18  # the sf10 design point
+    assert appb(1 << 24) == 24
+    assert appb(10**9) == 24  # hi clamp

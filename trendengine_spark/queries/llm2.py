@@ -1871,12 +1871,20 @@ def dedup_semantic_survivors(spark, sf_dir):
 @query(
     "pipeline_semantic_decontaminate",
     sql="""
-    WITH signs AS (
+    WITH nn AS (
+      SELECT count(*) AS n FROM embeddings WHERE label <> 0
+    ),
+    par AS (
+      SELECT CAST(least(24, greatest(8, min(pp.p))) AS INT) AS ppb
+      FROM nn, unnest(generate_series(1, 40)) AS pp(p)
+      WHERE (CAST(1 AS BIGINT) << pp.p) >= nn.n
+    ),
+    signs AS (
       SELECT p, i,
              CASE WHEN (CAST(concat('0x',
                     substr(md5('hp:' || p || ':' || i), 1, 15)) AS BIGINT)
                     & 1) = 1 THEN 1 ELSE -1 END AS s
-      FROM unnest(generate_series(0, 59)) AS pp(p),
+      FROM par, unnest(generate_series(0, 6 * par.ppb - 1)) AS pp(p),
            unnest(generate_series(0, 63)) AS ii(i)
     ),
     qv AS (
@@ -1890,10 +1898,10 @@ def dedup_semantic_survivors(spark, sf_dir):
       GROUP BY qv.id, qv.label, signs.p
     ),
     sigs AS (
-      SELECT id, label, CAST(p // 10 AS INT) AS band,
-             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 10))
+      SELECT id, label, CAST(p // par.ppb AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % par.ppb))
                            ELSE 0 END) AS BIGINT) AS sig
-      FROM dots GROUP BY id, label, p // 10
+      FROM dots, par GROUP BY id, label, p // par.ppb
     ),
     cand AS (
       SELECT DISTINCT tb.id AS train_id, eb.id AS eval_id
@@ -1957,7 +1965,13 @@ def pipeline_semantic_decontaminate(spark, sf_dir):
     (approx_percentiles identity). Gaussian planes + full-precision
     cosine remain the operator default; planted-leak recall and
     no-false-drop stay pinned in tests/test_semantic_decon.py for
-    BOTH families."""
+    BOTH families.
+
+    r13 (VERDICT r12 #1): band width DERIVED from the train-side
+    corpus count on both engines (smallest p with 2^p ≥ n, clamped
+    [8, 24] — the oracle's `par` CTE), so cross-corpus candidate
+    volume stays ~linear in |train|; true leaks (cos ≈ 1) remain
+    insensitive to the widening (per-plane collision ~0.986)."""
     from pyspark.sql import functions as F
 
     from trendengine_spark.operators.similarity import (
