@@ -73,6 +73,10 @@ _SPINE_FIRST = [
     # explained-variance converted via the deterministic quantized
     # Jacobi eigensolve (task 6) and U7 BFAST gained its relational
     # twin — every analytical U-row now carries an oracle
+    # r13 additions lead: the bounded interval-join twin (VERDICT
+    # r12 #3 — O(|purchases|) output + full count accounting where
+    # the exact form's pair output is ~n²/window)
+    "stream_interval_join_capped",
     "sim_pca_explained_variance",
     "u7_bfast_relational",
     "u5_decomposition_events",

@@ -278,24 +278,37 @@ def join_time_window_counts(spark, sf_dir):
     """Co-activity: for every purchase, how many events by OTHER
     users landed within ±60 s — a pure range join (no equi key),
     which naively is |L|·|R| and is exactly what a cartesian sweep
-    must refuse at scale. The scale-safe plan quantizes time into
-    tolerance-width buckets: each probe row explodes into its 3
-    adjacent buckets (a generator, not a join), the corpus side
-    carries its single home bucket, and the join is an EQUI-join on
-    the bucket with the exact |Δms| ≤ 60000 residual behind it.
-    Every true pair shares one of the 3 probe buckets (|Δt| ≤ width
-    ⟹ bucket distance ≤ 1) and each pair meets at most once (the
-    right row has one bucket), so no distinct pass is needed.
-    Candidate volume is Σ_bucket |probes|·|events| — activity
-    density, not table product. The left join keeps zero-neighbor
-    purchases (count(u2) ignores the null padding). Millisecond
-    integers end-to-end: no float time arithmetic to drift."""
+    must refuse at scale.
+
+    r13 plan (VERDICT r12 #3 — the r12 bucket-join plan materialized
+    the matched PAIRS, ~n²/window rows at 100× event density, and
+    died in join state at sf10): the pair table never exists.
+    Exact-count decomposition n_nearby = n_total − n_own:
+
+    * **n_total** (events of ANY user within ±60 s) is a RANGE-frame
+      window count — probes explode into their 3 adjacent
+      tolerance-width buckets (a generator), union with the events
+      carrying their single home bucket, and ONE
+      ``sum(_is_ev) OVER (PARTITION BY bkt ORDER BY t RANGE BETWEEN
+      -60000 AND 60000)`` counts each event exactly once (in its
+      home bucket) per probe. Intermediate volume: 3·|probes| +
+      |events| rows through one shuffle — linear at ANY activity
+      density, where the pair plan was quadratic.
+    * **n_own** (the probe user's own events, subtracted out — the
+      purchase row itself among them) joins on BOTH keys
+      (bkt, user_id): per-user density, never all-users.
+
+    Millisecond integers end-to-end: no float time arithmetic to
+    drift. Every purchase appears (its own event makes n_total ≥ 1),
+    so no left-join padding pass is needed."""
+    from pyspark.sql import Window
+
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_millis("ts").alias("ms")
     )
     e = ev.select(
-        F.col("user_id").alias("u2"),
+        F.col("user_id").alias("user_id"),
         F.unix_millis("ts").alias("ms2"),
         (F.unix_millis("ts") / F.lit(60000)).cast("long").alias("bkt"),
     )
@@ -311,20 +324,34 @@ def join_time_window_counts(spark, sf_dir):
             )
         ).alias("bkt"),
     )
-    matched = probes.join(e, "bkt").filter(
-        (F.col("u2") != F.col("user_id"))
-        & (F.abs(F.col("ms") - F.col("ms2")) <= 60000)
-    )
-    counts = matched.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_nearby")
-    )
-    return (
-        p.select("event_id")
-        .join(counts, "event_id", "left")
-        .select(
-            "event_id",
-            F.coalesce("n_nearby", F.lit(0)).cast("long").alias("n_nearby"),
+    u = probes.select(
+        "event_id", "bkt", F.col("ms").alias("_t"), F.lit(0).alias("_is_ev")
+    ).unionByName(
+        e.select(
+            F.lit(None).cast(p.schema["event_id"].dataType).alias("event_id"),
+            "bkt",
+            F.col("ms2").alias("_t"),
+            F.lit(1).alias("_is_ev"),
         )
+    )
+    w = Window.partitionBy("bkt").orderBy("_t").rangeBetween(-60000, 60000)
+    totals = (
+        u.withColumn("_n", F.sum("_is_ev").over(w))
+        .filter(F.col("_is_ev") == 0)
+        .groupBy("event_id")
+        .agg(F.sum("_n").alias("n_total"))
+    )
+    own = (
+        probes.join(e, ["bkt", "user_id"])
+        .filter(F.abs(F.col("ms") - F.col("ms2")) <= 60000)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_own"))
+    )
+    return totals.join(own, "event_id", "left").select(
+        "event_id",
+        (F.col("n_total") - F.coalesce("n_own", F.lit(0)))
+        .cast("long")
+        .alias("n_nearby"),
     )
 
 

@@ -495,6 +495,161 @@ def stream_interval_left_join(spark, sf_dir):
 
 
 @query(
+    "stream_interval_join_capped",
+    sql="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT p.user_id, p.purchase_id, p.p_ts, p.value, v.view_id, v.v_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY v.v_ts DESC, v.view_id DESC) AS rn,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM p JOIN v ON v.user_id = p.user_id
+        AND epoch_ms(v.v_ts) <= epoch_ms(p.p_ts)
+        AND epoch_ms(v.v_ts) >= epoch_ms(p.p_ts) - 3600000
+    )
+    SELECT user_id, purchase_id, p_ts, round(value, 4) AS purchase_value,
+           CAST(n AS BIGINT) AS n_views_window, CAST(rn AS INT) AS rn,
+           view_id, v_ts
+    FROM j WHERE rn <= 3
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, p.p_ts, round(p.value, 4),
+           CAST(0 AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+    FROM p WHERE NOT EXISTS (
+      SELECT 1 FROM v WHERE v.user_id = p.user_id
+        AND epoch_ms(v.v_ts) <= epoch_ms(p.p_ts)
+        AND epoch_ms(v.v_ts) >= epoch_ms(p.p_ts) - 3600000
+    )
+    """,
+)
+def stream_interval_join_capped(spark, sf_dir):
+    """BOUNDED interval-join twin (r13, VERDICT r12 #3): the exact
+    interval join's OUTPUT is inherently superlinear — every
+    (purchase, view-within-the-prior-hour) pair, ~n²/window rows as
+    event density grows; sf10 died in join state. At 100 TB the
+    attribution shape a pipeline actually ships is this one: per
+    purchase, the window COUNT (full accounting — nothing silently
+    dropped) plus the ≤3 most recent views (capped pairs,
+    deterministic order: v_ts DESC, view_id DESC). Output is O(|p|),
+    at any density.
+
+    The plan builds NO pair table at all (not even capped-then-
+    pruned): views get a per-user sequence number vn (one window);
+    each purchase learns V_hi = #views with ts ≤ p_ts and V_lo =
+    #views with ts < p_ts−1h from TWO boundary probe rows carried
+    through a per-user running ``last(vn)`` (union + one window — the
+    as-of-join shape, no range join); then n = V_hi − V_lo and the
+    top-3 views are the EQUI-join back on (user_id, vn) for
+    vn ∈ {V_hi, V_hi−1, V_hi−2} ∩ (V_lo, ∞) — a 3-row generator per
+    purchase. Boundary ties are exact: the hi probe sorts AFTER
+    equal-ts views (ts ≤ p_ts inclusive), the lo probe BEFORE
+    (ts ≥ p_ts−1h inclusive). Millisecond integers end-to-end.
+
+    The exact form stays declared (`stream_interval_left_join`);
+    BASELINE's interval-join cliff note points here."""
+    ev = t(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("pv"),
+        ms.alias("p_ms"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        ms.alias("v_ms"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("v_ms", "view_id")
+    vn = v.withColumn("vn", F.row_number().over(wv))
+    probes = p.select(
+        "user_id",
+        "purchase_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("p_ms") - 3600000).alias("_t"),
+                    F.lit(0).alias("_k"),
+                ),
+                F.struct(F.col("p_ms").alias("_t"), F.lit(2).alias("_k")),
+            )
+        ).alias("b"),
+    ).select(
+        "user_id",
+        "purchase_id",
+        F.col("b._t").alias("_t"),
+        F.col("b._k").alias("_k"),
+    )
+    pid_type = p.schema["purchase_id"].dataType
+    uni = probes.withColumn("_vn", F.lit(None).cast("int")).unionByName(
+        vn.select(
+            "user_id",
+            F.lit(None).cast(pid_type).alias("purchase_id"),
+            F.col("v_ms").alias("_t"),
+            F.lit(1).alias("_k"),
+            F.col("vn").alias("_vn"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("_t", "_k", F.col("_vn").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = uni.withColumn("_V", F.last("_vn", ignorenulls=True).over(wrun))
+    bnd = (
+        run.filter(F.col("purchase_id").isNotNull())
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.max(
+                F.when(F.col("_k") == 2, F.coalesce("_V", F.lit(0)))
+            ).alias("v_hi"),
+            F.max(
+                F.when(F.col("_k") == 0, F.coalesce("_V", F.lit(0)))
+            ).alias("v_lo"),
+        )
+    )
+    cand = (
+        bnd.select(
+            "user_id",
+            "purchase_id",
+            (F.col("v_hi") - F.col("v_lo")).alias("n"),
+            "v_hi",
+            "v_lo",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+        )
+        .withColumn("vn", F.col("v_hi") - F.col("j"))
+        .filter(F.col("vn") > F.col("v_lo"))
+    )
+    hits = cand.join(
+        vn.select("user_id", "vn", "view_id", "v_ts"), ["user_id", "vn"]
+    ).select(
+        "user_id",
+        "purchase_id",
+        "n",
+        (F.col("j") + 1).alias("rn"),
+        "view_id",
+        "v_ts",
+    )
+    return p.join(hits, ["user_id", "purchase_id"], "left").select(
+        "user_id",
+        "purchase_id",
+        "p_ts",
+        F.round("pv", 4).alias("purchase_value"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_views_window"),
+        F.col("rn").cast("int").alias("rn"),
+        "view_id",
+        "v_ts",
+    )
+
+
+@query(
     "temporal_scd2_lookup",
     sql="""
     WITH hist AS (
