@@ -88,9 +88,97 @@ def canon_pandas(df):
     return [tuple(_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 
+def _digest_sql(con, rel: str) -> str:
+    """Order-independent exact digest of a relation, computed BY
+    DUCKDB: count(*) + sum over per-row hashes of the row rendered
+    as VARCHAR with columns in sorted-name order. Because ONE engine
+    renders BOTH relations (the oracle directly; the Spark result
+    re-read from parquet, where its values arrive bit-exact), the
+    cross-engine stringification problem the pandas canonicalizer
+    exists to referee simply does not arise — equality here is
+    equality of VALUES. TIMESTAMP[TZ] columns are cast to TIMESTAMP
+    first (the session is UTC) so Spark's UTC-adjusted parquet
+    annotation and the oracle's NTZ render identically."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM {rel}").fetchall()
+    cols = sorted((name, dtype) for name, dtype, *_ in desc)
+    parts = []
+    for name, dtype in cols:
+        expr = f'"{name}"'
+        if dtype.upper().startswith("TIMESTAMP"):
+            expr = f"CAST({expr} AS TIMESTAMP)"
+        parts.append(f"COALESCE(CAST({expr} AS VARCHAR), chr(30))")
+    row = f"concat_ws(chr(31), {', '.join(parts)})"
+    return (
+        f"SELECT count(*) AS n, COALESCE(sum(hash({row})), 0) AS h "
+        f"FROM {rel}"
+    )
+
+
+def compare_digest(con, spark, sdf, oracle_sql_text: str, tmp_dir: str):
+    """Bulk-row comparison path (r13, VERDICT r12 #5a): the Spark
+    result is WRITTEN to parquet by the executors (no driver
+    collect, no pandas, no python-loop stringification) and both
+    relations are digested engine-side by DuckDB. Memory-bounded and
+    streaming at 10⁷-10⁸ rows where the driver-style pandas canon
+    needed the rows twice in driver RAM. Returns (problems, n_rows).
+
+    This is the SWEEP comparator, not the driver's: it proves value
+    equality via one shared renderer + an order-independent
+    sum-of-row-hashes (collision-safe for auditing, not for
+    adversaries), while per-round driver hashing keeps the
+    canonical-string contract on the small SFs."""
+    import shutil as _sh
+
+    out = os.path.join(tmp_dir, "spark_result.parquet")
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    # NTZ + micros on write: matches the oracle tables' parquet shape
+    # (the stress_sf1 _ntz lesson) — the digest's TIMESTAMP cast then
+    # compares wall-clock instants on both sides
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    sdf.write.mode("overwrite").parquet(out)
+    s_n, s_h = con.execute(
+        _digest_sql(con, f"read_parquet('{out}/*.parquet')")
+    ).fetchone()
+    d_n, d_h = con.execute(
+        _digest_sql(con, f"({oracle_sql_text})")
+    ).fetchone()
+    s_cols = sorted(
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    )
+    d_cols = sorted(
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM ({oracle_sql_text})"
+        ).fetchall()
+    )
+    problems = []
+    if s_cols != d_cols:
+        problems.append(f"cols spark={s_cols} duckdb={d_cols}")
+    if s_n != d_n:
+        problems.append(f"rowcount spark={s_n} duckdb={d_n}")
+    if not problems and s_h != d_h:
+        problems.append(f"digest spark={s_h} duckdb={d_h}")
+    _sh.rmtree(out, ignore_errors=True)
+    return problems, s_n
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--digest",
+        action="store_true",
+        help="bulk-row mode: Spark writes its result to parquet and "
+        "DuckDB digests both relations engine-side (no pandas, no "
+        "driver collect) — for 10^7+-row results the driver-style "
+        "canon cannot afford",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -123,6 +211,8 @@ def main() -> int:
     # side of those rows completes (its external aggregation fits),
     # which is itself sweep evidence.
     con.execute("SET memory_limit='60GB'")
+    # digest-mode TIMESTAMPTZ -> TIMESTAMP casts must be identity
+    con.execute("SET TimeZone='UTC'")
     try:
         con.execute("SET max_temp_directory_size='40GB'")
     except Exception:
@@ -155,6 +245,27 @@ def main() -> int:
                 )
                 n_fail += 1
                 continue
+        if args.digest and name in oracles:
+            try:
+                sdf = qs[name](spark, args.sf)
+                problems, n_rows = compare_digest(
+                    con, spark, sdf, oracles[name], "/tmp/te_oracle_digest"
+                )
+            except Exception:
+                print(f"FAIL {name}: digest-path error")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            if problems:
+                print(f"FAIL {name}: {' | '.join(problems)}")
+                n_fail += 1
+            else:
+                print(
+                    f"PASS {name}: {n_rows} rows "
+                    f"(digest, {time.time()-t0:.1f}s)"
+                )
+                n_pass += 1
+            continue
         try:
             sdf = qs[name](spark, args.sf)
             spd = sdf.toPandas()
