@@ -62,9 +62,6 @@ def test_no_cartesian_products_anywhere(spark):
         # the brute-force-over-8-byte-codes probe shape (same class
         # as the query-vector broadcasts above)
         "sim_hamming_topk",
-        # r8: 5 kilobyte HLL sketches broadcast into a theta pair
-        # join — the build side is one sketch row per segment
-        "approx_user_overlap_pairs",
         # r8: 1-row running-sum total broadcast into the quota calc
         # (same shape as the funnel's global aggregates)
         "pipeline_temperature_mixture",

@@ -265,12 +265,14 @@ def test_hll_overlap_estimates_track_exact(spark):
     >= each side's estimate (monotonicity of register-max merge)."""
     import duckdb
 
-    from trendengine_spark.queries.base import REGISTRY
+    from trendengine_spark.queries.analytics import (
+        approx_user_overlap_pairs,
+    )
 
     sf = "/root/testdata/sf0.01"
     got = {
         (r["type_a"], r["type_b"]): r
-        for r in REGISTRY["approx_user_overlap_pairs"].fn(spark, sf).collect()
+        for r in approx_user_overlap_pairs(spark, sf).collect()
     }
     con = duckdb.connect()
     exact = {
@@ -364,3 +366,19 @@ def test_exact_rank_element_ignores_nulls(spark):
     assert exact_rank_element(df, "v", 0.5, n=4) == 2.0
     got = df.agg(F.percentile_approx("v", 0.5, 10).alias("p")).collect()
     assert got[0]["p"] == 2.0
+
+
+def test_approx_distinct_tracks_exact(spark):
+    """approx_vs_exact_distinct (registry-retired r13, API surface
+    kept): native HLL approx_count_distinct at rsd=0.01 tracks the
+    exact per-group distincts within a few percent."""
+    from trendengine_spark.queries.relational import (
+        approx_vs_exact_distinct,
+    )
+
+    rows = approx_vs_exact_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] > 0
+        err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert err < 0.05, r

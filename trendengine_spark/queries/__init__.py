@@ -132,7 +132,7 @@ _SPINE_FIRST = [
     "text_zipf_head", "scalar_try_fns", "unpivot_user_stats",
     "variant_json_shred", "u5_decomposition_relational", "sim_hamming_topk",
     "text_bpe_pair_counts", "window_rolling_slope",
-    "stats_spearman_pairs", "approx_user_overlap_pairs",
+    "stats_spearman_pairs",
     "graph_triangle_counts", "pipeline_weighted_sample", "f2b_polygon_filter",
     "pipeline_temperature_mixture", "text_pii_redact",
     "sim_ivfpq_persisted",
@@ -144,7 +144,7 @@ _SPINE_FIRST = [
     "graph_pagerank_micro", "stream_user_running_stats", "scalar_string_fns",
     "scalar_date_fns", "scalar_math_fns", "scalar_array_fns",
     "scalar_json_fns", "set_distinct_pairs", "exact_distinct_twin",
-    "approx_vs_exact_distinct", "multimodal_feature_extract",
+    "multimodal_feature_extract",
     "multimodal_resize", "multimodal_frame_sample", "f2_bbox_filter",
     "f3_projection", "f4_quality_gate", "f5_rounding", "f6_coordinate_parse",
     "f7_timestamp_decode", "f8_decode_labels", "a2_monthly_composite",

@@ -1422,16 +1422,6 @@ def stats_spearman_pairs(spark, sf_dir):
     )
 
 
-@query(
-    "approx_user_overlap_pairs",
-    sql=None,
-    doc="Audience-overlap estimation via HLL sketch algebra: distinct "
-    "users per event-type pair estimated as |A| + |B| - |A union B| "
-    "with hll_union on the stored sketches - the mergeable-state "
-    "pattern that answers any-pair overlap from per-segment sketches "
-    "without re-scanning facts. Approximate (no DuckDB twin); "
-    "accuracy pinned vs exact intersections in tests.",
-)
 def approx_user_overlap_pairs(spark, sf_dir):
     """Pairwise audience overlap from ONE pass over the facts: build
     a user-set HLL sketch per event type (mergeable binary state —
@@ -1441,7 +1431,16 @@ def approx_user_overlap_pairs(spark, sf_dir):
     stored sketches. At 100 TB this is the whole point of sketch
     columns: any-segment-pair overlap becomes a join of kilobyte
     blobs instead of a fact-table self-join; per-pair error
-    compounds (two estimates + a union), pinned in tests."""
+    compounds (two estimates + a union), pinned in tests.
+
+    RETIRED from the registry in r13 (VERDICT r12 #7): its declared
+    content duplicated the oracle-backed `approx_user_overlap_kmv`
+    (same inclusion-exclusion, deterministic md5-KMV family), while
+    the native-DataSketches estimates here are engine-specific and
+    cannot carry an oracle. The HLL sketch-algebra surface
+    (hll_sketch_agg / hll_union / hll_sketch_estimate) stays
+    exercised and accuracy-pinned by
+    tests/test_relational_ops.py::test_hll_overlap_estimates_track_exact."""
     ev = t(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),

@@ -718,14 +718,15 @@ def scalar_json_fns(spark, sf_dir):
 
 
 # ------------------------------------------------------- approximate aggs
-@query(
-    "approx_vs_exact_distinct",
-    sql=None,
-    doc="approx_count_distinct (HLL) next to the exact count — approx "
-    "values are engine-specific, so this is rows-only; the exact twin "
-    "below is the oracle-checked version.",
-)
 def approx_vs_exact_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) next to the exact count.
+
+    RETIRED from the registry in r13 (VERDICT r12 #7): the exact
+    column duplicates the oracle-backed `exact_distinct_twin` and
+    the deterministic approx surface is covered by the oracle-backed
+    `approx_distinct_kmv`; native HLL estimates are engine-specific
+    and cannot carry an oracle. The API surface stays pinned by
+    tests/test_relational_ops.py::test_approx_distinct_tracks_exact."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
