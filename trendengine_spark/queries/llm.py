@@ -1662,6 +1662,100 @@ _PQ_POS_SPARK = """
 """
 
 
+def pivot_lloyd_sql(
+    pos: str,
+    prev: str,
+    c: int,
+    emit: str,
+    subspaced: bool = True,
+    val: str = "q",
+    cell_col: str = "cell",
+) -> str:
+    """One Lloyd round of a quantizer twin in the PIVOTED form the
+    Spark side executes at scale (r13): the original
+    per-(id[, sub], cell) distance CTE materializes N·subs·cells
+    grouped rows (204.8M at the 200k-vector point — the r12 sf10 OOM
+    class even after the upos localCheckpoint), where the pivoted
+    form joins each position row against ONE (sub, i) row carrying
+    all ``c`` centroid values as columns, aggregates N[·subs] groups
+    (6.4M — cells× less group state, no 200M-row window), and takes
+    the argmin as a LEAST + first-match CASE projection (ties →
+    smallest cell, exactly the original ORDER BY d ASC, cell ASC).
+    Every d_c is the identical exact-int64 sum, so the assignment —
+    and therefore the books, codes, and final ranking — is
+    BIT-IDENTICAL to the un-pivoted oracle text.
+
+    ``pos``: position view (columns id, [sub,] i, ``val``);
+    ``prev``: previous book view (``cell_col``, [sub,] i, cv);
+    ``emit``: 'books' → requantized means, 'codes' → assignments;
+    ``subspaced``: per-subspace PQ shape vs whole-vector coarse
+    shape. Shared by sim_pq_topk and sim_ivfpq_topk."""
+    cvs = ", ".join(
+        f"max(CASE WHEN {cell_col} = {n} THEN cv END) AS cv{n}"
+        for n in range(c)
+    )
+    ds = ", ".join(
+        f"CAST(sum((p.{val} - pv.cv{n}) * (p.{val} - pv.cv{n})) "
+        f"AS BIGINT) AS d{n}"
+        for n in range(c)
+    )
+    m = "least(" + ", ".join(f"d{n}" for n in range(c)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN d{n} = _m THEN {n}" for n in range(c))
+        + " END"
+    )
+    if subspaced:
+        pv_key, e_key, join_pv = "sub, i", "p.id, p.sub", (
+            "pv.sub = p.sub AND pv.i = p.i"
+        )
+        a_cols, join_a = "id, sub", "p.id = a.id AND p.sub = a.sub"
+        book_key = "a.{c}, p.sub, p.i".format(c=cell_col)
+        book_sel = f"a.{cell_col}, p.sub, p.i"
+    else:
+        pv_key, e_key, join_pv = "i", "p.id", "pv.i = p.i"
+        a_cols, join_a = "id", "p.id = a.id"
+        book_key = f"a.{cell_col}, p.i"
+        book_sel = f"a.{cell_col}, p.i"
+    head = f"""
+WITH pv AS (
+  SELECT {pv_key}, {cvs} FROM {prev} GROUP BY {pv_key}
+),
+e AS (
+  SELECT {e_key}, {ds}
+  FROM {pos} p JOIN pv ON {join_pv}
+  GROUP BY {e_key}
+),
+a AS (
+  SELECT {a_cols}, {cell_case} AS {cell_col}
+  FROM (SELECT *, {m} AS _m FROM e)
+)"""
+    if emit == "codes":
+        return head + f"\nSELECT {a_cols}, {cell_col} FROM a"
+    return head + f"""
+SELECT {book_sel},
+       CAST(floor(CAST(sum(p.{val}) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+FROM a JOIN {pos} p ON {join_a}
+GROUP BY {book_key}
+"""
+
+
+def _pq_pivot_round_sql(prev: str, c: int, emit: str) -> str:
+    return pivot_lloyd_sql("te_pq_upos", prev, c, emit)
+
+
+_PQ_B0_SQL = f"""
+WITH seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM te_pq_upos) u
+)
+SELECT s.cell, p.sub, p.i, p.q AS cv
+FROM seeds s JOIN te_pq_upos p ON p.id = s.id WHERE s.cell < {_PQ_CELLS}
+"""
+
+
 @query(
     "sim_pq_topk",
     sql="WITH " + _pq_sql(_PQ_POS_DUCK, " // ", "MATERIALIZED "),
@@ -1676,13 +1770,19 @@ def sim_pq_topk(spark, sf_dir):
     brute force is pinned in tests/test_llm_ops.py for this twin AND
     the float production operators.
 
-    Scale: training joins the 2,048-row book table per round
-    (N·64·cells intermediate, partial-aggregated); ADC joins the
-    per-query distance tables (N·m rows per query batch); candidates
-    are 4k per query. Nothing collects. The unit-quantized position
-    frame is materialized ONCE (localCheckpoint, the BPE plan-depth
-    discipline) — the r12 sf10 fix for the un-materialized chain
-    re-deriving it per join subtree."""
+    Scale (r13 — the sf10 fix, superseding r12's upos-only
+    localCheckpoint, which still left AQE materializing a dozen
+    10⁸-row stages concurrently in one job): the Spark side executes
+    the SAME program STEPWISE — the unit-quantized position frame is
+    checkpointed once; each Lloyd round runs as its own job in the
+    PIVOTED form (:func:`_pq_pivot_round_sql` — N·subs grouped rows
+    with ``cells`` distance columns instead of N·subs·cells grouped
+    rows + a 200M-row window; argmin as LEAST + first-match CASE)
+    and collects only the 2,048-row book (the float operator's
+    bounded codebook posture, the BPE per-iteration discipline);
+    codes are one checkpointed assignment pass; ADC/rerank is one
+    final shallow statement. Exact-int64 sums everywhere, so the
+    result is BIT-IDENTICAL to the single-statement oracle text."""
     upos = sql_over_tables(
         spark,
         sf_dir,
@@ -1691,9 +1791,69 @@ def sim_pq_topk(spark, sf_dir):
         ("embeddings",),
     ).localCheckpoint()
     upos.createOrReplaceTempView("te_pq_upos")
-    return spark.sql(
-        "WITH " + _pq_sql(_PQ_POS_SPARK, " DIV ", "", upos_src="te_pq_upos")
-    )
+    book_schema = "cell int, sub int, i int, cv bigint"
+    prev = "te_pq_b0"
+    spark.createDataFrame(
+        spark.sql(_PQ_B0_SQL).collect(), book_schema
+    ).createOrReplaceTempView(prev)
+    for r in (1, 2, 3):
+        rows = spark.sql(
+            _pq_pivot_round_sql(prev, _PQ_CELLS, "books")
+        ).collect()
+        prev = f"te_pq_b{r}"
+        spark.createDataFrame(rows, book_schema).createOrReplaceTempView(
+            prev
+        )
+    codes = spark.sql(
+        _pq_pivot_round_sql("te_pq_b3", _PQ_CELLS, "codes")
+    ).localCheckpoint()
+    codes.createOrReplaceTempView("te_pq_codes")
+    k = _PQ_K
+    return spark.sql(f"""
+WITH nrm AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM te_pq_upos GROUP BY id
+),
+qdt AS (
+  SELECT p.id AS query_id, c.sub, c.cell,
+         CAST(sum(p.q * c.cv) AS BIGINT) AS dt
+  FROM te_pq_upos p JOIN te_pq_b3 c ON c.sub = p.sub AND c.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, c.sub, c.cell
+),
+adc AS (
+  SELECT q5.query_id, cd.id AS vec_id, CAST(sum(q5.dt) AS BIGINT) AS score
+  FROM te_pq_codes cd JOIN qdt q5 ON q5.sub = cd.sub AND q5.cell = cd.cell
+  WHERE cd.id <> q5.query_id
+  GROUP BY q5.query_id, cd.id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM adc) q6 WHERE rn <= {4 * k}
+),
+sdot AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt
+  FROM cand cd
+  JOIN te_pq_upos pq ON pq.id = cd.query_id
+  JOIN te_pq_upos pc ON pc.id = cd.vec_id AND pc.i = pq.i
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(s.dt AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+              * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY
+           CAST(s.dt AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+           s.vec_id ASC) AS rn
+  FROM sdot s
+  JOIN nrm na ON na.id = s.query_id
+  JOIN nrm nb ON nb.id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+""")
 
 
 @query(

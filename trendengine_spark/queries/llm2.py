@@ -953,11 +953,20 @@ def sim_ivfpq_topk(spark, sf_dir):
     brute force stays pinned in tests/test_llm_ops.py for the float
     production operators; twin recall pinned alongside.
 
-    Scale: the same pruning contract as sim_ivf_topk with 12.8× less
-    candidate payload (codes not vectors); training joins bounded
-    book tables per round; nothing collects. The unit-quantized
-    position frame is materialized ONCE (localCheckpoint, the r12
-    sf10 plan-depth fix — see sim_pq_topk)."""
+    Scale (r13 — the stepwise twin, see sim_pq_topk): the Spark side
+    executes the SAME program as its own sequence of shallow jobs —
+    coarse Lloyd rounds and residual-PQ rounds in the PIVOTED argmin
+    form (``pivot_lloyd_sql``: N[·subs] grouped rows with ``cells``
+    distance columns instead of N·subs·cells grouped rows + a
+    200M-row window), collecting only the bounded book state per
+    round (1,024 / 2,048 rows — the float operator's
+    codebook-on-the-driver posture); the coarse assignment, residual
+    frame, and codes are checkpointed once each. Exact-int64 sums
+    everywhere → bit-identical to the single-statement oracle text."""
+    from trendengine_spark.queries.llm import pivot_lloyd_sql
+
+    c, kc = _IVFPQ_CELLS, _IVFPQ_CODES
+    np_, k = _IVFPQ_NPROBE, _IVFPQ_K
     upos = sql_over_tables(
         spark,
         sf_dir,
@@ -972,10 +981,145 @@ FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0""",
         ("embeddings",),
     ).localCheckpoint()
     upos.createOrReplaceTempView("te_ivfpq_upos")
-    return spark.sql(
-        "WITH "
-        + _ivfpq_sql(_IVFPQ_POS_SPARK, " DIV ", "", upos_src="te_ivfpq_upos")
-    )
+    seeds_sql = """
+WITH seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM te_ivfpq_upos) u
+)"""
+    # coarse quantizer: v0 seeds + 2 pivoted Lloyd rounds (whole
+    # vector, no sub key — 16 distance columns, N groups)
+    vschema = "cell int, i int, cv bigint"
+    spark.createDataFrame(
+        spark.sql(
+            seeds_sql
+            + f"""
+SELECT s.cell, p.i, p.q AS cv
+FROM seeds s JOIN te_ivfpq_upos p ON p.id = s.id WHERE s.cell < {c}"""
+        ).collect(),
+        vschema,
+    ).createOrReplaceTempView("te_ivfpq_v0")
+    for r in (1, 2):
+        spark.createDataFrame(
+            spark.sql(
+                pivot_lloyd_sql(
+                    "te_ivfpq_upos",
+                    f"te_ivfpq_v{r - 1}",
+                    c,
+                    "books",
+                    subspaced=False,
+                )
+            ).collect(),
+            vschema,
+        ).createOrReplaceTempView(f"te_ivfpq_v{r}")
+    # va2 = the round-2 assignment (vs v1) — the original program's
+    # va2, reused by rpos and the probe candidates
+    va2 = spark.sql(
+        pivot_lloyd_sql(
+            "te_ivfpq_upos", "te_ivfpq_v1", c, "codes", subspaced=False
+        )
+    ).localCheckpoint()
+    va2.createOrReplaceTempView("te_ivfpq_va2")
+    rpos = spark.sql("""
+SELECT p.id, a.cell, p.sub, p.i, p.q - cb.cv AS rq
+FROM te_ivfpq_upos p
+JOIN te_ivfpq_va2 a ON a.id = p.id
+JOIN te_ivfpq_v2 cb ON cb.cell = a.cell AND cb.i = p.i""").localCheckpoint()
+    rpos.createOrReplaceTempView("te_ivfpq_rpos")
+    rbschema = "code int, sub int, i int, cv bigint"
+    spark.createDataFrame(
+        spark.sql(
+            seeds_sql
+            + f"""
+SELECT s.cell AS code, p.sub, p.i, p.rq AS cv
+FROM seeds s JOIN te_ivfpq_rpos p ON p.id = s.id WHERE s.cell < {kc}"""
+        ).collect(),
+        rbschema,
+    ).createOrReplaceTempView("te_ivfpq_rb0")
+    for r in (1, 2):
+        spark.createDataFrame(
+            spark.sql(
+                pivot_lloyd_sql(
+                    "te_ivfpq_rpos",
+                    f"te_ivfpq_rb{r - 1}",
+                    kc,
+                    "books",
+                    val="rq",
+                    cell_col="code",
+                )
+            ).collect(),
+            rbschema,
+        ).createOrReplaceTempView(f"te_ivfpq_rb{r}")
+    codes = spark.sql(
+        pivot_lloyd_sql(
+            "te_ivfpq_rpos",
+            "te_ivfpq_rb2",
+            kc,
+            "codes",
+            val="rq",
+            cell_col="code",
+        )
+    ).localCheckpoint()
+    codes.createOrReplaceTempView("te_ivfpq_codes")
+    return spark.sql(f"""
+WITH cn2 AS (
+  SELECT cell, CAST(sum(cv * cv) AS BIGINT) AS n2 FROM te_ivfpq_v2
+  GROUP BY cell
+),
+qn2 AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM te_ivfpq_upos
+  WHERE id < 10 GROUP BY id
+),
+qcd AS (
+  SELECT p.id AS query_id, cb.cell, CAST(sum(p.q * cb.cv) AS BIGINT) AS dt
+  FROM te_ivfpq_upos p JOIN te_ivfpq_v2 cb ON cb.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, cb.cell
+),
+probe AS (
+  SELECT query_id, cell, dt FROM (
+    SELECT qc.query_id, qc.cell, qc.dt,
+           row_number() OVER (PARTITION BY qc.query_id ORDER BY
+             CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0e0
+                  ELSE CAST(qc.dt AS DOUBLE)
+                       / (sqrt(CAST(qn.n2 AS DOUBLE))
+                          * sqrt(CAST(cn.n2 AS DOUBLE))) END DESC,
+             qc.cell ASC) AS rn
+    FROM qcd qc
+    JOIN qn2 qn ON qn.id = qc.query_id
+    JOIN cn2 cn ON cn.cell = qc.cell) pq WHERE rn <= {np_}
+),
+qdt AS (
+  SELECT p.id AS query_id, cb.sub, cb.code,
+         CAST(sum(p.q * cb.cv) AS BIGINT) AS dt
+  FROM te_ivfpq_upos p JOIN te_ivfpq_rb2 cb
+    ON cb.sub = p.sub AND cb.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, cb.sub, cb.code
+),
+cand AS (
+  SELECT pr.query_id, a.id AS vec_id, pr.dt AS qc
+  FROM probe pr JOIN te_ivfpq_va2 a ON a.cell = pr.cell
+  WHERE a.id <> pr.query_id
+),
+adc AS (
+  SELECT cd.query_id, cd.vec_id,
+         CAST(max(cd.qc) + sum(q6.dt) AS BIGINT) AS score_i
+  FROM cand cd
+  JOIN te_ivfpq_codes co ON co.id = cd.vec_id
+  JOIN qdt q6 ON q6.query_id = cd.query_id
+             AND q6.sub = co.sub AND q6.code = co.code
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(score_i AS DOUBLE) / 1048576e0 AS score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score_i DESC, vec_id ASC) AS rn
+  FROM adc
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+""")
 
 
 @query(
