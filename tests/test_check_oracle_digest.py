@@ -1,0 +1,69 @@
+"""Digest-mode comparator (`tools/check_oracle._digest_sql`, r13):
+the bulk-row sweep path must be exact on values, order-independent,
+NULL-safe, and timestamp-normalized — one engine renders both sides."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import _digest_sql  # noqa: E402
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    return con
+
+
+def test_digest_discriminates_and_ignores_order():
+    con = _con()
+    con.execute(
+        "CREATE TABLE a AS SELECT i, i * 1.5 AS v, "
+        "CASE WHEN i = 3 THEN NULL ELSE 'x' || i END AS s "
+        "FROM range(100) t(i)"
+    )
+    con.execute("CREATE TABLE shuffled AS SELECT * FROM a ORDER BY random()")
+    con.execute(
+        "CREATE TABLE perturbed AS SELECT i, "
+        "CASE WHEN i = 7 THEN v + 1e-12 ELSE v END AS v, s FROM a"
+    )
+    con.execute("CREATE TABLE nulled AS SELECT i, v, "
+                "CASE WHEN i = 4 THEN NULL ELSE s END AS s FROM a")
+    h = lambda rel: con.execute(_digest_sql(con, rel)).fetchone()
+    assert h("a") == h("shuffled")  # order-independent
+    assert h("a") != h("perturbed")  # last-ulp value change caught
+    assert h("a") != h("nulled")  # NULL vs value caught
+    assert h("a")[0] == 100  # count carried
+
+
+def test_digest_timestamp_tz_normalization():
+    """A TIMESTAMPTZ relation (what Spark's UTC-adjusted parquet
+    reads back as) must digest equal to the NTZ oracle rendering of
+    the same instants under the UTC session."""
+    con = _con()
+    con.execute(
+        "CREATE TABLE ntz AS SELECT TIMESTAMP '2024-01-01 10:00:00' "
+        "+ INTERVAL (i) HOUR AS ts, i FROM range(24) t(i)"
+    )
+    con.execute(
+        "CREATE TABLE tz AS SELECT CAST(ts AS TIMESTAMPTZ) AS ts, i FROM ntz"
+    )
+    h = lambda rel: con.execute(_digest_sql(con, rel)).fetchone()
+    assert h("ntz") == h("tz")
+
+
+def test_digest_column_order_insensitive_but_name_sensitive():
+    con = _con()
+    con.execute("CREATE TABLE a AS SELECT 1 AS x, 2 AS y")
+    con.execute("CREATE TABLE b AS SELECT 2 AS y, 1 AS x")  # same values
+    con.execute("CREATE TABLE c AS SELECT 1 AS x, 2 AS z")  # renamed col
+    h = lambda rel: con.execute(_digest_sql(con, rel)).fetchone()
+    assert h("a") == h("b")
+    # digest alone can collide on renamed columns with equal values —
+    # compare_digest checks column NAME sets separately; pin that the
+    # digest at least covers the values
+    assert h("a")[0] == h("c")[0] == 1
