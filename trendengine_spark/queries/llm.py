@@ -1732,8 +1732,14 @@ a AS (
 )"""
     if emit == "codes":
         return head + f"\nSELECT {a_cols}, {cell_col} FROM a"
+    # MERGE hint on the assignment side: at the 200k-vector point
+    # the 6.4M-row `a` frame compresses under the 64 MB auto
+    # threshold, and AQE's broadcast attempt dies building the
+    # hash relation in the 8g driver (the r13 sf10 re-run finding);
+    # sort-merge is the right physical join for two frames this
+    # size anyway, at every scale
     return head + f"""
-SELECT {book_sel},
+SELECT /*+ MERGE(a) */ {book_sel},
        CAST(floor(CAST(sum(p.{val}) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
 FROM a JOIN {pos} p ON {join_a}
