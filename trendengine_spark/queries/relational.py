@@ -1037,8 +1037,9 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    # r13 fast cents: truncating cast of x*100+0.5 (see tpch_q1)
+    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     s4 = F.lit("0.0001").cast("decimal(6,4)")
     return li.agg(
         F.round(F.sum(cents * disc_c).cast("decimal(28,0)") * s4, 2)
@@ -1081,8 +1082,9 @@ def tpch_q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    # r13 fast cents: truncating cast of x*100+0.5 (see tpch_q1)
+    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     rev_bp = cents * (100 - disc_c)
     s4 = F.lit("0.0001").cast("decimal(6,4)")
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_bp).otherwise(F.lit(0)))
@@ -1174,8 +1176,8 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
                    BROADCAST(region), MERGE(lineitem) */
                n_name,
-               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               CAST(round(CAST(sum(CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)
+                         * (100 - CAST(l_discount * 100 + 0.5e0 AS BIGINT)))
                          AS DECIMAL(28,0))
                     * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
         FROM customer
@@ -1226,8 +1228,8 @@ def tpch_q10_returned_items(spark, sf_dir):
         """
         SELECT /*+ BROADCAST(nation), MERGE(lineitem) */
                c_custkey, c_name,
-               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               CAST(round(CAST(sum(CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)
+                         * (100 - CAST(l_discount * 100 + 0.5e0 AS BIGINT)))
                          AS DECIMAL(28,0))
                     * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue,
                round(c_acctbal, 2) AS acctbal, n_name
@@ -1424,8 +1426,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
                    MERGE(lineitem), SHUFFLE_MERGE(orders) */
                n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS yr, count(1) AS n_lines,
-               CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               CAST(round(CAST(sum(CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)
+                         * (100 - CAST(l_discount * 100 + 0.5e0 AS BIGINT)))
                          AS DECIMAL(28,0))
                     * CAST('0.0001' AS DECIMAL(6,4)), 2) AS DOUBLE) AS revenue
         FROM lineitem

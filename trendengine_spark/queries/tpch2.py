@@ -41,8 +41,8 @@ from trendengine_spark.sqltext import sql_over_tables
 
 #: revenue in basis points, exact int64 (see tpch_q1 in relational.py)
 _REV_BP = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    "CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)"
+    " * (100 - CAST(l_discount * 100 + 0.5e0 AS BIGINT))"
 )
 #: Spark-side hot-path variant (r13): CAST(x*100 + 0.5 AS BIGINT)
 #: (truncating cast = floor, columns non-negative) instead of
@@ -605,7 +605,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         WITH pv AS (
           SELECT /*+ BROADCAST(supplier), BROADCAST(nation) */
                  l_partkey,
-                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 CAST(sum(CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)
                           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_c
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
