@@ -40,9 +40,12 @@ from trendengine_spark.queries.base import query
 from trendengine_spark.sqltext import sql_over_tables
 
 #: revenue in basis points, exact int64 (see tpch_q1 in relational.py)
+#: — the ORACLE form: DuckDB's round() is a native float op and its
+#: CAST(DOUBLE AS BIGINT) rounds-to-nearest (not truncates), so the
+#: Spark-side fast-cast idiom below must NOT be used in oracle SQL
 _REV_BP = (
-    "CAST(l_extendedprice * 100 + 0.5e0 AS BIGINT)"
-    " * (100 - CAST(l_discount * 100 + 0.5e0 AS BIGINT))"
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 )
 #: Spark-side hot-path variant (r13): CAST(x*100 + 0.5 AS BIGINT)
 #: (truncating cast = floor, columns non-negative) instead of
