@@ -67,3 +67,34 @@ def test_digest_column_order_insensitive_but_name_sensitive():
     # compare_digest checks column NAME sets separately; pin that the
     # digest at least covers the values
     assert h("a")[0] == h("c")[0] == 1
+
+
+def test_digest_normalizes_signed_zero():
+    """ADVICE r13: -0.0 and 0.0 are the same VALUE; one engine
+    producing the negative-zero bit pattern (e.g. a Spark sum of
+    cancelling doubles) must not flip the VARCHAR render into a
+    false FAIL. Non-zero values must remain discriminated."""
+    con = _con()
+    con.execute(
+        "CREATE TABLE pos AS SELECT i, CAST(0.0 AS DOUBLE) AS v "
+        "FROM range(5) t(i)"
+    )
+    # computed negative zero (a literal -0.0 is parser-normalized)
+    con.execute(
+        "CREATE TABLE neg AS SELECT i, CAST(0.0 AS DOUBLE) * -1.0 AS v "
+        "FROM range(5) t(i)"
+    )
+    con.execute(
+        "CREATE TABLE diff AS SELECT i, CAST(1e-300 AS DOUBLE) AS v "
+        "FROM range(5) t(i)"
+    )
+    h = lambda rel: con.execute(_digest_sql(con, rel)).fetchone()
+    # sanity: the raw render really does differ without normalization
+    assert (
+        con.execute(
+            "SELECT CAST(CAST(0.0 AS DOUBLE) * -1.0 AS VARCHAR)"
+        ).fetchone()[0]
+        == "-0.0"
+    )
+    assert h("pos") == h("neg")
+    assert h("pos") != h("diff")

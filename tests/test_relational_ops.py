@@ -382,3 +382,52 @@ def test_approx_distinct_tracks_exact(spark):
         assert r["exact_users"] > 0
         err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert err < 0.05, r
+
+
+def test_join_time_window_counts_null_user_matches_oracle(spark, tmp_path):
+    """ADVICE r13: the n_total − n_own decomposition must match the
+    oracle's NULL semantics — `e.u2 <> p.user_id` is NULL-false, so
+    NULL-user EVENTS count toward nobody's window and a NULL-user
+    PURCHASE gets n_nearby = 0. Synthetic nullable input; oracle
+    recomputed by DuckDB on the same parquet."""
+    import duckdb
+
+    from trendengine_spark.queries import REGISTRY
+
+    rows = [
+        # (event_id, ts_ms, user_id, event_type)
+        (1, 0, 10, "purchase"),      # u10 buys at t=0
+        (2, 30_000, 11, "view"),     # other user inside window
+        (3, 30_000, 10, "view"),     # own event inside window
+        (4, 45_000, None, "view"),   # NULL-user event inside window
+        (5, 90_000, 12, "purchase"), # u12 buys at t=90s
+        (6, 200_000, None, "purchase"),  # NULL-user purchase
+        (7, 210_000, 13, "view"),    # inside NULL purchase's window
+    ]
+    sdf = spark.createDataFrame(
+        [
+            (eid, ms, uid, et, 1.0, "{}")
+            for eid, ms, uid, et in rows
+        ],
+        "event_id long, ms long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ms) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    d = str(tmp_path / "sf")
+    sdf.coalesce(1).write.parquet(d + "/events.parquet")
+
+    q = REGISTRY["join_time_window_counts"]
+    got = {
+        r["event_id"]: r["n_nearby"]
+        for r in q.fn(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    want = dict(con.execute(q.sql).fetchall())
+    assert got == want
+    assert want[6] == 0          # NULL-user purchase → 0, not 1
+    assert want[1] == 1          # NULL-user event never counted

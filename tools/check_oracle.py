@@ -98,14 +98,24 @@ def _digest_sql(con, rel: str) -> str:
     exists to referee simply does not arise — equality here is
     equality of VALUES. TIMESTAMP[TZ] columns are cast to TIMESTAMP
     first (the session is UTC) so Spark's UTC-adjusted parquet
-    annotation and the oracle's NTZ render identically."""
+    annotation and the oracle's NTZ render identically. FLOAT/DOUBLE
+    columns add +0.0 before rendering (ADVICE r13): IEEE -0.0 + 0.0
+    is +0.0, so a signed-zero that one engine produced and the other
+    didn't can no longer flip the VARCHAR render ("-0.0" vs "0.0")
+    into a false FAIL. The additive sum-of-row-hashes digest remains
+    an AUDIT comparator (order-independent, collision-safe in
+    practice, not adversarially) — the per-round driver hash is the
+    canonical gate."""
     desc = con.execute(f"DESCRIBE SELECT * FROM {rel}").fetchall()
     cols = sorted((name, dtype) for name, dtype, *_ in desc)
     parts = []
     for name, dtype in cols:
         expr = f'"{name}"'
-        if dtype.upper().startswith("TIMESTAMP"):
+        up = dtype.upper()
+        if up.startswith("TIMESTAMP"):
             expr = f"CAST({expr} AS TIMESTAMP)"
+        elif up in ("FLOAT", "DOUBLE", "REAL"):
+            expr = f"({expr} + 0.0)"
         parts.append(f"COALESCE(CAST({expr} AS VARCHAR), chr(30))")
     row = f"concat_ws(chr(31), {', '.join(parts)})"
     return (
@@ -134,11 +144,19 @@ def compare_digest(con, spark, sdf, oracle_sql_text: str, tmp_dir: str):
         _sh.rmtree(out)
     # NTZ + micros on write: matches the oracle tables' parquet shape
     # (the stress_sf1 _ntz lesson) — the digest's TIMESTAMP cast then
-    # compares wall-clock instants on both sides
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    sdf.write.mode("overwrite").parquet(out)
+    # compares wall-clock instants on both sides. Saved/restored
+    # (ADVICE r13) so later non-digest writes in the same session
+    # keep the session default.
+    _ts_key = "spark.sql.parquet.outputTimestampType"
+    _ts_prev = spark.conf.get(_ts_key, None)
+    spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
+    try:
+        sdf.write.mode("overwrite").parquet(out)
+    finally:
+        if _ts_prev is None:
+            spark.conf.unset(_ts_key)
+        else:
+            spark.conf.set(_ts_key, _ts_prev)
     s_n, s_h = con.execute(
         _digest_sql(con, f"read_parquet('{out}/*.parquet')")
     ).fetchone()

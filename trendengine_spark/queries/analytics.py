@@ -299,15 +299,27 @@ def join_time_window_counts(spark, sf_dir):
       (bkt, user_id): per-user density, never all-users.
 
     Millisecond integers end-to-end: no float time arithmetic to
-    drift. Every purchase appears (its own event makes n_total ≥ 1),
-    so no left-join padding pass is needed."""
+    drift. Every non-NULL-user purchase appears (its own event makes
+    n_total ≥ 1), so no left-join padding pass is needed there.
+
+    NULL user_id (ADVICE r13): the oracle's ``e.u2 <> p.user_id``
+    predicate is NULL-false, so NULL-user EVENTS count toward
+    nobody's window and a NULL-user PURCHASE gets n_nearby = 0. The
+    decomposition mirrors that explicitly: NULL-user events are
+    filtered from the counting side, and NULL-user purchases are
+    emitted as literal 0 rows (the n_total − n_own identity needs
+    the equi-join to subtract own events, which a NULL key cannot)."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    pall = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_millis("ts").alias("ms")
     )
-    e = ev.select(
+    p = pall.filter(F.col("user_id").isNotNull())
+    null_user = pall.filter(F.col("user_id").isNull()).select(
+        "event_id", F.lit(0).cast("long").alias("n_nearby")
+    )
+    e = ev.filter(F.col("user_id").isNotNull()).select(
         F.col("user_id").alias("user_id"),
         F.unix_millis("ts").alias("ms2"),
         (F.unix_millis("ts") / F.lit(60000)).cast("long").alias("bkt"),
@@ -352,7 +364,7 @@ def join_time_window_counts(spark, sf_dir):
         (F.col("n_total") - F.coalesce("n_own", F.lit(0)))
         .cast("long")
         .alias("n_nearby"),
-    )
+    ).unionByName(null_user)
 
 
 @query(

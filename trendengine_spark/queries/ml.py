@@ -470,9 +470,11 @@ def sim_pca_explained_variance(spark, sf_dir):
     (O(partitions·d²) longs cross the shuffle), the d×d solve is
     driver-side (bounded 2,145-row collect), and the result is 8
     literal rows. At 100 TB the moment pass is the same shape as any
-    partial-aggregated SUM; int64 headroom holds to ~4M corpus rows
-    at scale 2²¹ (documented in operators/pca.exact_embedding_moments
-    with the split-accumulator escape hatch)."""
+    partial-aggregated SUM; the enforced ``check_moment_headroom``
+    ceiling (n·scale² < 2⁶², operators/pca.py) admits ~1M corpus
+    rows (2²⁰) at scale 2²¹ — past that, drop the quantization scale
+    or use the split-accumulator escape hatch documented in
+    operators/pca.exact_embedding_moments."""
     from trendengine_spark.operators.pca import exact_embedding_moments
 
     emb = t(spark, sf_dir, "embeddings")

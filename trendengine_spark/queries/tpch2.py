@@ -399,12 +399,14 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
     re-scan per row. Quantities are integral doubles, so the average
     (exact sum / exact count) and the comparison are deterministic;
     the price sum runs in cents int64 and the /7.0 annualization is
-    one double op at the end."""
+    one double op at the end. Spark side uses the r14 fast-cents
+    cast (see _REV_BP_S — floor on non-negative 2-dp data, identical
+    values, no per-row BigDecimal); the oracle keeps round()."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
-        SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100)
+        SELECT CAST(round(CAST(sum(CAST(l_extendedprice * 100 + 0.5e0
                                         AS BIGINT)) AS BIGINT)
                           / 700.0, 2) AS DOUBLE) AS avg_yearly
         FROM lineitem
