@@ -1356,3 +1356,111 @@ def test_ivfpq_relational_twin_recall_vs_bruteforce(spark):
     # lossy 160-bit residual codes + nprobe 8/16 pruning: the floor
     # mirrors the production operator's pinned 0.63 recall posture
     assert hits / tot >= 0.4
+
+
+# ----- r14 derived-knob posture (VERDICT r13 #1 + ADVICE r13) -----
+
+
+def test_adaptive_ann_bands_table_matches_formula():
+    """The frozen integer table (oracle-transcribable, zero float
+    risk) must equal the closed form it was derived from: bands(p) =
+    ceil(ln(1-0.8) / ln(1 - r^p)) at the demo regime's per-plane
+    collision r = 1 - acos(0.3)/pi, capped at 256."""
+    import math
+
+    from trendengine_spark.operators.similarity import (
+        _ANN_BANDS_CAP,
+        _ANN_BANDS_FOR_P,
+        adaptive_ann_bands,
+    )
+
+    r = 1.0 - math.acos(0.3) / math.pi
+    for p in range(4, 25):
+        want = min(
+            math.ceil(math.log(0.2) / math.log(1.0 - r**p)), _ANN_BANDS_CAP
+        )
+        assert adaptive_ann_bands(p) == want, (p, want)
+    assert _ANN_BANDS_FOR_P[4] == 12  # the old fixed default, exactly
+
+
+def test_adaptive_n_cells_integer_sqrt_and_clamps():
+    from trendengine_spark.operators.similarity import adaptive_n_cells
+
+    assert adaptive_n_cells(0) == 16
+    assert adaptive_n_cells(1) == 16
+    assert adaptive_n_cells(256) == 16
+    assert adaptive_n_cells(257) == 17  # smallest c with c*c >= n
+    assert adaptive_n_cells(500) == 23
+    assert adaptive_n_cells(529) == 23
+    assert adaptive_n_cells(530) == 24
+    assert adaptive_n_cells(10**6) == 1000
+    assert adaptive_n_cells(10**9) == 4096  # hi clamp
+    assert adaptive_n_cells(100, lo=4) == 10
+
+
+def test_bands_for_threshold_holds_recall_curve():
+    import math
+
+    from trendengine_spark.operators.similarity import bands_for_threshold
+
+    # hand-checked values of the closed form
+    assert bands_for_threshold(24, 0.95) == 29
+    assert bands_for_threshold(16, 0.95) == 12
+    assert bands_for_threshold(24, 0.995) == 4
+    # derived band count really does hold the target recall
+    for p, thr in ((8, 0.9), (18, 0.95), (24, 0.95), (12, 0.99)):
+        r = 1.0 - math.acos(thr) / math.pi
+        h = r**p
+        L = bands_for_threshold(p, thr)
+        assert 1.0 - (1.0 - h) ** L >= 0.9 - 1e-9, (p, thr, L)
+    # monotone in p (wider bands need more of them)
+    assert bands_for_threshold(24, 0.95) > bands_for_threshold(8, 0.95)
+    # clamps and guards
+    assert bands_for_threshold(24, 0.9999999999999) == 2  # h -> 1 => lo
+    with pytest.raises(ValueError):
+        bands_for_threshold(8, 1.5)
+
+
+def test_threshold_mode_recall_holds_at_wide_bands(spark):
+    """ADVICE r13 (medium): with the derived band width at p=24, the
+    old fixed 6 bands give ~38% expected recall for cos=0.95 pairs;
+    bands=None now derives 29 bands from (p, threshold), restoring
+    ~90%. Planted-pair recall measured with p PINNED at the clamp."""
+    from trendengine_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, planted = 600, 64, 40
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    truth = set()
+    cos_t = 0.96
+    for j in range(planted):
+        v = base[j]
+        w = rng.normal(size=dim)
+        w -= (w @ v) * v
+        w /= np.linalg.norm(w)
+        dup = cos_t * v + float(np.sqrt(1 - cos_t**2)) * w
+        rows.append((n + j, [float(x) for x in dup]))
+        truth.add((j, n + j))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+
+    got = embedding_near_dup_pairs(
+        df, threshold=0.95, dim=dim, planes_per_band=24, bands=None,
+        seed=3,
+    ).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    recall = len(truth & got_pairs) / len(truth)
+    assert recall >= 0.8, f"derived-bands recall {recall:.2f}"
+
+    # the pre-fix fixed-6-bands configuration demonstrably misses
+    old = embedding_near_dup_pairs(
+        df, threshold=0.95, dim=dim, planes_per_band=24, bands=6,
+        seed=3,
+    ).toPandas()
+    old_recall = len(truth & set(zip(old["id_a"], old["id_b"]))) / len(truth)
+    assert old_recall < recall, (old_recall, recall)

