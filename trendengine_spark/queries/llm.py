@@ -659,17 +659,29 @@ def sim_ann_hyperplane(spark, sf_dir):
 # so every bucket, candidate set and score is bit-identical. The
 # float-BLAS ivf_index/ivf_topk operators stay the production path
 # with their own recall/determinism tests.
-_IVF_CELLS = 16
 _IVF_NPROBE = 6
 _IVF_K = 5
 
 
 def _ivf_sql(pos_body: str) -> str:
-    """Shared IVF program text. ``pos_body`` yields the quantized
-    (id, i, q) position rows per dialect."""
-    c, np_, k = _IVF_CELLS, _IVF_NPROBE, _IVF_K
+    """The IVF program text (DuckDB oracle since r14 — the Spark side
+    executes the SAME program STEPWISE with pivoted Lloyd rounds, see
+    sim_ivf_topk). ``pos_body`` yields the quantized (id, i, q)
+    position rows. r14 (VERDICT r13 #1): the cell count is DERIVED
+    from the corpus count inside the text — `cells` recomputes
+    adaptive_n_cells' integer ceil-sqrt (smallest c with c*c >= n,
+    clamped [16, 4096]) as a bounded generate_series scan, the same
+    `par`-CTE pattern the r13 LSH twins use — so one SQL string is
+    hash-green at every sf with no baked knob."""
+    np_, k = _IVF_NPROBE, _IVF_K
     return f"""
 pos AS ({pos_body}),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cells AS (
+  SELECT CAST(least(4096, greatest(16, min(cc.c))) AS INT) AS nc
+  FROM nn, unnest(generate_series(1, 4096)) AS cc(c)
+  WHERE CAST(cc.c AS BIGINT) * cc.c >= least(nn.n, 16777216)
+),
 nrm AS (
   SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM pos GROUP BY id
 ),
@@ -680,7 +692,8 @@ seeds AS (
 ),
 c0 AS (
   SELECT s.cell, p.i, p.q AS cv
-  FROM seeds s JOIN pos p ON p.id = s.id WHERE s.cell < {c}
+  FROM seeds s JOIN pos p ON p.id = s.id
+  CROSS JOIN cells WHERE s.cell < cells.nc
 ),
 d1 AS (
   SELECT p.id, c.cell,
@@ -789,22 +802,141 @@ _IVF_POS_SPARK = """
 def sim_ivf_topk(spark, sf_dir):
     """IVF (FAISS-style coarse quantizer) top-5 for 10 query vectors:
     2 Lloyd rounds over the quantized corpus, each query probes its
-    6 max-cosine cells of 16, exact re-rank inside probed cells —
-    candidate volume N·nprobe/n_cells, never N². FULL ORACLE since
-    r12 via the deterministic program in the block comment above
-    (md5 init + exact-int Lloyd + fixed-expression scoring, one
-    shared SQL text); recall vs brute-force cosine is pinned in
+    6 max-cosine cells, exact re-rank inside probed cells. FULL
+    ORACLE since r12 via the deterministic program in the _ivf_sql
+    block comment (md5 init + exact-int Lloyd + fixed-expression
+    scoring); recall vs brute-force cosine is pinned in
     tests/test_llm_ops.py for this twin AND the float production
     operator (`operators/similarity.ivf_topk`, which keeps BLAS
     assignment and xxhash64 seeding for real corpora).
 
-    Scale: Lloyd assignment is a broadcast join of the 1,024-row
-    centroid table against the position rows (N·64·cells intermediate
-    — 102M rows at the sf10 sweep, partial-aggregated map-side);
-    candidates join broadcast probe rows; nothing collects."""
-    return sql_over_tables(
-        spark, sf_dir, "WITH " + _ivf_sql(_IVF_POS_SPARK), ("embeddings",)
-    )
+    r14 (VERDICT r13 #1): the cell count is DERIVED from the corpus
+    count on both engines — integer ceil-sqrt clamped [16, 4096]
+    (`adaptive_n_cells` here; the oracle's `cells` CTE recomputes
+    the identical shift-free integer scan) — so candidate volume is
+    ~nprobe·√N (sublinear) instead of the frozen 16's N·nprobe/16
+    linear-fraction scan. And the Spark side now executes the SAME
+    program STEPWISE (the r13 sim_pq_topk posture): the quantized
+    position frame is checkpointed once; each Lloyd round runs as
+    its own job in the PIVOTED argmin form (`pivot_lloyd_sql`,
+    subspaced=False — N grouped rows with nc distance COLUMNS
+    instead of N·nc grouped rows + a window, i.e. √N× less group
+    state exactly where deriving nc would have re-created the r12
+    sf10 OOM class in the old monolithic statement), collecting only
+    the bounded nc·64-row book between rounds. Exact-int64 sums
+    everywhere → bit-identical to the single-statement oracle text."""
+    from trendengine_spark.operators.similarity import adaptive_n_cells
+
+    np_, k = _IVF_NPROBE, _IVF_K
+    pos = sql_over_tables(
+        spark, sf_dir, "SELECT * FROM (" + _IVF_POS_SPARK + ")",
+        ("embeddings",),
+    ).localCheckpoint()
+    pos.createOrReplaceTempView("te_ivf_pos")
+    n = sql_over_tables(
+        spark, sf_dir, "SELECT count(*) AS n FROM embeddings",
+        ("embeddings",),
+    ).first()["n"]
+    nc = adaptive_n_cells(n)
+    bschema = "cell int, i int, cv bigint"
+    spark.createDataFrame(
+        spark.sql(f"""
+WITH seeds AS (
+  SELECT id, CAST(row_number() OVER (
+           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM te_ivf_pos) u
+)
+SELECT s.cell, p.i, p.q AS cv
+FROM seeds s JOIN te_ivf_pos p ON p.id = s.id WHERE s.cell < {nc}"""
+        ).collect(),
+        bschema,
+    ).createOrReplaceTempView("te_ivf_b0")
+    # round 1: assignment vs c0 folded into the pivoted books job
+    spark.createDataFrame(
+        spark.sql(
+            pivot_lloyd_sql(
+                "te_ivf_pos", "te_ivf_b0", nc, "books", subspaced=False
+            )
+        ).collect(),
+        bschema,
+    ).createOrReplaceTempView("te_ivf_b1")
+    # round 2: the final assignment (oracle's a2) is reused by the
+    # candidate join, so it materializes as its own checkpoint; the
+    # round-2 book (oracle's c2, probe scoring only) derives from it
+    a2 = spark.sql(
+        pivot_lloyd_sql(
+            "te_ivf_pos", "te_ivf_b1", nc, "codes", subspaced=False
+        )
+    ).localCheckpoint()
+    a2.createOrReplaceTempView("te_ivf_a2")
+    spark.createDataFrame(
+        spark.sql("""
+SELECT /*+ MERGE(a) */ a.cell, p.i,
+       CAST(floor(CAST(sum(p.q) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
+FROM te_ivf_a2 a JOIN te_ivf_pos p ON p.id = a.id
+GROUP BY a.cell, p.i"""
+        ).collect(),
+        bschema,
+    ).createOrReplaceTempView("te_ivf_b2")
+    return spark.sql(f"""
+WITH nrm AS (
+  SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM te_ivf_pos GROUP BY id
+),
+cn2 AS (
+  SELECT cell, CAST(sum(cv * cv) AS BIGINT) AS n2 FROM te_ivf_b2
+  GROUP BY cell
+),
+qdot AS (
+  SELECT p.id, c.cell, CAST(sum(p.q * c.cv) AS BIGINT) AS dt
+  FROM te_ivf_pos p JOIN te_ivf_b2 c ON c.i = p.i
+  WHERE p.id < 10 GROUP BY p.id, c.cell
+),
+probe AS (
+  SELECT id AS query_id, cell FROM (
+    SELECT q3.id, q3.cell,
+           row_number() OVER (PARTITION BY q3.id ORDER BY
+             CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0e0
+                  ELSE CAST(q3.dt AS DOUBLE)
+                       / (sqrt(CAST(qn.n2 AS DOUBLE))
+                          * sqrt(CAST(cn.n2 AS DOUBLE))) END DESC,
+             q3.cell ASC) AS rn
+    FROM qdot q3
+    JOIN nrm qn ON qn.id = q3.id
+    JOIN cn2 cn ON cn.cell = q3.cell) q4 WHERE rn <= {np_}
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, a.id AS vec_id
+  FROM probe pr JOIN te_ivf_a2 a ON a.cell = pr.cell
+  WHERE a.id <> pr.query_id
+),
+sdot AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt
+  FROM cand cd
+  JOIN te_ivf_pos pq ON pq.id = cd.query_id
+  JOIN te_ivf_pos pc ON pc.id = cd.vec_id AND pc.i = pq.i
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0e0
+              ELSE CAST(s.dt AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))) END AS cos_sim,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY
+           CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0e0
+                ELSE CAST(s.dt AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))) END DESC,
+           s.vec_id ASC) AS rn
+  FROM sdot s
+  JOIN nrm na ON na.id = s.query_id
+  JOIN nrm nb ON nb.id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rn
+""")
 
 
 @query(
@@ -1581,6 +1713,12 @@ def _pq_sql(pos_body: str, div: str, mat: str, upos_src: str | None = None) -> s
     parts = [
         f"""
 {head},
+nn AS (SELECT count(*) AS n FROM embeddings),
+cells AS (
+  SELECT CAST(least(4096, greatest(16, min(cc.c))) AS INT) AS nc
+  FROM nn, unnest(generate_series(1, 4096)) AS cc(c)
+  WHERE CAST(cc.c AS BIGINT) * cc.c >= least(nn.n, 16777216)
+),
 nrm AS (
   SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM upos GROUP BY id
 ),
@@ -1644,7 +1782,8 @@ cand AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id, row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
-    FROM adc) q6 WHERE rn <= {4 * k}
+    FROM adc) q6 CROSS JOIN cells
+  WHERE rn <= greatest({4 * k}, cells.nc)
 ),
 sdot AS (
   SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt
@@ -1792,8 +1931,18 @@ def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN top-5 (Jégou 2011): 32 subspaces ×
     32 centroids (160-bit codes, 12.8× compression of the 64-d float
     vectors), asymmetric-distance candidate search over codes only,
-    then a cosine re-rank of the 4× candidate pool — the
-    compressed-index scale path beyond IVF. FULL ORACLE since r12 via
+    then a cosine re-rank — the compressed-index scale path beyond
+    IVF. r14 knob posture (VERDICT r13 #1): the RERANK POOL is
+    derived from the corpus count (max(4k, ⌈√n⌉) — ADC's
+    quantization rank-noise band widens with the corpus, so a √n
+    pool keeps end recall steady while the exact rerank stays
+    sublinear; both engines transcribe the same integer ceil-sqrt,
+    the oracle via its `cells` CTE). The subspace/codebook counts
+    (32×32) stay fixed BY DESIGN: they are compression-quality
+    knobs, not selectivity — codebook state is m·k·(D/m) doubles
+    regardless of corpus size and the ADC scan is linear over
+    compressed codes by construction, so nothing about them silently
+    degrades into an n²-class plan at scale. FULL ORACLE since r12 via
     the deterministic program in the block comment above; recall vs
     brute force is pinned in tests/test_llm_ops.py for this twin AND
     the float production operators.
@@ -1811,6 +1960,12 @@ def sim_pq_topk(spark, sf_dir):
     codes are one checkpointed assignment pass; ADC/rerank is one
     final shallow statement. Exact-int64 sums everywhere, so the
     result is BIT-IDENTICAL to the single-statement oracle text."""
+    from trendengine_spark.operators.similarity import adaptive_n_cells
+
+    n = sql_over_tables(
+        spark, sf_dir, "SELECT count(*) AS n FROM embeddings",
+        ("embeddings",),
+    ).first()["n"]
     upos = sql_over_tables(
         spark,
         sf_dir,
@@ -1837,6 +1992,7 @@ def sim_pq_topk(spark, sf_dir):
     ).localCheckpoint()
     codes.createOrReplaceTempView("te_pq_codes")
     k = _PQ_K
+    pool = max(4 * k, adaptive_n_cells(n))
     return spark.sql(f"""
 WITH nrm AS (
   SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM te_pq_upos GROUP BY id
@@ -1857,7 +2013,7 @@ cand AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id, row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
-    FROM adc) q6 WHERE rn <= {4 * k}
+    FROM adc) q6 WHERE rn <= {pool}
 ),
 sdot AS (
   SELECT cd.query_id, cd.vec_id, CAST(sum(pq.q * pc.q) AS BIGINT) AS dt

@@ -762,7 +762,6 @@ def multimodal_gif_animation(spark, sf_dir):
 # final score division are (deterministic fixed-expression) doubles.
 # One shared template; the float-BLAS ivfpq_index/ivfpq_topk
 # operators stay the production path.
-_IVFPQ_CELLS = 16
 _IVFPQ_SUBS = 32
 _IVFPQ_CODES = 32
 _IVFPQ_NPROBE = 8
@@ -772,7 +771,7 @@ _IVFPQ_K = 5
 def _ivfpq_sql(
     pos_body: str, div: str, mat: str, upos_src: str | None = None
 ) -> str:
-    c, s_, kc = _IVFPQ_CELLS, _IVFPQ_SUBS, _IVFPQ_CODES
+    kc = _IVFPQ_CODES
     np_, k = _IVFPQ_NPROBE, _IVFPQ_K
     if upos_src:
         head = f"upos AS (SELECT * FROM {upos_src})"
@@ -795,9 +794,16 @@ seeds AS (
            ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
   FROM (SELECT DISTINCT id FROM upos) u
 ),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cells AS (
+  SELECT CAST(least(4096, greatest(16, min(cc.c))) AS INT) AS nc
+  FROM nn, unnest(generate_series(1, 4096)) AS cc(c)
+  WHERE CAST(cc.c AS BIGINT) * cc.c >= least(nn.n, 16777216)
+),
 v0 AS {mat}(
   SELECT s.cell, p.i, p.q AS cv
-  FROM seeds s JOIN upos p ON p.id = s.id WHERE s.cell < {c}
+  FROM seeds s JOIN upos p ON p.id = s.id
+  CROSS JOIN cells WHERE s.cell < cells.nc
 )"""
     ]
     # coarse quantizer: 2 Lloyd rounds + final assignment/centroids
@@ -946,7 +952,14 @@ def sim_ivfpq_topk(spark, sf_dir):
     architecture): coarse cells prune the corpus to nprobe/n_cells,
     residual codes score by ADC table gathers, no vector
     reconstruction — q·x ≈ q·c(cell) + q·residual, one scalar + m
-    table lookups per candidate. FULL ORACLE since r12 (was rows-only
+    table lookups per candidate. r14 (VERDICT r13 #1): the COARSE
+    cell count derives from the corpus count on both engines
+    (integer ceil-sqrt clamped [16, 4096] — `adaptive_n_cells` in
+    Python, the oracle's `cells` CTE in SQL), making probed
+    candidate volume ~nprobe·√N instead of the frozen 16's
+    linear-fraction N·nprobe/16; the residual codebook size (32)
+    stays fixed by design — it is a compression-quality knob with
+    corpus-independent state, not selectivity. FULL ORACLE since r12 (was rows-only
     under "seeded k-means + hash init have no DuckDB twin") via the
     composed deterministic program in the block comment above; the
     integer residual makes the whole ADC ranking EXACT. Recall@10 vs
@@ -963,10 +976,16 @@ def sim_ivfpq_topk(spark, sf_dir):
     codebook-on-the-driver posture); the coarse assignment, residual
     frame, and codes are checkpointed once each. Exact-int64 sums
     everywhere → bit-identical to the single-statement oracle text."""
+    from trendengine_spark.operators.similarity import adaptive_n_cells
     from trendengine_spark.queries.llm import pivot_lloyd_sql
 
-    c, kc = _IVFPQ_CELLS, _IVFPQ_CODES
+    kc = _IVFPQ_CODES
     np_, k = _IVFPQ_NPROBE, _IVFPQ_K
+    n = sql_over_tables(
+        spark, sf_dir, "SELECT count(*) AS n FROM embeddings",
+        ("embeddings",),
+    ).first()["n"]
+    c = adaptive_n_cells(n)
     upos = sql_over_tables(
         spark,
         sf_dir,
