@@ -59,3 +59,36 @@ def test_queries_and_oracle_sql_contract():
     assert set(sqls) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in sqls.values())
+
+
+def test_scale_oracle_matches_naive():
+    """Every scale-capable DuckDB twin (queries/scale_oracle.py, used
+    by the sf10 sweeps instead of the registry's naive cross-paradigm
+    text) must stay ROW-IDENTICAL to its naive sibling at sf0.01 —
+    the two texts may differ in plan class, never in semantics."""
+    import duckdb
+
+    from trendengine_spark.queries import REGISTRY
+    from trendengine_spark.queries.scale_oracle import SCALE_ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t}.parquet'"
+        )
+    assert SCALE_ORACLE_SQL, "scale twin registry unexpectedly empty"
+    for name, sql in SCALE_ORACLE_SQL.items():
+        naive = REGISTRY[name].sql
+        assert naive is not None, name
+        a = con.execute(
+            f"SELECT * FROM ({naive}) ORDER BY ALL"
+        ).fetchall()
+        b = con.execute(
+            f"SELECT * FROM ({sql}) ORDER BY ALL"
+        ).fetchall()
+        assert a == b, f"{name}: scale twin diverged from naive oracle"

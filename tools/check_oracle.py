@@ -197,6 +197,16 @@ def main() -> int:
         "driver collect) — for 10^7+-row results the driver-style "
         "canon cannot afford",
     )
+    ap.add_argument(
+        "--scale-oracle",
+        action="store_true",
+        help="prefer the scale-capable DuckDB twins in "
+        "trendengine_spark.queries.scale_oracle over the registry's "
+        "naive cross-paradigm texts — for sf10+ sweeps where the "
+        "naive text is quadratic for the baseline engine (the twins "
+        "are pinned row-identical to the naive texts at sf0.01 by "
+        "tests/test_queries_smoke.py)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -217,6 +227,10 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.scale_oracle:
+        from trendengine_spark.queries.scale_oracle import SCALE_ORACLE_SQL
+
+        oracles = {**oracles, **SCALE_ORACLE_SQL}
     names = args.names or sorted(qs)
 
     con = duckdb.connect()
