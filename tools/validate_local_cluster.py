@@ -99,6 +99,9 @@ def run(master: str, names: list[str]) -> dict[str, tuple]:
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    from trendengine_spark.session import ship_package
+
+    ship_package(spark)
     out = {}
     for name in names:
         t0 = time.perf_counter()

@@ -59,4 +59,47 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the ``trendengine_spark`` package to the executors
+    (r14, VERDICT r13 #6 — found by the first real-exchange run).
+
+    Every Arrow-UDF closure in the operators is a module-level
+    function, so cloudpickle serializes it BY REFERENCE and the
+    executor-side Python worker must ``import trendengine_spark``.
+    ``local[*]`` hides a missing package: its workers fork with the
+    driver's ``sys.path``. Separate executor JVMs
+    (``local-cluster``, a real cluster) spawn workers WITHOUT the
+    repo checkout on their path — 7 of 28 validation queries died in
+    ``read_udfs`` with ModuleNotFoundError. The standard mechanism is
+    ``sc.addPyFile`` of a package zip: Spark distributes the file to
+    every executor and prepends it to the worker PYTHONPATH, which
+    also holds on a real multi-host cluster where an env-var
+    PYTHONPATH would not. The zip is rebuilt per session start
+    (sub-second for ~1 MB of sources) so executors always see the
+    session's code; idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_te_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"te_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "trendengine_spark", os.path.relpath(full, pkg_root)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._te_pkg_shipped = True
