@@ -85,18 +85,47 @@ def main() -> None:
     n_docs = docs.count()
     schema = docs.schema
 
-    for p in (STREAM_SRC, ROOT):
-        shutil.rmtree(p, ignore_errors=True)
+    keep_src = os.environ.get("TE_STREAM_KEEP_SRC") == "1"
+    if os.environ.get("TE_STREAM_RESUME") == "1":
+        print("resuming from existing checkpoint", file=sys.stderr)
+    else:
+        # TE_STREAM_KEEP_SRC=1 wipes only the dedup root and keeps
+        # the microbatch files: kill/resume runs must consume the
+        # IDENTICAL batch sequence as the clean run they are compared
+        # against (a keyless repartition re-deals docs to batches, and
+        # first-seen dedup admission is batch-composition-dependent —
+        # a rebuilt source makes a 1-row state delta look like an
+        # exactly-once violation; r14 probe lesson)
+        targets = (ROOT,) if keep_src else (STREAM_SRC, ROOT)
+        for p in targets:
+            shutil.rmtree(p, ignore_errors=True)
     # one file per microbatch: keyless repartition = RoundRobin
     # partitioning, every partition non-empty and near-equal (hashing
     # doc_id % n left ~1/e of the partitions empty — 81 files, not
     # 128)
-    docs.repartition(n_batches).write.parquet(STREAM_SRC)
-    init_dedup_root(ROOT, num_perm=64, bands=16)
+    if os.environ.get("TE_STREAM_RESUME") != "1":
+        if not (keep_src and os.path.exists(STREAM_SRC)):
+            docs.repartition(n_batches).write.parquet(STREAM_SRC)
+        init_dedup_root(ROOT, num_perm=64, bands=16)
 
     lat: list[float] = []
 
+    # r14 (VERDICT r13 #7): exactly-once restart at probe scale.
+    # TE_STREAM_KILL_AT=k hard-kills the process (os._exit — no
+    # cleanup, the honest crash) the first time batch k is ENTERED,
+    # leaving a torn run behind; relaunching the same command resumes
+    # from the checkpoint and must replay batch k exactly once (the
+    # per-batch multi-table transaction commit is idempotent on
+    # batch id). The final state digest must equal a clean run's.
+    kill_at = int(os.environ.get("TE_STREAM_KILL_AT", "-1"))
+    kill_marker = os.path.join(ROOT, "_killed_once")
+
     def fold(bdf, bid):
+        if bid == kill_at and not os.path.exists(kill_marker):
+            with open(kill_marker, "w") as fh:
+                fh.write(str(bid))
+            print(f"KILLING at batch {bid}", file=sys.stderr, flush=True)
+            os._exit(17)
         t0 = time.perf_counter()
         dedup_fold_batch(
             bdf, bid, ROOT, threshold=0.9,
@@ -152,6 +181,15 @@ def main() -> None:
                     "bands": _du(os.path.join(ROOT, "bands")),
                 },
                 "manifest_versions": {"root": current_version(ROOT)},
+                # order-independent content digest of the admitted
+                # corpus — the exactly-once comparator across
+                # kill/resume vs clean runs
+                "corpus_digest": int(
+                    corpus.selectExpr(
+                        "COALESCE(sum(pmod(xxhash64(doc_id),"
+                        " 1000000007)), 0) AS h"
+                    ).first()["h"]
+                ),
             }
         )
     )
