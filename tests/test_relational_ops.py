@@ -368,6 +368,26 @@ def test_exact_rank_element_ignores_nulls(spark):
     assert got[0]["p"] == 2.0
 
 
+def test_exact_rank_element_bracket_path_exact(spark):
+    """r14 (sf30 probe finding): the r12 `orderBy().offset(k-1)`
+    shape physically planned as a TOP-K with a 2·k per-task buffer —
+    at rank ~90M it OOM'd a 48g heap. The re-planned path (GK
+    bracket → exact counts → tie-collapsed running-count window)
+    must return the identical ⌈q·n⌉-rank element. 50k rows exercises
+    the bracket branch (n > 4·acc); the value set is 90% one heavy
+    tie + a spread tail, the clique regime that produced the OOM."""
+    from trendengine_spark.operators.util import exact_rank_element
+
+    vals = [float(i % 500) if i % 10 == 0 else 250.0 for i in range(50_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    srt = sorted(vals)
+    import math
+
+    for q in (0.001, 0.25, 0.5, 0.9, 0.999, 1.0):
+        k = max(int(math.ceil(q * len(vals))), 1)
+        assert exact_rank_element(df, "v", q) == srt[k - 1], q
+
+
 def test_approx_distinct_tracks_exact(spark):
     """approx_vs_exact_distinct (registry-retired r13, API surface
     kept): native HLL approx_count_distinct at rsd=0.01 tracks the

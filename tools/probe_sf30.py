@@ -58,7 +58,13 @@ def build(spark, src: str, replicas: int) -> None:
     if os.path.exists(OUT):
         shutil.rmtree(OUT)
     os.makedirs(OUT)
-    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r")
+    # bigint replica index: at 300 replicas _r * OFFSET overflows
+    # INT32 under the ANSI default (sf10's 100 replicas just fit)
+    rep = F.explode(
+        F.sequence(
+            F.lit(0).cast("bigint"), F.lit(replicas - 1).cast("bigint")
+        )
+    ).alias("_r")
     # documents: per-replica bijective token salt (stress_sf1 rule) —
     # replicas are new DISTINCT documents; within-replica dup
     # structure (planted near-dups, shared paragraph blocks) is

@@ -274,30 +274,46 @@ def fit_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def exact_rank_element(df, col: str, q: float, n: int | None = None):
     """The exact ⌈q·n⌉-th smallest value of ``df[col]`` (= DuckDB
-    ``quantile_disc`` / Spark's GK query rule at zero rank error) via
-    a global sort + OFFSET — the MEMORY-BOUNDED exact path the r12
-    sf10 sweep forced into existence.
+    ``quantile_disc`` / Spark's GK query rule at zero rank error),
+    MEMORY-BOUNDED at any n — the exact path the r12 sf10 sweep
+    forced into existence, re-planned in r14 after the fifth-decade
+    probe found the r12 shape's hidden top-k.
 
-    Why: percentile_approx with accuracy derived ≥ n is lossless, but
-    GK partials COMPRESS ONLY above capacity — with accuracy ≥ rows,
-    every partial aggregator holds its entire partition's values as
-    JVM objects, which OOM'd an 8g heap on 60M-row lineitem at sf10
-    (the r11 2²⁴ clamp bounds the sketch but breaks the exact-rank
-    oracle identity at the same scale it protects). A sort is the
-    honest exact algorithm at any n: external, spillable, O(n log n),
-    and the identity holds at EVERY scale. Callers dispatch on a
-    cardinality gate (the profile_heavy_hitters pattern): sketch below
-    the gate, sort above it. Returns None on an empty frame.
+    Why not percentile_approx with accuracy ≥ n: GK partials COMPRESS
+    ONLY above capacity — lossless accuracy means every partial holds
+    its whole partition as JVM objects (the r12 sf10 OOM). Why not
+    ``orderBy().offset(k-1).limit(1)`` (the r12 shape): Spark plans a
+    finite offset+limit over a sort as a TOP-K (TakeOrderedAndProject
+    → guava TopKSelector), which allocates a 2·(offset+limit) object
+    buffer PER TASK — at rank ~90M (the sf30 near-dup candidate set)
+    that is ~1.4 GB of references per task × 32 tasks, and a 48g heap
+    died in seconds. "Sort + OFFSET is external and spillable" is
+    true of the LOGICAL plan only; the physical plan is an in-memory
+    selection whenever offset+limit is finite.
+
+    The r14 plan, bounded at every step:
+    1. bracket the rank two-sided with a FIXED-accuracy GK sketch
+       (rank error ≤ n/acc by the GK guarantee — bounded partials);
+    2. exact count below the bracket (map-reduce, no state);
+    3. tie-collapse the bracket slice (groupBy value — partial-agg)
+       and pick the target by a running-count window over the
+       slice's DISTINCT values (window sort is external/spillable;
+       no top-k operator anywhere);
+    4. if the bracket misses (cannot happen within the GK guarantee;
+       kept as a guard), fall back to the same tie-collapsed window
+       over ALL distinct values — single-task but external.
+    Callers dispatch on a cardinality gate (GK_LOSSLESS_GATE): cheap
+    lossless sketch below it, this exact path above it; both are
+    exact, so the quantile_disc oracle identity holds at EVERY scale.
+    Returns None on an empty frame.
 
     NULL semantics (ADVICE r12): NULLs are EXCLUDED, matching
-    percentile_approx / quantile_disc — Spark's default ascending
-    sort is nulls-first, so without the filter NULLs would occupy
-    the lowest ranks and crossing GK_LOSSLESS_GATE would change
-    results on nullable columns. ``n``, when supplied, must be the
-    NON-NULL row count; when omitted it is computed after the
+    percentile_approx / quantile_disc. ``n``, when supplied, must be
+    the NON-NULL row count; when omitted it is computed after the
     filter."""
     import math as _m
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     df = df.filter(F.col(col).isNotNull())
@@ -306,8 +322,45 @@ def exact_rank_element(df, col: str, q: float, n: int | None = None):
     if not n:
         return None
     k = max(int(_m.ceil(q * n)), 1)
-    row = df.select(col).orderBy(F.col(col).asc()).offset(k - 1).limit(1).collect()
-    return row[0][0] if row else None
+    vals = df.select(col)
+
+    def _pick_from(sliced, target_rank):
+        """target_rank-th smallest within ``sliced`` via tie-collapsed
+        running counts — distinct values only, external window sort,
+        no top-k."""
+        g = sliced.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        hit = (
+            g.withColumn("_cum", F.sum("_c").over(w))
+            .filter(F.col("_cum") >= target_rank)
+            .orderBy(F.col(col).asc())
+            .limit(1)
+            .collect()
+        )
+        return hit[0][0] if hit else None
+
+    # GK bracket: rank error ≤ n/acc, so [q ± 2/acc] (rank units:
+    # k ± 2n/acc) brackets the true element; acc fixed ⇒ sketch
+    # partials bounded regardless of n
+    acc = 10_000
+    if n > 4 * acc:
+        lo_q = max((k - 2.0 * n / acc) / n, 0.0)
+        hi_q = min((k + 2.0 * n / acc) / n, 1.0)
+        br = vals.agg(
+            F.percentile_approx(col, [lo_q, hi_q], acc).alias("b")
+        ).collect()[0]["b"]
+        v_lo, v_hi = br[0], br[1]
+        n_below = vals.filter(F.col(col) < v_lo).count()
+        in_slice = vals.filter(
+            (F.col(col) >= v_lo) & (F.col(col) <= v_hi)
+        )
+        n_slice = in_slice.count()
+        if n_below < k <= n_below + n_slice:
+            return _pick_from(in_slice, k - n_below)
+        # bracket miss — outside the GK guarantee; guard path
+    return _pick_from(vals, k)
 
 
 #: rows-per-aggregation-state gate for GK-sketch percentile paths:
