@@ -138,6 +138,11 @@ def main() -> None:
             except Exception:
                 pass
 
+    def step_done(name: str) -> None:
+        # incremental evidence: a crashed later step must not erase
+        # earlier steps' walls
+        print(json.dumps({name: out.get(name)}), file=sys.stderr, flush=True)
+
     if "minhash_index" in steps:
         from trendengine_spark.operators.dedup import (
             incremental_minhash_dedup,
@@ -189,6 +194,7 @@ def main() -> None:
                 "probe_flagged_docs": n_flagged,
             }
         )
+        step_done("minhash_index")
         drop_caches()
 
     if "paragraph" in steps:
@@ -197,6 +203,7 @@ def main() -> None:
         out["paragraph"] = {
             "wall_s": round(time.perf_counter() - t0, 1), "rows": n,
         }
+        step_done("paragraph")
         drop_caches()
 
     if "near_dup" in steps:
@@ -205,6 +212,7 @@ def main() -> None:
         out["near_dup"] = {
             "wall_s": round(time.perf_counter() - t0, 1), "kept_pairs": n,
         }
+        step_done("near_dup")
         drop_caches()
 
     if "ivfpq" in steps:
@@ -255,6 +263,7 @@ def main() -> None:
             "probe_s": probe_s,
             "clone_recall": round(recall, 3),
         }
+        step_done("ivfpq")
         drop_caches()
 
     if "decon" in steps:
@@ -263,6 +272,7 @@ def main() -> None:
         out["decon"] = {
             "wall_s": round(time.perf_counter() - t0, 1), "label_rows": rows,
         }
+        step_done("decon")
         drop_caches()
 
     print(json.dumps(out))

@@ -1558,7 +1558,16 @@ def ivfpq_write_index(
         iters=iters, seed=seed, id_col=id_col, vec_col=vec_col,
     )
     spark = corpus.sparkSession
-    codes.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    # co-locate each cell before the partitioned write: without the
+    # repartition every write task emits a file into every cell
+    # directory it touches — ~n_cells × tasks tiny files (measured:
+    # 23,936 files / 197 MB at 600k vectors, 775 derived cells — the
+    # sf30 probe), which at 100M vectors and √N cells is millions of
+    # parquet footers per index. One hash shuffle of the thin
+    # (id, cell, codes) table makes it exactly one file per cell.
+    codes.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path + "/codes")
     cent_rows = [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))]
     spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
         1
