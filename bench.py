@@ -85,6 +85,26 @@ BENCH_CONF = {
 }
 
 
+def _calib_loop(_):
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    return acc
+
+
+def _parallel_calibration() -> float:
+    """Wall time for ncpu concurrent copies of a fixed 10M-iteration
+    loop (one process per core, no shared state): the parallel-capacity
+    clock that load average and a single-core probe both miss."""
+    import multiprocessing as mp
+
+    n = min(os.cpu_count() or 8, 32)
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(n) as pool:
+        pool.map(_calib_loop, range(n))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     # Ambient-load self-defense (r11, VERDICT finding 1): the box is
     # shared, and r10's driver artifact recorded a +47% PageRank
@@ -94,6 +114,16 @@ def main() -> None:
     # (or the judge) can tell an ambient spike from a real regression
     # without rerunning.
     load_start = round(os.getloadavg()[0], 1)
+    # r14: load average misses HOST-side contention (steal) — the r14
+    # session measured the UNCHANGED r13 tree at 5.4 s vs its defended
+    # 2.191 s with load 0.2, while a single-core loop ran at full
+    # speed: the VM's cores are capped only under CONCURRENT demand.
+    # So calibrate with ncpu parallel copies of a fixed loop: the
+    # wall equals the single-core wall (~0.4 s) when the host is
+    # idle, and inflates by exactly the factor every parallel Spark
+    # stage will pay. Readers normalize the suite numbers by
+    # calib_parallel_s / its idle floor.
+    calib_s = _parallel_calibration()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -284,6 +314,7 @@ def main() -> None:
                 "extra_queries": extra_times,
                 "load_avg_start": load_start,
                 "load_avg_end": round(os.getloadavg()[0], 1),
+                "calib_parallel_s": calib_s,
             }
         )
     )
