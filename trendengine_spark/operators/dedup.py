@@ -714,20 +714,33 @@ def write_minhash_index(
         raise ValueError("num_perm must divide into bands")
     spark = df.sparkSession
     sig = minhash_signatures(df, num_perm, id_col, text_col, n, family=family)
+    # r14 (guide §2.3 "don't compute things twice"): the shingle →
+    # hash → 64-perm-min pipeline is the dominant cost of the build,
+    # and the bands write re-executed it end-to-end (two writes, no
+    # shared materialization — measured 2× the signature pass at
+    # sf0.1, and the same factor on the 323 s sf30 index build). Pin
+    # it for the duration of the two writes: the signatures write
+    # populates the cache, the bands write re-reads columnar batches.
+    sig = sig.persist()
     view = f"_te_mh_index_{num_perm}_{bands}"
     sig.createOrReplaceTempView(view)
     os.makedirs(path, exist_ok=True)
-    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    spark.sql(
-        f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
-        f"LATERAL VIEW explode(array("
-        f"{_band_structs_sql(num_perm, bands, family)})) "
-        f"bt AS bh"
-    ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    meta = {"num_perm": num_perm, "bands": bands, "n": n, "family": family}
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        _json.dump(meta, fh)
-    n_docs = spark.read.parquet(os.path.join(path, "signatures")).count()
+    try:
+        sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+        spark.sql(
+            f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
+            f"LATERAL VIEW explode(array("
+            f"{_band_structs_sql(num_perm, bands, family)})) "
+            f"bt AS bh"
+        ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+        meta = {"num_perm": num_perm, "bands": bands, "n": n, "family": family}
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            _json.dump(meta, fh)
+        # row count from the cached table (one cheap job) — identical
+        # to what just landed in parquet, without re-listing the files
+        n_docs = sig.count()
+    finally:
+        sig.unpersist()
     return {**meta, "n_docs": n_docs}
 
 
@@ -868,15 +881,21 @@ def append_minhash_index(
     sig = minhash_signatures(
         new_docs, num_perm, id_col, text_col, n, family=family
     )
+    # r14: same double-compute as write_minhash_index — pin the batch
+    # signatures across the two appends (guide §2.3)
+    sig = sig.persist()
     view = f"_te_mh_append_{num_perm}_{bands}_{family}"
     sig.createOrReplaceTempView(view)
-    sig.write.mode("append").parquet(os.path.join(path, "signatures"))
-    spark.sql(
-        f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
-        f"LATERAL VIEW explode(array("
-        f"{_band_structs_sql(num_perm, bands, family)})) "
-        f"bt AS bh"
-    ).write.mode("append").parquet(os.path.join(path, "bands"))
+    try:
+        sig.write.mode("append").parquet(os.path.join(path, "signatures"))
+        spark.sql(
+            f"SELECT id, bh.band AS band, bh.bucket AS bucket FROM {view} "
+            f"LATERAL VIEW explode(array("
+            f"{_band_structs_sql(num_perm, bands, family)})) "
+            f"bt AS bh"
+        ).write.mode("append").parquet(os.path.join(path, "bands"))
+    finally:
+        sig.unpersist()
     if batch_key is not None:
         meta = dict(meta)
         meta["applied"] = [*meta.get("applied", []), batch_key]
