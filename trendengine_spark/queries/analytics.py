@@ -187,27 +187,55 @@ def _pagerank_sql(div: str, count1: str) -> str:
 
 def _copurchase_edges(spark, sf_dir, key):
     """Symmetrized distinct co-purchase edge set (parts sharing an
-    order) — the shared input of the iterative graph queries. Built
-    ORIENTED (a < b) so the distinct dedups HALF the raw pair stream
-    (r9: the `!=` form shuffled both directions of every pair into
-    the distinct — 5.8 → 3.3 s at sf3), cached oriented, then
-    symmetrized by unioning the flip of the CACHED table: each
-    downstream reference pays one in-memory map, never the
-    self-join."""
+    order) — the shared input of the iterative graph queries. Two
+    r14 plan changes (guide §2.3/§2.4), both A/B-measured in
+    ``tools/probe_pagerank_v2.py`` with identical result hashes:
+
+    - **Pair generation replaces the lineitem self-join**: one
+      ``groupBy(l_orderkey).collect_set`` aggregation (partial
+      map-side), then the a<b pairs are generated IN-ROW from the
+      sorted per-order part array (two nested ``transform``s + one
+      ``explode`` — pure codegen, no shuffle) before the distinct.
+      The SortMergeJoin's two sorts over the full lineitem scan are
+      gone; the only pre-distinct exchange carries one row per
+      ORDER (≤ 7 parts each), not one per lineitem pair. Orders are
+      bounded fan-out groups, so the in-row pair blow-up is O(1)
+      per row at any corpus scale.
+    - **The symmetrized table is cached hash-partitioned on the
+      join key ``a``** (keyed ``repartition`` with the partition
+      count left to ``spark.sql.shuffle.partitions`` — bench and
+      cluster configs flow through, nothing hard-coded): every
+      downstream join/groupBy on ``a`` (PageRank's contribution
+      join + degree count, k-hop's frontier join) reuses the cached
+      partitioning instead of re-exchanging the edges per
+      iteration. Cache carries 2·|E| thin (long, long) rows — the
+      flip-union of the r9 oriented cache re-shuffled BOTH
+      directions every iteration, which cost more than the memory
+      saves (probe: 6.43 → 4.12 s min-of-5 at sf0.1 from the
+      partitioned cache alone, → 2.93 s with all of r14's graph
+      changes)."""
     from trendengine_spark.operators.util import owned_cache
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.withColumnRenamed("l_partkey", "b")
-    ori = owned_cache(
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("b"))
-        .select(F.col("l_partkey").alias("a"), "b")
-        .distinct(),
-        key=key,
+    ori = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
     )
-    return ori.unionAll(
+    sym = ori.unionAll(
         ori.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    return owned_cache(sym.repartition(F.col("a")), key=key)
 
 
 @query("graph_pagerank_micro", sql=_pagerank_sql("//", "count(*)"))
@@ -230,21 +258,40 @@ def graph_pagerank_micro(spark, sf_dir):
     The Spark plan builds in DataFrame form with the EDGE TABLE
     CACHED once (`owned_cache`): Spark inlines deterministic CTEs
     into every reference, so the SQL rendering re-executes the
-    lineitem self-join + distinct four times (deg, nodes, two
-    contribution passes) — measured 6.3 s vs 2.5 s for DuckDB (which
+    edge build + distinct four times (deg, nodes, two contribution
+    passes) — measured 6.3 s vs 2.5 s for DuckDB (which
     materializes the CTE) at synthetic sf1. Caching the edges is the
     loop-invariant hoisting every iterative graph algorithm needs;
-    the per-iteration math is identical to the oracle SQL."""
+    the per-iteration math is identical to the oracle SQL.
+
+    r14 iteration-body replan (guide §2.3 "shuffle fewer bytes",
+    §2.4; A/B in ``tools/probe_pagerank_v2.py``, hash-identical):
+    the old body joined the FULL edge table twice per iteration
+    (once against ``deg``, once against the rank table). Both are
+    per-node tables, so they are pre-joined into one |nodes|-sized
+    ``w = (a, rank div d)`` FIRST and the edges are joined exactly
+    once per iteration; ``rank div d`` is one integer per source
+    node either way, so the summed contributions are bit-identical.
+    ``nodes`` is read off ``deg`` (one row per distinct source by
+    construction) instead of a separate distinct pass. With the
+    edges cached partitioned on ``a`` the degree count and the
+    contribution join are exchange-free on the edge side; the tiny
+    ``w`` broadcast-joins under AQE and sort-merges against the
+    cached layout when it outgrows the threshold — nothing in the
+    plan pins a scale constant. Probe min-of-5 at sf0.1:
+    6.43 s → 2.93 s (−54%) for the full build+2-iteration job."""
     edges = _copurchase_edges(spark, sf_dir, f"pagerank_edges:{sf_dir}")
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("a").alias("k")).distinct()
+    nodes = deg.select(F.col("a").alias("k"))
     r = nodes.withColumn("rank", F.lit(1000000).cast("long"))
     for _ in range(2):
+        w = r.join(deg, r.k == deg.a).select(
+            "a", F.expr("rank div d").alias("c")
+        )
         contrib = (
-            edges.join(deg, "a")
-            .join(r, edges.a == r.k)
+            edges.join(w, "a")
             .groupBy("b")
-            .agg(F.expr("CAST(sum(rank div d) AS BIGINT)").alias("s"))
+            .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("s"))
         )
         r = nodes.join(contrib, nodes.k == contrib.b, "left").select(
             "k",
