@@ -85,6 +85,31 @@ def test_label_propagation_checkpoint_cadence_identity(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_label_propagation_repartition_votes_identity(spark):
+    """r14: repartition_votes pre-partitions the checkpointed edge
+    table on the vote-join key — a pure execution-layout knob. Labels
+    must be identical with it on/off, on a graph that converges over
+    several rounds (same topology as the cadence test)."""
+    from trendengine_spark.operators.graph import label_propagation
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(10 + i, 10 + j) for i in range(6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(5, 10), (11, 20), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    outs = [
+        {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                edges, iters=5, early_exit=False, repartition_votes=rv
+            ).collect()
+        }
+        for rv in (False, True)
+    ]
+    assert outs[0] == outs[1]
+
+
 def test_label_propagation_isolated_pairs(spark):
     from trendengine_spark.operators.graph import label_propagation
 

@@ -86,6 +86,7 @@ def label_propagation(
     dst_col: str = "dst",
     early_exit: bool = True,
     checkpoint_every: int = 1,
+    repartition_votes: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007 — public method, own implementation): every node
@@ -146,7 +147,16 @@ def label_propagation(
     # self-loops carry each node's own vote through the same join
     und = und.union(
         nodes.select(F.col("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    )
+    if repartition_votes:
+        # r14 (guide §2.4): the per-round vote join is keyed on b, so
+        # checkpointing the edge table PRE-PARTITIONED on b lets every
+        # round reuse one exchange (LogicalRDD preserves the physical
+        # partitioning across localCheckpoint); partition count follows
+        # spark.sql.shuffle.partitions — nothing scale-pinned. Labels
+        # (|nodes| rows) remain the only per-round shuffle.
+        und = und.repartition(F.col("b"))
+    und = und.localCheckpoint()
     labels = (
         nodes.select(F.col("a").alias("node"))
         .withColumn("label", F.col("node"))

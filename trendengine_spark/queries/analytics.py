@@ -1572,21 +1572,19 @@ def graph_triangle_counts(spark, sf_dir):
     DuckDB's oracle keeps the simple id-oriented text — different
     plan, provably identical result set, integer-exact hash."""
     from trendengine_spark.operators.util import owned_cache
-    from trendengine_spark.queries.base import t as _t
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.withColumnRenamed("l_partkey", "b")
-    und = (
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("b"))
-        .select(F.col("l_partkey").alias("a"), "b")
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+    # r14 (guide §2.3/§2.4; A/B in tools/probe_tri_lpa.py, hash
+    # identical, 3.77 → 2.92 s min-of-5 at sf0.1): the oriented pairs
+    # and the degree table both read the SHARED co-partitioned
+    # symmetrized edge cache (_copurchase_edges — in-row pair
+    # generation, no lineitem self-join). und is a filter over the
+    # cache; deg is one exchange-free groupBy on the cached
+    # partitioning — the old endpoint-union degree pass re-planned
+    # the uncached self-join subtree per reference.
+    sym = _copurchase_edges(spark, sf_dir, f"tri_edges:{sf_dir}")
+    und = sym.filter(F.col("a") < F.col("b"))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
@@ -1957,16 +1955,36 @@ def graph_communities_lpa(spark, sf_dir):
     from trendengine_spark.queries.base import t as _t
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     # tie strength >= 2 shared orders: on the raw co-purchase graph
     # (every pair sharing ANY order) LPA exhibits its documented
     # epidemic collapse to one giant community — measured here: 1
     # community at sf0.01. Repeat co-purchase is the analytically
     # meaningful tie, and the sparser graph keeps real structure.
+    #
+    # r14 build replan (guide §2.3; A/B in tools/probe_tri_lpa.py,
+    # hash identical, 6.09 → 5.10 s min-of-5 at sf0.1 with the
+    # operator's vote-join co-partition below): the lineitem
+    # self-join is replaced by per-order collect_list + in-row
+    # src<dst pair generation — collect_LIST (not set) + the strict
+    # x<y filter reproduce the self-join's pair MULTIPLICITY exactly
+    # (a part appearing k times in an order contributes k copies of
+    # each pair, as the join did), which the >= 2 tie-strength
+    # cut depends on. One order-keyed exchange replaces the
+    # SortMergeJoin's two sorted passes over lineitem.
     edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " filter(transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS src, y AS dst)),"
+                    " p -> p.src < p.dst)))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
@@ -1994,7 +2012,9 @@ def graph_communities_lpa(spark, sf_dir):
     # still want batching); the declared query keeps the measured
     # winner.
     labels = owned_cache(
-        label_propagation(edges, iters=5, early_exit=False),
+        label_propagation(
+            edges, iters=5, early_exit=False, repartition_votes=True
+        ),
         "graph.lpa.labels",
     )
     from trendengine_spark.operators.graph import modularity
