@@ -129,9 +129,12 @@ def main() -> None:
     out["n_docs"] = spark.read.parquet(f"{OUT}/documents.parquet").count()
     out["n_vecs"] = spark.read.parquet(f"{OUT}/embeddings.parquet").count()
 
-    pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
-
     def drop_caches() -> None:
+        # r14 fix (same as stress_sf1): the pool attribute is created
+        # lazily by the first owned_cache call, so it must be read
+        # INSIDE the dropper — binding it up front captures an empty
+        # stand-in dict and the drops silently no-op.
+        pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
         for key in list(pool):
             try:
                 pool.pop(key).unpersist(blocking=True)

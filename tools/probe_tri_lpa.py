@@ -219,6 +219,7 @@ def main() -> None:
             ("lpaA", lambda: lpa_full(spark, lpa_edges_current(spark, sf_dir), None)),
             ("lpaB", lambda: lpa_full(spark, lpa_edges_pairgen(spark, sf_dir), None)),
             ("lpaC", lambda: lpa_full(spark, lpa_edges_pairgen(spark, sf_dir), True)),
+            ("lpaD", lambda: lpa_full(spark, lpa_edges_current(spark, sf_dir), True)),
         ]:
             try:
                 ts, h = run(tag, b, ["community", "n_members"])

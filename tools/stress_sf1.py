@@ -267,12 +267,19 @@ def main() -> None:
 
     def time_spark(names: list[str]) -> dict[str, float]:
         out = {}
-        pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
 
         def drop_caches() -> None:
             # operator-internal caches (LSH signature tables etc.)
             # must not carry across samples — same discipline as
-            # bench.py, or the second run measures a cache hit
+            # bench.py, or the second run measures a cache hit.
+            # r14 FIX: the pool attribute must be read INSIDE the
+            # dropper — it does not exist until the first owned_cache
+            # call, so a closure binding `getattr(...) or {}` at
+            # time_spark entry captures an empty stand-in dict and
+            # silently never drops anything: every cache-using row in
+            # the published sf10 suites was a warm-cache number (the
+            # warm-up built the cache, the "timed" samples reused it).
+            pool = getattr(spark.sparkContext, "_te_owned_caches", None) or {}
             for key in list(pool):
                 try:
                     pool.pop(key).unpersist(blocking=True)

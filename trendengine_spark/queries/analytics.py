@@ -187,49 +187,40 @@ def _pagerank_sql(div: str, count1: str) -> str:
 
 def _copurchase_edges(spark, sf_dir, key):
     """Symmetrized distinct co-purchase edge set (parts sharing an
-    order) — the shared input of the iterative graph queries. Two
-    r14 plan changes (guide §2.3/§2.4), both A/B-measured in
-    ``tools/probe_pagerank_v2.py`` with identical result hashes:
+    order) — the shared input of the iterative graph queries. The
+    r14 plan change (guide §2.4; A/B in ``tools/probe_pagerank_v2.py``
+    with identical result hashes at sf0.1 AND sf10): **the
+    symmetrized table is cached hash-partitioned on the join key
+    ``a``** (keyed ``repartition`` with the partition count left to
+    ``spark.sql.shuffle.partitions`` — bench and cluster configs flow
+    through, nothing hard-coded). Every downstream join/groupBy on
+    ``a`` (PageRank's contribution join + degree count, k-hop's
+    frontier join, the triangle orientation) reuses the cached
+    partitioning instead of re-exchanging the edges per reference.
+    The cache carries 2·|E| thin (long, long) rows — the r9
+    flip-union of the oriented cache re-shuffled BOTH directions on
+    every use, which cost more than the halved memory saved (probe
+    min-of-N: 6.43 → 4.12 s at sf0.1, 35.1 → 17.4 s at sf10 from
+    this change alone).
 
-    - **Pair generation replaces the lineitem self-join**: one
-      ``groupBy(l_orderkey).collect_set`` aggregation (partial
-      map-side), then the a<b pairs are generated IN-ROW from the
-      sorted per-order part array (two nested ``transform``s + one
-      ``explode`` — pure codegen, no shuffle) before the distinct.
-      The SortMergeJoin's two sorts over the full lineitem scan are
-      gone; the only pre-distinct exchange carries one row per
-      ORDER (≤ 7 parts each), not one per lineitem pair. Orders are
-      bounded fan-out groups, so the in-row pair blow-up is O(1)
-      per row at any corpus scale.
-    - **The symmetrized table is cached hash-partitioned on the
-      join key ``a``** (keyed ``repartition`` with the partition
-      count left to ``spark.sql.shuffle.partitions`` — bench and
-      cluster configs flow through, nothing hard-coded): every
-      downstream join/groupBy on ``a`` (PageRank's contribution
-      join + degree count, k-hop's frontier join) reuses the cached
-      partitioning instead of re-exchanging the edges per
-      iteration. Cache carries 2·|E| thin (long, long) rows — the
-      flip-union of the r9 oriented cache re-shuffled BOTH
-      directions every iteration, which cost more than the memory
-      saves (probe: 6.43 → 4.12 s min-of-5 at sf0.1 from the
-      partitioned cache alone, → 2.93 s with all of r14's graph
-      changes)."""
+    The pair build itself stays the lineitem self-join + distinct
+    (oriented a < b so the distinct dedups half the raw stream, the
+    r9 finding). An in-row pair-generation build
+    (``groupBy(order).collect_set`` + nested-transform explode) was
+    measured FASTER at sf0.1 (2.93 vs 3.68 s full-query) and
+    DECLINED: at sf10 the group count is the ORDER count (14.7M),
+    and the object-hash collect aggregation (non-codegen, sort-based
+    fallback past the in-memory threshold) measured 24.6 vs 14.6 s
+    — the self-join's sort-merge is the plan whose cost stays a
+    constant number of passes over lineitem at every scale."""
     from trendengine_spark.operators.util import owned_cache
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnRenamed("l_partkey", "b")
     ori = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b"))
+        .select(F.col("l_partkey").alias("a"), "b")
         .distinct()
     )
     sym = ori.unionAll(
@@ -278,8 +269,9 @@ def graph_pagerank_micro(spark, sf_dir):
     contribution join are exchange-free on the edge side; the tiny
     ``w`` broadcast-joins under AQE and sort-merges against the
     cached layout when it outgrows the threshold — nothing in the
-    plan pins a scale constant. Probe min-of-5 at sf0.1:
-    6.43 s → 2.93 s (−54%) for the full build+2-iteration job."""
+    plan pins a scale constant. Probe (full build+2-iteration job,
+    min-of-N, identical hashes): 6.43 → 3.68 s at sf0.1 and
+    35.1 → 14.6 s at sf10."""
     edges = _copurchase_edges(spark, sf_dir, f"pagerank_edges:{sf_dir}")
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     nodes = deg.select(F.col("a").alias("k"))
@@ -1955,36 +1947,25 @@ def graph_communities_lpa(spark, sf_dir):
     from trendengine_spark.queries.base import t as _t
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     # tie strength >= 2 shared orders: on the raw co-purchase graph
     # (every pair sharing ANY order) LPA exhibits its documented
     # epidemic collapse to one giant community — measured here: 1
     # community at sf0.01. Repeat co-purchase is the analytically
     # meaningful tie, and the sparser graph keeps real structure.
     #
-    # r14 build replan (guide §2.3; A/B in tools/probe_tri_lpa.py,
-    # hash identical, 6.09 → 5.10 s min-of-5 at sf0.1 with the
-    # operator's vote-join co-partition below): the lineitem
-    # self-join is replaced by per-order collect_list + in-row
-    # src<dst pair generation — collect_LIST (not set) + the strict
-    # x<y filter reproduce the self-join's pair MULTIPLICITY exactly
-    # (a part appearing k times in an order contributes k copies of
-    # each pair, as the join did), which the >= 2 tie-strength
-    # cut depends on. One order-keyed exchange replaces the
-    # SortMergeJoin's two sorted passes over lineitem.
+    # r14: the build KEEPS the self-join (an in-row
+    # collect_list + pair-explode build measured faster at sf0.1,
+    # 5.50 vs 6.09 s, but was DECLINED for the same reason as
+    # _copurchase_edges: at sf10 the per-ORDER group count is 14.7M
+    # and the object-hash collect aggregation loses to the
+    # sort-merge self-join — see tools/probe_tri_lpa.py). The r14
+    # change that stays is the operator's vote-join co-partition
+    # (repartition_votes below).
     edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " filter(transform(slice(ps, i + 2, size(ps) - i - 1),"
-                    " y -> struct(x AS src, y AS dst)),"
-                    " p -> p.src < p.dst)))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
