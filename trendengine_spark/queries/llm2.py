@@ -2511,64 +2511,62 @@ def sim_rrf_fusion(spark, sf_dir):
     orderings carry deterministic id tie-breaks), and the RRF score
     is a two-term sum of unit fractions evaluated in the same order
     on both engines — identical doubles, no tolerance. Scale: each
-    ranker's top-100 is a bounded per-query list (k·Q rows), the
-    fusion join is on (query_id, vec_id) over those bounded lists,
-    so fusion cost is independent of corpus size — the rankers
-    themselves carry the scan."""
+    ranker's top-100 is a bounded per-query list (k·Q rows), so
+    fusion cost is independent of corpus size — the rankers
+    themselves carry the scan.
+
+    r14 (guide §2.3/§2.4): the two rankers FUSE INTO ONE PASS. One
+    scan computes (embedding, packed code) per row, one broadcast
+    carries both the query vector and the query code, one pair
+    generation feeds BOTH row_numbers over the same query_id
+    partitioning (two sorts sharing one exchange) — and the fusion
+    equi-join disappears because both ranks live on the same row.
+    Measured (tools/probe_rrf.py, interleaved A/B, sf0.1): min
+    0.649 vs 0.771 s, B ahead in all 5 pairs, hash-identical. Plan:
+    4 parquet scans → 2, 2 BNLJ pair-gens → 1, SortMergeJoin
+    eliminated, 14 static Exchanges → 4. Rank identity: row_number
+    over the identical (ordering, tie-break) keys on the identical
+    pair set, filtered r ≤ 100 after BOTH ranks are computed —
+    the same intersection the join expressed."""
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
-    )
     from trendengine_spark.operators.similarity import cosine_arrow
 
-    cos_scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_arrow(F.col("embedding"), F.col("_qv")).alias("c"),
-        )
-    )
-    w_cos = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
-    cos_r = (
-        cos_scored.withColumn("r", F.row_number().over(w_cos))
-        .filter(F.col("r") <= 100)
-        .select("query_id", "vec_id", F.col("r").alias("cos_rank"))
-    )
-
+    emb = t(spark, sf_dir, "embeddings")
     pack = F.expr(
         "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN "
         "embedding[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
     )
-    codes = emb.select("vec_id", pack.alias("code"))
-    qc = codes.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    base = emb.select("vec_id", "embedding", pack.alias("code"))
+    qside = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("code").alias("qc"),
     )
-    ham_scored = codes.join(
-        F.broadcast(qc), F.col("vec_id") != F.col("query_id")
+    pairs = base.join(
+        F.broadcast(qside), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         "vec_id",
+        cosine_arrow(F.col("embedding"), F.col("_qv")).alias("c"),
         F.bit_count(F.col("qc").bitwiseXOR(F.col("code"))).alias("hamming"),
     )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
     w_ham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    ham_r = (
-        ham_scored.withColumn("r", F.row_number().over(w_ham))
-        .filter(F.col("r") <= 100)
-        .select("query_id", "vec_id", F.col("r").alias("ham_rank"))
-    )
-
-    fused = cos_r.join(ham_r, ["query_id", "vec_id"]).select(
-        "query_id",
-        "vec_id",
-        F.col("cos_rank").cast("int").alias("cos_rank"),
-        F.col("ham_rank").cast("int").alias("ham_rank"),
-        (
-            F.lit(1.0) / (F.lit(60) + F.col("cos_rank"))
-            + F.lit(1.0) / (F.lit(60) + F.col("ham_rank"))
-        ).alias("rrf"),
+    fused = (
+        pairs.withColumn("cos_rank", F.row_number().over(w_cos))
+        .withColumn("ham_rank", F.row_number().over(w_ham))
+        .filter((F.col("cos_rank") <= 100) & (F.col("ham_rank") <= 100))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cos_rank").cast("int").alias("cos_rank"),
+            F.col("ham_rank").cast("int").alias("ham_rank"),
+            (
+                F.lit(1.0) / (F.lit(60) + F.col("cos_rank"))
+                + F.lit(1.0) / (F.lit(60) + F.col("ham_rank"))
+            ).alias("rrf"),
+        )
     )
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "vec_id")
     return (
