@@ -345,6 +345,103 @@ def cosine_range_search(
     )
 
 
+def cosine_hamming_candidates(
+    corpus: DataFrame,
+    queries_local: tuple[list, np.ndarray],
+    depth: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One corpus pass scoring BOTH retrieval families of the RRF
+    fusion (r14, guide §4 "pass only the columns the function needs"):
+    each Arrow batch computes exact cosine and 1-bit-code Hamming
+    against the closure-held query matrix and emits only the union of
+    its local top-``depth`` per ordering, as
+    ``(query_id, vec_id, c, hamming)``.
+
+    The union is an EXACT decomposition of both global top-``depth``
+    lists: a row in a global top-``depth`` is in its batch's local
+    top-``depth`` for that ordering (same total ordering, fewer
+    competitors), so every globally-needed row is emitted — and a
+    global ``row_number`` over the union assigns it its TRUE global
+    rank, because every row that beats it globally is itself in a
+    global top-``depth`` and therefore present. A row outside a
+    global top-``depth`` has ≥ ``depth`` present rows beating it, so
+    its union rank lands > ``depth`` and the caller's rank filter
+    drops it. Holds for any partitioning of the corpus into batches.
+
+    Bit-identity with the pair-join formulation this replaces: the
+    cosine keeps the exact einsum signature of :func:`cosine_arrow`
+    (``einsum("ij,ij->i")`` against a broadcast VIEW of the query
+    row — same per-row multiply-add order, no BLAS reassociation),
+    norms keep ``np.linalg.norm(..., axis=1)`` on both sides, and the
+    64-bit sign-pack/XOR/popcount is integer-exact. Python-boundary
+    bytes drop ~Q·2×: each corpus vector crosses ONCE instead of once
+    per query plus a query copy per pair, and the shuffle feeding the
+    ranking windows carries at most 2·depth·Q rows per batch instead
+    of the full n·Q pair table.
+    """
+    sc = corpus.sparkSession.sparkContext
+    q_ids, q_mat = queries_local
+    bc = sc.broadcast((list(q_ids), q_mat))
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("c", T.DoubleType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+
+    def _pack(m: np.ndarray) -> np.ndarray:
+        # sign bit per dimension, bit i = (v[i] > 0) — the integer
+        # twin of the JVM pack expression (shiftleft over a 0-based
+        # sequence); uint64 so bit 63 needs no sign-wrap special case
+        bits = (m > 0).astype(np.uint64)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        b = x.view(np.uint8).reshape(x.size, 8)
+        return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int32)
+
+    def score_batches(batches):
+        ids_b, qm = bc.value
+        q_codes = _pack(qm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(m, axis=1)
+            codes = _pack(m)
+            out = {"query_id": [], id_col: [], "c": [], "hamming": []}
+            for qi, qid in enumerate(ids_b):
+                qv = np.broadcast_to(qm[qi], m.shape)
+                dots = np.einsum("ij,ij->i", m, qv)
+                qn = np.linalg.norm(qv, axis=1)
+                c = dots / (norms * qn)
+                hm = _popcount(codes ^ q_codes[qi])
+                cand = np.flatnonzero(ids != qid)
+                if cand.size == 0:
+                    continue
+                top_c = cand[np.lexsort((ids[cand], -c[cand]))][:depth]
+                top_h = cand[np.lexsort((ids[cand], hm[cand]))][:depth]
+                keep = np.union1d(top_c, top_h)
+                out["query_id"].extend([qid] * keep.size)
+                out[id_col].extend(ids[keep].tolist())
+                out["c"].extend(c[keep].tolist())
+                out["hamming"].extend(hm[keep].tolist())
+            yield pd.DataFrame(out)
+
+    return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches, schema=out_schema
+    )
+
+
 def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (unit-normalized rows)."""
     rng = np.random.RandomState(seed)

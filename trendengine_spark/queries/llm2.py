@@ -2515,41 +2515,33 @@ def sim_rrf_fusion(spark, sf_dir):
     fusion cost is independent of corpus size — the rankers
     themselves carry the scan.
 
-    r14 (guide §2.3/§2.4): the two rankers FUSE INTO ONE PASS. One
-    scan computes (embedding, packed code) per row, one broadcast
-    carries both the query vector and the query code, one pair
-    generation feeds BOTH row_numbers over the same query_id
-    partitioning (two sorts sharing one exchange) — and the fusion
-    equi-join disappears because both ranks live on the same row.
-    Measured (tools/probe_rrf.py, interleaved A/B, sf0.1): min
-    0.649 vs 0.771 s, B ahead in all 5 pairs, hash-identical. Plan:
-    4 parquet scans → 2, 2 BNLJ pair-gens → 1, SortMergeJoin
-    eliminated, 14 static Exchanges → 4. Rank identity: row_number
-    over the identical (ordering, tie-break) keys on the identical
-    pair set, filtered r ≤ 100 after BOTH ranks are computed —
-    the same intersection the join expressed."""
+    r14 (guide §2.3/§2.4, then §4): the two rankers FUSE INTO ONE
+    CORPUS PASS. `cosine_hamming_candidates` scores every batch
+    against the closure-held query matrix (exact einsum cosine —
+    bit-identical signature to the pair path it replaces — plus
+    integer sign-pack/XOR/popcount Hamming) and emits only the union
+    of batch-local top-100s per ordering, which is an exact
+    decomposition of both global top-100 lists (proof in the
+    operator docstring). Both row_numbers then rank the bounded
+    union over ONE query_id partitioning, and the fusion equi-join
+    disappears because both ranks live on the same row. Measured
+    (tools/probe_rrf.py, interleaved A/B/C, sf0.1, all three
+    hash-identical): min 0.633 s (this shape) vs 1.121 s
+    (single-pass pair join) vs 1.497 s (the r13 two-scan + SMJ
+    shape). Plan: 4 parquet scans → 1, pair BNLJs eliminated,
+    SortMergeJoin eliminated, the windows rank ≤ 2·100·Q rows per
+    batch instead of n·Q pairs, and each corpus vector crosses the
+    Python boundary once instead of once per query."""
     from pyspark.sql import Window
 
-    from trendengine_spark.operators.similarity import cosine_arrow
+    from trendengine_spark.operators.similarity import (
+        cosine_hamming_candidates,
+        load_query_vectors,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    pack = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN "
-        "embedding[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
-    )
-    base = emb.select("vec_id", "embedding", pack.alias("code"))
-    qside = base.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qv"),
-        F.col("code").alias("qc"),
-    )
-    pairs = base.join(
-        F.broadcast(qside), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        cosine_arrow(F.col("embedding"), F.col("_qv")).alias("c"),
-        F.bit_count(F.col("qc").bitwiseXOR(F.col("code"))).alias("hamming"),
+    pairs = cosine_hamming_candidates(
+        emb, load_query_vectors(sf_dir), depth=100
     )
     w_cos = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
     w_ham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
