@@ -345,6 +345,22 @@ def cosine_range_search(
     )
 
 
+def _pack_sign_codes(m: np.ndarray) -> np.ndarray:
+    """64-bit sign code per row, bit i = (v[i] > 0) — the integer twin
+    of the JVM pack expression (shiftleft over a 0-based sequence);
+    uint64 so bit 63 needs no sign-wrap special case."""
+    bits = (m > 0).astype(np.uint64)
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy < 2 has no
+    bitwise_count): unpack the bytes, sum the bits."""
+    b = x.view(np.uint8).reshape(x.size, 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int32)
+
+
 def cosine_hamming_candidates(
     corpus: DataFrame,
     queries_local: tuple[list, np.ndarray],
@@ -394,21 +410,9 @@ def cosine_hamming_candidates(
         ]
     )
 
-    def _pack(m: np.ndarray) -> np.ndarray:
-        # sign bit per dimension, bit i = (v[i] > 0) — the integer
-        # twin of the JVM pack expression (shiftleft over a 0-based
-        # sequence); uint64 so bit 63 needs no sign-wrap special case
-        bits = (m > 0).astype(np.uint64)
-        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-        return (bits * weights).sum(axis=1, dtype=np.uint64)
-
-    def _popcount(x: np.ndarray) -> np.ndarray:
-        b = x.view(np.uint8).reshape(x.size, 8)
-        return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int32)
-
     def score_batches(batches):
         ids_b, qm = bc.value
-        q_codes = _pack(qm)
+        q_codes = _pack_sign_codes(qm)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -417,14 +421,14 @@ def cosine_hamming_candidates(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             norms = np.linalg.norm(m, axis=1)
-            codes = _pack(m)
+            codes = _pack_sign_codes(m)
             out = {"query_id": [], id_col: [], "c": [], "hamming": []}
             for qi, qid in enumerate(ids_b):
                 qv = np.broadcast_to(qm[qi], m.shape)
                 dots = np.einsum("ij,ij->i", m, qv)
                 qn = np.linalg.norm(qv, axis=1)
                 c = dots / (norms * qn)
-                hm = _popcount(codes ^ q_codes[qi])
+                hm = _popcount64(codes ^ q_codes[qi])
                 cand = np.flatnonzero(ids != qid)
                 if cand.size == 0:
                     continue
@@ -1892,86 +1896,117 @@ def two_stage_rerank(
     queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries_local: tuple[list, np.ndarray] | None = None,
 ) -> DataFrame:
     """Two-stage retrieval (r9): cheap 1-bit Hamming stage-1 candidate
     generation → exact-cosine stage-2 rerank — the production
     composition that turns the LOW standalone recall of binary codes
     (0.27@10 on this corpus, SCALE.md) into high end recall at a
-    fraction of brute-force cost. Stage 1 scans packed int64 codes
-    (8 bytes/vector, two integer ops per candidate — the
-    sim_hamming_topk machinery) and keeps the top-``budget`` per
-    query by (hamming, id); stage 2 re-scores ONLY those
-    budget·Q rows with exact double cosine and returns the top-k.
+    fraction of brute-force cost. Stage 1 keeps the top-``budget``
+    per query by (hamming, id); stage 2 re-scores only candidate
+    rows with exact double cosine and returns the top-k.
 
-    Scale: stage 1 is a broadcast probe over a map-side scan of the
-    code column (never the float vectors — 32× less IO); stage 2
-    touches budget·Q full vectors via an equi-join on the id, so its
-    cost is independent of corpus size. Deterministic end-to-end:
-    integer stage-1 ties break on id, stage-2 ties on id — which is
-    what makes the DuckDB oracle exact (`sim_two_stage_rerank`).
+    r14 execution shape (guide §4, one corpus pass): both stages run
+    inside ONE ``mapInPandas`` over the corpus — each batch packs
+    sign codes, ranks Hamming against the closure-held query matrix,
+    and computes the exact einsum cosine for its local top-``budget``
+    candidates only; a global window over the emitted union
+    (≤ budget·Q rows per batch) then selects the true global
+    top-``budget`` by (hamming, id) — an exact decomposition: every
+    global candidate survives its batch-local top-``budget`` under
+    the same total ordering, and rows outside the global
+    top-``budget`` rank past it in the union because all rows that
+    beat them are present. This replaces the previous two-scan plan
+    (JVM pack + code BNLJ + window + id-join back to the vectors +
+    pair cosine): ONE float-column scan instead of two, no pair
+    join, and only candidate rows cross the ranking shuffle. With a
+    PRECOMPUTED code column a code-only stage-1 scan would read 64×
+    fewer bytes — but this operator derives codes from the float
+    column, so the single pass strictly dominates. The in-batch
+    cosine (einsum over the gathered candidate rows) is bit-identical
+    to the pair path's :func:`cosine_arrow` — same per-row
+    multiply-add order.
 
     ``queries`` defaults to corpus rows with ``id < 10`` (the
-    registry's standing query-set convention); self-matches are
-    excluded in stage 1 ONLY in that corpus-derived mode — an
-    external ``queries`` frame has its own id space, so a corpus doc
-    whose id collides with a query_id is a legitimate candidate, not
-    a self-match (ADVICE r9).
+    registry's standing query-set convention; pass ``queries_local``
+    from :func:`load_query_vectors` to skip the bounded collect);
+    self-matches are excluded in stage 1 ONLY in corpus-derived mode
+    (``queries is None``) — an external ``queries`` frame has its
+    own id space, so a corpus doc whose id collides with a query_id
+    is a legitimate candidate, not a self-match (ADVICE r9). The
+    query side is bounded-small by contract and is collected once.
     """
-    pack = F.expr(
-        f"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN "
-        f"{vec_col}[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
-    )
-    codes = corpus.select(id_col, pack.alias("code"))
-    if queries is None:
-        q_codes = codes.filter(F.col(id_col) < 10).select(
-            F.col(id_col).alias("query_id"), F.col("code").alias("qc")
-        )
-        q_vecs = corpus.filter(F.col(id_col) < 10).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
+    sc = corpus.sparkSession.sparkContext
+    exclude_self = queries is None
+    if queries_local is not None:
+        q_ids, q_mat = queries_local
+        qid_type: T.DataType = T.LongType()
+    elif queries is None:
+        q_rows = corpus.filter(F.col(id_col) < 10).select(
+            id_col, vec_col
+        ).collect()
+        q_ids = [r[0] for r in q_rows]
+        q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        qid_type = corpus.schema[id_col].dataType
     else:
-        q_codes = (
-            queries.select("query_id", F.col(vec_col).alias("_qv"))
-            .withColumn(
-                "qc",
-                F.expr(
-                    "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE "
-                    "WHEN _qv[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
-                ),
-            )
-            .select("query_id", "qc")
-        )
-        q_vecs = queries.select("query_id", F.col(vec_col).alias("_qv"))
+        q_rows = queries.select("query_id", vec_col).collect()
+        q_ids = [r[0] for r in q_rows]
+        q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        qid_type = queries.schema["query_id"].dataType
+    bc = sc.broadcast((list(q_ids), q_mat))
 
-    if queries is None:
-        stage1_cond = F.col(id_col) != F.col("query_id")
-    else:
-        stage1_cond = F.lit(True)
-    d = codes.join(F.broadcast(q_codes), stage1_cond).select(
-        "query_id",
-        id_col,
-        F.bit_count(F.col("qc").bitwiseXOR(F.col("code")))
-        .cast("int")
-        .alias("hamming"),
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("hamming", T.IntegerType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        ids_b, qm = bc.value
+        q_codes = _pack_sign_codes(qm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _pack_sign_codes(m)
+            out = {"query_id": [], id_col: [], "hamming": [], "c": []}
+            for qi, qid in enumerate(ids_b):
+                hm = _popcount64(codes ^ q_codes[qi])
+                if exclude_self:
+                    cand = np.flatnonzero(ids != qid)
+                else:
+                    cand = np.arange(ids.size)
+                if cand.size == 0:
+                    continue
+                top_h = cand[np.lexsort((ids[cand], hm[cand]))][:budget]
+                sub = m[top_h]
+                qv = np.broadcast_to(qm[qi], sub.shape)
+                dots = np.einsum("ij,ij->i", sub, qv)
+                c = dots / (
+                    np.linalg.norm(sub, axis=1) * np.linalg.norm(qv, axis=1)
+                )
+                out["query_id"].extend([qid] * top_h.size)
+                out[id_col].extend(ids[top_h].tolist())
+                out["hamming"].extend(hm[top_h].tolist())
+                out["c"].extend(c.tolist())
+            yield pd.DataFrame(out)
+
+    scored_local = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches, schema=out_schema
     )
     w1 = Window.partitionBy("query_id").orderBy("hamming", id_col)
-    cand = (
-        d.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= budget)
-        .select("query_id", id_col)
-    )
-    scored = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(q_vecs), "query_id")
-        .select(
-            "query_id",
-            id_col,
-            cosine_arrow(F.col(vec_col), F.col("_qv")).alias("c"),
-        )
-    )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), id_col)
     return (
-        scored.withColumn("rn", F.row_number().over(w2).cast("int"))
+        scored_local.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= budget)
+        .withColumn("rn", F.row_number().over(w2).cast("int"))
         .filter(F.col("rn") <= k)
         .select(
             "query_id",

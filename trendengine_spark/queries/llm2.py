@@ -2332,15 +2332,23 @@ def sim_two_stage_rerank(spark, sf_dir):
     (standalone 0.27@10, SCALE.md): as a candidate generator feeding
     an exact rerank its end recall is measured and pinned in
     tests/test_llm_ops.py at two budgets. Stage-2 cost is
-    budget·Q vectors regardless of corpus size; stage 1 never reads
-    the float column. ORACLE-BACKED: integer stage-1 ties break on
-    vec_id, so the candidate set is engine-exact, and stage 2 is the
-    same double-cosine formulation the green sim_cosine_topk
-    oracle already pins."""
-    from trendengine_spark.operators.similarity import two_stage_rerank
+    budget·Q vectors regardless of corpus size. ORACLE-BACKED:
+    integer stage-1 ties break on vec_id, so the candidate set is
+    engine-exact, and stage 2 is the same double-cosine formulation
+    the green sim_cosine_topk oracle already pins. r14: both stages
+    run in ONE mapInPandas corpus pass (see the operator docstring
+    for the plan diff and the exactness argument); the query vectors
+    load driver-side like sim_cosine_topk's."""
+    from trendengine_spark.operators.similarity import (
+        load_query_vectors,
+        two_stage_rerank,
+    )
 
     return two_stage_rerank(
-        t(spark, sf_dir, "embeddings"), k=10, budget=50
+        t(spark, sf_dir, "embeddings"),
+        k=10,
+        budget=50,
+        queries_local=load_query_vectors(sf_dir),
     )
 
 
