@@ -1035,6 +1035,107 @@ def test_image_dhash_planted_recall_and_invariance(spark):
     assert h[0] == h[1]
 
 
+def _brute_rank_reference(ids, mat, q_ids, q_mat, exclude_self=True):
+    """Pure-numpy whole-corpus reference for the fused one-pass
+    retrieval operators (r14): per query, exact einsum cosine (the
+    operators' own signature, so doubles are bit-identical) and
+    sign-code Hamming for EVERY candidate — no batch-local pruning,
+    so any union-decomposition bug in the operators shows up as a
+    membership or rank mismatch against this."""
+    from trendengine_spark.operators.similarity import (
+        _pack_sign_codes,
+        _popcount64,
+    )
+
+    codes = _pack_sign_codes(mat)
+    q_codes = _pack_sign_codes(q_mat)
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi, qid in enumerate(q_ids):
+        qv = np.broadcast_to(q_mat[qi], mat.shape)
+        dots = np.einsum("ij,ij->i", mat, qv)
+        c = dots / (norms * np.linalg.norm(qv, axis=1))
+        hm = _popcount64(codes ^ q_codes[qi])
+        cand = np.flatnonzero(ids != qid) if exclude_self else np.arange(
+            ids.size
+        )
+        cos_order = cand[np.lexsort((ids[cand], -c[cand]))]
+        ham_order = cand[np.lexsort((ids[cand], hm[cand]))]
+        out[qid] = (ids, c, hm, cos_order, ham_order)
+    return out
+
+
+def test_fused_retrieval_union_decomposition_is_exact(spark):
+    """r14 one-pass retrieval operators: the batch-local
+    top-``depth``/top-``budget`` UNION must reproduce the exact
+    whole-corpus ranking — membership AND rank values — on a corpus
+    deliberately split across many partitions (so the union logic,
+    not a single-batch degenerate case, is what's exercised)."""
+    from pyspark.sql import functions as F
+
+    from trendengine_spark.operators.similarity import (
+        cosine_hamming_candidates,
+        two_stage_rerank,
+    )
+    from pyspark.sql import Window
+
+    rng = np.random.RandomState(7)
+    n, d = 600, 64
+    mat = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in mat]})
+    # 8 partitions -> every batch prunes locally; depth << n
+    corpus = spark.createDataFrame(pdf).repartition(8)
+    q_ids = list(range(4))
+    q_mat = mat[:4]
+    ref = _brute_rank_reference(ids, mat, q_ids, q_mat)
+
+    depth = 25
+    pairs = cosine_hamming_candidates(
+        corpus, (q_ids, q_mat), depth=depth
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    got = (
+        pairs.withColumn("cos_rank", F.row_number().over(w_cos))
+        .withColumn("ham_rank", F.row_number().over(w_ham))
+        .filter((F.col("cos_rank") <= depth) & (F.col("ham_rank") <= depth))
+        .collect()
+    )
+    got_map = {
+        (r["query_id"], r["vec_id"]): (r["cos_rank"], r["ham_rank"])
+        for r in got
+    }
+    want = {}
+    for qid, (aids, c, hm, cos_order, ham_order) in ref.items():
+        cos_rank = {aids[i]: r + 1 for r, i in enumerate(cos_order)}
+        ham_rank = {aids[i]: r + 1 for r, i in enumerate(ham_order)}
+        for vid in aids:
+            if vid == qid:
+                continue
+            cr, hr = cos_rank[vid], ham_rank[vid]
+            if cr <= depth and hr <= depth:
+                want[(qid, vid)] = (cr, hr)
+    assert got_map == want
+
+    # two_stage_rerank: global top-budget by (hamming, id) then
+    # top-k by (c desc, id), rank values exact
+    k, budget = 5, 30
+    got2 = two_stage_rerank(
+        corpus, k=k, budget=budget, queries_local=(q_ids, q_mat)
+    ).collect()
+    got2_map = {
+        (r["query_id"], r["vec_id"]): (r["cos_sim"], r["rn"]) for r in got2
+    }
+    want2 = {}
+    for qid, (aids, c, hm, cos_order, ham_order) in ref.items():
+        cand_idx = ham_order[:budget]
+        rerank = cand_idx[np.lexsort((aids[cand_idx], -c[cand_idx]))][:k]
+        for r, i in enumerate(rerank):
+            want2[(qid, aids[i])] = (round(float(c[i]), 4), r + 1)
+    assert got2_map == want2
+
+
 def test_two_stage_rerank_recall_floors(spark):
     """End recall of the two-stage (Hamming -> exact cosine) pipeline
     vs brute force at two candidate budgets — the production role of
