@@ -42,6 +42,12 @@ def main() -> None:
     from trendengine_spark.queries import all_queries
     from trendengine_spark.session import get_spark
 
+    if names == ["--all"]:
+        # full declared registry (bench surface first, then the rest)
+        names = BENCH_SET + [
+            n for n in sorted(all_queries()) if n not in BENCH_SET
+        ]
+
     spark = get_spark(
         app_name="audit_plans",
         extra_conf={

@@ -797,6 +797,15 @@ _IVF_POS_SPARK = """
   FROM embeddings LATERAL VIEW posexplode(embedding) tt AS i, v
 """
 
+#: r14 session 6: the WIDE quantized frame for the mapInArrow Lloyd
+#: rounds — same per-element round/CAST expression as _IVF_POS_SPARK.
+_IVF_WIDE_SPARK = """
+SELECT vec_id AS id,
+       transform(embedding,
+                 v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qa
+FROM embeddings
+"""
+
 
 @query("sim_ivf_topk", sql="WITH " + _ivf_sql(_IVF_POS_DUCK))
 def sim_ivf_topk(spark, sf_dir):
@@ -815,70 +824,61 @@ def sim_ivf_topk(spark, sf_dir):
     (`adaptive_n_cells` here; the oracle's `cells` CTE recomputes
     the identical shift-free integer scan) — so candidate volume is
     ~nprobe·√N (sublinear) instead of the frozen 16's N·nprobe/16
-    linear-fraction scan. And the Spark side now executes the SAME
-    program STEPWISE (the r13 sim_pq_topk posture): the quantized
-    position frame is checkpointed once; each Lloyd round runs as
-    its own job in the PIVOTED argmin form (`pivot_lloyd_sql`,
-    subspaced=False — N grouped rows with nc distance COLUMNS
-    instead of N·nc grouped rows + a window, i.e. √N× less group
-    state exactly where deriving nc would have re-created the r12
-    sf10 OOM class in the old monolithic statement), collecting only
-    the bounded nc·64-row book between rounds. Exact-int64 sums
-    everywhere → bit-identical to the single-statement oracle text."""
+    linear-fraction scan. And the Spark side executes the SAME
+    program STEPWISE — r14 session 6 runs each Lloyd round as ONE
+    ``mapInArrow`` pass over a WIDE quantized frame (one row per
+    vector, values an ``array<bigint>``; operators/lloyd_exact,
+    guide §4.2): distances via float64 BLAS (exact — every partial
+    sum an integer < 2⁵³), per-task component partials, the oracle's
+    floor-mean reduction — no join, no N·nc-group aggregate, no
+    corpus SMJ per round (the r13/r14 pivoted SQL form,
+    `pivot_lloyd_sql`, stays as the internals test's reference). The
+    round-2 assignment (oracle's a2) and the round-2 book (c2) come
+    from the SAME fused pass. Exact-int64 sums everywhere →
+    bit-identical to the single-statement oracle text (pinned
+    round-for-round in tests/test_lloyd_exact.py)."""
+    from trendengine_spark.operators.lloyd_exact import (
+        books_whole_from_partials,
+        books_whole_rows,
+        lloyd_books_whole,
+        lloyd_codes_whole,
+        seed_books,
+    )
     from trendengine_spark.operators.similarity import adaptive_n_cells
 
     np_, k = _IVF_NPROBE, _IVF_K
-    pos = sql_over_tables(
-        spark, sf_dir, "SELECT * FROM (" + _IVF_POS_SPARK + ")",
-        ("embeddings",),
+    wide = sql_over_tables(
+        spark, sf_dir, _IVF_WIDE_SPARK, ("embeddings",)
     ).localCheckpoint()
-    pos.createOrReplaceTempView("te_ivf_pos")
+    wide.createOrReplaceTempView("te_ivf_wide")
     n = sql_over_tables(
         spark, sf_dir, "SELECT count(*) AS n FROM embeddings",
         ("embeddings",),
     ).first()["n"]
     nc = adaptive_n_cells(n)
-    bschema = "cell int, i int, cv bigint"
+    cv0 = seed_books(spark, "te_ivf_wide", nc)
+    # round 1: assignment vs c0 folded into the books pass
+    cells, cv1 = books_whole_from_partials(
+        lloyd_books_whole(wide, list(range(cv0.shape[0])), cv0)
+    )
+    # round 2: the final assignment (oracle's a2, reused by the
+    # candidate join) and the round-2 book (oracle's c2, probe
+    # scoring only) both come from ONE fused corpus pass
+    fused = lloyd_codes_whole(wide, cells, cv1, with_books=True)
+    fused = fused.localCheckpoint()
+    fused.where("i = -1").select("id", "cell").createOrReplaceTempView(
+        "te_ivf_a2"
+    )
+    b2c, b2cv = books_whole_from_partials(
+        fused.where("id IS NULL").select("cell", "i", "s", "c")
+    )
     spark.createDataFrame(
-        spark.sql(f"""
-WITH seeds AS (
-  SELECT id, CAST(row_number() OVER (
-           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
-  FROM (SELECT DISTINCT id FROM te_ivf_pos) u
-)
-SELECT s.cell, p.i, p.q AS cv
-FROM seeds s JOIN te_ivf_pos p ON p.id = s.id WHERE s.cell < {nc}"""
-        ).collect(),
-        bschema,
-    ).createOrReplaceTempView("te_ivf_b0")
-    # round 1: assignment vs c0 folded into the pivoted books job
-    spark.createDataFrame(
-        spark.sql(
-            pivot_lloyd_sql(
-                "te_ivf_pos", "te_ivf_b0", nc, "books", subspaced=False
-            )
-        ).collect(),
-        bschema,
-    ).createOrReplaceTempView("te_ivf_b1")
-    # round 2: the final assignment (oracle's a2) is reused by the
-    # candidate join, so it materializes as its own checkpoint; the
-    # round-2 book (oracle's c2, probe scoring only) derives from it
-    a2 = spark.sql(
-        pivot_lloyd_sql(
-            "te_ivf_pos", "te_ivf_b1", nc, "codes", subspaced=False
-        )
-    ).localCheckpoint()
-    a2.createOrReplaceTempView("te_ivf_a2")
-    spark.createDataFrame(
-        spark.sql("""
-SELECT /*+ MERGE(a) */ a.cell, p.i,
-       CAST(floor(CAST(sum(p.q) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE) + 5e-1) AS BIGINT) AS cv
-FROM te_ivf_a2 a JOIN te_ivf_pos p ON p.id = a.id
-GROUP BY a.cell, p.i"""
-        ).collect(),
-        bschema,
+        books_whole_rows(b2c, b2cv), "cell int, i int, cv bigint"
     ).createOrReplaceTempView("te_ivf_b2")
+    spark.sql(
+        "SELECT id, pos AS i, q "
+        "FROM te_ivf_wide LATERAL VIEW posexplode(qa) t AS pos, q"
+    ).createOrReplaceTempView("te_ivf_pos")
     return spark.sql(f"""
 WITH nrm AS (
   SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM te_ivf_pos GROUP BY id
@@ -1822,6 +1822,28 @@ _PQ_POS_SPARK = """
   FROM embeddings LATERAL VIEW posexplode(embedding) tt AS i, v
 """
 
+#: r14 session 6: the WIDE unit-quantized frame (one row per vector,
+#: values as array<bigint>) the mapInArrow Lloyd rounds consume. Same
+#: Catalyst expressions per element as the _pq_upos_sql explode path
+#: (round/CAST per value; n2 an exact int64 fold, order-free), so q is
+#: bit-identical — pinned in tests/test_lloyd_exact.py.
+_PQ_WIDE_SPARK = """
+SELECT id, transform(qra, x -> CAST(round(CAST(x AS DOUBLE) * 1024e0
+       / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)) AS qa
+FROM (
+  SELECT id, qra,
+         aggregate(qra, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2
+  FROM (
+    SELECT vec_id AS id,
+           transform(embedding,
+                     v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+             AS qra
+    FROM embeddings
+  )
+)
+WHERE n2 > 0
+"""
+
 
 def pivot_lloyd_sql(
     pos: str,
@@ -1947,50 +1969,62 @@ def sim_pq_topk(spark, sf_dir):
     brute force is pinned in tests/test_llm_ops.py for this twin AND
     the float production operators.
 
-    Scale (r13 — the sf10 fix, superseding r12's upos-only
-    localCheckpoint, which still left AQE materializing a dozen
-    10⁸-row stages concurrently in one job): the Spark side executes
-    the SAME program STEPWISE — the unit-quantized position frame is
-    checkpointed once; each Lloyd round runs as its own job in the
-    PIVOTED form (:func:`_pq_pivot_round_sql` — N·subs grouped rows
-    with ``cells`` distance columns instead of N·subs·cells grouped
-    rows + a 200M-row window; argmin as LEAST + first-match CASE)
-    and collects only the 2,048-row book (the float operator's
-    bounded codebook posture, the BPE per-iteration discipline);
-    codes are one checkpointed assignment pass; ADC/rerank is one
-    final shallow statement. Exact-int64 sums everywhere, so the
-    result is BIT-IDENTICAL to the single-statement oracle text."""
+    Scale (r13 ran each round as a PIVOTED SQL job —
+    :func:`_pq_pivot_round_sql`, kept as the oracle's shape and the
+    internals test's reference; r14 session 6 executes each round as
+    ONE ``mapInArrow`` pass, guide §4.2): the unit-quantized frame is
+    checkpointed once in WIDE form (one row per vector, the 64 values
+    an ``array<bigint>``); each Lloyd round scores every (vector,
+    code) distance with float64 BLAS inside the Arrow batch (exact —
+    every partial sum is an integer < 2⁵³, see operators/lloyd_exact),
+    accumulates per-task component sums, and reduces the bounded
+    partials with the oracle's own floor-mean expression — no join,
+    no N·subs-group aggregate, no corpus SMJ per round; codes are one
+    assignment pass; ADC/rerank is one final shallow statement over
+    explode-on-demand views of the wide frame. Exact-int64 sums
+    everywhere, so the result is BIT-IDENTICAL to the
+    single-statement oracle text (pinned round-for-round against the
+    pivoted SQL in tests/test_lloyd_exact.py)."""
+    import numpy as np
+
+    from trendengine_spark.operators.lloyd_exact import (
+        books_sub_from_partials,
+        books_sub_rows,
+        lloyd_round_sub,
+        seed_books,
+    )
     from trendengine_spark.operators.similarity import adaptive_n_cells
 
     n = sql_over_tables(
         spark, sf_dir, "SELECT count(*) AS n FROM embeddings",
         ("embeddings",),
     ).first()["n"]
-    upos = sql_over_tables(
-        spark,
-        sf_dir,
-        "WITH " + _pq_upos_sql(_PQ_POS_SPARK, " DIV ")
-        + " SELECT * FROM upos",
-        ("embeddings",),
+    wide = sql_over_tables(
+        spark, sf_dir, _PQ_WIDE_SPARK, ("embeddings",)
     ).localCheckpoint()
-    upos.createOrReplaceTempView("te_pq_upos")
-    book_schema = "cell int, sub int, i int, cv bigint"
-    prev = "te_pq_b0"
-    spark.createDataFrame(
-        spark.sql(_PQ_B0_SQL).collect(), book_schema
-    ).createOrReplaceTempView(prev)
-    for r in (1, 2, 3):
-        rows = spark.sql(
-            _pq_pivot_round_sql(prev, _PQ_CELLS, "books")
-        ).collect()
-        prev = f"te_pq_b{r}"
-        spark.createDataFrame(rows, book_schema).createOrReplaceTempView(
-            prev
+    wide.createOrReplaceTempView("te_pq_wide")
+    subs, sd = _PQ_SUBS, 64 // _PQ_SUBS
+    seeds = seed_books(spark, "te_pq_wide", _PQ_CELLS)
+    cv = np.zeros((_PQ_CELLS, subs, sd), dtype=np.int64)
+    mask = np.zeros((_PQ_CELLS, subs), dtype=bool)
+    cv[: seeds.shape[0]] = seeds.reshape(seeds.shape[0], subs, sd)
+    mask[: seeds.shape[0]] = True
+    for _ in (1, 2, 3):
+        cv, mask = books_sub_from_partials(
+            lloyd_round_sub(wide, cv, mask, "books", subs, sd),
+            _PQ_CELLS, subs, sd,
         )
-    codes = spark.sql(
-        _pq_pivot_round_sql("te_pq_b3", _PQ_CELLS, "codes")
+    spark.createDataFrame(
+        books_sub_rows(cv, mask, sd), "cell int, sub int, i int, cv bigint"
+    ).createOrReplaceTempView("te_pq_b3")
+    codes = lloyd_round_sub(
+        wide, cv, mask, "codes", subs, sd
     ).localCheckpoint()
     codes.createOrReplaceTempView("te_pq_codes")
+    spark.sql(
+        "SELECT id, CAST(pos DIV 2 AS INT) AS sub, pos AS i, q "
+        "FROM te_pq_wide LATERAL VIEW posexplode(qa) t AS pos, q"
+    ).createOrReplaceTempView("te_pq_upos")
     k = _PQ_K
     pool = max(4 * k, adaptive_n_cells(n))
     return spark.sql(f"""

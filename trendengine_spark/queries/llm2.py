@@ -966,18 +966,36 @@ def sim_ivfpq_topk(spark, sf_dir):
     brute force stays pinned in tests/test_llm_ops.py for the float
     production operators; twin recall pinned alongside.
 
-    Scale (r13 — the stepwise twin, see sim_pq_topk): the Spark side
-    executes the SAME program as its own sequence of shallow jobs —
-    coarse Lloyd rounds and residual-PQ rounds in the PIVOTED argmin
-    form (``pivot_lloyd_sql``: N[·subs] grouped rows with ``cells``
-    distance columns instead of N·subs·cells grouped rows + a
-    200M-row window), collecting only the bounded book state per
-    round (1,024 / 2,048 rows — the float operator's
-    codebook-on-the-driver posture); the coarse assignment, residual
-    frame, and codes are checkpointed once each. Exact-int64 sums
-    everywhere → bit-identical to the single-statement oracle text."""
+    Scale (r13 ran each round as a PIVOTED SQL job — kept as the
+    oracle's shape; r14 session 6 executes each round as ONE
+    ``mapInArrow`` pass over WIDE frames, operators/lloyd_exact,
+    guide §4.2): the unit-quantized frame is checkpointed once as
+    (id, array<bigint>); coarse rounds score every (vector, cell)
+    distance with float64 BLAS inside the Arrow batch (exact — every
+    partial sum an integer < 2⁵³) and reduce bounded per-task
+    partials with the oracle's own floor-mean; the round-2
+    assignment (va2), the round-2 book (v2) AND the carried vectors
+    for the residual come from ONE fused corpus pass, the residual
+    itself is one ``zip_with`` against the broadcast v2 book (the
+    oracle's ``q − c2.cv`` — no corpus join), and the residual-PQ
+    rounds/codes run the same Arrow form subspaced. Exact-int64 sums
+    everywhere → bit-identical to the single-statement oracle text
+    (round-for-round parity with the pivoted SQL pinned in
+    tests/test_lloyd_exact.py)."""
+    import numpy as np
+
+    from trendengine_spark.operators.lloyd_exact import (
+        books_sub_from_partials,
+        books_sub_rows,
+        books_whole_from_partials,
+        books_whole_rows,
+        lloyd_books_whole,
+        lloyd_codes_whole,
+        lloyd_round_sub,
+        seed_books,
+    )
     from trendengine_spark.operators.similarity import adaptive_n_cells
-    from trendengine_spark.queries.llm import pivot_lloyd_sql
+    from trendengine_spark.queries.llm import _PQ_WIDE_SPARK
 
     kc = _IVFPQ_CODES
     np_, k = _IVFPQ_NPROBE, _IVFPQ_K
@@ -986,100 +1004,69 @@ def sim_ivfpq_topk(spark, sf_dir):
         ("embeddings",),
     ).first()["n"]
     c = adaptive_n_cells(n)
-    upos = sql_over_tables(
-        spark,
-        sf_dir,
-        "WITH pos AS (" + _IVFPQ_POS_SPARK + """),
-nrm0 AS (
-  SELECT id, CAST(sum(qr * qr) AS BIGINT) AS n2 FROM pos GROUP BY id
-)
-SELECT p.id, CAST(p.i DIV 2 AS INT) AS sub, p.i,
-       CAST(round(CAST(p.qr AS DOUBLE) * 1024e0
-            / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS q
-FROM pos p JOIN nrm0 n ON n.id = p.id WHERE n.n2 > 0""",
-        ("embeddings",),
+    wide = sql_over_tables(
+        spark, sf_dir, _PQ_WIDE_SPARK, ("embeddings",)
     ).localCheckpoint()
-    upos.createOrReplaceTempView("te_ivfpq_upos")
-    seeds_sql = """
-WITH seeds AS (
-  SELECT id, CAST(row_number() OVER (
-           ORDER BY md5(CAST(id AS STRING)), id) AS INT) - 1 AS cell
-  FROM (SELECT DISTINCT id FROM te_ivfpq_upos) u
-)"""
-    # coarse quantizer: v0 seeds + 2 pivoted Lloyd rounds (whole
-    # vector, no sub key — 16 distance columns, N groups)
-    vschema = "cell int, i int, cv bigint"
+    wide.createOrReplaceTempView("te_ivfpq_wide")
+    # coarse quantizer: v0 seeds + round 1 books + fused round 2
+    seeds = seed_books(spark, "te_ivfpq_wide", c)
+    cells, v1 = books_whole_from_partials(
+        lloyd_books_whole(wide, list(range(seeds.shape[0])), seeds)
+    )
+    fused = lloyd_codes_whole(
+        wide, cells, v1, with_books=True, carry_qa=True
+    ).localCheckpoint()
+    fused.where("i = -1").select("id", "cell").createOrReplaceTempView(
+        "te_ivfpq_va2"
+    )
+    v2c, v2cv = books_whole_from_partials(
+        fused.where("id IS NULL").select("cell", "i", "s", "c")
+    )
     spark.createDataFrame(
-        spark.sql(
-            seeds_sql
-            + f"""
-SELECT s.cell, p.i, p.q AS cv
-FROM seeds s JOIN te_ivfpq_upos p ON p.id = s.id WHERE s.cell < {c}"""
-        ).collect(),
-        vschema,
-    ).createOrReplaceTempView("te_ivfpq_v0")
-    for r in (1, 2):
-        spark.createDataFrame(
-            spark.sql(
-                pivot_lloyd_sql(
-                    "te_ivfpq_upos",
-                    f"te_ivfpq_v{r - 1}",
-                    c,
-                    "books",
-                    subspaced=False,
-                )
-            ).collect(),
-            vschema,
-        ).createOrReplaceTempView(f"te_ivfpq_v{r}")
-    # va2 = the round-2 assignment (vs v1) — the original program's
-    # va2, reused by rpos and the probe candidates
-    va2 = spark.sql(
-        pivot_lloyd_sql(
-            "te_ivfpq_upos", "te_ivfpq_v1", c, "codes", subspaced=False
+        books_whole_rows(v2c, v2cv), "cell int, i int, cv bigint"
+    ).createOrReplaceTempView("te_ivfpq_v2")
+    # residual frame (oracle's rpos): q − v2.cv of the assigned cell,
+    # one zip_with against the bounded broadcast book
+    v2arr = spark.createDataFrame(
+        [
+            (int(cell), [int(x) for x in v2cv[j]])
+            for j, cell in enumerate(v2c)
+        ],
+        "cell int, cva array<bigint>",
+    )
+    rwide = (
+        fused.where("i = -1")
+        .join(F.broadcast(v2arr), "cell")
+        .select(
+            "id", F.expr("zip_with(ra, cva, (x, y) -> x - y)").alias("qa")
         )
-    ).localCheckpoint()
-    va2.createOrReplaceTempView("te_ivfpq_va2")
-    rpos = spark.sql("""
-SELECT p.id, a.cell, p.sub, p.i, p.q - cb.cv AS rq
-FROM te_ivfpq_upos p
-JOIN te_ivfpq_va2 a ON a.id = p.id
-JOIN te_ivfpq_v2 cb ON cb.cell = a.cell AND cb.i = p.i""").localCheckpoint()
-    rpos.createOrReplaceTempView("te_ivfpq_rpos")
-    rbschema = "code int, sub int, i int, cv bigint"
+        .localCheckpoint()
+    )
+    rwide.createOrReplaceTempView("te_ivfpq_rwide")
+    subs, sd = 32, 2
+    rseeds = seed_books(spark, "te_ivfpq_rwide", kc)
+    rcv = np.zeros((kc, subs, sd), dtype=np.int64)
+    rmask = np.zeros((kc, subs), dtype=bool)
+    rcv[: rseeds.shape[0]] = rseeds.reshape(rseeds.shape[0], subs, sd)
+    rmask[: rseeds.shape[0]] = True
+    for _ in (1, 2):
+        rcv, rmask = books_sub_from_partials(
+            lloyd_round_sub(rwide, rcv, rmask, "books", subs, sd),
+            kc, subs, sd,
+        )
     spark.createDataFrame(
-        spark.sql(
-            seeds_sql
-            + f"""
-SELECT s.cell AS code, p.sub, p.i, p.rq AS cv
-FROM seeds s JOIN te_ivfpq_rpos p ON p.id = s.id WHERE s.cell < {kc}"""
-        ).collect(),
-        rbschema,
-    ).createOrReplaceTempView("te_ivfpq_rb0")
-    for r in (1, 2):
-        spark.createDataFrame(
-            spark.sql(
-                pivot_lloyd_sql(
-                    "te_ivfpq_rpos",
-                    f"te_ivfpq_rb{r - 1}",
-                    kc,
-                    "books",
-                    val="rq",
-                    cell_col="code",
-                )
-            ).collect(),
-            rbschema,
-        ).createOrReplaceTempView(f"te_ivfpq_rb{r}")
-    codes = spark.sql(
-        pivot_lloyd_sql(
-            "te_ivfpq_rpos",
-            "te_ivfpq_rb2",
-            kc,
-            "codes",
-            val="rq",
-            cell_col="code",
-        )
-    ).localCheckpoint()
+        books_sub_rows(rcv, rmask, sd), "code int, sub int, i int, cv bigint"
+    ).createOrReplaceTempView("te_ivfpq_rb2")
+    codes = (
+        lloyd_round_sub(rwide, rcv, rmask, "codes", subs, sd)
+        .withColumnRenamed("cell", "code")
+        .localCheckpoint()
+    )
     codes.createOrReplaceTempView("te_ivfpq_codes")
+    spark.sql(
+        "SELECT id, CAST(pos DIV 2 AS INT) AS sub, pos AS i, q "
+        "FROM te_ivfpq_wide LATERAL VIEW posexplode(qa) t AS pos, q"
+    ).createOrReplaceTempView("te_ivfpq_upos")
     return spark.sql(f"""
 WITH cn2 AS (
   SELECT cell, CAST(sum(cv * cv) AS BIGINT) AS n2 FROM te_ivfpq_v2
