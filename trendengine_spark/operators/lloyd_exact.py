@@ -379,6 +379,20 @@ def lloyd_round_sub(
     return wide.select(*cols).mapInArrow(gen, schema=schema)
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Bounded driver-side rows → a ONE-partition DataFrame.
+
+    ``createDataFrame(rows, …)`` parallelizes across
+    defaultParallelism Python partitions, so every later scan of the
+    tiny frame pays ~32 Python-worker roundtrips (and a downstream
+    ``coalesce(1)`` serializes them — measured 8-12 s per 16-row
+    parquet write before the r14 session-6 fix). One source slice =
+    one roundtrip per scan."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def _mean_expr():
     """The oracle's requantized mean, verbatim:
     ``floor(CAST(sum AS DOUBLE) / CAST(count AS DOUBLE) + 5e-1)``."""

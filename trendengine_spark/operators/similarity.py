@@ -1669,9 +1669,17 @@ def ivfpq_write_index(
     codes.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path + "/codes")
+    # r14 session 6: the bounded model tables are local rows — build
+    # them as ONE source partition. createDataFrame parallelizes local
+    # rows across defaultParallelism Python partitions, and a
+    # coalesce(1) then evaluates all of them SEQUENTIALLY inside one
+    # task (one Python-worker roundtrip per parent partition —
+    # measured 8-12 s per 16-row write); parallelize(rows, 1) is one
+    # roundtrip (~0.3 s).
     cent_rows = [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
-        1
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cent_rows, 1),
+        "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(path + "/centroids")
     m, k, _ = books.shape
     book_rows = [
@@ -1679,8 +1687,9 @@ def ivfpq_write_index(
         for s in range(m)
         for c in range(k)
     ]
-    spark.createDataFrame(book_rows, "subspace int, code int, vec array<double>").coalesce(
-        1
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(book_rows, 1),
+        "subspace int, code int, vec array<double>",
     ).write.mode("overwrite").parquet(path + "/books")
 
 

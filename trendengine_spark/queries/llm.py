@@ -842,6 +842,7 @@ def sim_ivf_topk(spark, sf_dir):
         books_whole_rows,
         lloyd_books_whole,
         lloyd_codes_whole,
+        local_rows_df,
         seed_books,
     )
     from trendengine_spark.operators.similarity import adaptive_n_cells
@@ -872,8 +873,8 @@ def sim_ivf_topk(spark, sf_dir):
     b2c, b2cv = books_whole_from_partials(
         fused.where("id IS NULL").select("cell", "i", "s", "c")
     )
-    spark.createDataFrame(
-        books_whole_rows(b2c, b2cv), "cell int, i int, cv bigint"
+    local_rows_df(
+        spark, books_whole_rows(b2c, b2cv), "cell int, i int, cv bigint"
     ).createOrReplaceTempView("te_ivf_b2")
     spark.sql(
         "SELECT id, pos AS i, q "
@@ -1991,6 +1992,7 @@ def sim_pq_topk(spark, sf_dir):
         books_sub_from_partials,
         books_sub_rows,
         lloyd_round_sub,
+        local_rows_df,
         seed_books,
     )
     from trendengine_spark.operators.similarity import adaptive_n_cells
@@ -2014,8 +2016,9 @@ def sim_pq_topk(spark, sf_dir):
             lloyd_round_sub(wide, cv, mask, "books", subs, sd),
             _PQ_CELLS, subs, sd,
         )
-    spark.createDataFrame(
-        books_sub_rows(cv, mask, sd), "cell int, sub int, i int, cv bigint"
+    local_rows_df(
+        spark, books_sub_rows(cv, mask, sd),
+        "cell int, sub int, i int, cv bigint",
     ).createOrReplaceTempView("te_pq_b3")
     codes = lloyd_round_sub(
         wide, cv, mask, "codes", subs, sd

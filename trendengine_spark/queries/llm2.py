@@ -992,6 +992,7 @@ def sim_ivfpq_topk(spark, sf_dir):
         lloyd_books_whole,
         lloyd_codes_whole,
         lloyd_round_sub,
+        local_rows_df,
         seed_books,
     )
     from trendengine_spark.operators.similarity import adaptive_n_cells
@@ -1022,12 +1023,13 @@ def sim_ivfpq_topk(spark, sf_dir):
     v2c, v2cv = books_whole_from_partials(
         fused.where("id IS NULL").select("cell", "i", "s", "c")
     )
-    spark.createDataFrame(
-        books_whole_rows(v2c, v2cv), "cell int, i int, cv bigint"
+    local_rows_df(
+        spark, books_whole_rows(v2c, v2cv), "cell int, i int, cv bigint"
     ).createOrReplaceTempView("te_ivfpq_v2")
     # residual frame (oracle's rpos): q − v2.cv of the assigned cell,
     # one zip_with against the bounded broadcast book
-    v2arr = spark.createDataFrame(
+    v2arr = local_rows_df(
+        spark,
         [
             (int(cell), [int(x) for x in v2cv[j]])
             for j, cell in enumerate(v2c)
@@ -1054,8 +1056,9 @@ def sim_ivfpq_topk(spark, sf_dir):
             lloyd_round_sub(rwide, rcv, rmask, "books", subs, sd),
             kc, subs, sd,
         )
-    spark.createDataFrame(
-        books_sub_rows(rcv, rmask, sd), "code int, sub int, i int, cv bigint"
+    local_rows_df(
+        spark, books_sub_rows(rcv, rmask, sd),
+        "code int, sub int, i int, cv bigint",
     ).createOrReplaceTempView("te_ivfpq_rb2")
     codes = (
         lloyd_round_sub(rwide, rcv, rmask, "codes", subs, sd)
