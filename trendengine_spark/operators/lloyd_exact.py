@@ -61,6 +61,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from trendengine_spark.operators.util import local_rows_df
+
+__all__ = [
+    "local_rows_df",
+]
+
 #: |q| bound under which every float64 dot/GEMM partial sum is an
 #: exact integer (64 · 2²¹ · 2²¹ = 2⁴⁸ < 2⁵³).
 _QMAX = 1 << 21
@@ -377,20 +383,6 @@ def lloyd_round_sub(
         cols = [qa_col] if emit == "books" else ["id", qa_col]
     schema = _PARTIAL_SUB if emit == "books" else _CODES_SUB
     return wide.select(*cols).mapInArrow(gen, schema=schema)
-
-
-def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
-    """Bounded driver-side rows → a ONE-partition DataFrame.
-
-    ``createDataFrame(rows, …)`` parallelizes across
-    defaultParallelism Python partitions, so every later scan of the
-    tiny frame pays ~32 Python-worker roundtrips (and a downstream
-    ``coalesce(1)`` serializes them — measured 8-12 s per 16-row
-    parquet write before the r14 session-6 fix). One source slice =
-    one roundtrip per scan."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
 
 
 def _mean_expr():

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trendengine_spark.operators.util import local_rows_df
+
 
 def asof_join(
     left: DataFrame,
@@ -312,7 +314,7 @@ def ranked_global(
         offsets.append((pid, acc))
         acc += cnt
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, schema="_pid int, _offset long")
+        local_rows_df(spark, offsets, "_pid int, _offset long")
     )
     out = local.join(off_df, "_pid")
     return (

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from trendengine_spark.operators.util import fan_out, owned_cache
+from trendengine_spark.operators.util import fan_out, local_rows_df, owned_cache
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -754,7 +754,8 @@ def random_hyperplane_ann(
         for i, r in enumerate(q_rows)
         for b in range(bands)
     ]
-    probes = spark.createDataFrame(
+    probes = local_rows_df(
+        spark,
         probe_rows,
         T.StructType(
             [
@@ -959,7 +960,8 @@ def ivf_topk(
         sims = cn @ (qv / nrm)
         for cell in np.argsort(-sims)[:nprobe]:
             probe_rows.append((r[0], list(r[1]), int(cell)))
-    probes = spark.createDataFrame(
+    probes = local_rows_df(
+        spark,
         probe_rows,
         T.StructType(
             [
@@ -1576,8 +1578,8 @@ def ivfpq_topk(
             "frame is typed long)"
         )
     probes = F.broadcast(
-        spark.createDataFrame(
-            probe_rows, "_qid long, cell int, _qc double, _qidx int"
+        local_rows_df(
+            spark, probe_rows, "_qid long, cell int, _qc double, _qidx int"
         )
     )
     cands = codes.join(probes, "cell")

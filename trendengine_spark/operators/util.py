@@ -150,6 +150,22 @@ def _plan_num_partitions(df: DataFrame) -> int:
     return pe.outputPartitioning().numPartitions()
 
 
+def local_rows_df(spark, rows, schema) -> DataFrame:
+    """Bounded driver-side rows -> a ONE-partition DataFrame.
+
+    ``createDataFrame(rows, ...)`` parallelizes local rows across
+    defaultParallelism Python partitions, so every scan of the tiny
+    frame pays ~ncpu Python-worker roundtrips, and a downstream
+    ``coalesce(1)`` evaluates them SEQUENTIALLY inside one task (one
+    roundtrip per parent partition - measured 8-12 s to write a
+    16-row table before the r14 session-6 fix). One source slice =
+    one roundtrip per scan. ``schema`` may be a DDL string or a
+    StructType."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def fan_out(df: DataFrame, cpu_dense: bool = False) -> DataFrame:
     """Undo degenerate input parallelism before CPU-heavy per-row work.
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from trendengine_spark.operators.util import local_rows_df
 from trendengine_spark.queries.base import query, t
 from trendengine_spark.sqltext import sql_over_tables
 
@@ -1577,7 +1578,8 @@ def text_bpe_train_micro(spark, sf_dir):
     rows = [
         (k + 1, a, b, a + b, f) for k, (a, b, f) in enumerate(merges)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "rank int, left_sym string, right_sym string, "
         "merged string, pair_freq long",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from trendengine_spark.operators.linmodel import gram_moments
 from trendengine_spark.operators.text import tokens_col
+from trendengine_spark.operators.util import local_rows_df
 from trendengine_spark.queries.base import query, t
 
 #: DuckDB twin of operators.text.tokens_col (same empty-safe
@@ -481,7 +482,8 @@ def sim_pca_explained_variance(spark, sf_dir):
     rows = exact_embedding_moments(emb, _PCA_D, _PCA_P).collect()
     a0, trace_int, _n = _pca_matrix(rows)
     out = _pca_top8(a0, trace_int, _PCA_ROUNDS)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out,
         "component int, eigval double, explained double, "
         "cum_explained double",
@@ -661,7 +663,8 @@ def profile_numeric_correlations(spark, sf_dir):
                         float(num) / math.sqrt(float(dx) * float(dy)), 9
                     ) + 0.0
                 rows.append((names[a], names[b], corr))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "col_a string, col_b string, corr double"
     )
 
@@ -759,7 +762,8 @@ def profile_higher_moments(spark, sf_dir):
             ) + 0.0
         rows.append((names[c], n, skew, kurt))
     rows.sort()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "col string, n long, skewness double, kurtosis_excess double"
     )
 
@@ -968,7 +972,8 @@ def quality_linear_cv(spark, sf_dir):
             ),
         )
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out, "fold int, n_train long, n_test long, rmse double"
     )
 
