@@ -1270,11 +1270,17 @@ def pq_train_codebooks(
     # (m, k, d_sub): subspace s starts from the seed sample's block s
     books = np.stack([init[:, s * d_sub : (s + 1) * d_sub] for s in range(m_subspaces)])
 
+    # r14 session 6: the assign pass emits only the SUBSPACE BLOCK per
+    # (row, sub) — the old shape carried the FULL vector per (row, sub)
+    # (an m× blow-up) and then posexplode'd all m·D positions only to
+    # filter back to the block's d_sub (guide §2.3 "project before the
+    # exchange"). Values are unchanged: the block floats reach the
+    # decimal(28,12) mean through the same double widening either way.
     asg_schema = T.StructType(
         [
             T.StructField("sub", T.IntegerType()),
             T.StructField("cell", T.IntegerType()),
-            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField("block", T.ArrayType(T.DoubleType())),
         ]
     )
     for _ in range(iters):
@@ -1285,7 +1291,7 @@ def pq_train_codebooks(
                 if pdf.empty:
                     continue
                 mat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
-                out_sub, out_cell, out_vec = [], [], []
+                out_sub, out_cell, out_block = [], [], []
                 for s in range(bks.shape[0]):
                     block = mat[:, s * d_sub : (s + 1) * d_sub]
                     # squared-L2 assignment: argmin ||x - c||² =
@@ -1294,26 +1300,16 @@ def pq_train_codebooks(
                     cells = np.argmax(scores, axis=1)
                     out_sub.extend([s] * len(pdf))
                     out_cell.extend(cells.astype("int32"))
-                    out_vec.extend(pdf[vec_col])
+                    out_block.extend(list(block))
                 yield pd.DataFrame(
-                    {"sub": out_sub, "cell": out_cell, vec_col: out_vec}
+                    {"sub": out_sub, "cell": out_cell, "block": out_block}
                 )
 
-        comp = (
-            c.mapInPandas(assign, asg_schema)
-            .select(
-                "sub",
-                "cell",
-                F.posexplode(vec_col).alias("pos", "val"),
-            )
-            # only the positions inside this subspace's block matter
-            .filter(
-                (F.col("pos") >= F.col("sub") * d_sub)
-                & (F.col("pos") < (F.col("sub") + 1) * d_sub)
-            )
+        comp = c.mapInPandas(assign, asg_schema).select(
+            "sub", "cell", F.posexplode("block").alias("p", "val")
         )
         means = (
-            comp.groupBy("sub", "cell", (F.col("pos") % d_sub).alias("p"))
+            comp.groupBy("sub", "cell", "p")
             .agg(
                 (F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1)))
                 .cast("double")
