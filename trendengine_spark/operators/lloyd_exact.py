@@ -77,11 +77,14 @@ _SUMMAX = float(1 << 52)
 
 def _mat_from_list_col(col, d: int) -> np.ndarray:
     """Arrow ``list<int64>`` column (no nulls, fixed length ``d``) →
-    ``(n, d)`` int64 matrix. ``flatten()`` honours slicing offsets."""
+    ``(n, d)`` int64 matrix. ``flatten()`` honours slicing offsets;
+    ``zero_copy_only=False`` permits (never changes) a copy if a
+    future Arrow layout requires one — values are identical either
+    way."""
     if isinstance(col, pa.ChunkedArray):  # pragma: no cover - defensive
         col = col.combine_chunks()
-    m = col.flatten().to_numpy(zero_copy_only=True)
-    return m.reshape(-1, d)
+    m = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(m, dtype=np.int64).reshape(-1, d)
 
 
 def _assign_whole(q: np.ndarray, cvf: np.ndarray, cn2: np.ndarray) -> np.ndarray:
