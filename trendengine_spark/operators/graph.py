@@ -152,10 +152,14 @@ def label_propagation(
         # r14 (guide §2.4): the per-round vote join is keyed on b, so
         # checkpointing the edge table PRE-PARTITIONED on b lets every
         # round reuse one exchange (LogicalRDD preserves the physical
-        # partitioning across localCheckpoint); partition count follows
-        # spark.sql.shuffle.partitions — nothing scale-pinned. Labels
-        # (|nodes| rows) remain the only per-round shuffle.
-        und = und.repartition(F.col("b"))
+        # partitioning across localCheckpoint). r15: the count is
+        # pinned_width — a count-less keyed repartition lets AQE
+        # byte-coalesce the few-MB table and a static 8-partition conf
+        # starve it (the r14 graph-cache trap). Labels (|nodes| rows)
+        # remain the only per-round shuffle.
+        from trendengine_spark.operators.util import pinned_width
+
+        und = und.repartition(pinned_width(edges.sparkSession), F.col("b"))
     und = und.localCheckpoint()
     labels = (
         nodes.select(F.col("a").alias("node"))

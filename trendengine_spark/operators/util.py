@@ -276,16 +276,33 @@ def fit_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
     tasks on a 32-core box, 4× under-parallel). An EXPLICIT
     ``repartition(n, keys)`` is exempt from AQE coalescing, and the
     downstream ``groupBy(keys)`` reuses its hash partitioning (no
-    second exchange), so the fit runs at the session's configured
-    shuffle width exactly. At 100 TB the same pin simply honors the
-    user's shuffle sizing — byte-heavy inputs were never coalesced
-    in the first place."""
-    spark = df.sparkSession
+    second exchange), so the fit runs at :func:`pinned_width` — the
+    session's shuffle width, floored at the core count (r15: a static
+    shuffle setting below the core count, e.g. the bench conf's 8,
+    starved the fit the same way AQE coalescing did). At 100 TB the
+    same pin simply honors the user's shuffle sizing — byte-heavy
+    inputs were never coalesced in the first place."""
+    return df.repartition(pinned_width(df.sparkSession), *keys)
+
+
+def pinned_width(spark) -> int:
+    """Explicit partition count for CPU-dense, byte-light stages:
+    ``max(spark.sql.shuffle.partitions, defaultParallelism)`` (r15).
+    The max matters because a *static* shuffle-partition setting tuned
+    for byte volume (the bench conf pins 8 at sf0.1) can sit BELOW the
+    core count — a byte-light fit/graph stage keyed to it runs the box
+    under-parallel. On a cluster shuffle.partitions is 2-3x total
+    cores, so the max simply honors the user's shuffle sizing; locally
+    it restores full width. Always pass this EXPLICITLY to
+    ``repartition`` — a count-less keyed repartition lets AQE's
+    byte-based coalescing shrink a few-MB frame to a handful of
+    partitions, starving downstream CPU-bound stages (the r14
+    graph-cache regression, tools/probe_graph_conf.py)."""
     try:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
-        n = spark.sparkContext.defaultParallelism
-    return df.repartition(n, *keys)
+        n = 0
+    return max(n, spark.sparkContext.defaultParallelism)
 
 
 def exact_rank_element(df, col: str, q: float, n: int | None = None):

@@ -191,9 +191,9 @@ def _copurchase_edges(spark, sf_dir, key):
     r14 plan change (guide §2.4; A/B in ``tools/probe_pagerank_v2.py``
     with identical result hashes at sf0.1 AND sf10): **the
     symmetrized table is cached hash-partitioned on the join key
-    ``a``** (keyed ``repartition`` with the partition count left to
-    ``spark.sql.shuffle.partitions`` — bench and cluster configs flow
-    through, nothing hard-coded). Every downstream join/groupBy on
+    ``a``** (r15: at an EXPLICIT ``pinned_width`` partition count —
+    bench and cluster configs flow through, floored at the core
+    count; see the inline note below for why count-less was a trap). Every downstream join/groupBy on
     ``a`` (PageRank's contribution join + degree count, k-hop's
     frontier join, the triangle orientation) reuses the cached
     partitioning instead of re-exchanging the edges per reference.
@@ -213,7 +213,7 @@ def _copurchase_edges(spark, sf_dir, key):
     fallback past the in-memory threshold) measured 24.6 vs 14.6 s
     — the self-join's sort-merge is the plan whose cost stays a
     constant number of passes over lineitem at every scale."""
-    from trendengine_spark.operators.util import owned_cache
+    from trendengine_spark.operators.util import owned_cache, pinned_width
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.withColumnRenamed("l_partkey", "b")
@@ -226,7 +226,22 @@ def _copurchase_edges(spark, sf_dir, key):
     sym = ori.unionAll(
         ori.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    return owned_cache(sym.repartition(F.col("a")), key=key)
+    # r15 (VERDICT r14 #2, guide §2.5 "synthetic partitioning"): the
+    # r14 shape was repartition(col("a")) with NO partition count —
+    # under AQE that lets byte-based coalescing shrink the few-MB edge
+    # cache to a handful of partitions, and under the bench conf it
+    # inherits shuffle.partitions=8; either way every downstream
+    # CPU-bound stage over the cache runs 4x under-parallel on a
+    # 32-core box. Interleaved A/B under BOTH confs
+    # (tools/probe_graph_conf.py, hash-identical): explicit width wins
+    # or ties everywhere (bench conf: triangles 3.49->2.40, pagerank
+    # 3.70->2.99; engine conf: pagerank 4.60->2.93, triangles
+    # 4.29->2.86). Width = max(shuffle.partitions, defaultParallelism)
+    # — honors the user's shuffle sizing on a cluster (2-3x cores >
+    # cores), restores full width locally; nothing scale-pinned.
+    return owned_cache(
+        sym.repartition(pinned_width(spark), F.col("a")), key=key
+    )
 
 
 @query("graph_pagerank_micro", sql=_pagerank_sql("//", "count(*)"))
@@ -1960,9 +1975,7 @@ def graph_communities_lpa(spark, sf_dir):
     # 5.50 vs 6.09 s, but was DECLINED for the same reason as
     # _copurchase_edges: at sf10 the per-ORDER group count is 14.7M
     # and the object-hash collect aggregation loses to the
-    # sort-merge self-join — see tools/probe_tri_lpa.py). The r14
-    # change that stays is the operator's vote-join co-partition
-    # (repartition_votes below).
+    # sort-merge self-join — see tools/probe_tri_lpa.py).
     edges = (
         a.join(b, "o")
         .filter(F.col("src") < F.col("dst"))
@@ -1992,9 +2005,18 @@ def graph_communities_lpa(spark, sf_dir):
     # fixpoint-identity test stay (deep-lineage graphs elsewhere may
     # still want batching); the declared query keeps the measured
     # winner.
+    # repartition_votes=False (r15, VERDICT r14 #2): the r14 vote-join
+    # co-partition was re-decided by interleaved A/B under BOTH the
+    # driver's bench conf (AQE off, 8 shuffle partitions) and the
+    # engine default (tools/probe_graph_conf.py, hash-identical):
+    # rv=True never wins (bench 3.60 vs 3.44 s; engine 4.87 vs
+    # 4.62 s) — on THIS graph the pre-partitioned edge table saves
+    # one exchange of a few-MB frame but costs the up-front
+    # repartition pass; the knob and its fixpoint-identity test stay
+    # for denser graphs where five reused exchanges beat one.
     labels = owned_cache(
         label_propagation(
-            edges, iters=5, early_exit=False, repartition_votes=True
+            edges, iters=5, early_exit=False, repartition_votes=False
         ),
         "graph.lpa.labels",
     )
