@@ -388,6 +388,32 @@ def test_exact_rank_element_bracket_path_exact(spark):
         assert exact_rank_element(df, "v", q) == srt[k - 1], q
 
 
+def test_exact_rank_element_guard_path_bucketed(spark):
+    """r15 (VERDICT r14 #5): the bracket-miss guard path must return
+    the same exact-rank element as a sorted list, through the new
+    range-bucketed two-pass selection (per-bucket totals + in-bucket
+    running-count window) instead of the r14 single-task global
+    window. The guard is forced by violating the ``n`` contract
+    (n = 2x the true count): the GK bracket quantiles are then
+    computed against the inflated n, the bracket slice misses the
+    true rank, and the fallback runs — on the REAL data, where
+    rank k is still well-defined."""
+    import math
+
+    from trendengine_spark.operators.util import exact_rank_element
+
+    vals = [float(i % 997) if i % 7 else 450.0 for i in range(50_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    srt = sorted(vals)
+    fake_n = 2 * len(vals)  # > 4*acc, and shifts k past the bracket
+    q = 0.4
+    k = max(int(math.ceil(q * fake_n)), 1)  # rank 40k of 50k real rows
+    assert k <= len(vals)
+    assert exact_rank_element(df, "v", q, n=fake_n) == srt[k - 1]
+    # rank beyond every real row: the guard must return None, not hang
+    assert exact_rank_element(df, "v", 0.9, n=fake_n) is None
+
+
 def test_approx_distinct_tracks_exact(spark):
     """approx_vs_exact_distinct (registry-retired r13, API surface
     kept): native HLL approx_count_distinct at rsd=0.01 tracks the

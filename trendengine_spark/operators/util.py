@@ -329,12 +329,15 @@ def exact_rank_element(df, col: str, q: float, n: int | None = None):
        (rank error ≤ n/acc by the GK guarantee — bounded partials);
     2. exact count below the bracket (map-reduce, no state);
     3. tie-collapse the bracket slice (groupBy value — partial-agg)
-       and pick the target by a running-count window over the
-       slice's DISTINCT values (window sort is external/spillable;
-       no top-k operator anywhere);
+       and pick the target by a range-bucketed running count over the
+       slice's DISTINCT values (per-bucket totals, then the window
+       inside the one target bucket — external/spillable, no top-k
+       operator, no global single-task window anywhere);
     4. if the bracket misses (cannot happen within the GK guarantee;
-       kept as a guard), fall back to the same tie-collapsed window
-       over ALL distinct values — single-task but external.
+       kept as a guard), log loudly and run the same bucketed
+       selection over ALL distinct values — bounded at
+       ~|distinct|/width rows per task (r15; the r14 guard was one
+       global window task).
     Callers dispatch on a cardinality gate (GK_LOSSLESS_GATE): cheap
     lossless sketch below it, this exact path above it; both are
     exact, so the quantile_disc oracle identity holds at EVERY scale.
@@ -359,20 +362,52 @@ def exact_rank_element(df, col: str, q: float, n: int | None = None):
 
     def _pick_from(sliced, target_rank):
         """target_rank-th smallest within ``sliced`` via tie-collapsed
-        running counts — distinct values only, external window sort,
-        no top-k."""
+        running counts, RANGE-BUCKETED (r15, VERDICT r14 #5): the r14
+        shape ran one global unpartitioned running-count window — a
+        single task over ALL distinct values, a silent multi-hour
+        stall if the guard path ever fired at 10⁹⁺ distinct values.
+        Now: (1) tie-collapse to distinct-value counts (partial-agg),
+        (2) range-partition the distinct values and pin the layout
+        (persist — re-execution would re-sample range bounds between
+        the two passes), (3) per-bucket totals → driver-side running
+        offsets (≤ width rows), (4) the running-count window runs
+        INSIDE the one target bucket only: ~|distinct|/width rows per
+        task instead of |distinct|, every step spillable."""
         g = sliced.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
-        w = Window.orderBy(F.col(col).asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+        nb = pinned_width(sliced.sparkSession)
+        part = (
+            g.repartitionByRange(nb, F.col(col).asc())
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
         )
-        hit = (
-            g.withColumn("_cum", F.sum("_c").over(w))
-            .filter(F.col("_cum") >= target_rank)
-            .orderBy(F.col(col).asc())
-            .limit(1)
-            .collect()
-        )
-        return hit[0][0] if hit else None
+        try:
+            totals = sorted(
+                part.groupBy("_pid").agg(F.sum("_c").alias("_t")).collect(),
+                key=lambda r: r["_pid"],
+            )
+            run = 0
+            hit_pid, offset = None, 0
+            for r in totals:
+                if run + r["_t"] >= target_rank:
+                    hit_pid, offset = r["_pid"], run
+                    break
+                run += r["_t"]
+            if hit_pid is None:
+                return None  # target_rank beyond the slice
+            w = Window.orderBy(F.col(col).asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            hit = (
+                part.filter(F.col("_pid") == hit_pid)
+                .withColumn("_cum", F.sum("_c").over(w))
+                .filter(F.col("_cum") >= target_rank - offset)
+                .orderBy(F.col(col).asc())
+                .limit(1)
+                .collect()
+            )
+            return hit[0][0] if hit else None
+        finally:
+            part.unpersist(blocking=False)
 
     # GK bracket: rank error ≤ n/acc, so [q ± 2/acc] (rank units:
     # k ± 2n/acc) brackets the true element; acc fixed ⇒ sketch
@@ -392,7 +427,16 @@ def exact_rank_element(df, col: str, q: float, n: int | None = None):
         n_slice = in_slice.count()
         if n_below < k <= n_below + n_slice:
             return _pick_from(in_slice, k - n_below)
-        # bracket miss — outside the GK guarantee; guard path
+        # bracket miss — outside the GK guarantee; guard path. Loud
+        # by design (r15): this should never fire, and if it does the
+        # full-range selection below is bounded but much slower.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "exact_rank_element: GK bracket missed rank %d of %d "
+            "(got n_below=%d, n_slice=%d) — falling back to "
+            "full-range bucketed selection", k, n, n_below, n_slice,
+        )
     return _pick_from(vals, k)
 
 
