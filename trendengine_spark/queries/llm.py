@@ -2025,7 +2025,9 @@ def sim_pq_topk(spark, sf_dir):
     ).localCheckpoint()
     codes.createOrReplaceTempView("te_pq_codes")
     spark.sql(
-        "SELECT id, CAST(pos DIV 2 AS INT) AS sub, pos AS i, q "
+        # divisor interpolated from sd (ADVICE r14: a literal 2 here
+        # silently diverges if _PQ_SUBS ever changes)
+        f"SELECT id, CAST(pos DIV {sd} AS INT) AS sub, pos AS i, q "
         "FROM te_pq_wide LATERAL VIEW posexplode(qa) t AS pos, q"
     ).createOrReplaceTempView("te_pq_upos")
     k = _PQ_K

@@ -1068,7 +1068,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     )
     codes.createOrReplaceTempView("te_ivfpq_codes")
     spark.sql(
-        "SELECT id, CAST(pos DIV 2 AS INT) AS sub, pos AS i, q "
+        # divisor interpolated from sd (ADVICE r14: a literal 2 here
+        # silently diverges if the subspace constants ever change)
+        f"SELECT id, CAST(pos DIV {sd} AS INT) AS sub, pos AS i, q "
         "FROM te_ivfpq_wide LATERAL VIEW posexplode(qa) t AS pos, q"
     ).createOrReplaceTempView("te_ivfpq_upos")
     return spark.sql(f"""
