@@ -282,6 +282,14 @@ def main() -> None:
         "quality_logistic_gate",
         "flagship_lifecycle_pipeline",
         "pipeline_leakage_safe_split",
+        # r15 additions (VERDICT r14 #7): the quantizer twins — their
+        # r14 single-Arrow-pass Lloyd rewrites (54-66% in solo probes)
+        # were off the bench surface; surfacing them makes the win
+        # (and any future regression) visible in the driver's own
+        # artifact. Additions only — nothing removed or renamed.
+        "sim_pq_topk",
+        "sim_ivf_topk",
+        "sim_ivfpq_topk",
     ):
         fn = qs[name]
         try:

@@ -82,6 +82,28 @@ def test_csv_sink_boolean_gate(spark, tmp_path):
     assert back == 5
 
 
+def test_write_parquet_partitioned_one_file_per_value(spark, tmp_path):
+    """r15 (VERDICT r14 #6, the IVFPQ-index fan-out lesson): a
+    partitionBy write must co-locate on the partition columns first —
+    without it every task emits a file into every partition value it
+    touches (task x value files); with it, exactly one data file per
+    partition directory."""
+    from trendengine_spark.sinks import write_parquet
+
+    df = (
+        spark.range(1000)
+        .repartition(8)  # many tasks, each touching every value
+        .withColumn("p", (F.col("id") % 4).cast("int"))
+    )
+    out = os.path.join(str(tmp_path), "part_t")
+    write_parquet(df, out, partition_by=["p"])
+    for v in range(4):
+        pdir = os.path.join(out, f"p={v}")
+        files = [f for f in os.listdir(pdir) if f.startswith("part-")]
+        assert len(files) == 1, (v, files)
+    assert spark.read.parquet(out).count() == 1000
+
+
 def test_reference_named_outputs(spark, tmp_path):
     from trendengine_spark.sinks import save_polytrend_outputs
 
