@@ -877,10 +877,14 @@ def ivf_index(
         fan_out(corpus).select(id_col, vec_col),
         f"sim.ivf.corpus.{seed}",
     )
+    # one count action serves both decisions (r15): the second
+    # count() was a separate job per build — cheap against the cache
+    # but a pure stage-launch constant on small corpora
+    n_corpus = c.count()
     if n_cells is None:
-        n_cells = adaptive_n_cells(c.count())
+        n_cells = adaptive_n_cells(n_corpus)
     train = c
-    if c.count() > train_cap:
+    if n_corpus > train_cap:
         train = owned_cache(
             fan_out(
                 c.withColumn(
